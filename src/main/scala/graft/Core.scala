@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Core session factory + table catalog + SQL gateway.
+  *
+  * Mirrors the reference's `Database` surface (reference:
+  * rainforest/database_10min/database.py:18-24 session confs,
+  * database.py:113-136 add_tables, database.py:164-234 query + UT( macro),
+  * re-expressed as a thin idiomatic layer over SparkSession.
+  */
+object Core {
+
+  /** Tables the driver-generated testdata provides (TESTDATA.md). */
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Session with the reference's confs (database.py:18-24): 100 MB broadcast
+    * threshold, case-sensitive resolution, plus scale-oriented defaults (AQE on,
+    * shuffle partitions sized for local[32]; on a real cluster these are
+    * overridden by spark-submit).
+    */
+  def session(appName: String = "graft", master: String = "local[*]"): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.autoBroadcastJoinThreshold", (100L * 1024 * 1024).toString)
+      .config("spark.sql.caseSensitive", "true")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  /** S1 `read_df`: multi-file scan with parquet-vs-csv dispatch on suffix
+    * (reference: common/utils.py:536-583). CSV schema is inferred like the
+    * reference's `inferSchema=True` (utils.py:571-572).
+    */
+  def readAny(spark: SparkSession, paths: String*): DataFrame = {
+    require(paths.nonEmpty, "readAny needs at least one path")
+    if (paths.head.endsWith(".csv") || paths.head.endsWith(".csv.gz") || paths.head.endsWith(".csv.zip"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
+    else
+      spark.read.parquet(paths: _*)
+  }
+
+  /** Load one testdata table from an sf directory.
+    *
+    * The `events` table carries nanosecond-precision parquet timestamps,
+    * which Spark only reads via `spark.sql.legacy.parquet.nanosAsLong`
+    * (TIMESTAMP(NANOS) is otherwise unsupported, SPARK-40819); the resulting
+    * long is converted back to a proper TimestampType here (the data is
+    * µs-precision, so ns→µs is lossless).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+
+  /** S2 `add_tables`: register tables as SQL temp views
+    * (reference: database_10min/database.py:113-136, auto-registration at 47-52).
+    */
+  def registerAll(spark: SparkSession, dir: String, names: Seq[String] = TableNames): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** P2: `UT(` → `UNIX_TIMESTAMP(` pre-parse macro rewrite
+    * (reference: database_10min/database.py:227-234).
+    */
+  def rewriteUT(sql: String): String = sql.replace("UT(", "UNIX_TIMESTAMP(")
+
+  /** P1: SQL gateway — full Catalyst pipeline (reference: database.py:164-224). */
+  def query(spark: SparkSession, sql: String): DataFrame = spark.sql(rewriteUT(sql))
+
+  /** Size-guarded collect: the reference estimates rows×cols×4B and refuses to
+    * collect past 512 MB (reference: database.py:192-198, constants.py:325
+    * WARNING_RAM). Unlike the reference, we avoid the double execution by
+    * caching the result before the count.
+    */
+  def collectGuarded(df: DataFrame, maxBytes: Long = 512L * 1024 * 1024): Option[Array[org.apache.spark.sql.Row]] = {
+    val cached = df.cache()
+    val est = cached.count() * cached.columns.length * 4L
+    if (est <= maxBytes) Some(cached.collect()) else { cached.unpersist(); None }
+  }
+
+  /** S3: query sink — csv / csv.gz / parquet with gzip, dispatched on suffix
+    * (reference: database.py:200-224).
+    */
+  def writeResult(df: DataFrame, path: String): Unit = {
+    if (path.endsWith(".csv"))
+      df.write.mode("overwrite").option("header", "true").csv(path)
+    else if (path.endsWith(".csv.gz"))
+      df.write.mode("overwrite").option("header", "true").option("compression", "gzip").csv(path)
+    else
+      df.write.mode("overwrite").option("compression", "gzip").parquet(path)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar functions (SURVEY.md §2.7) — all pure Column expressions so they
+  * stay inside whole-stage codegen (no UDFs in the hot path).
+  */
+object Phys {
+
+  /** F1: dB → linear, `10^(0.1·x)` (reference: ml/rf.py:359-365). */
+  def dbToLin(c: Column): Column = pow(lit(10.0), c * 0.1)
+
+  /** F2: linear → dB, `10·log10(x)` (reference: radarprocessing.py:171,182). */
+  def linToDb(c: Column): Column = log10(c) * 10.0
+
+  /** F3: visibility correction — `zlin · min(100/visib, maxCorr)`, masked
+    * below minVisib (reference: radarprocessing.py:144-182 visib_mask).
+    */
+  def visibCorrect(zlin: Column, visib: Column, minVisib: Double, maxCorr: Double): Column =
+    when(visib < minVisib, lit(null))
+      .otherwise(zlin * least(lit(100.0) / visib, lit(maxCorr)))
+
+  /** F4: SNR mask — null where `zh − noise < snrThreshold`
+    * (reference: radarprocessing.py:116-142).
+    */
+  def snrMask(zh: Column, noise: Column, snrThreshold: Double): Column =
+    when(zh - noise < snrThreshold, lit(null)).otherwise(zh)
+
+  /** F7: Kochendorfer catch-efficiency wind correction of gauge precipitation
+    * (reference: retrieve_dwh_data.py:76-97): wind clamped to 9 m/s;
+    * mixed regime (−2 ≤ T ≤ 2 °C) and solid regime (T < −2 °C) each have
+    * CE = a·exp(−b·wind)+c; liquid precip is left unchanged (CE = 1);
+    * adjusted = precip / CE.
+    */
+  def catchEfficiency(temp: Column, windRaw: Column): Column = {
+    val wind = least(windRaw, lit(9.0))
+    val mixed = lit(0.624) * exp(lit(-0.05) * wind) + lit(0.376)
+    val solid = lit(0.865) * exp(lit(-0.120) * wind) + lit(0.135)
+    when(temp < -2.0, solid).when(temp <= 2.0, mixed).otherwise(lit(1.0))
+  }
+
+  def windAdjustedPrecip(precip: Column, temp: Column, wind: Column): Column =
+    precip / catchEfficiency(temp, wind)
+
+  /** F8: mm per 10 min → mm/h (reference: ml/rf.py:452). */
+  def toRate(c: Column): Column = c * 6.0
+
+  /** F9: derived heights — `HISO = −T/0.7·100` (lapse rate,
+    * constants.py:40) and height above ground clamped at 0
+    * (reference: ml/rf.py:254-257).
+    */
+  def isoHeight(tempC: Column): Column = -tempC / 0.7 * 100.0
+  def heightAboveGround(height: Column, stationAlt: Column): Column =
+    greatest(lit(0.0), height - stationAlt)
+
+  /** F10: minutes within the hour (reference: ml/rf.py:260). */
+  def minutesInHour(epochS: Column): Column = (epochS % 3600) / 60
+
+  /** F14: nearest-cadence floor of an epoch-seconds timestamp
+    * (reference: common/utils.py:586-611 nearest_time).
+    */
+  def floorToCadence(epochS: Column, stepS: Long): Column = epochS - (epochS % stepS)
+
+  /** F16: Z-R proxy rain rate, Marshall-Palmer-style inversion
+    * `(zlin/A)^(1/B)` with A=316, B=1.5 (reference: qpe/qpe.py:720-733,
+    * constants.py:107-108).
+    */
+  def zrProxy(zlin: Column, a: Double = 316.0, b: Double = 1.5): Column =
+    pow(zlin / a, 1.0 / b)
+
+  /** F17: planar station-to-radar distance in km
+    * (reference: ml/rf.py:366-372 DIST_TO_RAD{A..W}).
+    */
+  def distKm(x: Column, y: Column, xr: Double, yr: Double): Column =
+    sqrt(pow(x - xr, 2.0) + pow(y - yr, 2.0)) / 1000.0
+
+  /** P11: threshold clamp — values below the validity floor snap to 0
+    * (reference: retrieve_reference_data.py:325-326, constants.py:296
+    * MIN_RZC_VALID = 0.04).
+    */
+  def clampBelow(c: Column, floor: Double): Column =
+    when(c < floor, lit(0.0)).otherwise(c)
+
+  /** F15: WGS84 → Swiss CH1903/LV03 approximate transform
+    * (reference: common/wgs84_ch1903.py:4-105 — the published swisstopo
+    * polynomial approximation; pure arithmetic, codegen-friendly).
+    * Returns (east, north) in meters.
+    */
+  def wgs84ToCh1903(lonDeg: Column, latDeg: Column): (Column, Column) = {
+    // auxiliary values: arc-seconds / 10000, centered on Bern
+    val phi = (latDeg * 3600.0 - 169028.66) / 10000.0
+    val lam = (lonDeg * 3600.0 - 26782.5) / 10000.0
+    val east = lit(600072.37) +
+      lit(211455.93) * lam -
+      lit(10938.51) * lam * phi -
+      lit(0.36) * lam * phi * phi -
+      lit(44.54) * lam * lam * lam
+    val north = lit(200147.07) +
+      lit(308807.95) * phi +
+      lit(3745.25) * lam * lam +
+      lit(76.63) * phi * phi -
+      lit(194.56) * lam * lam * phi +
+      lit(119.79) * phi * phi * phi
+    (east, north)
+  }
+
+  /** F13: `YYYYMMDDHHMM` string → epoch seconds
+    * (reference: common/utils.py:195-224 timestamp_from_datestr).
+    */
+  def timestampFromDatestr(c: Column): Column =
+    unix_timestamp(c, "yyyyMMddHHmm")
+
+  /** O4: searchsorted against a small sorted boundary array — DN scale
+    * encode/decode (reference: qpe/qpe.py:276 searchsorted(SCALE_CPC);
+    * io_data.py:246). Generated as a static CASE chain over the broadcast
+    * boundaries so it codegens; returns the number of boundaries ≤ value
+    * (numpy side='right' semantics).
+    */
+  def searchSorted(c: Column, boundaries: Seq[Double]): Column =
+    boundaries.map(b => when(c >= b, 1).otherwise(0)).reduce(_ + _)
+
+  /** S8: DN byte → physical value decode through a 256-entry scale array
+    * (reference: io_data.py:195-206 using SCALE_CPC, constants.py:133-183).
+    * element_at over a literal array — no UDF, no shuffle.
+    */
+  def dnDecode(dn: Column, scale: Seq[Double]): Column =
+    element_at(lit(scale.toArray), dn.cast("int") + 1)
+}

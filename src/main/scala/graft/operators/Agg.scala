@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.4).
+  *
+  * All of these are single-shuffle groupBy aggregations with map-side partial
+  * aggregation (Spark's HashAggregate), so they scale linearly with data and
+  * never fan through the driver.
+  */
+object Agg {
+
+  /** dB-domain mean: `10·log10(mean(10^(0.1·x)))` — aggregation method code 1
+    * of the reference (common/utils.py:485-508 aggregate_multi;
+    * constants.py:319-322). Expressed with codegen'd built-ins only.
+    */
+  def dbMean(c: Column): Column = log10(avg(pow(lit(10.0), c * 0.1))) * 10.0
+
+  /** A4: temporal aggregation with a per-column operator code:
+    * 0 = mean, 1 = dB-mean, 2 = sum (reference: common/utils.py:485-508,
+    * per-variable codes constants.py:314-316).
+    */
+  def aggregateMulti(df: DataFrame, groupCols: Seq[String],
+                     ops: Seq[(String, Int)]): DataFrame = {
+    val aggs = ops.map {
+      case (c, 0) => avg(col(c)).as(s"${c}_mean")
+      case (c, 1) => dbMean(col(c)).as(s"${c}_dbmean")
+      case (c, 2) => sum(col(c)).as(s"${c}_sum")
+      case (c, k) => throw new IllegalArgumentException(s"unknown agg code $k for $c")
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A3: vertical aggregation — per-group weighted mean of each feature,
+    * weights supplied as a column (reference: ml/utils.py:16-61
+    * vert_aggregation; weights 10^(β·h/1000)·visib/100 built by the caller,
+    * ml/rf.py:394,987-992). Null features contribute neither value nor weight
+    * (NaN-discipline, SURVEY §7.4).
+    */
+  def weightedMean(df: DataFrame, groupCols: Seq[String], weight: Column,
+                   features: Seq[String]): DataFrame = {
+    val aggs = features.map { f =>
+      val w = when(col(f).isNotNull, weight)
+      (sum(col(f) * w) / sum(w)).as(f)
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A3 categorical part: weighted one-hot proportions of a categorical column
+    * (reference: ml/utils.py:34-50 expands RADAR/HYDRO/TCOUNT into
+    * `<col>_prop_<val>` shares). Implemented as a pivot so it stays one
+    * shuffle; `values` must be supplied to keep the plan static (no extra
+    * distinct job at scale).
+    */
+  def weightedProportions(df: DataFrame, groupCols: Seq[String], weight: Column,
+                          catCol: String, values: Seq[String]): DataFrame = {
+    val pivoted = df.groupBy(groupCols.map(col): _*)
+      .pivot(catCol, values)
+      .agg(sum(weight))
+    val total = values.map(v => coalesce(col(v), lit(0.0))).reduce(_ + _)
+    val withProps = values.foldLeft(pivoted)((d, v) =>
+      d.withColumn(s"${catCol}_prop_$v", coalesce(col(v), lit(0.0)) / total))
+    withProps.drop(values: _*)
+  }
+
+  /** A5: spatial pixel aggregation — mean plus "value at the gate of max/min
+    * ZH" (reference: retrieve_radar_data.py:838-905 _data_at_station; the
+    * `_max`/`_min` suffixes mean argmax/argmin by ZH, not column max).
+    * Spark's built-in `max_by`/`min_by` are exactly this argmax semantics.
+    */
+  def meanMaxMinBy(df: DataFrame, groupCols: Seq[String], valueCols: Seq[String],
+                   byCol: String): DataFrame = {
+    val aggs = valueCols.flatMap { c =>
+      Seq(avg(col(c)).as(s"${c}_mean"),
+          max_by(col(c), col(byCol)).as(s"${c}_max"),
+          min_by(col(c), col(byCol)).as(s"${c}_min"))
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A6/A9: scatter-add grid aggregation — sum values and counts per Cartesian
+    * cell, mean = sum/count, any-valid flag (reference: qpe/qpe_utils.py:31-75
+    * pol_to_cart with numba add_at kernels, common/add_at.py:4-23). In Spark
+    * the scatter-add IS a groupBy: partial aggregation does the add_at
+    * per-partition, the shuffle merges cells.
+    */
+  def gridScatterAgg(df: DataFrame, xCol: String, yCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(xCol), col(yCol)).agg(
+      sum(col(valueCol)).as("sum_v"),
+      count(col(valueCol)).as("n_v"),
+      (sum(col(valueCol)) / count(col(valueCol))).as("mean_v"),
+      max(col(valueCol).isNotNull).as("any_valid"))
+
+  /** A9: weighted accumulation over sweeps/radars — union of per-sweep cell
+    * DataFrames followed by one groupBy; final estimate = Σ(v·w)/Σw
+    * (reference: qpe/qpe.py:613-656 accumulate, 670-676 normalize).
+    */
+  def weightedAccumulate(parts: Seq[DataFrame], cellCols: Seq[String],
+                         valueCol: String, weightCol: String): DataFrame = {
+    val all = parts.reduce(_ unionByName _)
+    all.groupBy(cellCols.map(col): _*)
+      .agg(sum(col(valueCol) * col(weightCol)).as("sum_vw"),
+           sum(col(weightCol)).as("sum_w"))
+      .withColumn("estimate", col("sum_vw") / col("sum_w"))
+  }
+
+  /** A7: hourly rollup of sub-hourly estimates
+    * (reference: ml/rf.py:564-588; qpe/evaluation.py:159-175).
+    */
+  def hourlyMean(df: DataFrame, key: String, tsCol: String,
+                 valueCols: Seq[String]): DataFrame = {
+    val aggs = valueCols.map(c => avg(col(c)).as(s"${c}_hmean"))
+    df.groupBy(col(key), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A13: null-aware mean of two columns — temporal smoothing of consecutive
+    * feature grids (reference: qpe/qpe.py:684 nanmean over a 2-stack).
+    */
+  def pairMean(a: Column, b: Column): Column =
+    when(a.isNull, b).when(b.isNull, a).otherwise((a + b) / 2.0)
+
+  /** A14: cross-fold statistics rollup (reference: ml/rf.py:905,1268-1293). */
+  def statsRollup(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      avg(col(valueCol)).as("mean"),
+      stddev_samp(col(valueCol)).as("std"),
+      min(col(valueCol)).as("min"),
+      max(col(valueCol)).as("max"),
+      count(col(valueCol)).as("n"))
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** J7: as-of (nearest-earlier) temporal join, plus the simpler time-bucket
+  * join the reference actually uses (common/utils.py:586-611 nearest_time +
+  * utils.py:613-674 get_qpe_files bucketing).
+  *
+  * The as-of join is implemented with the union-and-sort technique rather
+  * than a pairwise theta-join: tag both sides, union, one sort per key
+  * partition, then `last(right_value) ignoring nulls` gives every left row
+  * the most recent right row at-or-before it. Cost: ONE shuffle on the key —
+  * same as a regular join — instead of the quadratic range theta-join
+  * Catalyst would otherwise plan. This is the standard scalable pattern
+  * (cf. Flink temporal joins / pandas merge_asof semantics).
+  */
+object AsOf {
+
+  /** Left as-of join: for each left row, attach `valueCols` from the latest
+    * right row with right.ts <= left.ts (per key). Column name collisions are
+    * the caller's responsibility (valueCols must not exist on the left).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val tagged = left
+      .withColumn("__side", lit(1))
+      .select(
+        (leftCols.map(col) :+ col("__side")) ++
+          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rightTagged = right
+      .withColumn("__side", lit(0))
+      .select(
+        (leftCols.map(c => if (c == key || c == tsCol) col(c)
+                           else lit(null).cast(left.schema(c).dataType).as(c))
+          :+ col("__side")) ++ valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    // order: at equal timestamps the right row sorts first (side 0) so a
+    // same-instant right observation is visible to the left row (<= semantics)
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val joined = tagged.unionByName(rightTagged)
+    val filled = valueCols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__r_$c").as(c)): _*)
+  }
+
+  /** J7 as the reference does it: floor both sides to a common cadence and
+    * equi-join on (key, bucket) — no as-of machinery needed when both feeds
+    * are on fixed grids.
+    */
+  def bucketJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                 bucketSeconds: Long): DataFrame = {
+    val b = (d: DataFrame) => d.withColumn("__bucket",
+      (unix_timestamp(col(tsCol)) - unix_timestamp(col(tsCol)) % bucketSeconds))
+    b(left).join(b(right).drop(tsCol), Seq(key, "__bucket"), "left").drop("__bucket")
+  }
+
+  /** J8: temporal interpolation join — values known at hourly anchors are
+    * linearly interpolated to each sub-hourly timestamp
+    * (reference: common/radarprocessing.py:489-534 HZT_hourly_to_5min).
+    * Join on the floor-hour and the next hour, blend by the fraction.
+    */
+  def interpolateJoin(points: DataFrame, hourly: DataFrame, key: String,
+                      tsCol: String, hourCol: String, valueCol: String): DataFrame = {
+    val ep = unix_timestamp(col(tsCol))
+    val h0 = hourly.select(col(key), col(hourCol).as("__h0"), col(valueCol).as("__v0"))
+    val h1 = hourly.select(col(key), col(hourCol).as("__h1"), col(valueCol).as("__v1"))
+    points
+      .withColumn("__h0", ep - ep % 3600)
+      .withColumn("__h1", col("__h0") + 3600)
+      .join(h0, Seq(key, "__h0"), "left")
+      .join(h1, Seq(key, "__h1"), "left")
+      .withColumn("__f", (ep - col("__h0")) / 3600.0)
+      .withColumn(s"${valueCol}_interp",
+        when(col("__v0").isNotNull && col("__v1").isNotNull,
+          col("__v0") * (lit(1.0) - col("__f")) + col("__v1") * col("__f"))
+          .otherwise(coalesce(col("__v0"), col("__v1"))))
+      .drop("__h0", "__h1", "__v0", "__v1", "__f")
+  }
+}

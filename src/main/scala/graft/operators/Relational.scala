@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational ETL operators (SURVEY.md §2.2/§2.3/§2.6).
+  *
+  * Each operator is a pure DataFrame→DataFrame function so Catalyst sees one
+  * declarative plan: filters push to the parquet scan, small sides broadcast,
+  * and nothing collects to the driver.
+  */
+object Relational {
+
+  /** P4: missing-flag normalization — sentinel → null at ingestion so
+    * aggregates skip missing values (reference: ml/rf.py:154,180-181 replaces
+    * -9999 with NaN; we normalize straight to null per SURVEY §7.4 NaN/null
+    * discipline).
+    */
+  def naReplace(df: DataFrame, sentinel: Double = -9999.0, cols: Seq[String] = Nil): DataFrame = {
+    val target = if (cols.nonEmpty) cols else df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
+                f.dataType == org.apache.spark.sql.types.FloatType => f.name
+    }.toSeq
+    target.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c) === lit(sentinel), lit(null)).otherwise(col(c))))
+  }
+
+  /** P6: deduplication on a key subset, deterministic variant — keeps the row
+    * with the smallest tie-break key instead of an arbitrary one
+    * (reference: ml/rf.py:170-177 drop_duplicates(subset=...); pandas keeps
+    * 'first' in file order, which we make explicit with an ORDER BY).
+    * One shuffle on the key; whole-stage codegen'd row_number.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** S4: daily upsert — old ∪ new, dedup on key (reference:
+    * retrieve_radar_data.py:635-649 read-append-drop_duplicates-rewrite).
+    * At scale this is a dynamic partition overwrite on the day partition; the
+    * dedup itself is one shuffle.
+    */
+  def upsert(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame =
+    oldDf.unionByName(newDf).dropDuplicates(keys)
+
+  /** S5: incremental merge — append only rows whose key is not already present;
+    * `overwrite=true` flips precedence to the incoming rows
+    * (reference: retrieve_dwh_data.py:16-28 append_to_file).
+    * Anti-join (one shuffle, broadcast if small) + union; no driver round-trip.
+    */
+  def incrementalMerge(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+                       overwrite: Boolean = false): DataFrame = {
+    val (keep, add) = if (overwrite) (incoming, existing) else (existing, incoming)
+    keep.unionByName(add.join(keep.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+  }
+
+  /** J3: 3-way semi-join — keep only keys present in all three tables
+    * (reference: ml/rf.py:192-208 builds a concatenated `s-tstamp` string key
+    * and intersects sets; Spark semi-joins on the composite key need no
+    * string concat and stay distributed).
+    */
+  def threeWaySemi(main: DataFrame, other1: DataFrame, other2: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    main.join(other1, keys, "left_semi").join(other2, keys, "left_semi")
+
+  /** P7: station blocklist (reference: ml/rf.py:410). */
+  def blocklist(df: DataFrame, column: String, removed: Seq[String]): DataFrame =
+    df.filter(!col(column).isin(removed: _*))
+
+  /** P12: prefix exclusion (reference: performance/eval_get_estimates.py:68-73
+    * drops stations starting with "SLF").
+    */
+  def excludePrefix(df: DataFrame, column: String, prefix: String): DataFrame =
+    df.filter(!col(column).startsWith(prefix))
+
+  /** P8: physics constraints — drop rows inconsistent between observed value
+    * and signal (reference: ml/rf.py:411-420 constraint_min_zh/max_zh).
+    */
+  def physicsConstraint(df: DataFrame, keep: Column): DataFrame = df.filter(keep)
+
+  /** A1: wet-hour filter — keep all rows of (key, hour) groups whose summed
+    * value reaches a threshold (reference: retrieve_dwh_data.py:104-115).
+    * Window-sum avoids a second join: one shuffle on (key, hour).
+    */
+  def wetPeriodFilter(df: DataFrame, key: String, tsCol: String, valueCol: String,
+                      threshold: Double, period: String = "1 hour"): DataFrame = {
+    val w = Window.partitionBy(col(key), window(col(tsCol), period))
+    df.withColumn("__psum", sum(col(valueCol)).over(w))
+      .filter(col("__psum") >= threshold)
+      .drop("__psum")
+  }
+
+  /** A2/W2: full-hour filter — keep only (key, hour) groups with exactly `n`
+    * rows, via a count window transform
+    * (reference: ml/rf.py:211-223 transform('count') == 6).
+    */
+  def fullPeriodFilter(df: DataFrame, key: String, tsCol: String, n: Long,
+                       period: String = "1 hour"): DataFrame = {
+    val w = Window.partitionBy(col(key), window(col(tsCol), period))
+    df.withColumn("__pcount", count(lit(1)).over(w))
+      .filter(col("__pcount") === n)
+      .drop("__pcount")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / sessionization operators (SURVEY.md §2.5).
+  *
+  * All windows partition by a key so the sort is per-partition after one
+  * shuffle — no global ordering anywhere in the hot path.
+  */
+object Windows {
+
+  /** W1: event segmentation (sessionization) — gap over `maxGapSeconds` starts
+    * a new session; session id = running count of gap-starts
+    * (reference: ml/utils.py:71-126 split_event: diff of timestamps, cumsum of
+    * jumps). Used for CV event splits (M5).
+    */
+  def sessionize(df: DataFrame, key: String, tsCol: String,
+                 maxGapSeconds: Long, sessionCol: String = "session_id"): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col(tsCol))
+    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(byKey))
+    df.withColumn("__new_sess", when(gap.isNull || gap > maxGapSeconds, 1).otherwise(0))
+      .withColumn(sessionCol,
+        sum(col("__new_sess")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new_sess")
+  }
+
+  /** W2: per-group count broadcast back to rows (reference: ml/rf.py:215-216
+    * transform('count')).
+    */
+  def countTransform(df: DataFrame, keys: Seq[String], as: String = "group_count"): DataFrame =
+    df.withColumn(as, count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+
+  /** W3/A8: contiguous dense group ids (reference: ml/rf.py:225-243
+    * np.unique(return_inverse) + rankdata(dense)). NOTE: a global
+    * dense_rank forces a single-partition sort; prefer grouping directly on
+    * the key columns (the reference only materializes ids because pandas
+    * needs them). Kept for API fidelity, documented as small-data-only.
+    */
+  def denseGroupId(df: DataFrame, keys: Seq[String], as: String = "group_id"): DataFrame =
+    df.withColumn(as, dense_rank().over(Window.orderBy(keys.map(col): _*)) - 1)
+
+  /** W6: windowed least-squares slope over an ordered 1-D neighborhood —
+    * the KDP moving least-square fit (reference:
+    * common/radarprocessing.py:307-354 kdp_leastsquare_single_window).
+    * slope = (E[xy] − E[x]E[y]) / (E[x²] − E[x]²) over ±halfWidth rows,
+    * all window aggregates → one sort per (partition keys) group.
+    */
+  def rollingSlope(df: DataFrame, partitionKeys: Seq[String], orderCol: String,
+                   xCol: Column, yCol: Column, halfWidth: Int,
+                   as: String = "slope"): DataFrame = {
+    val w = Window.partitionBy(partitionKeys.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(-halfWidth, halfWidth)
+    val exy = avg(xCol * yCol).over(w)
+    val ex = avg(xCol).over(w)
+    val ey = avg(yCol).over(w)
+    val ex2 = avg(xCol * xCol).over(w)
+    df.withColumn(as, (exy - ex * ey) / (ex2 - ex * ex))
+  }
+
+  /** W6 companion: centered moving average over ±halfWidth rows (PSIDP
+    * smoothing, radarprocessing.py:307-331).
+    */
+  def rollingMean(df: DataFrame, partitionKeys: Seq[String], orderCol: String,
+                  valueCol: Column, halfWidth: Int, as: String = "smoothed"): DataFrame = {
+    val w = Window.partitionBy(partitionKeys.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(-halfWidth, halfWidth)
+    df.withColumn(as, avg(valueCol).over(w))
+  }
+
+  /** W7: previous-timestep state in batch mode — lag over event time per key
+    * (reference: qpe/qpe.py:380-403 qpe_prev/X_prev pairing). The streaming
+    * equivalent lives in graft.streaming (R4 mapGroupsWithState).
+    */
+  def lagState(df: DataFrame, key: String, tsCol: String, valueCol: String,
+               as: String = "prev"): DataFrame =
+    df.withColumn(as,
+      lag(col(valueCol), 1).over(Window.partitionBy(col(key)).orderBy(col(tsCol))))
+
+  /** F6 building block: per-ray cumulative sum ordered by range gate — the
+    * integral term of the ZPHI attenuation correction
+    * (reference: common/radarprocessing.py:271-305).
+    */
+  def cumulativeSum(df: DataFrame, partitionKeys: Seq[String], orderCol: String,
+                    valueCol: Column, as: String = "cumsum"): DataFrame = {
+    val w = Window.partitionBy(partitionKeys.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(as, sum(valueCol).over(w))
+  }
+}

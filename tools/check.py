@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Dev-loop correctness checker mimicking the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+For each query result parquet written by graft.Verify, runs the corresponding
+oracle SQL from oracle_sql.json in DuckDB (with each testdata table registered
+as a view), sorts columns by name and rows by all columns, and compares values
+exactly. Reports per-query PASS/FAIL with a diff preview.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            expected = con.sql(sql).df()
+            actual = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            e, a = norm(expected), norm(actual)
+            if list(e.columns) != list(a.columns):
+                print(f"FAIL {name}: columns {list(a.columns)} != {list(e.columns)}")
+                n_fail += 1
+                continue
+            if len(e) != len(a):
+                print(f"FAIL {name}: rows {len(a)} != {len(e)}")
+                n_fail += 1
+                continue
+            if len(e) == 0:
+                print(f"WARN {name}: EMPTY result (rows=0) — driver wants rows")
+            diff_cols = []
+            for c in e.columns:
+                ec, ac = e[c], a[c]
+                if ec.dtype.kind == "f" or ac.dtype.kind == "f":
+                    import numpy as np
+                    eq = (ec.isna() & ac.isna()) | (ec == ac)
+                    if not eq.all():
+                        diff_cols.append((c, int((~eq).sum())))
+                else:
+                    if not ec.astype(str).equals(ac.astype(str)):
+                        neq = (ec.astype(str) != ac.astype(str)).sum()
+                        diff_cols.append((c, int(neq)))
+            if diff_cols:
+                print(f"FAIL {name}: value diffs {diff_cols}")
+                for c, _ in diff_cols[:2]:
+                    mask = ~((e[c].isna() & a[c].isna()) | (e[c].astype(str) == a[c].astype(str)))
+                    print("  expected:", e[mask][c].head(3).tolist())
+                    print("  actual:  ", a[mask][c].head(3).tolist())
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(e)} rows)")
+                n_pass += 1
+        except Exception as ex:
+            print(f"FAIL {name}: exception {type(ex).__name__}: {ex}")
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
