@@ -1,0 +1,57 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M2/M3/M4: a-posteriori bias correction of regression output by quantile
+  * mapping (reference: ml/rfdefinitions.py:42-50 _polyfit_no_inter,
+  * 144-146 spline variant, 192-242 fit/predict).
+  *
+  * 'cdf' mode: sort predictions and observations independently (quantile
+  * mapping) and fit a zero-intercept degree-1 polynomial, slope = Σxy/Σx².
+  * The positional zip is a double global sort + row_number join — kept OUT of
+  * the per-query path (train-time only, ≈10⁵–10⁶ rows; SURVEY §7.4).
+  */
+object BiasCorrection {
+
+  /** Positionally zip the two independently sorted columns. Ties among equal
+    * predictions are interchangeable, so the Σxy slope is order-stable.
+    */
+  def sortedPairs(df: DataFrame, predCol: String, obsCol: String): DataFrame = {
+    val p = df.select(col(predCol).as("pred"))
+      .withColumn("rn", row_number().over(Window.orderBy(col(predCol))))
+    val o = df.select(col(obsCol).as("obs"))
+      .withColumn("rn", row_number().over(Window.orderBy(col(obsCol))))
+    p.join(o, "rn")
+  }
+
+  /** Zero-intercept least squares on the sorted pairs: slope = Σ(x·y)/Σ(x²)
+    * (reference: rfdefinitions.py:42-50). Decimal accumulators keep the sums
+    * order-independent.
+    */
+  def cdfSlope(df: DataFrame, predCol: String, obsCol: String): DataFrame =
+    sortedPairs(df, predCol, obsCol).agg(
+      (sum((col("pred") * col("obs")).cast("decimal(30,8)")).cast("double") /
+       sum((col("pred") * col("pred")).cast("decimal(30,8)")).cast("double")).as("slope"))
+
+  /** M4: apply the fitted correction with the non-negativity clamp
+    * (reference: rfdefinitions.py:205-242 out = max(polyval(pred), 0)).
+    */
+  def applyCdf(pred: Column, slope: Double): Column =
+    greatest(lit(0.0), pred * slope)
+
+  /** M3: monotone ('spline') variant via MLlib isotonic regression over the
+    * sorted pairs — documented deviation from the reference's
+    * UnivariateSpline (SURVEY §7.3): both are monotone quantile maps.
+    */
+  def fitIsotonic(df: DataFrame, predCol: String, obsCol: String): org.apache.spark.ml.regression.IsotonicRegressionModel = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val pairs = sortedPairs(df, predCol, obsCol)
+    val assembled = new VectorAssembler().setInputCols(Array("pred")).setOutputCol("features")
+      .transform(pairs)
+    new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("features").setLabelCol("obs")
+      .fit(assembled)
+  }
+}

@@ -429,8 +429,8 @@ object Queries {
                    CASE WHEN pe IS NULL OR e - pe > 1800 THEN 1 ELSE 0 END AS ns
             FROM g),
       t AS (SELECT user_id, e,
-                   SUM(ns) OVER (PARTITION BY user_id ORDER BY e
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY e
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM s)
       SELECT user_id, session_id, COUNT(*) AS n_events,
              MAX(e) - MIN(e) AS duration_s, MIN(e) AS start_e
