@@ -1,0 +1,154 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpora: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. All are shuffle-bounded DataFrame pipelines — the
+  * inverted-index / LSH-bucket joins avoid the O(n²) all-pairs comparison, so
+  * they scale to corpus sizes where brute force is impossible.
+  */
+object Dedup {
+
+  val P: Long = 1000000007L
+  /** MinHash permutation parameters, fixed and engine-mirrorable:
+    * a_i = (654435747·(i+1)) mod P, b_i = (654602297·(i+1)) mod P
+    * (Knuth multiplicative constants reduced mod P).
+    */
+  def paramA(i: Column): Column = (lit(654435747L) * (i + 1)) % P
+  def paramB(i: Column): Column = (lit(654602297L) * (i + 1)) % P
+
+  /** Exact dedup: hash-groupBy on content; canonical id = min id, n = group
+    * size. One shuffle on the text (Spark hashes internally); at 100 TB scale
+    * group on md5(text) instead to cut shuffle width.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Distinct word n-gram shingles per document: one explode, no shuffle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // guard: sequence(1, x) DESCENDS for x < 1 (step defaults to -1), so a
+    // doc shorter than n tokens must yield an empty shingle list explicitly
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), explode(
+        transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))).as("sh"))
+      .distinct()
+  }
+
+  /** Per-doc distinct shingle counts. */
+  def shingleSizes(sh: DataFrame, idCol: String): DataFrame =
+    sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+
+  /** N-gram Jaccard similarity via inverted-index self-join: pairs sharing at
+    * least one shingle, |A∩B| from the join, J = c/(|A|+|B|−c). Cost is
+    * Σ df(shingle)² — bounded when shingles are discriminative; at corpus
+    * scale add a document-frequency cap on the hot shingles first.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = shingleSizes(sh, idCol)
+    val a = sh.select(col(idCol).as("da"), col("sh"))
+    val b = sh.select(col(idCol).as("db"), col("sh"))
+    val common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
+      .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
+      .filter(col("jac") >= minJaccard)
+      .select(col("da"), col("db"), col("jac"))
+  }
+
+  /** MinHash signatures: k permutations of the 60-bit shingle hash mod P.
+    * Returns (id, i, mh). The cross join with the k-row parameter table is a
+    * broadcast; the min per (doc, i) is one shuffle on the doc id.
+    */
+  def minhashSignature(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val spark = sh.sparkSession
+    val params = spark.range(k).select(
+      col("id").cast("int").as("i"),
+      paramA(col("id").cast("int")).as("a"),
+      paramB(col("id").cast("int")).as("b"))
+    val hm = sh.withColumn("hm", TextAnalysis.md5Long(col("sh")) % P)
+    hm.crossJoin(broadcast(params))
+      .groupBy(col(idCol), col("i"))
+      .agg(min((col("a") * col("hm") + col("b")) % P).as("mh"))
+  }
+
+  /** LSH banding: group the signature into bands of r rows; docs agreeing on
+    * a full band land in the same bucket. Returns (id, band, sig).
+    */
+  def lshBands(sig: DataFrame, idCol: String, r: Int): DataFrame =
+    sig.withColumn("band", expr(s"i div $r"))
+      .groupBy(col(idCol), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh").cast("string")), "-").as("sig"))
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → signature → band buckets →
+    * candidate pairs (bucket self-join, NOT all-pairs) → exact Jaccard verify.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 16, r: Int = 4,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val bands = lshBands(minhashSignature(sh, idCol, k), idCol, r)
+    val ba = bands.select(col(idCol).as("da"), col("band"), col("sig"))
+    val bb = bands.select(col(idCol).as("db"), col("band"), col("sig"))
+    val cand = ba.join(bb, Seq("band", "sig")).filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val sizes = shingleSizes(sh, idCol)
+    val a = sh.select(col(idCol).as("da"), col("sh"))
+    val b = sh.select(col(idCol).as("db"), col("sh"))
+    val commonCnt = cand
+      .join(a, "da")
+      .join(b, Seq("db", "sh"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    commonCnt
+      .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
+      .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
+      .filter(col("jac") >= minJaccard)
+      .select(col("da"), col("db"), col("jac"))
+  }
+
+  /** 16-bit SimHash over the token multiset: per bit, sum ±1 across token
+    * hashes; bit set where the sum is positive. No explosion beyond the token
+    * list — 16 conditional sums in one aggregation.
+    */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextAnalysis.md5Long(col("tok")) % 65536)
+    val bitSums = (0 until 16).map { bit =>
+      sum(when(shiftright(col("h"), bit) % 2 === 1, 1).otherwise(-1)).as(s"b$bit")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until 16).map { bit =>
+      when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col(idCol), value.as("simhash"))
+  }
+
+  /** Embedding cosine near-dup: same-label blocking (the coarse partitioner)
+    * then an in-block pair join with an exact cosine. The explicit per-index
+    * expansion keeps the whole computation inside whole-stage codegen.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       blockCol: String, dim: Int,
+                       minCos: Double): DataFrame = {
+    val a = df.select(col(blockCol), col(idCol).as("va"), col(vecCol).as("ea"))
+    val b = df.select(col(blockCol), col(idCol).as("vb"), col(vecCol).as("eb"))
+    val dot = Similarity.dot("ea", "eb", dim)
+    val na = Similarity.norm2("ea", dim)
+    val nb = Similarity.norm2("eb", dim)
+    a.join(b, Seq(blockCol)).filter(col("va") < col("vb"))
+      .withColumn("cos", round(dot / (sqrt(na) * sqrt(nb)), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("va"), col("vb"), col("cos"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over an embedding column
+  * (`Array[Float]`). Brute-force cosine top-k as the exactness baseline; an
+  * IVF-style coarse-quantized variant as the scale path (probe a subset of
+  * partitions instead of the whole corpus).
+  */
+object Similarity {
+
+  /** Exact dot product with a fixed association order (left fold), so Spark
+    * and any SQL mirror produce bit-identical doubles. Codegen-friendly:
+    * unrolled column arithmetic, no UDF.
+    */
+  def dot(aCol: String, bCol: String, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(col(aCol), i).cast("double") * element_at(col(bCol), i).cast("double"))
+      .reduce(_ + _)
+
+  def norm2(aCol: String, dim: Int): Column =
+    (1 to dim).map { i =>
+      val v = element_at(col(aCol), i).cast("double")
+      v * v
+    }.reduce(_ + _)
+
+  def cosine(aCol: String, bCol: String, dim: Int): Column =
+    dot(aCol, bCol, dim) / (sqrt(norm2(aCol, dim)) * sqrt(norm2(bCol, dim)))
+
+  /** Brute-force cosine top-k: queries × corpus pair join, rank per query by
+    * (cosine desc, id) — deterministic under ties. The corpus side stays
+    * partitioned; only the (small) query side is broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, dim: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vb"), col(vecCol).as("eb"))
+    val cos = dot("qv", "eb", dim) / (sqrt(norm2("qv", dim)) * sqrt(norm2("eb", dim)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vb"))
+    broadcast(q).join(c, col("qid") =!= col("vb"))
+      .withColumn("cos", round(cos, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vb"), col("cos"))
+  }
+
+  /** IVF-style ANN: coarse centroids from a partition column (label here; at
+    * scale, k-means cluster ids), queries probe only the `nprobe` nearest
+    * centroids, then brute-force within the probed partitions. Search cost
+    * drops from O(N) to O(N·nprobe/nlist) per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, partCol: String, dim: Int, k: Int,
+              nprobe: Int): DataFrame = {
+    // centroids: element-wise mean per partition (posexplode + groupBy)
+    val expl = corpus.select(col(partCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val cent = expl.groupBy(col(partCol), col("pos")).agg(avg(col("v")).as("cv"))
+      .groupBy(col(partCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("s"))
+      .select(col(partCol), transform(col("s"), x => x.getField("cv")).as("cvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    // probe assignment: nprobe nearest centroids per query (centroids are tiny)
+    val qcos = dot("qv", "cvec", dim) /
+      (sqrt(norm2("qv", dim)) * sqrt(norm2("cvec", dim)))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col(partCol))
+    val probes = broadcast(q).crossJoin(broadcast(cent))
+      .withColumn("ccos", qcos)
+      .withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col(partCol))
+    // search only within probed partitions
+    val c = corpus.select(col(partCol), col(idCol).as("vb"), col(vecCol).as("eb"))
+    val cos = dot("qv", "eb", dim) / (sqrt(norm2("qv", dim)) * sqrt(norm2("eb", dim)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vb"))
+    probes.join(c, Seq(partCol)).filter(col("qid") =!= col("vb"))
+      .withColumn("cos", round(cos, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vb"), col("cos"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, document
+  * fingerprinting. All pure column expressions / single-shuffle aggregations —
+  * codegen-friendly, no UDFs, linear at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. `\\S+` extraction (rather than split on
+    * `\\s+`) avoids empty leading tokens on ragged input.
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
+  /** BPE-ish sub-tokens: letter runs, digit runs, single punctuation. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** 60-bit stable content hash from md5 — deterministic across engines
+    * (DuckDB mirror: CAST(CONCAT('0x', SUBSTRING(md5(s),1,15)) AS BIGINT)).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Quality features per document: char/token counts, punctuation ratio,
+    * stopword ratio, mean token length — the standard cheap quality signals
+    * for corpus filtering.
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
+    val nCharsNoWs = length(regexp_replace(text, "\\s", ""))
+    df.select(
+      col(idCol),
+      length(text).as("n_chars"),
+      nTok.as("n_tokens"),
+      round(nCharsNoWs.cast("double") / nTok, 6).as("mean_tok_len"),
+      round(nPunct.cast("double") / length(text), 6).as("punct_ratio"),
+      round(nStop.cast("double") / nTok, 6).as("stopword_ratio"))
+  }
+
+  /** Language-ID by marker-word voting: count marker hits per language,
+    * argmax with a deterministic (count desc, lang asc) tie-break; documents
+    * with zero hits fall back to "und". One explode + two shuffles on doc id —
+    * no per-row model, scales linearly.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "es" -> "el", "es" -> "la", "es" -> "los", "es" -> "que", "es" -> "es",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "est", "fr" -> "une",
+    "zh" -> "de5", "zh" -> "shi4", "zh" -> "le5", "zh" -> "zai4", "zh" -> "he2")
+
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val markers = spark.createDataFrame(
+      LangMarkers.map { case (l, w) => org.apache.spark.sql.Row(l, w) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("mlang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("mword", org.apache.spark.sql.types.StringType))))
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val hits = tok.join(broadcast(markers), col("tok") === col("mword"))
+      .groupBy(col(idCol), col("mlang")).agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("n_hits").desc, col("mlang"))
+    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("mlang").as("pred_lang"), col("n_hits"))
+    df.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+              coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** Document fingerprint: min 60-bit hash over word 5-gram shingles —
+    * a winnowing-style rolling fingerprint; identical/near-identical prefixes
+    * of content produce identical fingerprints.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val sh = Dedup.shingles(df, idCol, textCol, n)
+    sh.groupBy(col(idCol)).agg(min(md5Long(col("sh"))).as("fingerprint"))
+  }
+}

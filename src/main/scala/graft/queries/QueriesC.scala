@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Core
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Batch 3: LLM-training-data-pipeline operators — dedup (exact / n-gram
+  * Jaccard / MinHash-LSH / SimHash / embedding-cosine), similarity search
+  * (brute-force + IVF), text analysis (quality, tokens, language-ID,
+  * fingerprint), multimodal-column plumbing.
+  */
+object QueriesC {
+  import Queries.QueryDef
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.table(s, dir, name)
+
+  /** DuckDB mirror of TextAnalysis.md5Long. */
+  private def md5LongSql(e: String): String =
+    s"CAST(CONCAT('0x', SUBSTRING(md5($e), 1, 15)) AS BIGINT)"
+  private val toksSql = "regexp_extract_all(lower(text), '\\S+')"
+  /** DuckDB mirror of Dedup.shingles (distinct word n-grams, 1-based slices). */
+  private def shinglesSql(n: Int): String =
+    s"""SELECT DISTINCT doc_id, unnest([array_to_string(w[g : g + ${n - 1}], ' ')
+        for g in generate_series(1, len(w) - ${n - 1})]) AS sh
+        FROM (SELECT doc_id, $toksSql AS w FROM documents)"""
+  /** DuckDB mirror of Similarity.dot/norm2 (same left-assoc order). */
+  private def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+  private def normSql(a: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** Exact dedup: hash-groupBy on content. */
+  val dedupExact: QueryDef = QueryDef(
+    "dedup_exact",
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("keep_id")),
+    Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  /** N-gram Jaccard near-dup via inverted-index join (no all-pairs). */
+  val dedupJaccard: QueryDef = QueryDef(
+    "dedup_ngram_jaccard",
+    (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      .orderBy(col("da"), col("db")),
+    Some(s"""WITH sh AS (${shinglesSql(3)}),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      j AS (SELECT da, db, ROUND(c / (sa.sz + sb.sz - c), 6) AS jac
+            FROM pairs JOIN sizes sa ON da = sa.doc_id
+                       JOIN sizes sb ON db = sb.doc_id)
+      SELECT da, db, jac FROM j WHERE jac >= 0.5 ORDER BY da, db"""))
+
+  /** MinHash + LSH banding: shingle → k=16 signature → 4 bands of 4 →
+    * bucket-join candidates → exact-Jaccard verification.
+    */
+  val dedupMinhash: QueryDef = QueryDef(
+    "dedup_minhash",
+    (s, dir) => Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 16, r = 4, minJaccard = 0.5)
+      .orderBy(col("da"), col("db")),
+    Some(s"""WITH sh AS (${shinglesSql(3)}),
+      hm AS (SELECT doc_id, sh, ${md5LongSql("sh")} % 1000000007 AS hm FROM sh),
+      params AS (SELECT g AS i, (654435747 * (g + 1)) % 1000000007 AS a,
+                        (654602297 * (g + 1)) % 1000000007 AS b
+                 FROM generate_series(0, 15) t(g)),
+      mh AS (SELECT doc_id, i, MIN((a * hm + b) % 1000000007) AS mh
+             FROM hm CROSS JOIN params GROUP BY 1, 2),
+      sig AS (SELECT doc_id, i // 4 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+              FROM mh GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+                                     AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      common AS (SELECT c.da, c.db, COUNT(*) AS c
+                 FROM cand c JOIN sh a ON a.doc_id = c.da
+                             JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
+                 GROUP BY 1, 2),
+      j AS (SELECT da, db, ROUND(c / (sa.sz + sb.sz - c), 6) AS jac
+            FROM common JOIN sizes sa ON da = sa.doc_id
+                        JOIN sizes sb ON db = sb.doc_id)
+      SELECT da, db, jac FROM j WHERE jac >= 0.5 ORDER BY da, db"""))
+
+  /** 16-bit SimHash per document (bitwise majority of token hashes). */
+  val dedupSimhash: QueryDef = {
+    val bitSumsSql = (0 until 16)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val valueSql = (0 until 16)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhash16(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        h AS (SELECT doc_id, ${md5LongSql("tok")} % 65536 AS h FROM tok),
+        bits AS (SELECT doc_id, $bitSumsSql FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST($valueSql AS BIGINT) AS simhash
+        FROM bits ORDER BY doc_id"""))
+  }
+
+  /** Embedding-cosine near-dup with label blocking. */
+  val dedupEmbedding: QueryDef = QueryDef(
+    "dedup_embedding_cosine",
+    (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", dim = 64, minCos = 0.4)
+      .orderBy(col("va"), col("vb")),
+    Some(s"""SELECT va, vb, cos FROM (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+          ROUND((${dotSql("a", "b", 64)}) /
+            (SQRT(${normSql("a", 64)}) * SQRT(${normSql("b", 64)})), 6) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.4 ORDER BY va, vb"""))
+
+  /** Brute-force cosine top-k for the first 10 vectors as queries. */
+  val simsearchTopK: QueryDef = QueryDef(
+    "simsearch_bruteforce_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS vb,
+          ROUND((${dotSql("q", "c", 64).replace("q.embedding", "q.embedding").replace("c.embedding", "c.embedding")}) /
+            (SQRT(${normSql("q", 64)}) * SQRT(${normSql("c", 64)})), 6) AS cos,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND((${dotSql("q", "c", 64)}) /
+              (SQRT(${normSql("q", 64)}) * SQRT(${normSql("c", 64)})), 6) DESC,
+            c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  /** IVF-style ANN (coarse quantizer = label centroids, nprobe=3) — not
+    * SQL-expressible compactly; correctness vs brute force is covered by the
+    * recall spec in src/test.
+    */
+  val simsearchIvf: QueryDef = QueryDef(
+    "simsearch_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", dim = 64, k = 5, nprobe = 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
+  /** Per-document quality features. */
+  val textQuality: QueryDef = QueryDef(
+    "text_quality",
+    (s, dir) => TextAnalysis.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH f AS (SELECT doc_id,
+        CAST(LENGTH(text) AS INT) AS n_chars,
+        CAST(LEN($toksSql) AS INT) AS n_tokens,
+        LENGTH(regexp_replace(text, '\\s', '', 'g')) AS n_chars_nows,
+        LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+        LEN(list_filter($toksSql,
+          x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_chars, n_tokens,
+        ROUND(CAST(n_chars_nows AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
+        ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+      FROM f ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens + BPE-ish sub-tokens. */
+  val textTokens: QueryDef = QueryDef(
+    "text_token_count",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"),
+        size(TextAnalysis.bpeishTokens(col("text"))).as("n_bpeish_tokens"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      CAST(LEN($toksSql) AS INT) AS n_ws_tokens,
+      CAST(LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpeish_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  /** Language-ID by marker-word voting. */
+  val textLangId: QueryDef = QueryDef(
+    "text_langid",
+    (s, dir) => TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some {
+      val values = TextAnalysis.LangMarkers
+        .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      m(mlang, mword) AS (VALUES $values),
+      hits AS (SELECT doc_id, mlang, COUNT(*) AS n FROM tok
+               JOIN m ON tok = mword GROUP BY 1, 2),
+      best AS (SELECT doc_id, mlang, n,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, mlang) AS rn
+               FROM hits)
+      SELECT d.doc_id, COALESCE(b.mlang, 'und') AS pred_lang,
+             CAST(COALESCE(b.n, 0) AS BIGINT) AS n_hits
+      FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        ON d.doc_id = b.doc_id
+      ORDER BY d.doc_id"""
+    })
+
+  /** Winnowing-style document fingerprint (min hash over 5-gram shingles). */
+  val textFingerprint: QueryDef = QueryDef(
+    "text_fingerprint",
+    (s, dir) => graft.llm.TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH sh AS (${shinglesSql(5)})
+      SELECT doc_id, MIN(${md5LongSql("sh")}) AS fingerprint
+      FROM sh GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Multimodal plumbing: payload metadata + frame-sampling stub. */
+  val multimodal: QueryDef = QueryDef(
+    "multimodal_frames",
+    (s, dir) => Multimodal.frameSamples(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_bytes,
+      md5(text) AS content_hash,
+      SUBSTRING(text, 1, 8) AS frame_head,
+      SUBSTRING(text, GREATEST(1, LENGTH(text) // 2), 8) AS frame_mid,
+      SUBSTRING(text, GREATEST(1, LENGTH(text) - 7), 8) AS frame_tail
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    simsearchTopK, simsearchIvf, textQuality, textTokens, textLangId,
+    textFingerprint, multimodal)
+}
