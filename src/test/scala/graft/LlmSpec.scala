@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmSpec extends SparkSpec {
+
+  private def docs = df("doc_id BIGINT, text STRING", Seq(
+    R(1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    R(2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    R(3L, "completely different content with no overlap whatsoever here today"),
+    R(4L, "the quick brown fox jumps over the lazy dog near the river bank"))) // exact dup of 1
+
+  test("exact dedup groups identical texts under the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == 2L) // docs 1 and 4
+    assert(out(2L) == 1L)
+    assert(out(3L) == 1L)
+  }
+
+  test("shingles: n-grams count = tokens - n + 1; short docs yield none") {
+    val d = df("doc_id BIGINT, text STRING", Seq(R(1L, "a b c d"), R(2L, "a b")))
+    val sh = Dedup.shingles(d, "doc_id", "text", 3)
+    assert(sh.filter(col("doc_id") === 1).count() == 2) // "a b c", "b c d"
+    assert(sh.filter(col("doc_id") === 2).count() == 0)
+  }
+
+  test("jaccardPairs finds near and exact duplicates above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) == 1.0) // exact dup
+    assert(pairs((1L, 2L)) > 0.7 && pairs((1L, 2L)) < 1.0)
+    assert(pairs((2L, 4L)) > 0.7)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashDedup finds the same high-similarity pairs as exact Jaccard") {
+    val mh = Dedup.minhashDedup(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 4L)))
+    assert(mh.contains((1L, 2L)))
+    assert(!mh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash16: identical docs hash equal, disjoint docs differ") {
+    val out = Dedup.simhash16(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == out(4L))
+    assert(out(1L) != out(3L))
+    assert(out.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("embeddingNearDup finds the planted near-identical vector pair") {
+    val d = df("vec_id BIGINT, label INT, embedding ARRAY<FLOAT>", Seq(
+      R(1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      R(2L, 0, Seq(0.99f, 0.1f, 0.0f)),   // cos ≈ 0.995 with 1
+      R(3L, 0, Seq(0.0f, 1.0f, 0.0f)),    // orthogonal to 1
+      R(4L, 1, Seq(1.0f, 0.0f, 0.0f))))   // same as 1 but different block
+    val out = Dedup.embeddingNearDup(d, "vec_id", "embedding", "label", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L))) // blocking excludes (1,4); threshold excludes (1,3)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with deterministic tie-break") {
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      R(1L, Seq(1.0f, 0.0f)),
+      R(2L, Seq(0.9f, 0.1f)),
+      R(3L, Seq(0.0f, 1.0f)),
+      R(4L, Seq(-1.0f, 0.0f))))
+    val out = Similarity.bruteForceTopK(d, d.filter(col("vec_id") === 1),
+        "vec_id", "embedding", 2, 3)
+      .collect().map(r => (r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("vb"))))
+    assert(out.toSeq.sortBy(_._1).map(_._2) == Seq(2L, 3L, 4L))
+  }
+
+  test("ivfTopK with nprobe = nlist equals brute force") {
+    val d = df("vec_id BIGINT, label INT, embedding ARRAY<FLOAT>", Seq(
+      R(1L, 0, Seq(1.0f, 0.0f)), R(2L, 0, Seq(0.9f, 0.1f)),
+      R(3L, 1, Seq(0.0f, 1.0f)), R(4L, 1, Seq(0.1f, 0.9f))))
+    val q = d.filter(col("vec_id") === 1)
+    val bf = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 2, 3)
+      .collect().map(r => r.getLong(r.fieldIndex("vb"))).toSet
+    val ivf = Similarity.ivfTopK(d, q, "vec_id", "embedding", "label", 2, 3, nprobe = 2)
+      .collect().map(r => r.getLong(r.fieldIndex("vb"))).toSet
+    assert(ivf == bf)
+  }
+
+  test("qualityFeatures computes deterministic ratios") {
+    val d = df("doc_id BIGINT, text STRING", Seq(R(1L, "The cat, the hat!")))
+    val out = TextAnalysis.qualityFeatures(d, "doc_id", "text").collect().head
+    assert(out.getInt(out.fieldIndex("n_chars")) == 17)
+    assert(out.getInt(out.fieldIndex("n_tokens")) == 4)
+    assert(out.getDouble(out.fieldIndex("punct_ratio")) == math.rint(2.0 / 17 * 1e6) / 1e6)
+    assert(out.getDouble(out.fieldIndex("stopword_ratio")) == 0.5) // "the" twice
+  }
+
+  test("langId votes by marker words with deterministic tie-break") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "the cat and the dog"),       // en markers
+      R(2L, "der hund und die katze"),    // de markers
+      R(3L, "xyzzy plugh")))              // no markers → und
+    val out = TextAnalysis.langId(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("fingerprint: identical docs share it, different docs do not") {
+    val out = TextAnalysis.fingerprint(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == out(4L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("multimodal decodeFeatures stub preserves batch plumbing") {
+    val d = Multimodal.attachPayload(docs, "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(d, "doc_id").collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(1L).n_bytes == docs.filter(col("doc_id") === 1)
+      .select(length(col("text"))).collect().head.getInt(0))
+    assert(feats(1L).checksum == feats(4L).checksum) // same content
+    assert(feats(1L).head.length == 8)
+  }
+}
