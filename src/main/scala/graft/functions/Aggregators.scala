@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Custom typed Aggregators (SURVEY.md §2.10): the two scores whose exact
+  * semantics need the (weighted) value multiset — weighted quantile (the
+  * scatter score) and energy distance (reference: common/utils.py:294-369
+  * weighted quantile; utils.py:148 energy distance via scipy).
+  *
+  * Buffers hold a bounded sample: exact below `maxExact` values, reservoir
+  * sampling above — per SURVEY §7.4 ("bounded sample buffer + exact fallback
+  * for small groups"). Deterministic reservoir (LCG keyed on count) so results
+  * are reproducible run-to-run.
+  */
+object Aggregators {
+
+  final case class WQBuffer(values: ArrayBuffer[Double], weights: ArrayBuffer[Double],
+                            seen: Long)
+
+  /** Weighted quantile at `q`: smallest value whose cumulative normalized
+    * weight reaches q (the crossing rule used by Scores.perfscores, matching
+    * the reference's weighted-percentile semantics on sorted values).
+    */
+  class WeightedQuantile(q: Double, maxExact: Int = 1 << 20)
+      extends Aggregator[(Double, Double), WQBuffer, Double] {
+
+    override def zero: WQBuffer = WQBuffer(ArrayBuffer.empty, ArrayBuffer.empty, 0L)
+
+    private def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
+
+    override def reduce(b: WQBuffer, in: (Double, Double)): WQBuffer = {
+      val (v, w) = in
+      if (w <= 0 || v.isNaN) return b.copy(seen = b.seen)
+      if (b.values.length < maxExact) { b.values += v; b.weights += w }
+      else {
+        // deterministic reservoir replacement
+        val j = math.abs(lcg(b.seen)) % (b.seen + 1)
+        if (j < maxExact) { b.values(j.toInt) = v; b.weights(j.toInt) = w }
+      }
+      b.copy(seen = b.seen + 1)
+    }
+
+    override def merge(a: WQBuffer, c: WQBuffer): WQBuffer = {
+      c.values.indices.foreach { i =>
+        if (a.values.length < maxExact) { a.values += c.values(i); a.weights += c.weights(i) }
+      }
+      a.copy(seen = a.seen + c.seen)
+    }
+
+    override def finish(b: WQBuffer): Double = {
+      if (b.values.isEmpty) return Double.NaN
+      val idx = b.values.indices.toArray.sortBy(b.values)
+      val total = b.weights.sum
+      var cum = 0.0
+      var i = 0
+      while (i < idx.length) {
+        cum += b.weights(idx(i))
+        if (cum >= q * total) return b.values(idx(i))
+        i += 1
+      }
+      b.values(idx.last)
+    }
+
+    override def bufferEncoder: Encoder[WQBuffer] = Encoders.product[WQBuffer]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  final case class EDBuffer(xs: ArrayBuffer[Double], ys: ArrayBuffer[Double])
+
+  /** Energy distance between the est and ref samples:
+    * D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, D = sqrt(max(D², 0)).
+    * Exact O(n log n) via the sorted-prefix-sum identity for pairwise mean
+    * absolute differences (not O(n²) double loops).
+    */
+  class EnergyDistance(maxExact: Int = 1 << 20)
+      extends Aggregator[(Double, Double), EDBuffer, Double] {
+
+    override def zero: EDBuffer = EDBuffer(ArrayBuffer.empty, ArrayBuffer.empty)
+
+    override def reduce(b: EDBuffer, in: (Double, Double)): EDBuffer = {
+      if (b.xs.length < maxExact && !in._1.isNaN && !in._2.isNaN) {
+        b.xs += in._1; b.ys += in._2
+      }
+      b
+    }
+
+    override def merge(a: EDBuffer, c: EDBuffer): EDBuffer = {
+      c.xs.indices.foreach { i =>
+        if (a.xs.length < maxExact) { a.xs += c.xs(i); a.ys += c.ys(i) }
+      }
+      a
+    }
+
+    /** mean |a_i − b_j| over all pairs of two sorted arrays in O(n+m). */
+    private def meanAbsCross(aSorted: Array[Double], bSorted: Array[Double]): Double = {
+      // merge walk: for each a_i, sum over b of |a_i−b| using prefix sums of b
+      val prefix = new Array[Double](bSorted.length + 1)
+      var i = 0
+      while (i < bSorted.length) { prefix(i + 1) = prefix(i) + bSorted(i); i += 1 }
+      var total = 0.0
+      var j = 0
+      var k = 0
+      while (k < aSorted.length) {
+        val a = aSorted(k)
+        while (j < bSorted.length && bSorted(j) <= a) j += 1
+        // j = count of b ≤ a
+        total += a * j - prefix(j) + (prefix(bSorted.length) - prefix(j)) - a * (bSorted.length - j)
+        k += 1
+      }
+      total / (aSorted.length.toDouble * bSorted.length)
+      // note: requires aSorted ascending; the inner pointer j is monotone
+    }
+
+    override def finish(b: EDBuffer): Double = {
+      if (b.xs.isEmpty) return Double.NaN
+      val xs = b.xs.toArray.sorted
+      val ys = b.ys.toArray.sorted
+      val exy = meanAbsCross(xs, ys)
+      val exx = meanAbsCross(xs, xs)
+      val eyy = meanAbsCross(ys, ys)
+      math.sqrt(math.max(2 * exy - exx - eyy, 0.0))
+    }
+
+    override def bufferEncoder: Encoder[EDBuffer] = Encoders.product[EDBuffer]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

@@ -20,9 +20,9 @@ object BiasCorrection {
     */
   def sortedPairs(df: DataFrame, predCol: String, obsCol: String): DataFrame = {
     val p = df.select(col(predCol).as("pred"))
-      .withColumn("rn", row_number().over(Window.orderBy(col(predCol))))
+      .withColumn("rn", row_number().over(Window.orderBy(col("pred"))))
     val o = df.select(col(obsCol).as("obs"))
-      .withColumn("rn", row_number().over(Window.orderBy(col(obsCol))))
+      .withColumn("rn", row_number().over(Window.orderBy(col("obs"))))
     p.join(o, "rn")
   }
 

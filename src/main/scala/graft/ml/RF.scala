@@ -1,0 +1,104 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M1/M4/M8/M9: the RandomForest regression pipeline with a-posteriori bias
+  * correction (reference: ml/rfdefinitions.py:61-242 RandomForestRegressorBC;
+  * training flow ml/rf.py:288-630 fit_models; defaults
+  * ml/default_config.yml RANDOMFOREST_REGRESSOR: 15 trees, maxDepth 20,
+  * 7 features per split).
+  *
+  * Distributed end-to-end: MLlib RF replaces sklearn (north-star mandate);
+  * the bias correction is the sorted-zip quantile map of
+  * [[BiasCorrection]]; prediction is a model.transform + column clamp.
+  */
+object RF {
+
+  final case class FittedModel(rf: RandomForestRegressionModel,
+                               features: Seq[String],
+                               bcSlope: Double)
+
+  def assembler(features: Seq[String]): VectorAssembler =
+    new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
+      .setHandleInvalid("skip")
+
+  /** Fit RF + 'cdf' bias correction on the training predictions
+    * (reference: rfdefinitions.py:152-202 — BC is fitted on the model's own
+    * sorted training predictions vs sorted observations).
+    */
+  def fit(train: DataFrame, features: Seq[String], labelCol: String,
+          numTrees: Int = 15, maxDepth: Int = 20,
+          featureSubset: String = "7", seed: Long = 42L): FittedModel = {
+    val assembled = assembler(features).transform(train)
+    val rf = new RandomForestRegressor()
+      .setNumTrees(numTrees)
+      .setMaxDepth(math.min(maxDepth, 30))
+      .setFeatureSubsetStrategy(featureSubset)
+      .setLabelCol(labelCol)
+      .setFeaturesCol("features")
+      .setSeed(seed)
+      .fit(assembled)
+    val preds = rf.transform(assembled).select(col("prediction"), col(labelCol))
+    val slope = BiasCorrection.cdfSlope(preds, "prediction", labelCol)
+      .collect().head.getDouble(0)
+    FittedModel(rf, features, slope)
+  }
+
+  /** Predict with BC + non-negativity clamp (reference: rfdefinitions.py:205-242). */
+  def predict(model: FittedModel, data: DataFrame): DataFrame = {
+    val assembled = assembler(model.features).transform(data)
+    model.rf.transform(assembled)
+      .withColumn("prediction_bc",
+        BiasCorrection.applyCdf(col("prediction"), model.bcSlope))
+      .drop("features")
+  }
+
+  /** M8: permutation feature importance — permute one feature column (a
+    * deterministic hash-keyed re-pairing, the distributed analogue of the
+    * reference's in-place shuffle, ml/rf.py:801-839) and measure the RMSE
+    * degradation.
+    */
+  def permuteColumn(df: DataFrame, column: String, seed: Int): DataFrame = {
+    val others = df.columns.filterNot(_ == column)
+    val wOrig = Window.orderBy(monotonically_increasing_id())
+    val base = df.withColumn("__rn", row_number().over(wOrig))
+    val shuffled = df.select(col(column))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(hash(col(column), lit(seed)), col(column))))
+      .withColumnRenamed(column, s"__perm_$column")
+    base.join(shuffled, "__rn")
+      .select((others.map(col) :+ col(s"__perm_$column").as(column)): _*)
+  }
+
+  def rmse(preds: DataFrame, predCol: String, labelCol: String): Double =
+    preds.agg(sqrt(avg(pow(col(predCol) - col(labelCol), 2.0)))).collect().head.getDouble(0)
+
+  def permutationImportance(model: FittedModel, test: DataFrame,
+                            labelCol: String, seed: Int = 17): Seq[(String, Double)] = {
+    val baseRmse = rmse(predict(model, test), "prediction_bc", labelCol)
+    model.features.map { f =>
+      val permuted = permuteColumn(test, f, seed)
+      val r = rmse(predict(model, permuted), "prediction_bc", labelCol)
+      f -> ((r - baseRmse) / baseRmse)
+    }
+  }
+
+  /** M5/M9: K-fold cross-validation by a precomputed fold column (event-split
+    * via Windows.sessionize or year-split), driver loop over folds calling
+    * the distributed fit/score primitives (reference: ml/rf.py:846-1331).
+    */
+  def crossValidate(df: DataFrame, features: Seq[String], labelCol: String,
+                    foldCol: String, k: Int,
+                    numTrees: Int = 15, maxDepth: Int = 20): Seq[(Int, Double)] =
+    (0 until k).map { fold =>
+      val train = df.filter(col(foldCol) =!= fold)
+      val test = df.filter(col(foldCol) === fold)
+      val m = fit(train, features, labelCol, numTrees, maxDepth,
+        featureSubset = "auto")
+      fold -> rmse(predict(m, test), "prediction_bc", labelCol)
+    }
+}

@@ -1,0 +1,137 @@
+package graft.qpe
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gridded QPE pipeline (SURVEY.md §3.3, §7.1 step 5).
+  *
+  * Everything up to the per-cell weighted feature accumulation is distributed
+  * DataFrame work (LUT broadcast joins J5/J6 + the A9 groupBy); the final
+  * 640×710 grid (454,400 cells ≈ 1.8 MB) is collected and post-processed on
+  * the driver with 2-D image kernels — deliberately NOT distributed
+  * (SURVEY §7.3: a shuffle for a 1.8 MB array is pure overhead).
+  */
+object Grid {
+
+  val NX = 640
+  val NY = 710
+
+  /** J5: polar→Cartesian LUT join — polar gate rows joined to the broadcast
+    * LUT on (sweep, az_idx, rng_idx), projecting Cartesian cell indices
+    * (reference: qpe/qpe.py:579-598; lookup table format lookup.py:44-46).
+    */
+  def lutJoin(polar: DataFrame, lut: DataFrame): DataFrame =
+    polar.join(broadcast(lut), Seq("sweep", "az_idx", "rng_idx"))
+
+  /** A9: weighted accumulation of per-sweep/per-radar contributions into
+    * grid cells, then the final Σ(v·w)/Σw (reference: qpe/qpe.py:613-656,
+    * 670-676). One shuffle on the cell key.
+    */
+  def accumulate(contribs: DataFrame): DataFrame =
+    contribs.groupBy(col("chx"), col("chy"))
+      .agg(sum(col("v") * col("w")).as("sum_vw"), sum(col("w")).as("sum_w"))
+      .withColumn("value", col("sum_vw") / col("sum_w"))
+      .select("chx", "chy", "value")
+
+  /** Collect a (chx, chy, value) cell DataFrame into a dense driver-side
+    * grid. Missing cells are NaN (the reference's masked cells).
+    */
+  def collectGrid(cells: DataFrame, nx: Int = NX, ny: Int = NY): Array[Array[Double]] = {
+    val grid = Array.fill(nx, ny)(Double.NaN)
+    cells.select(col("chx").cast("int"), col("chy").cast("int"),
+        col("value").cast("double"))
+      .collect().foreach { case Row(x: Int, y: Int, v: Double) =>
+        if (x >= 0 && x < nx && y >= 0 && y < ny) grid(x)(y) = v
+      }
+    grid
+  }
+
+  /** Dense grid back to a DataFrame for relational post-steps / sinks. */
+  def gridToDF(spark: SparkSession, grid: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      x <- grid.indices
+      y <- grid(x).indices
+      if !grid(x)(y).isNaN
+    } yield (x, y, grid(x)(y))
+    rows.toDF("chx", "chy", "value")
+  }
+
+  /** W4: moving-window outlier removal — replace cells whose z-score within a
+    * (2k+1)² neighborhood exceeds `zmax` by the window mean
+    * (reference: qpe/qpe_utils.py:233-268 outlier_removal, 7×7 box).
+    * NaN-aware: missing neighbours are excluded from the moments.
+    */
+  def outlierRemoval(grid: Array[Array[Double]], k: Int = 3,
+                     zmax: Double = 3.0): Array[Array[Double]] = {
+    val nx = grid.length
+    val ny = grid(0).length
+    val out = Array.tabulate(nx, ny)((x, y) => grid(x)(y))
+    var x = 0
+    while (x < nx) {
+      var y = 0
+      while (y < ny) {
+        val v = grid(x)(y)
+        if (!v.isNaN) {
+          var s = 0.0; var s2 = 0.0; var n = 0
+          var i = math.max(0, x - k)
+          while (i <= math.min(nx - 1, x + k)) {
+            var j = math.max(0, y - k)
+            while (j <= math.min(ny - 1, y + k)) {
+              val w = grid(i)(j)
+              if (!w.isNaN) { s += w; s2 += w * w; n += 1 }
+              j += 1
+            }
+            i += 1
+          }
+          val mean = s / n
+          val varr = math.max(s2 / n - mean * mean, 0.0)
+          val std = math.sqrt(varr)
+          if (std > 0 && math.abs(v - mean) / std >= zmax) out(x)(y) = mean
+        }
+        y += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  /** W5: Gaussian smoothing, separable kernel, NaN-aware renormalization
+    * (reference: qpe/qpe.py:742-743, gaussian_filter σ=0.5).
+    */
+  def gaussianSmooth(grid: Array[Array[Double]], sigma: Double = 0.5): Array[Array[Double]] = {
+    val radius = math.max(1, math.ceil(3 * sigma).toInt)
+    val kernel = Array.tabulate(2 * radius + 1)(i =>
+      math.exp(-0.5 * math.pow((i - radius) / sigma, 2)))
+    def pass(src: Array[Array[Double]], horizontal: Boolean): Array[Array[Double]] = {
+      val nx = src.length; val ny = src(0).length
+      Array.tabulate(nx, ny) { (x, y) =>
+        if (src(x)(y).isNaN) Double.NaN
+        else {
+          var s = 0.0; var wsum = 0.0
+          var d = -radius
+          while (d <= radius) {
+            val (i, j) = if (horizontal) (x + d, y) else (x, y + d)
+            if (i >= 0 && i < nx && j >= 0 && j < ny && !src(i)(j).isNaN) {
+              val w = kernel(d + radius)
+              s += w * src(i)(j); wsum += w
+            }
+            d += 1
+          }
+          s / wsum
+        }
+      }
+    }
+    pass(pass(grid, horizontal = true), horizontal = false)
+  }
+
+  /** R7/F16: temporal disaggregation — scale the coarse estimate by the
+    * instantaneous Z-R proxy ratio (reference: qpe/qpe.py:719-733).
+    */
+  def disaggregate(qpe: Array[Array[Double]], rproxyNow: Array[Array[Double]],
+                   rproxyMean: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(qpe.length, qpe(0).length) { (x, y) =>
+      val q = qpe(x)(y); val rn = rproxyNow(x)(y); val rm = rproxyMean(x)(y)
+      if (q.isNaN || rn.isNaN || rm.isNaN || rm == 0.0) q else q * (rn / rm)
+    }
+}

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Real-time mode as Structured Streaming (SURVEY.md §2.8).
+  *
+  * The reference's RT daemon is a polling loop (qpe_rt_daemon.py:466) —
+  * here each of its semantics maps onto a first-class streaming construct:
+  * micro-batch trigger (R1), completeness-wait with timeout and graceful
+  * degradation (R2/R3), cross-batch state (R4), session windows (R6),
+  * incremental day recompute via dynamic partition overwrite (R8).
+  */
+object RT {
+
+  /** R1: file source + 5-min processing trigger
+    * (reference: qpe_rt_daemon.py:865-873 sleep-to-next-slot loop).
+    */
+  def fileStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  def fiveMinuteTrigger: Trigger = Trigger.ProcessingTime("5 minutes")
+
+  /** R1 windowed aggregation: tumbling event-time windows + watermark
+    * (reference cadence: one product per 5 min, qpe/qpe.py:374-378).
+    */
+  def windowAgg(events: DataFrame, key: String, tsCol: String, valueCol: String,
+                window_ : String = "5 minutes",
+                watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(key), window(col(tsCol), window_))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"))
+
+  /** R6: 12-h inactivity session split as a built-in session window
+    * (reference: ml/utils.py:71-126 split_event).
+    */
+  def sessionAgg(events: DataFrame, key: String, tsCol: String,
+                 gap: String = "12 hours", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(key), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n"))
+
+  // ---- R2/R3: completeness-wait with timeout + graceful degradation -------
+
+  /** One arriving per-source file for a timestep. */
+  final case class SourceArrival(slot: Long, source: String, eventTimeMs: Long)
+  /** Emitted product slot: quality flags missing sources as '-'
+    * (reference: "ADLPW" → "A-LPW", qpe/qpe.py:464-489, qpe_utils.py:209-228).
+    */
+  final case class SlotResult(slot: Long, quality: String, complete: Boolean)
+  final case class SlotState(seen: Set[String])
+
+  val AllSources: Seq[String] = Seq("A", "D", "L", "P", "W")
+
+  /** flatMapGroupsWithState body: emit as soon as all sources arrived;
+    * otherwise wait until the event-time timeout (watermark passing the slot's
+    * deadline) and emit the degraded product — the batch is never blocked
+    * (reference: wait_for_files timeout=60, qpe_rt_daemon.py:198-253).
+    */
+  def slotUpdate(timeoutMs: Long)(slot: Long, arrivals: Iterator[SourceArrival],
+                                  state: GroupState[SlotState]): Iterator[SlotResult] = {
+    if (state.hasTimedOut) {
+      val seen = state.getOption.map(_.seen).getOrElse(Set.empty)
+      state.remove()
+      Iterator.single(SlotResult(slot, quality(seen), complete = false))
+    } else {
+      val seen = state.getOption.map(_.seen).getOrElse(Set.empty) ++
+        arrivals.map(_.source)
+      if (AllSources.forall(seen.contains)) {
+        state.remove()
+        Iterator.single(SlotResult(slot, quality(seen), complete = true))
+      } else {
+        state.update(SlotState(seen))
+        // deadline: slot end + allowed lateness
+        state.setTimeoutTimestamp(slot + timeoutMs)
+        Iterator.empty
+      }
+    }
+  }
+
+  def quality(seen: Set[String]): String =
+    AllSources.map(s => if (seen.contains(s)) s else "-").mkString
+
+  /** Wire the completeness state machine over a stream of arrivals. */
+  def completenessStream(arrivals: Dataset[SourceArrival],
+                         timeoutMs: Long): Dataset[SlotResult] = {
+    import arrivals.sparkSession.implicits._
+    arrivals.toDF()
+      .withColumn("eventTime", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[SourceArrival]
+      .groupByKey(_.slot)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        slotUpdate(timeoutMs))
+  }
+
+  // ---- R4: cross-batch previous-timestep state ----------------------------
+
+  final case class KeyedValue(key: String, slot: Long, value: Double)
+  final case class Paired(key: String, slot: Long, value: Double,
+                          prevValue: Option[Double])
+  final case class PrevState(slot: Long, value: Double)
+
+  /** mapGroupsWithState carrying the previous timestep's value per key —
+    * the checkpointed replacement for the reference's X_prev/qpe_prev npy
+    * spill files (qpe/qpe.py:380-403,745-762).
+    */
+  def pairWithPrevious(values: Dataset[KeyedValue]): Dataset[Paired] = {
+    import values.sparkSession.implicits._
+    values.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[KeyedValue], state: GroupState[PrevState]) =>
+          val sorted = rows.toSeq.sortBy(_.slot)
+          var prev = state.getOption
+          val out = sorted.map { kv =>
+            val p = Paired(kv.key, kv.slot, kv.value, prev.map(_.value))
+            prev = Some(PrevState(kv.slot, kv.value))
+            p
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  // ---- R8: incremental day recompute --------------------------------------
+
+  /** Dynamic partition overwrite on day partitions — re-running a day
+    * replaces exactly that day's files (reference: database.py:536-551
+    * skip/update of already-computed days).
+    */
+  def writeDayPartitioned(df: DataFrame, tsCol: String, path: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.withColumn("day", date_format(col(tsCol), "yyyyMMdd"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+  }
+
+  /** R5: hourly side-input refresh — reload a small dimension each batch and
+    * keep the last good value on failure (reference: qpe/qpe.py:432-459 HZT
+    * cache fallback). Usage: stream.writeStream.foreachBatch(
+    * refreshingBatch(loadSideInput, process)).
+    */
+  def refreshingBatch[S](load: () => S, process: (DataFrame, S, Long) => Unit)
+                        (initial: S): (DataFrame, Long) => Unit = {
+    var lastGood: S = initial
+    (batch: DataFrame, id: Long) => {
+      lastGood = try load() catch { case _: Exception => lastGood }
+      process(batch, lastGood, id)
+    }
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.functions.Aggregators
+import graft.ml.RF
+import graft.qpe.Grid
+import graft.streaming.RT
+
+class MlStreamGridSpec extends SparkSpec {
+
+  test("WeightedQuantile: exact crossing on a small weighted set") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,1,7 → q50 crossing lands on 4
+    val ds = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)).toDS()
+    val q50 = ds.select(new Aggregators.WeightedQuantile(0.5).toColumn).collect().head
+    assert(q50 == 4.0)
+    val q10 = ds.select(new Aggregators.WeightedQuantile(0.1).toColumn).collect().head
+    assert(q10 == 1.0)
+  }
+
+  test("EnergyDistance: zero for identical samples, positive for shifted") {
+    import spark.implicits._
+    val same = (1 to 50).map(i => (i.toDouble, i.toDouble)).toDS()
+    assert(same.select(new Aggregators.EnergyDistance().toColumn).collect().head == 0.0)
+    val shifted = (1 to 50).map(i => (i.toDouble, i + 10.0)).toDS()
+    val d = shifted.select(new Aggregators.EnergyDistance().toColumn).collect().head
+    assert(d > 1.0)
+  }
+
+  test("EnergyDistance matches the O(n^2) definition on a small sample") {
+    import spark.implicits._
+    val xs = Seq(1.0, 3.0, 7.0)
+    val ys = Seq(2.0, 2.0, 10.0)
+    def meanAbs(a: Seq[Double], b: Seq[Double]) =
+      (for { x <- a; y <- b } yield math.abs(x - y)).sum / (a.length * b.length)
+    val expected = math.sqrt(2 * meanAbs(xs, ys) - meanAbs(xs, xs) - meanAbs(ys, ys))
+    val got = xs.zip(ys).toDS().select(new Aggregators.EnergyDistance().toColumn)
+      .collect().head
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("RF fit/predict: learns a monotone signal and clamps at zero") {
+    import spark.implicits._
+    val train = (1 to 300).map { i =>
+      val x = (i % 50).toDouble
+      (x, x % 7.0, 3.0 * x + 5.0)
+    }.toDF("f1", "f2", "label")
+    val model = RF.fit(train, Seq("f1", "f2"), "label", numTrees = 5, maxDepth = 6)
+    val preds = RF.predict(model, train)
+    assert(preds.filter(col("prediction_bc") < 0).count() == 0)
+    val r = RF.rmse(preds, "prediction_bc", "label")
+    assert(r < 20.0) // tree model fits a piecewise-linear ramp reasonably
+    assert(model.bcSlope > 0.5 && model.bcSlope < 2.0)
+  }
+
+  test("permuteColumn preserves the multiset but breaks the pairing") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => (i, i * 2.0)).toDF("id", "v")
+    val p = RF.permuteColumn(d, "v", seed = 3)
+    assert(p.count() == 100)
+    val orig = d.select("v").collect().map(_.getDouble(0)).sorted.toSeq
+    val perm = p.select("v").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(orig == perm)
+    val moved = p.join(d.withColumnRenamed("v", "v0"), "id")
+      .filter(col("v") =!= col("v0")).count()
+    assert(moved > 50) // most rows got someone else's value
+  }
+
+  test("streaming completeness: all sources arrived → complete quality string") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[RT.SourceArrival]
+    val q = RT.completenessStream(input.toDS(), timeoutMs = 60000)
+      .writeStream.format("memory").queryName("slots1").outputMode("append").start()
+    try {
+      input.addData(RT.AllSources.map(s => RT.SourceArrival(1000L, s, 1000L)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("slots1").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getString(1) == "ADLPW")
+      assert(rows.head.getBoolean(2))
+    } finally q.stop()
+  }
+
+  test("streaming completeness: missing source → degraded emit on timeout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[RT.SourceArrival]
+    val q = RT.completenessStream(input.toDS(), timeoutMs = 1000)
+      .writeStream.format("memory").queryName("slots2").outputMode("append").start()
+    try {
+      input.addData(Seq("A", "L").map(s => RT.SourceArrival(1000L, s, 1000L)): _*)
+      q.processAllAvailable()
+      assert(spark.table("slots2").count() == 0) // still waiting
+      // watermark advance past slot deadline fires the event-time timeout
+      input.addData(RT.SourceArrival(999000L, "A", 999000L))
+      q.processAllAvailable()
+      input.addData(RT.SourceArrival(999500L, "D", 999500L))
+      q.processAllAvailable()
+      val res = spark.table("slots2").collect().find(_.getLong(0) == 1000L)
+      assert(res.isDefined)
+      assert(res.get.getString(1) == "A-L--") // A and L present, D/P/W missing
+      assert(!res.get.getBoolean(2))
+    } finally q.stop()
+  }
+
+  test("streaming pairWithPrevious carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[RT.KeyedValue]
+    val q = RT.pairWithPrevious(input.toDS())
+      .writeStream.format("memory").queryName("paired").outputMode("append").start()
+    try {
+      input.addData(RT.KeyedValue("m", 1, 10.0))
+      q.processAllAvailable()
+      input.addData(RT.KeyedValue("m", 2, 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("paired").orderBy("slot").collect()
+      assert(rows.length == 2)
+      assert(rows(0).isNullAt(3))               // first slot has no prev
+      assert(rows(1).getDouble(3) == 10.0)      // second sees the first
+    } finally q.stop()
+  }
+
+  test("grid: accumulate → collect → outlier removal → smooth pipeline") {
+    import spark.implicits._
+    val contribs = Seq(
+      (5, 5, 10.0, 1.0), (5, 5, 20.0, 3.0), // weighted mean 17.5
+      (6, 5, 1.0, 1.0)).toDF("chx", "chy", "v", "w")
+    val cells = Grid.accumulate(contribs)
+    val grid = Grid.collectGrid(cells, 10, 10)
+    assert(math.abs(grid(5)(5) - 17.5) < 1e-12)
+    assert(grid(6)(5) == 1.0)
+    assert(grid(0)(0).isNaN)
+
+    // outlier: a spike in a flat field gets replaced by the window mean
+    val flat = Array.tabulate(9, 9)((_, _) => 1.0)
+    flat(4)(4) = 1000.0
+    val cleaned = Grid.outlierRemoval(flat, k = 2, zmax = 3.0)
+    assert(cleaned(4)(4) < 100.0)
+
+    // smoothing preserves a constant field exactly
+    val const = Array.tabulate(9, 9)((_, _) => 2.0)
+    val sm = Grid.gaussianSmooth(const, 0.5)
+    assert(sm.flatten.forall(v => math.abs(v - 2.0) < 1e-12))
+    // round-trip to DataFrame
+    assert(Grid.gridToDF(spark, grid).count() == 2)
+  }
+}
