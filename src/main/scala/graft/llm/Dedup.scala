@@ -50,7 +50,9 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
                    minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // the shingle relation feeds three consumers (sizes + both join sides):
+    // cache it instead of re-exploding the corpus three times
+    val sh = shingles(df, idCol, textCol, n).cache()
     val sizes = shingleSizes(sh, idCol)
     val a = sh.select(col(idCol).as("da"), col("sh"))
     val b = sh.select(col(idCol).as("db"), col("sh"))
@@ -99,7 +101,8 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 16, r: Int = 4,
                    minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // four consumers of the shingle relation (signature, sizes, verify a/b)
+    val sh = shingles(df, idCol, textCol, n).cache()
     val bands = lshBands(minhashSignature(sh, idCol, k), idCol, k, r)
     val ba = bands.select(col(idCol).as("da"), col("band"), col("sig"))
     val bb = bands.select(col(idCol).as("db"), col("band"), col("sig"))
