@@ -92,6 +92,22 @@ object Relational {
       .drop("__psum")
   }
 
+  /** O8 + skew handling: salted equi-join — the left side gets a
+    * deterministic salt in [0, nSalts), the (smaller) right side is
+    * replicated once per salt, and the join key becomes (keys..., salt).
+    * Breaks a hot key across nSalts reducers; result is identical to the
+    * plain join. (AQE skew-join covers sort-merge cases automatically; this
+    * is the explicit tool for pathological keys.)
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 nSalts: Int, joinType: String = "inner"): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(nSalts)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** A2/W2: full-hour filter — keep only (key, hour) groups with exactly `n`
     * rows, via a count window transform
     * (reference: ml/rf.py:211-223 transform('count') == 6).

@@ -57,6 +57,25 @@ object Grid {
     rows.toDF("chx", "chy", "value")
   }
 
+  /** S9/W4 distributed variant: (2k+1)² neighborhood statistics via a
+    * scatter join — each cell's value is contributed to all its neighbours
+    * (explode over the offset grid), one groupBy computes the box mean/std
+    * per cell (reference: io_data.py:97-114 wet-radome 3×3 RZC mean;
+    * qpe_utils.py:233-268 7×7 outlier window). This is the pattern that
+    * scales when the grid does NOT fit on the driver — cost (2k+1)²·|cells|
+    * rows through one shuffle, no self-join explosion on dense regions.
+    */
+  def boxStats(cells: DataFrame, k: Int): DataFrame = {
+    val off = lit((-k to k).toArray)
+    cells
+      .withColumn("dx", explode(off))
+      .withColumn("dy", explode(off))
+      .groupBy((col("chx") + col("dx")).as("chx"), (col("chy") + col("dy")).as("chy"))
+      .agg(avg(col("value")).as("box_mean"),
+           stddev_pop(col("value")).as("box_std"),
+           count(col("value")).as("box_n"))
+  }
+
   /** W4: moving-window outlier removal — replace cells whose z-score within a
     * (2k+1)² neighborhood exceeds `zmax` by the window mean
     * (reference: qpe/qpe_utils.py:233-268 outlier_removal, 7×7 box).

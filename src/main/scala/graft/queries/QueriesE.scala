@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Core
+import graft.functions.Phys
+
+/** Batch 5: the remaining §2 operator IDs as explicit declared queries —
+  * hourly left-join enrichment (J4), first-per-group (A11), intersect (O6),
+  * derived physics columns + clamp (F9/F10/P11), DN scale decode (S8),
+  * per-group count transform (W2).
+  */
+object QueriesE {
+  import Queries.QueryDef
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.table(s, dir, name)
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(27,10)")).cast("double")
+  private def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(27,10))) AS DOUBLE)"
+  private val r6 = (c: Column) => round(c, 6)
+  private def epochS(c: Column): Column = unix_timestamp(c)
+  private val epochSql = (e: String) => s"CAST(FLOOR(EPOCH($e)) AS BIGINT)"
+
+  /** J4: hourly product left-joined back onto sub-hourly rows
+    * (reference: retrieve_reference_data.py:428-431 CPC.CV onto 10-min rows).
+    */
+  val j4HourlyJoin: QueryDef = QueryDef(
+    "j4_left_join_hourly",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val hourly = e.groupBy($"user_id",
+          Phys.floorToCadence(epochS($"ts"), 3600L).as("hour_e"))
+        .agg(r6(dsum($"value")).as("hv"))
+      e.withColumn("hour_e", Phys.floorToCadence(epochS($"ts"), 3600L))
+        .join(hourly, Seq("user_id", "hour_e"), "left")
+        .select($"event_id", $"user_id", $"hour_e", $"hv")
+        .orderBy($"event_id")
+    },
+    Some(s"""WITH hourly AS (
+        SELECT user_id, (${epochSql("ts")} - ${epochSql("ts")} % 3600) AS hour_e,
+               ROUND(${dsumSql("value")}, 6) AS hv
+        FROM events GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id,
+             (${epochSql("e.ts")} - ${epochSql("e.ts")} % 3600) AS hour_e, h.hv
+      FROM events e LEFT JOIN hourly h
+        ON e.user_id = h.user_id
+       AND h.hour_e = ${epochSql("e.ts")} - ${epochSql("e.ts")} % 3600
+      ORDER BY e.event_id"""))
+
+  /** A11: first-per-group (reference: ml/rf.py:1172-1173 groupby().first()). */
+  val a11First: QueryDef = QueryDef(
+    "a11_first_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("first_type"),
+                epochS($"ts").as("first_e"))
+        .orderBy($"user_id")
+    },
+    Some(s"""SELECT user_id, event_type AS first_type, ${epochSql("ts")} AS first_e
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn FROM events)
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  /** O6: set intersection on key projections
+    * (reference: ml/rf.py:202-205 s-tstamp set intersection).
+    */
+  val o6Intersect: QueryDef = QueryDef(
+    "o6_intersect",
+    (s, dir) => t(s, dir, "orders").select($"o_custkey".as("k"))
+      .intersect(t(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("k")))
+      .orderBy($"k"),
+    Some("""SELECT o_custkey AS k FROM orders
+      INTERSECT
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      ORDER BY k"""))
+
+  /** F9/F10/P11: derived physics columns — iso height from the lapse rate,
+    * clamped height-above-ground, minutes-in-hour, validity-floor clamp.
+    */
+  val f9Derived: QueryDef = QueryDef(
+    "f9_derived_columns",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val temp = $"value" / 20.0 - 5.0
+      e.select($"event_id",
+          r6(Phys.isoHeight(temp)).as("hiso"),
+          r6(Phys.heightAboveGround($"value" * 10.0, lit(500.0))).as("hag"),
+          r6((epochS($"ts") % 3600) / 60.0).as("min_in_hour"),
+          r6(Phys.clampBelow($"value" / 1000.0, 0.04)).as("clamped"))
+        .orderBy($"event_id")
+    },
+    Some(s"""SELECT event_id,
+      ROUND(-(value / 20.0 - 5.0) / 0.7 * 100.0, 6) AS hiso,
+      ROUND(GREATEST(0.0, value * 10.0 - 500.0), 6) AS hag,
+      ROUND((${epochSql("ts")} % 3600) / 60.0, 6) AS min_in_hour,
+      ROUND(CASE WHEN value / 1000.0 < 0.04 THEN 0.0 ELSE value / 1000.0 END, 6) AS clamped
+      FROM events ORDER BY event_id"""))
+
+  /** S8/S13: DN byte ↔ physical value decode through a scale array. */
+  val s8DnDecode: QueryDef = {
+    val scale = (0 until 10).map(i => i * 0.5)
+    QueryDef(
+      "s8_dn_decode",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("dn", least(floor($"value" / 20.0).cast("int"), lit(9)))
+        .withColumn("decoded", Phys.dnDecode($"dn", scale))
+        .groupBy($"dn", $"decoded")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"dn"),
+      Some(s"""SELECT dn, ([${scale.mkString(", ")}])[dn + 1] AS decoded, COUNT(*) AS n
+        FROM (SELECT LEAST(CAST(FLOOR(value / 20.0) AS INT), 9) AS dn FROM events)
+        GROUP BY dn ORDER BY dn"""))
+  }
+
+  /** W2: per-group count transform broadcast back to rows. */
+  val w2Count: QueryDef = QueryDef(
+    "w2_count_transform",
+    (s, dir) => graft.operators.Windows.countTransform(
+        t(s, dir, "events").select($"event_id", $"user_id"), Seq("user_id"))
+      .orderBy($"event_id"),
+    Some("""SELECT event_id, user_id,
+      COUNT(*) OVER (PARTITION BY user_id) AS group_count
+      FROM events ORDER BY event_id"""))
+
+  /** S9/W4: distributed (2k+1)² neighborhood statistics over a sparse grid —
+    * the scatter-join pattern of Grid.boxStats with decimal-exact internals
+    * (the scale path for the reference's 3×3 wet-radome mean and 7×7 outlier
+    * window when the grid doesn't fit one node).
+    */
+  val w4BoxStats: QueryDef = QueryDef(
+    "w4_box_stats",
+    (s, dir) => {
+      val cells = t(s, dir, "events")
+        .groupBy(($"user_id" % 16).cast("int").as("chx"),
+                 ($"event_id" % 7).cast("int").as("chy"))
+        .agg(r6(dsum($"value")).as("v"))
+      val off = lit((-1 to 1).toArray)
+      val n = count($"v")
+      val sx = dsum($"v")
+      // v carries 6 decimals, so v*v needs up to 12 — a 10-decimal accumulator
+      // rounds it and the near-zero variance subtraction amplifies the
+      // boundary-rounding difference between engines; 14 decimals is exact
+      val sxx = sum(($"v" * $"v").cast("decimal(32,14)")).cast("double")
+      cells
+        .withColumn("dx", explode(off))
+        .withColumn("dy", explode(off))
+        .groupBy(($"chx" + $"dx").as("chx"), ($"chy" + $"dy").as("chy"))
+        .agg(r6(sx / n).as("box_mean"),
+             r6(sqrt(greatest(lit(0.0), (sxx - sx * sx / n) / n))).as("box_std"),
+             n.as("box_n"))
+        .orderBy($"chx", $"chy")
+    },
+    Some(s"""WITH cells AS (
+        SELECT CAST(user_id % 16 AS INT) AS chx, CAST(event_id % 7 AS INT) AS chy,
+               ROUND(${dsumSql("value")}, 6) AS v
+        FROM events GROUP BY 1, 2),
+      scattered AS (
+        SELECT c.chx + dx.g AS chx, c.chy + dy.g AS chy, c.v
+        FROM cells c
+        CROSS JOIN generate_series(-1, 1) dx(g)
+        CROSS JOIN generate_series(-1, 1) dy(g))
+      SELECT chx, chy,
+        ROUND(${dsumSql("v")} / COUNT(v), 6) AS box_mean,
+        ROUND(SQRT(GREATEST(0.0, (CAST(SUM(CAST((v * v) AS DECIMAL(32,14))) AS DOUBLE) - ${dsumSql("v")} * ${dsumSql("v")} / COUNT(v)) / COUNT(v))), 6) AS box_std,
+        COUNT(v) AS box_n
+      FROM scattered GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(
+    j4HourlyJoin, a11First, o6Intersect, f9Derived, s8DnDecode, w2Count,
+    w4BoxStats)
+
+  import org.apache.spark.sql.ColumnName
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): ColumnName = new ColumnName(sc.s(args: _*))
+  }
+}

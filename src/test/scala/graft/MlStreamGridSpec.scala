@@ -125,6 +125,16 @@ class MlStreamGridSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boxStats: 3x3 scatter join computes neighborhood moments") {
+    import spark.implicits._
+    val cells = Seq((5, 5, 10.0), (6, 5, 20.0)).toDF("chx", "chy", "value")
+    val stats = Grid.boxStats(cells, 1).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getLong(4)))).toMap
+    assert(stats((5, 5)) == (15.0, 2L))  // both cells in its 3x3 box
+    assert(stats((7, 5)) == (20.0, 1L))  // only (6,5) reaches it
+    assert(stats((4, 4)) == (10.0, 1L))  // only (5,5) reaches it
+  }
+
   test("grid: accumulate → collect → outlier removal → smooth pipeline") {
     import spark.implicits._
     val contribs = Seq(
