@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Agg, Windows}
+import graft.llm.Dedup
+
+/** Property tests for the algebraic operators (SURVEY §5): aggregation
+  * identities, sessionization invariants, Jaccard bounds, quantile-map
+  * monotonicity. Spark jobs per case are expensive, so generators are small
+  * and minSuccessful is kept low — the properties, not the sample count,
+  * carry the value.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  /** scalatestplus is not in the offline cache, so drive scalacheck Gens
+    * directly with fixed seeds — deterministic and dependency-free.
+    */
+  private def forAll[A](gen: Gen[A], cases: Int = 5)(body: A => Unit): Unit =
+    (1 to cases).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    (1 to 5).foreach { i =>
+      body(ga.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+           gb.pureApply(Gen.Parameters.default, Seed(i.toLong + 100)))
+    }
+
+  private val values = Gen.nonEmptyListOf(Gen.choose(0.0, 60.0))
+
+  test("property: dB-mean ≥ arithmetic mean (Jensen, convex 10^(x/10))") {
+    forAll(values) { vs =>
+      val d = df("v DOUBLE", vs.map(R(_)))
+      val row = d.agg(Agg.dbMean(col("v")).as("db"), avg(col("v")).as("m"))
+        .collect().head
+      assert(row.getDouble(0) >= row.getDouble(1) - 1e-9)
+    }
+  }
+
+  test("property: weighted mean with equal weights = plain mean") {
+    forAll(values) { vs =>
+      val d = df("g INT, f DOUBLE", vs.map(v => R(1, v)))
+      val wm = Agg.weightedMean(d, Seq("g"), lit(7.0), Seq("f"))
+        .collect().head.getDouble(1)
+      val m = vs.sum / vs.length
+      assert(math.abs(wm - m) < 1e-9)
+    }
+  }
+
+  test("property: sessionize produces contiguous ids starting at 1, count = gaps + 1") {
+    val gaps = Gen.listOfN(6, Gen.choose(1L, 5000L))
+    forAll(gaps) { deltas =>
+      val times = deltas.scanLeft(1700000000L)(_ + _)
+      val d = df("u STRING, ts TIMESTAMP",
+        times.map(t => R("u", new java.sql.Timestamp(t * 1000))))
+      val sessions = Windows.sessionize(d, "u", "ts", 1800L)
+        .select("session_id").collect().map(_.getLong(0))
+      val expected = 1 + deltas.count(_ > 1800L)
+      assert(sessions.max == expected)
+      assert(sessions.min == 1)
+      assert(sessions.toSet == (1L to expected).toSet)
+    }
+  }
+
+  test("property: jaccard pairs are within (0, 1] and symmetric in the pair key") {
+    val words = Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    forAll2(words, words) { (w1, w2) =>
+      val d = df("doc_id BIGINT, text STRING",
+        Seq(R(1L, w1.mkString(" ")), R(2L, w2.mkString(" "))))
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 2, minJaccard = 0.0)
+        .collect()
+      pairs.foreach { r =>
+        assert(r.getLong(0) < r.getLong(1)) // canonical ordering
+        val j = r.getDouble(2)
+        assert(j > 0.0 && j <= 1.0)
+      }
+    }
+  }
+
+  test("property: weighted quantile is monotone in q and bounded by the data") {
+    import spark.implicits._
+    forAll(values) { vs =>
+      val ds = vs.map(v => (v, 1.0 + v % 3)).toDS()
+      val qs = Seq(0.1, 0.5, 0.9).map { q =>
+        ds.select(new graft.functions.Aggregators.WeightedQuantile(q).toColumn)
+          .collect().head
+      }
+      assert(qs(0) <= qs(1) && qs(1) <= qs(2))
+      assert(qs(0) >= vs.min && qs(2) <= vs.max)
+    }
+  }
+
+  test("property: simhash of a doc equals simhash of itself shuffled (order-free)") {
+    val words = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    forAll(words) { ws =>
+      val d = df("doc_id BIGINT, text STRING",
+        Seq(R(1L, ws.mkString(" ")), R(2L, ws.reverse.mkString(" "))))
+      val out = Dedup.simhash16(d, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out(1L) == out(2L))
+    }
+  }
+}
