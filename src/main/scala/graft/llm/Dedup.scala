@@ -34,9 +34,10 @@ object Dedup {
     // doc shorter than n tokens must yield an empty shingle list explicitly
     val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol), explode(
-        transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))).as("sh"))
-      .distinct()
+    // distinct-within-doc via array_distinct BEFORE the explode: the (id, sh)
+    // relation is identical, but the global distinct() shuffle disappears
+    df.select(col(idCol), explode(array_distinct(
+        transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))).as("sh"))
   }
 
   /** Per-doc distinct shingle counts. */

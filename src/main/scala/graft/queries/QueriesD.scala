@@ -48,10 +48,12 @@ object QueriesD {
     "m1_rf_train_predict",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity").as("f1"),
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity").as("f1"),
                 col("l_discount").as("f2"), col("l_tax").as("f3"),
                 (col("l_extendedprice") / 1000.0).as("label"))
-      val model = RF.fit(li, Seq("f1", "f2", "f3"), "label",
+      // deterministic 10% training sample; prediction runs on the full table
+      val train = li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      val model = RF.fit(train, Seq("f1", "f2", "f3"), "label",
         numTrees = 5, maxDepth = 8)
       RF.predict(model, li)
         .groupBy(col("l_returnflag"))
