@@ -108,6 +108,20 @@ object Relational {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Scale: bucketed table write — pre-partition a fact table on its join
+    * key so repeated joins between co-bucketed tables plan with NO shuffle
+    * exchange (SortMergeJoin reads buckets directly). The persistent-layout
+    * complement to `saltedJoin`: salting fixes one skewed run, bucketing
+    * amortizes the shuffle across every future join at 100 TB.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** A2/W2: full-hour filter — keep only (key, hour) groups with exactly `n`
     * rows, via a count window transform
     * (reference: ml/rf.py:211-223 transform('count') == 6).
