@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Core
+
+/** Batch 6: F6 — the ZPHI attenuation correction as a declared query with an
+  * exact DuckDB oracle. Synthetic rays are built from the events table
+  * (ray = user, range order = event time); all window integrals go through
+  * DECIMAL accumulators because DuckDB computes window sums with a segment
+  * tree (different summation order than Spark's running accumulation).
+  */
+object QueriesF {
+  import Queries.QueryDef
+
+  private val B = 0.64884
+  private val Alpha = 0.08
+  private val Dr = 0.5
+  // pre-folded scalar constants, embedded identically in both engines
+  private val Cz = 0.1 * B          // zb exponent coefficient
+  private val Ca = 0.1 * B * Alpha  // C exponent coefficient
+  private val Ci = 0.46 * B * Dr    // integral step weight
+  private val C2 = 2.0 * Dr         // two-way PIA step
+
+  private def dwin(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast("decimal(27,10)")).over(w).cast("double")
+
+  val f6Zphi: QueryDef = QueryDef(
+    "f6_zphi_attenuation",
+    (s, dir) => {
+      val byRay = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val base = Core.table(s, dir, "events")
+        .withColumn("rng", row_number().over(byRay))
+        .select(col("user_id"), col("rng"),
+                (col("value") / 10.0).as("zh"),
+                (col("value") / 200.0).as("dphi_step"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("rng"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val full = Window.partitionBy(col("user_id")).orderBy(col("rng"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val withPhi = base.withColumn("phidp", dwin(col("dphi_step"), cum))
+      val withZb = withPhi.withColumn("z_b", pow(lit(10.0), col("zh") * Cz))
+      val staged = withZb
+        .withColumn("itot", dwin(col("z_b"), full) * Ci)
+        .withColumn("icum", dwin(col("z_b"), cum) * Ci)
+        .withColumn("p0", first(col("phidp")).over(full))
+        .withColumn("pm", last(col("phidp")).over(full))
+        .withColumn("c", pow(lit(10.0), (col("pm") - col("p0")) * Ca) - 1.0)
+        .withColumn("iend", col("itot") - col("icum") + col("z_b") * Ci)
+        .withColumn("ah",
+          when(col("c") > 0 && col("itot") > 0,
+            col("z_b") * col("c") / (col("itot") + col("c") * col("iend")))
+            .otherwise(lit(0.0)))
+      staged
+        .withColumn("pia", dwin(col("ah"), cum) * C2)
+        .select(col("user_id"), col("rng"), round(col("ah"), 6).as("ah"),
+                round(col("pia"), 6).as("pia"),
+                round(col("zh") + col("pia"), 6).as("zh_corr"))
+        .orderBy(col("user_id"), col("rng"))
+    },
+    Some(s"""WITH base AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rng,
+               value / 10.0 AS zh, value / 200.0 AS dphi_step
+        FROM events),
+      phi AS (SELECT *, CAST(SUM(CAST(dphi_step AS DECIMAL(27,10)))
+               OVER cum AS DOUBLE) AS phidp
+              FROM base
+              WINDOW cum AS (PARTITION BY user_id ORDER BY rng ROWS UNBOUNDED PRECEDING)),
+      zb AS (SELECT *, POW(10.0, zh * $Cz) AS z_b FROM phi),
+      sums AS (SELECT *,
+        CAST(SUM(CAST(z_b AS DECIMAL(27,10))) OVER ray AS DOUBLE) * $Ci AS itot,
+        CAST(SUM(CAST(z_b AS DECIMAL(27,10))) OVER cum AS DOUBLE) * $Ci AS icum,
+        FIRST_VALUE(phidp) OVER ray AS p0,
+        LAST_VALUE(phidp) OVER ray AS pm
+        FROM zb
+        WINDOW ray AS (PARTITION BY user_id ORDER BY rng
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+               cum AS (PARTITION BY user_id ORDER BY rng ROWS UNBOUNDED PRECEDING)),
+      ahs AS (SELECT *,
+        POW(10.0, (pm - p0) * $Ca) - 1.0 AS c,
+        itot - icum + z_b * $Ci AS iend
+        FROM sums),
+      ah2 AS (SELECT user_id, rng, zh,
+        CASE WHEN c > 0 AND itot > 0
+             THEN z_b * c / (itot + c * iend) ELSE 0.0 END AS ah
+        FROM ahs)
+      SELECT user_id, rng, ROUND(ah, 6) AS ah,
+        ROUND(CAST(SUM(CAST(ah AS DECIMAL(27,10)))
+          OVER (PARTITION BY user_id ORDER BY rng ROWS UNBOUNDED PRECEDING)
+          AS DOUBLE) * $C2, 6) AS pia,
+        ROUND(zh + CAST(SUM(CAST(ah AS DECIMAL(27,10)))
+          OVER (PARTITION BY user_id ORDER BY rng ROWS UNBOUNDED PRECEDING)
+          AS DOUBLE) * $C2, 6) AS zh_corr
+      FROM ah2 ORDER BY user_id, rng"""))
+
+  val all: Seq[QueryDef] = Seq(f6Zphi)
+}
