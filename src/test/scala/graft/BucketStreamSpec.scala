@@ -11,6 +11,19 @@ import graft.streaming.RT
 class BucketStreamSpec extends SparkSpec {
 
   test("co-bucketed tables join without a shuffle exchange") {
+    // a fresh in-memory catalog + a persistent warehouse dir from an earlier
+    // JVM = LOCATION_ALREADY_EXISTS; clear both before writing
+    Seq("b_facts", "b_dims").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val facts = df("k INT, v DOUBLE", (1 to 500).map(i => R(i % 50, i * 1.0)))
     val dims = df("k INT, name STRING", (1 to 50).map(i => R(i, s"n$i")))
     Relational.writeBucketed(facts, "b_facts", Seq("k"), 8)
