@@ -57,6 +57,27 @@ object RF {
       .drop("features")
   }
 
+  /** M1 artifacts: persist/restore the trained model — MLlib native save for
+    * the forest + a small JSON sidecar for the BC slope and feature list
+    * (replaces the reference's pickle, ml/rfdefinitions.py:257-319 read_rf).
+    */
+  def save(model: FittedModel, path: String): Unit = {
+    model.rf.write.overwrite().save(s"$path/rf")
+    val meta = s"""{"bcSlope": ${model.bcSlope}, "features": [${
+      model.features.map(f => "\"" + f + "\"").mkString(", ")}]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/bc.json").toAbsolutePath, meta)
+  }
+
+  def load(path: String): FittedModel = {
+    val rf = RandomForestRegressionModel.load(s"$path/rf")
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/bc.json"))
+    val slope = """"bcSlope":\s*([-0-9.eE]+)""".r.findFirstMatchIn(meta).get.group(1).toDouble
+    val features = """"([^"]+)"""".r.findAllMatchIn(
+      meta.substring(meta.indexOf("["))).map(_.group(1)).toSeq
+    FittedModel(rf, features, slope)
+  }
+
   /** M8: permutation feature importance — permute one feature column (a
     * deterministic hash-keyed re-pairing, the distributed analogue of the
     * reference's in-place shuffle, ml/rf.py:801-839) and measure the RMSE

@@ -144,6 +144,71 @@ object Grid {
     pass(pass(grid, horizontal = true), horizontal = false)
   }
 
+  /** R7: block-matching optical flow between two consecutive grids — for
+    * each block of `prev`, the (dx, dy) within ±search minimizing the sum of
+    * squared differences against `curr` (the role pysteps Lucas-Kanade plays
+    * in the reference's advection correction, qpe/qpe_utils.py:271-312;
+    * driver-side on the 1.8 MB grids like the rest of the kernel stage).
+    * Returns (flowX, flowY) per block, NaN-aware.
+    */
+  def blockFlow(prev: Array[Array[Double]], curr: Array[Array[Double]],
+                block: Int = 16, search: Int = 4): (Array[Array[Int]], Array[Array[Int]]) = {
+    val nx = prev.length; val ny = prev(0).length
+    val bx = nx / block; val by = ny / block
+    val fx = Array.ofDim[Int](bx, by)
+    val fy = Array.ofDim[Int](bx, by)
+    for (i <- 0 until bx; j <- 0 until by) {
+      var best = Double.MaxValue
+      var bdx = 0; var bdy = 0
+      for (dx <- -search to search; dy <- -search to search) {
+        var ssd = 0.0; var n = 0
+        var x = i * block
+        while (x < (i + 1) * block) {
+          var y = j * block
+          while (y < (j + 1) * block) {
+            val xs = x + dx; val ys = y + dy
+            if (xs >= 0 && xs < nx && ys >= 0 && ys < ny) {
+              val a = prev(x)(y); val b = curr(xs)(ys)
+              if (!a.isNaN && !b.isNaN) { val d = a - b; ssd += d * d; n += 1 }
+            }
+            y += 1
+          }
+          x += 1
+        }
+        if (n > 0) {
+          val score = ssd / n
+          if (score < best - 1e-12) { best = score; bdx = dx; bdy = dy }
+        }
+      }
+      fx(i)(j) = bdx; fy(i)(j) = bdy
+    }
+    (fx, fy)
+  }
+
+  /** R7: advect a grid by a fraction `t` ∈ [0,1] of the block flow — the
+    * temporal-disaggregation shift between two 5-min products
+    * (reference: qpe/qpe_utils.py:271-312 disaggregate).
+    */
+  def advect(grid: Array[Array[Double]], fx: Array[Array[Int]],
+             fy: Array[Array[Int]], block: Int, t: Double): Array[Array[Double]] = {
+    val nx = grid.length; val ny = grid(0).length
+    val out = Array.fill(nx, ny)(Double.NaN)
+    var x = 0
+    while (x < nx) {
+      var y = 0
+      while (y < ny) {
+        val bi = math.min(x / block, fx.length - 1)
+        val bj = math.min(y / block, fx(0).length - 1)
+        val xs = x + math.round(fx(bi)(bj) * t).toInt
+        val ys = y + math.round(fy(bi)(bj) * t).toInt
+        if (xs >= 0 && xs < nx && ys >= 0 && ys < ny) out(xs)(ys) = grid(x)(y)
+        y += 1
+      }
+      x += 1
+    }
+    out
+  }
+
   /** R7/F16: temporal disaggregation — scale the coarse estimate by the
     * instantaneous Z-R proxy ratio (reference: qpe/qpe.py:719-733).
     */

@@ -125,6 +125,35 @@ class MlStreamGridSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RF save/load round-trips the forest, slope and feature list") {
+    import spark.implicits._
+    val train = (1 to 100).map(i => ((i % 10).toDouble, i % 3.0, 2.0 * (i % 10)))
+      .toDF("f1", "f2", "label")
+    val model = RF.fit(train, Seq("f1", "f2"), "label", numTrees = 3, maxDepth = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rf").toString
+    RF.save(model, dir)
+    val back = RF.load(dir)
+    assert(back.features == model.features)
+    assert(back.bcSlope == model.bcSlope)
+    val p1 = RF.predict(model, train).select("prediction_bc").collect().map(_.getDouble(0))
+    val p2 = RF.predict(back, train).select("prediction_bc").collect().map(_.getDouble(0))
+    assert(p1.toSeq == p2.toSeq)
+  }
+
+  test("blockFlow recovers a rigid translation; advect applies it") {
+    // 32x32 field with a bright square; shift by (2, 1)
+    val prev = Array.tabulate(32, 32)((x, y) =>
+      if (x >= 8 && x < 16 && y >= 8 && y < 16) 10.0 else 0.0)
+    val curr = Array.tabulate(32, 32)((x, y) =>
+      if (x >= 10 && x < 18 && y >= 9 && y < 17) 10.0 else 0.0)
+    val (fx, fy) = Grid.blockFlow(prev, curr, block = 16, search = 3)
+    assert(fx(0)(0) == 2 && fy(0)(0) == 1)
+    val half = Grid.advect(prev, fx, fy, block = 16, t = 1.0)
+    // full-step advection reproduces curr inside the moved square
+    assert(half(12)(12) == 10.0)
+    assert(half(10)(9) == 10.0)
+  }
+
   test("boxStats: 3x3 scatter join computes neighborhood moments") {
     import spark.implicits._
     val cells = Seq((5, 5, 10.0), (6, 5, 20.0)).toDF("chx", "chy", "value")
