@@ -422,14 +422,14 @@ object Queries {
            min(epochS($"ts")).as("start_e"))
       .orderBy($"user_id", $"session_id"),
     Some(s"""WITH g AS (
-        SELECT user_id, ${epochSql("ts")} AS e,
+        SELECT user_id, ts, ${epochSql("ts")} AS e,
                LAG(${epochSql("ts")}) OVER (PARTITION BY user_id ORDER BY ts) AS pe
         FROM events),
-      s AS (SELECT user_id, e,
+      s AS (SELECT user_id, ts, e,
                    CASE WHEN pe IS NULL OR e - pe > 1800 THEN 1 ELSE 0 END AS ns
             FROM g),
       t AS (SELECT user_id, e,
-                   CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY e
+                   CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM s)
       SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -59,9 +59,9 @@ object QueriesB {
   val w6Slope: QueryDef = QueryDef(
     "w6_rolling_slope",
     (s, dir) => {
-      val byU = Window.partitionBy($"user_id").orderBy($"ts")
+      val byU = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val base = t(s, dir, "events")
-        .select($"user_id", $"ts", $"value")
+        .select($"user_id", $"ts", $"event_id", $"value")
         .withColumn("x", row_number().over(byU))
       val w = Window.partitionBy($"user_id").orderBy($"x").rowsBetween(-3, 3)
       def ws(c: Column) = sum(c.cast("decimal(27,10)")).over(w).cast("double")
@@ -77,7 +77,7 @@ object QueriesB {
     },
     Some(s"""WITH b AS (
         SELECT user_id, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS x
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
         FROM events),
       w AS (SELECT user_id, x,
         COUNT(*) OVER fr AS n,
@@ -96,7 +96,7 @@ object QueriesB {
   val w7Lag: QueryDef = QueryDef(
     "w7_lag_pair_mean",
     (s, dir) => {
-      val byU = Window.partitionBy($"user_id").orderBy($"ts")
+      val byU = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       t(s, dir, "events")
         .select($"event_id", $"user_id", $"ts", $"value")
         .withColumn("prev", lag($"value", 1).over(byU))
@@ -111,7 +111,7 @@ object QueriesB {
                  WHEN prev IS NULL THEN value
                  ELSE (value + prev) / 2.0 END, 6) AS smoothed
       FROM (SELECT event_id, user_id, value,
-                   LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                   LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
             FROM events)
       ORDER BY event_id"""))
 
@@ -317,14 +317,14 @@ object QueriesB {
       .agg(count(lit(1)).as("n_sessions"), sum($"n").as("n_events"))
       .orderBy($"fold"),
     Some(s"""WITH g AS (
-        SELECT user_id, ${epochSql("ts")} AS e,
+        SELECT user_id, ts, ${epochSql("ts")} AS e,
                LAG(${epochSql("ts")}) OVER (PARTITION BY user_id ORDER BY ts) AS pe
         FROM events),
-      s AS (SELECT user_id, e,
+      s AS (SELECT user_id, ts, e,
                    CASE WHEN pe IS NULL OR e - pe > 1800 THEN 1 ELSE 0 END AS ns
             FROM g),
       t AS (SELECT user_id, e,
-                   CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY e
+                   CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM s),
       sess AS (SELECT user_id, session_id, COUNT(*) AS n FROM t GROUP BY 1, 2)
