@@ -46,6 +46,24 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vb"), col("cos"))
   }
 
+  /** IVF with a learned coarse quantizer: MLlib KMeans over the corpus
+    * assigns every vector a cluster id, which then serves as the partition
+    * column for [[ivfTopK]] — the production shape (labels are rarely
+    * cluster-structured; k-means cells are).
+    */
+  def kmeansPartitions(corpus: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val assembled = corpus.withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__cluster")
+      .fit(assembled)
+    model.transform(assembled)
+      .withColumnRenamed("__cluster", "ivf_cell")
+      .drop("__features")
+  }
+
   /** IVF-style ANN: coarse centroids from a partition column (label here; at
     * scale, k-means cluster ids), queries probe only the `nprobe` nearest
     * centroids, then brute-force within the probed partitions. Search cost

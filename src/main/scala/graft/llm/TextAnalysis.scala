@@ -82,6 +82,21 @@ object TextAnalysis {
               coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Repetition ratio: fraction of repeated word n-grams within a document
+    * (1 − distinct/total) — the Gopher-style within-doc repetition quality
+    * signal. Pure column arithmetic: no explode, no shuffle.
+    */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val toks = tokens(text)
+    val grams = org.apache.spark.sql.functions.when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.functions.when(size(grams) > 0,
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Document fingerprint: min 60-bit hash over word 5-gram shingles —
     * a winnowing-style rolling fingerprint; identical/near-identical prefixes
     * of content produce identical fingerprints.

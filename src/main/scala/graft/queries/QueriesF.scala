@@ -96,5 +96,26 @@ object QueriesF {
           AS DOUBLE) * $C2, 6) AS zh_corr
       FROM ah2 ORDER BY user_id, rng"""))
 
-  val all: Seq[QueryDef] = Seq(f6Zphi)
+  /** Within-document repetition ratio (duplicate word 2-grams share) —
+    * the Gopher-style repetition quality filter.
+    */
+  val textRepetition: QueryDef = QueryDef(
+    "text_repetition",
+    (s, dir) => Core.table(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.repetitionRatio(col("text"), 2).as("rep_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""WITH g AS (
+        SELECT doc_id,
+          [array_to_string(w[i : i + 1], ' ')
+           for i in generate_series(1, len(w) - 1)] AS grams
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+              FROM documents))
+      SELECT doc_id,
+        CASE WHEN len(grams) > 0
+             THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+             ELSE 0.0 END AS rep_ratio
+      FROM g ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(f6Zphi, textRepetition)
 }

@@ -87,6 +87,33 @@ class LlmSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("kmeansPartitions + ivfTopK: learned cells recover true neighbors") {
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      // two tight clusters around (1,0) and (0,1)
+      (1 to 20).map(i => R(i.toLong, Seq(1.0f + (i % 5) * 0.01f, (i % 3) * 0.01f))) ++
+      (21 to 40).map(i => R(i.toLong, Seq((i % 3) * 0.01f, 1.0f + (i % 5) * 0.01f))))
+    val cells = Similarity.kmeansPartitions(d, "vec_id", "embedding", nlist = 2)
+    assert(cells.select("ivf_cell").distinct().count() == 2)
+    val q = cells.filter(col("vec_id") === 1)
+    val ivf = Similarity.ivfTopK(cells, q, "vec_id", "embedding", "ivf_cell",
+        dim = 2, k = 5, nprobe = 1)
+      .collect().map(_.getLong(2))
+    // with nprobe=1 the probed cell is the query's own cluster
+    assert(ivf.forall(_ <= 20))
+    assert(ivf.length == 5)
+  }
+
+  test("repetitionRatio: repeated phrases raise the ratio, unique text is 0") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "one two three four five six"),
+      R(2L, "spam ham spam ham spam ham spam ham")))
+    val out = d.select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 2).as("r"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) > 0.5)
+  }
+
   test("qualityFeatures computes deterministic ratios") {
     val d = df("doc_id BIGINT, text STRING", Seq(R(1L, "The cat, the hat!")))
     val out = TextAnalysis.qualityFeatures(d, "doc_id", "text").collect().head
