@@ -102,7 +102,15 @@ object TextAnalysis {
     * of content produce identical fingerprints.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
-    val sh = Dedup.shingles(df, idCol, textCol, n)
-    sh.groupBy(col(idCol)).agg(min(md5Long(col("sh"))).as("fingerprint"))
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    // min over the in-row hash array: zero shuffle, zero explode — a pure
+    // projection (was: explode + groupBy min, 1.5M-row shuffle at sf0.1)
+    df.select(col(idCol),
+      array_min(transform(grams, g => md5Long(g))).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
   }
 }

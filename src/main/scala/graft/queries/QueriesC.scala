@@ -215,9 +215,13 @@ object QueriesC {
     "text_fingerprint",
     (s, dir) => graft.llm.TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
-    Some(s"""WITH sh AS (${shinglesSql(5)})
-      SELECT doc_id, MIN(${md5LongSql("sh")}) AS fingerprint
-      FROM sh GROUP BY doc_id ORDER BY doc_id"""))
+    Some(s"""SELECT doc_id,
+        list_min([${md5LongSql("g")}
+                  for g in [array_to_string(w[i : i + 4], ' ')
+                            for i in generate_series(1, len(w) - 4)]]) AS fingerprint
+      FROM (SELECT doc_id, $toksSql AS w FROM documents)
+      WHERE len(w) >= 5
+      ORDER BY doc_id"""))
 
   /** Multimodal plumbing: payload metadata + frame-sampling stub. */
   val multimodal: QueryDef = QueryDef(
