@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Core
+
+/** Batch 7: deep join-tree classics (TPC-H Q3/Q5 shapes) — exercise
+  * Catalyst's join reordering, mixed broadcast/shuffle strategy selection and
+  * semi-structured date pruning on the testdata star schema.
+  */
+object QueriesG {
+  import Queries.QueryDef
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.table(s, dir, name)
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(27,10)")).cast("double")
+  private def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(27,10))) AS DOUBLE)"
+
+  /** Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, revenue per
+    * order, top 10 by (revenue desc, orderkey).
+    */
+  val q3Shipping: QueryDef = QueryDef(
+    "q3_shipping_priority",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+                unix_timestamp(col("o_orderdate")).as("orderdate_e"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey,
+        ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,
+        CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS orderdate_e
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1996-01-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** Q5 shape: six-table join — revenue per nation for one region/year. */
+  val q5LocalSupplier: QueryDef = QueryDef(
+    "q5_local_supplier",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+    },
+    Some(s"""SELECT n_name,
+        ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,
+        COUNT(*) AS n
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY n_name"""))
+
+  val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier)
+}
