@@ -83,6 +83,12 @@ object Dedup {
     hm.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
   }
 
+  // NOTE: a "pure projection" signature (array_min over an in-row hash array,
+  // one column per permutation) was tried and is a trap: Catalyst does not
+  // CSE the shared hash-array subexpression across the k output columns, so
+  // every permutation re-hashes every shingle — measured 16x slower. The
+  // exploded aggregation above evaluates md5 exactly once per shingle.
+
   /** LSH banding over the wide signature: concat r consecutive minima per
     * band, unpivot to (id, band, sig) with a zero-shuffle `stack`.
     */
