@@ -44,6 +44,20 @@ object Dedup {
   def shingleSizes(sh: DataFrame, idCol: String): DataFrame =
     sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
 
+  /** Per-doc distinct shingle counts as a zero-shuffle projection (single
+    * output column, so the shared grams array is evaluated once — cf. the
+    * cross-column CSE note below).
+    */
+  def shingleSizesProjection(df: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), size(array_distinct(
+        transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))).cast("long").as("sz"))
+      .filter(col("sz") > 0)
+  }
+
   /** N-gram Jaccard similarity via inverted-index self-join: pairs sharing at
     * least one shingle, |A∩B| from the join, J = c/(|A|+|B|−c). Cost is
     * Σ df(shingle)² — bounded when shingles are discriminative; at corpus
@@ -51,10 +65,10 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
                    minJaccard: Double = 0.5): DataFrame = {
-    // the shingle relation feeds three consumers (sizes + both join sides):
-    // cache it instead of re-exploding the corpus three times
+    // the shingle relation feeds both join sides: cache it; sizes come from
+    // a zero-shuffle projection over the original docs
     val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = shingleSizes(sh, idCol)
+    val sizes = shingleSizesProjection(df, idCol, textCol, n)
     val a = sh.select(col(idCol).as("da"), col("sh"))
     val b = sh.select(col(idCol).as("db"), col("sh"))
     val common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
@@ -115,7 +129,7 @@ object Dedup {
     val bb = bands.select(col(idCol).as("db"), col("band"), col("sig"))
     val cand = ba.join(bb, Seq("band", "sig")).filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    val sizes = shingleSizes(sh, idCol)
+    val sizes = shingleSizesProjection(df, idCol, textCol, n)
     val a = sh.select(col(idCol).as("da"), col("sh"))
     val b = sh.select(col(idCol).as("db"), col("sh"))
     val commonCnt = cand
