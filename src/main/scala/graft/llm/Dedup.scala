@@ -44,9 +44,10 @@ object Dedup {
   def shingleSizes(sh: DataFrame, idCol: String): DataFrame =
     sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
 
-  /** Per-doc distinct shingle counts as a zero-shuffle projection (single
-    * output column, so the shared grams array is evaluated once — cf. the
-    * cross-column CSE note below).
+  /** Per-doc distinct shingle counts as a zero-shuffle projection. Only for
+    * SINGLE-consumer plans: each reference duplicates the whole gram
+    * construction (no cache behind it), which measured slower than reading
+    * the cached exploded relation when sizes joins twice.
     */
   def shingleSizesProjection(df: DataFrame, idCol: String, textCol: String,
                              n: Int): DataFrame = {
@@ -65,10 +66,10 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
                    minJaccard: Double = 0.5): DataFrame = {
-    // the shingle relation feeds both join sides: cache it; sizes come from
-    // a zero-shuffle projection over the original docs
+    // the shingle relation feeds three consumers (sizes + both join sides):
+    // cache it instead of re-exploding the corpus three times
     val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = shingleSizesProjection(df, idCol, textCol, n)
+    val sizes = shingleSizes(sh, idCol)
     val a = sh.select(col(idCol).as("da"), col("sh"))
     val b = sh.select(col(idCol).as("db"), col("sh"))
     val common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
@@ -129,7 +130,7 @@ object Dedup {
     val bb = bands.select(col(idCol).as("db"), col("band"), col("sig"))
     val cand = ba.join(bb, Seq("band", "sig")).filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    val sizes = shingleSizesProjection(df, idCol, textCol, n)
+    val sizes = shingleSizes(sh, idCol)
     val a = sh.select(col(idCol).as("da"), col("sh"))
     val b = sh.select(col(idCol).as("db"), col("sh"))
     val commonCnt = cand
