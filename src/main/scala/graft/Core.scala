@@ -87,6 +87,41 @@ object Core {
     if (est <= maxBytes) Some(cached.collect()) else { cached.unpersist(); None }
   }
 
+  /** F18: config loader with `${VAR}` environment interpolation
+    * (reference: common/utils.py:48-74 envyaml). Flat `key: value` lines,
+    * `#` comments, nested sections flattened with dots by indentation —
+    * driver-side only, no data-plane involvement.
+    */
+  def loadConfig(path: String, env: Map[String, String] = sys.env): Map[String, String] = {
+    val VarPattern = """\$\{([A-Za-z0-9_]+)\}""".r
+    def interpolate(v: String): String =
+      VarPattern.replaceAllIn(v, m => java.util.regex.Matcher.quoteReplacement(
+        env.getOrElse(m.group(1), "")))
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    val sectionStack = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    lines.flatMap { raw =>
+      val noComment = raw.takeWhile(_ != '#')
+      val indent = noComment.takeWhile(_ == ' ').length
+      val line = noComment.trim
+      if (line.isEmpty) None
+      else {
+        val idx = line.indexOf(':')
+        if (idx < 0) None
+        else {
+          val key = line.substring(0, idx).trim
+          val value = line.substring(idx + 1).trim
+          while (sectionStack.nonEmpty && sectionStack.last._1 >= indent)
+            sectionStack.remove(sectionStack.length - 1)
+          if (value.isEmpty) { sectionStack += ((indent, key)); None }
+          else {
+            val prefix = sectionStack.map(_._2)
+            Some(((prefix :+ key).mkString("."), interpolate(value)))
+          }
+        }
+      }
+    }.toMap
+  }
+
   /** S3: query sink — csv / csv.gz / parquet with gzip, dispatched on suffix
     * (reference: database.py:200-224).
     */

@@ -58,6 +58,28 @@ object AsOf {
     b(left).join(b(right).drop(tsCol), Seq(key, "__bucket"), "left").drop("__bucket")
   }
 
+  /** Range join: `left.ts ∈ [right.start, right.end]` — Catalyst plans the
+    * raw theta-join as BroadcastNestedLoop/cartesian, which dies at scale.
+    * Rewrite: bucketize time into fixed-width cells, explode each right
+    * interval over the buckets it spans, equi-join on the bucket, keep the
+    * residual predicate. Cost: |right| × avg-span/width extra rows instead
+    * of |left|×|right| comparisons; both sides shuffle ONCE on the bucket.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, tsCol: String,
+                startCol: String, endCol: String,
+                bucketSeconds: Long): DataFrame = {
+    val lb = left.withColumn("__bucket",
+      (unix_timestamp(col(tsCol)) - unix_timestamp(col(tsCol)) % bucketSeconds))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(
+        unix_timestamp(col(startCol)) - unix_timestamp(col(startCol)) % bucketSeconds,
+        unix_timestamp(col(endCol)) - unix_timestamp(col(endCol)) % bucketSeconds,
+        lit(bucketSeconds))))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** J8: temporal interpolation join — values known at hourly anchors are
     * linearly interpolated to each sub-hourly timestamp
     * (reference: common/radarprocessing.py:489-534 HZT_hourly_to_5min).

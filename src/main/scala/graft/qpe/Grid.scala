@@ -57,6 +57,43 @@ object Grid {
     rows.toDF("chx", "chy", "value")
   }
 
+  /** S12/S13: raw DN byte sink — encode each cell through the sorted scale
+    * (numpy searchsorted semantics, reference: qpe/qpe.py:273-287 float→DN
+    * via searchsorted(SCALE_CPC); io_data.py:231-259), write row-major bytes;
+    * NaN cells encode as 0. Driver-side on the collected grid, like the
+    * reference's writer.
+    */
+  def writeRawDN(grid: Array[Array[Double]], scale: Array[Double],
+                 path: String): Unit = {
+    val ny = grid(0).length
+    val bytes = new Array[Byte](grid.length * ny)
+    var i = 0
+    grid.foreach { row =>
+      row.foreach { v =>
+        bytes(i) = if (v.isNaN) 0 else {
+          var lo = 0; var hi = scale.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (scale(mid) <= v) lo = mid + 1 else hi = mid
+          }
+          math.min(lo, 255).toByte
+        }
+        i += 1
+      }
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
+  /** S8/S12 read side: decode a raw DN byte file back to a grid. */
+  def readRawDN(path: String, nx: Int, ny: Int, scale: Array[Double]): Array[Array[Double]] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    require(bytes.length == nx * ny, s"expected ${nx * ny} bytes, got ${bytes.length}")
+    Array.tabulate(nx, ny)((x, y) => {
+      val dn = bytes(x * ny + y) & 0xff
+      if (dn == 0) Double.NaN else scale(math.min(dn, scale.length) - 1)
+    })
+  }
+
   /** S9/W4 distributed variant: (2k+1)² neighborhood statistics via a
     * scatter join — each cell's value is contributed to all its neighbours
     * (explode over the offset grid), one groupBy computes the box mean/std

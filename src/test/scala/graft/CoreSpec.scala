@@ -39,6 +39,32 @@ class CoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out.parquet").count() == 1)
   }
 
+  test("loadConfig parses nested keys and interpolates ${VAR}") {
+    val p = Files.createTempDirectory("graft_cfg").resolve("c.yml")
+    Files.writeString(p,
+      """# comment
+        |NO_DATA_FILL: -9999
+        |RADAR_RETRIEVAL:
+        |  MAX_NB_SLURM_JOBS: 100
+        |  OUTPUT: ${GRAFT_TEST_OUT}/radar   # trailing comment
+        |TOP: plain
+        |""".stripMargin)
+    val cfg = Core.loadConfig(p.toString, Map("GRAFT_TEST_OUT" -> "/data"))
+    assert(cfg("NO_DATA_FILL") == "-9999")
+    assert(cfg("RADAR_RETRIEVAL.MAX_NB_SLURM_JOBS") == "100")
+    assert(cfg("RADAR_RETRIEVAL.OUTPUT") == "/data/radar")
+    assert(cfg("TOP") == "plain")
+  }
+
+  test("approx_count_distinct sketch lands within 5% of exact at 100k") {
+    val d = Core.table(spark, "/root/testdata/sf0.001", "events")
+    val row = d.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx")).collect().head
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
   test("table() converts the nanos-long events ts back to TimestampType") {
     val e = Core.table(spark, "/root/testdata/sf0.001", "events")
     assert(e.schema("ts").dataType.typeName == "timestamp")
