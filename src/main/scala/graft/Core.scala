@@ -54,13 +54,17 @@ object Core {
     * long is converted back to a proper TimestampType here (the data is
     * µs-precision, so ns→µs is lossless).
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeNanosTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Restore a `ts` column read as nanos-long (see Scaladoc above) to
+    * TimestampType; no-op otherwise.
+    */
+  def normalizeNanosTs(df: DataFrame): DataFrame =
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case None => df
     }
-  }
 
   /** S2 `add_tables`: register tables as SQL temp views
     * (reference: database_10min/database.py:113-136, auto-registration at 47-52).
