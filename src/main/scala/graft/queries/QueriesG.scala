@@ -89,5 +89,42 @@ object QueriesG {
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name ORDER BY n_name"""))
 
-  val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier)
+  /** §2.10 in the correctness gate: the custom WeightedQuantile Aggregator
+    * computing the scatter quantiles (q16/q84 of the dB error, weighted by
+    * the reference value) — oracled against the cumulative-crossing SQL,
+    * which implements the same crossing rule.
+    */
+  val m6WqAgg: QueryDef = QueryDef(
+    "m6_weighted_quantile_agg",
+    (s, dir) => {
+      import graft.functions.Aggregators.WeightedQuantile
+      val wq16 = udaf(new WeightedQuantile(0.16))
+      val wq84 = udaf(new WeightedQuantile(0.84))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+                (log10((col("l_extendedprice") / 10000.0) / (col("l_quantity") / 10.0)) * 10.0)
+                  .as("ratio_db"),
+                (col("l_quantity") / 10.0).as("w"))
+        .filter(col("l_extendedprice") / 10000.0 > 0.1 && col("l_quantity") / 10.0 > 0.1)
+        .groupBy(col("g"))
+        .agg(round(wq16(col("ratio_db"), col("w")), 6).as("q16"),
+             round(wq84(col("ratio_db"), col("w")), 6).as("q84"))
+        .orderBy(col("g"))
+    },
+    Some("""WITH cond AS (
+        SELECT l_returnflag AS g,
+               LOG10((l_extendedprice / 10000.0) / (l_quantity / 10.0)) * 10.0 AS ratio_db,
+               l_quantity / 10.0 AS w
+        FROM lineitem
+        WHERE l_extendedprice / 10000.0 > 0.1 AND l_quantity / 10.0 > 0.1),
+      cum AS (SELECT g, ratio_db,
+        SUM(w) OVER (PARTITION BY g ORDER BY ratio_db ROWS UNBOUNDED PRECEDING) AS cumw,
+        SUM(w) OVER (PARTITION BY g) AS totw
+        FROM cond)
+      SELECT g,
+        ROUND(MIN(CASE WHEN cumw >= totw * 0.16 THEN ratio_db END), 6) AS q16,
+        ROUND(MIN(CASE WHEN cumw >= totw * 0.84 THEN ratio_db END), 6) AS q84
+      FROM cum GROUP BY g ORDER BY g"""))
+
+  val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier, m6WqAgg)
 }
