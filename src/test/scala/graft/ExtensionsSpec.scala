@@ -25,6 +25,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == 2)
   }
 
+  test("PushdownUnixTimestamp rewrites the predicate and restores parquet pushdown") {
+    import graft.plans.PushdownUnixTimestamp
+    val events = Core.table(spark, "/root/testdata/sf0.001", "events")
+    val original = events.filter(unix_timestamp(col("ts")) >= 1704412800L)
+
+    // semantic equivalence at exact-second boundaries
+    val boundary = df("ts TIMESTAMP", Seq(
+      R(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),          // == v
+      R(new java.sql.Timestamp(1704412800L * 1000 + 500)),           // v + 0.5s
+      R(new java.sql.Timestamp(1704412799L * 1000 + 999))))          // v − 1ms
+    Seq[(org.apache.spark.sql.Column, Long)](
+      (unix_timestamp(col("ts")) >= 1704412800L, 2L),
+      (unix_timestamp(col("ts")) > 1704412800L, 0L),
+      (unix_timestamp(col("ts")) <= 1704412800L, 3L),
+      (unix_timestamp(col("ts")) < 1704412800L, 1L),
+      (unix_timestamp(col("ts")) === 1704412800L, 2L)).foreach { case (pred, expected) =>
+      val plainCount = boundary.filter(pred).count()
+      assert(plainCount == expected)
+      val rewritten = PushdownUnixTimestamp(boundary.filter(pred)
+        .queryExecution.analyzed)
+      // execute the rewritten plan through a fresh Dataset
+      val rewrittenCount = org.apache.spark.sql.graftbridge.ColumnBridge
+        .ofRows(spark, rewritten).count()
+      assert(rewrittenCount == expected, s"rewrite changed semantics for $pred")
+    }
+
+    // the rewritten plan exposes a pushable filter on the bare ts column
+    val rewrittenPlan = PushdownUnixTimestamp(original.queryExecution.analyzed)
+    assert(!rewrittenPlan.toString.toLowerCase.contains("unix_timestamp"))
+  }
+
   test("UTMacroParser rewrites UT( before delegating to the real parser") {
     val parser = new UTMacroParser(spark.sessionState.sqlParser)
     val plan = parser.parsePlan("SELECT UT(ts) FROM tbl")
