@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((_, delegate) => new UTMacroParser(delegate))
     e.injectFunction(SearchSorted.descriptor)
     e.injectOptimizerRule(_ => PushdownUnixTimestamp)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
