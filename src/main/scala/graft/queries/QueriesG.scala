@@ -126,5 +126,30 @@ object QueriesG {
         ROUND(MIN(CASE WHEN cumw >= totw * 0.84 THEN ratio_db END), 6) AS q84
       FROM cum GROUP BY g ORDER BY g"""))
 
-  val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier, m6WqAgg)
+  /** J7 through the custom physical operator (AsOfJoinExec) — same semantics
+    * and same DuckDB ASOF JOIN oracle as j7_asof_join, but planned via the
+    * injected strategy: declared distribution/ordering + streaming merge.
+    */
+  val j7AsofExec: QueryDef = QueryDef(
+    "j7_asof_join_exec",
+    (s, dir) => {
+      import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+      if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfJoinStrategy
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoinPlan.asofJoinExec(clicks, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("value_r").as("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      SELECT c.event_id, c.user_id, p.value AS purchase_value
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id"""))
+
+  val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier, m6WqAgg, j7AsofExec)
 }
