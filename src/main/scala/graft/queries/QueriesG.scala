@@ -151,5 +151,69 @@ object QueriesG {
       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
       ORDER BY c.event_id"""))
 
-  val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier, m6WqAgg, j7AsofExec)
+  /** Q7 shape: bilateral volume between two customer/supplier nations per
+    * year — two dimension paths into the same fact row.
+    */
+  val q7Volume: QueryDef = QueryDef(
+    "q7_nation_volume",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("ck"))
+        .join(broadcast(n2), col("s_nationkey") === col("sk"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+                 year(col("l_shipdate")).as("l_year"))
+        .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
+    },
+    Some(s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+        ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,
+        COUNT(*) AS n
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** Q10 shape: returned-item revenue ranking per customer, top 20. */
+  val q10Returns: QueryDef = QueryDef(
+    "q10_returned_items",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name,
+        ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,
+        COUNT(*) AS n
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier, m6WqAgg, j7AsofExec,
+    q7Volume, q10Returns)
 }
