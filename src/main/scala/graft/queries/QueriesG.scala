@@ -214,6 +214,44 @@ object QueriesG {
       ORDER BY revenue DESC, c_custkey
       LIMIT 20"""))
 
+  /** M3: monotone ('spline') bias correction via isotonic regression over the
+    * sorted quantile pairs — model output, rows-only check (the monotonicity
+    * invariant is spec'd in PhysMlSpec).
+    */
+  val m3Isotonic: QueryDef = QueryDef(
+    "m3_isotonic_bias",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "N")
+        .withColumn("pred", col("l_extendedprice") / 1000.0)
+        .withColumn("obs", col("l_quantity"))
+      val model = graft.ml.BiasCorrection.fitIsotonic(li, "pred", "obs")
+      import org.apache.spark.ml.feature.VectorAssembler
+      val assembled = new VectorAssembler().setInputCols(Array("pred"))
+        .setOutputCol("features").transform(li)
+      model.transform(assembled)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("prediction")), 4).as("mean_corrected"))
+        .orderBy(col("l_linestatus"))
+    },
+    None)
+
+  /** Similarity at scale: IVF with an MLlib KMeans coarse quantizer
+    * (learned cells instead of labels), nprobe=2 of 8 — rows-only check,
+    * recall invariants spec'd in LlmSpec.
+    */
+  val simsearchKmeans: QueryDef = QueryDef(
+    "simsearch_ivf_kmeans",
+    (s, dir) => {
+      import graft.llm.Similarity
+      val emb = t(s, dir, "embeddings")
+      val cells = Similarity.kmeansPartitions(emb, "vec_id", "embedding", nlist = 8)
+      Similarity.ivfTopK(cells, cells.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "ivf_cell", dim = 64, k = 5, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier, m6WqAgg, j7AsofExec,
-    q7Volume, q10Returns)
+    q7Volume, q10Returns, m3Isotonic, simsearchKmeans)
 }
