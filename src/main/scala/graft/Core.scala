@@ -87,8 +87,10 @@ object Core {
     */
   def collectGuarded(df: DataFrame, maxBytes: Long = 512L * 1024 * 1024): Option[Array[org.apache.spark.sql.Row]] = {
     val cached = df.cache()
-    val est = cached.count() * cached.columns.length * 4L
-    if (est <= maxBytes) Some(cached.collect()) else { cached.unpersist(); None }
+    try {
+      val est = cached.count() * cached.columns.length * 4L
+      if (est <= maxBytes) Some(cached.collect()) else None
+    } finally cached.unpersist() // never leave the result pinned in executor storage
   }
 
   /** F18: config loader with `${VAR}` environment interpolation

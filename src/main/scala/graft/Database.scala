@@ -54,4 +54,19 @@ class Database(val spark: SparkSession) {
 
   /** O2 display n (interface.py:177-191). */
   def display(name: String, n: Int = 20): Unit = tables(name).show(n, truncate = false)
+
+  /** A12: the reference's `.summary()` table statistics
+    * (database.py:140-162), in the deterministic exact variant
+    * ([[graft.operators.Agg.summaryStats]]). Defaults to every numeric
+    * column.
+    */
+  def summary(name: String, cols: Seq[String] = Nil): DataFrame = {
+    val df = tables(name)
+    val numeric =
+      if (cols.nonEmpty) cols
+      else df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+      }.toSeq
+    graft.operators.Agg.summaryStats(df, numeric)
+  }
 }

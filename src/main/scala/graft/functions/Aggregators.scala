@@ -23,6 +23,13 @@ object Aggregators {
   /** Weighted quantile at `q`: smallest value whose cumulative normalized
     * weight reaches q (the crossing rule used by Scores.perfscores, matching
     * the reference's weighted-percentile semantics on sorted values).
+    *
+    * EXACTNESS CONTRACT: the result is exact while the group holds at most
+    * `maxExact` values (the gate's groups are far below the 2^20 default).
+    * Past that, the buffer degrades to a deterministic (LCG-keyed,
+    * weight-agnostic) reservoir — a documented heuristic: overflow
+    * replacement ignores weights, so extreme-weight outliers beyond the
+    * capacity can be under-represented.
     */
   class WeightedQuantile(q: Double, maxExact: Int = 1 << 20)
       extends Aggregator[(Double, Double), WQBuffer, Double] {
@@ -31,21 +38,32 @@ object Aggregators {
 
     private def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
 
-    override def reduce(b: WQBuffer, in: (Double, Double)): WQBuffer = {
-      val (v, w) = in
-      if (w <= 0 || v.isNaN) return b.copy(seen = b.seen)
+    private def admit(b: WQBuffer, v: Double, w: Double, seen: Long): Unit = {
       if (b.values.length < maxExact) { b.values += v; b.weights += w }
       else {
         // deterministic reservoir replacement
-        val j = math.abs(lcg(b.seen)) % (b.seen + 1)
+        val j = math.abs(lcg(seen)) % (seen + 1)
         if (j < maxExact) { b.values(j.toInt) = v; b.weights(j.toInt) = w }
       }
+    }
+
+    override def reduce(b: WQBuffer, in: (Double, Double)): WQBuffer = {
+      val (v, w) = in
+      if (w <= 0 || v.isNaN) return b.copy(seen = b.seen)
+      admit(b, v, w, b.seen)
       b.copy(seen = b.seen + 1)
     }
 
     override def merge(a: WQBuffer, c: WQBuffer): WQBuffer = {
-      c.values.indices.foreach { i =>
-        if (a.values.length < maxExact) { a.values += c.values(i); a.weights += c.weights(i) }
+      // stream the incoming buffer through the same reservoir rule instead of
+      // silently dropping its remainder once `a` is full: every incoming
+      // element gets a chance at admission keyed on the running seen count
+      var seen = a.seen
+      var i = 0
+      while (i < c.values.length) {
+        admit(a, c.values(i), c.weights(i), seen)
+        seen += 1
+        i += 1
       }
       a.copy(seen = a.seen + c.seen)
     }
@@ -87,6 +105,8 @@ object Aggregators {
       b
     }
 
+    // exact below maxExact; past capacity the tail is truncated (documented
+    // heuristic — the gate's groups stay far below the 2^20 default)
     override def merge(a: EDBuffer, c: EDBuffer): EDBuffer = {
       c.xs.indices.foreach { i =>
         if (a.xs.length < maxExact) { a.xs += c.xs(i); a.ys += c.ys(i) }

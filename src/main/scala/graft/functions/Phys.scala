@@ -35,8 +35,8 @@ object Phys {
     */
   def catchEfficiency(temp: Column, windRaw: Column): Column = {
     val wind = least(windRaw, lit(9.0))
-    val mixed = lit(0.624) * exp(lit(-0.05) * wind) + lit(0.376)
-    val solid = lit(0.865) * exp(lit(-0.120) * wind) + lit(0.135)
+    val mixed = lit(0.624) * exp(lit(-0.185) * wind) + lit(0.364)
+    val solid = lit(0.865) * exp(lit(-0.298) * wind) + lit(0.225)
     when(temp < -2.0, solid).when(temp <= 2.0, mixed).otherwise(lit(1.0))
   }
 
@@ -103,6 +103,81 @@ object Phys {
       lit(194.56) * lam * lam * phi +
       lit(119.79) * phi * phi * phi
     (east, north)
+  }
+
+  /** F15 inverse: Swiss CH1903/LV03 → WGS84 approximate transform
+    * (reference: common/wgs84_ch1903.py:17-44 CHtoWGSlat/CHtoWGSlng — the
+    * published swisstopo polynomial; pure arithmetic, codegen-friendly).
+    * Returns (lonDeg, latDeg).
+    */
+  def ch1903ToWgs84(east: Column, north: Column): (Column, Column) = {
+    // auxiliary values (% Bern), in units of 1e6 m
+    val y = (east - 600000.0) / 1000000.0
+    val x = (north - 200000.0) / 1000000.0
+    val latSec10k = lit(16.9023892) +
+      lit(3.238272) * x -
+      lit(0.270978) * y * y -
+      lit(0.002528) * x * x -
+      lit(0.0447) * y * y * x -
+      lit(0.0140) * x * x * x
+    val lonSec10k = lit(2.6779094) +
+      lit(4.728982) * y +
+      lit(0.791484) * y * x +
+      lit(0.1306) * y * x * x -
+      lit(0.0436) * y * y * y
+    // unit 10000" → degrees
+    (lonSec10k * 10000.0 / 3600.0, latSec10k * 10000.0 / 3600.0)
+  }
+
+  /** F15 height companions (wgs84_ch1903.py:9-15, 46-55). */
+  def ch1903ToWgsHeight(east: Column, north: Column, h: Column): Column =
+    h + 49.55 - lit(12.60) * (east - 600000.0) / 1000000.0 -
+      lit(22.64) * (north - 200000.0) / 1000000.0
+  def wgs84ToChHeight(lonDeg: Column, latDeg: Column, h: Column): Column =
+    h - 49.55 + lit(2.73) * (lonDeg * 3600.0 - 26782.5) / 10000.0 +
+      lit(6.94) * (latDeg * 3600.0 - 169028.66) / 10000.0
+
+  /** F15: COSMO rotated-pole transform — geographic → rotated lat/lon for a
+    * rotated system whose north pole sits at geographic (polLatDeg,
+    * polLonDeg) (the standard NWP grid rotation; MeteoSwiss COSMO-1 uses
+    * pollat=43°, pollon=−170°). Spherical rotation, no UDF.
+    * Returns (rlonDeg, rlatDeg).
+    */
+  def geoToRotatedPole(lonDeg: Column, latDeg: Column,
+                       polLatDeg: Double, polLonDeg: Double): (Column, Column) = {
+    val sp = math.sin(math.toRadians(polLatDeg))
+    val cp = math.cos(math.toRadians(polLatDeg))
+    val lam = radians(lonDeg - polLonDeg)
+    val phi = radians(latDeg)
+    val zr = lit(cp) * cos(phi) * cos(lam) + lit(sp) * sin(phi)
+    // COSMO sign convention: rlon measured from the meridian OPPOSITE the
+    // geographic pole meridian (atan2 of the negated in-plane components)
+    val yr = -cos(phi) * sin(lam)
+    val xr = -(lit(sp) * cos(phi) * cos(lam) - lit(cp) * sin(phi))
+    (degrees(atan2(yr, xr)), degrees(asin(zr)))
+  }
+
+  /** F15: rotated → geographic, exact inverse of [[geoToRotatedPole]].
+    * Returns (lonDeg, latDeg).
+    */
+  def rotatedPoleToGeo(rlonDeg: Column, rlatDeg: Column,
+                       polLatDeg: Double, polLonDeg: Double): (Column, Column) = {
+    val sp = math.sin(math.toRadians(polLatDeg))
+    val cp = math.cos(math.toRadians(polLatDeg))
+    val rphi = radians(rlatDeg)
+    val rlam = radians(rlonDeg)
+    // undo the sign convention, then apply the transposed rotation
+    val xr = -cos(rphi) * cos(rlam)
+    val yr = -cos(rphi) * sin(rlam)
+    val zr = sin(rphi)
+    val a = lit(sp) * xr + lit(cp) * zr
+    val c = -lit(cp) * xr + lit(sp) * zr
+    val lonRaw = lit(polLonDeg) + degrees(atan2(yr, a))
+    // normalize to (−180, 180]: pole offset + atan2 can leave the principal
+    // range (e.g. −170 + −179.5 = −349.5). Double-% form is sign-safe and
+    // identical in SQL mirrors (both engines' % keeps the dividend's sign).
+    val lon = ((lonRaw + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    (lon, degrees(asin(c)))
   }
 
   /** F13: `YYYYMMDDHHMM` string → epoch seconds

@@ -61,25 +61,39 @@ object Dedup {
 
   /** N-gram Jaccard similarity via inverted-index self-join: pairs sharing at
     * least one shingle, |A∩B| from the join, J = c/(|A|+|B|−c). Cost is
-    * Σ df(shingle)² — bounded when shingles are discriminative; at corpus
-    * scale add a document-frequency cap on the hot shingles first.
+    * Σ df(shingle)², so hot shingles are capped first: a shingle appearing in
+    * more than `maxDf` documents contributes ~df² join rows but almost no
+    * Jaccard discrimination — it is dropped from BOTH the intersection and
+    * the sizes (Jaccard over the discriminative shingle universe), which
+    * bounds the join blowup at maxDf² per shingle.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     // the shingle relation feeds three consumers (sizes + both join sides):
-    // cache it instead of re-exploding the corpus three times
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = shingleSizes(sh, idCol)
-    val a = sh.select(col(idCol).as("da"), col("sh"))
-    val b = sh.select(col(idCol).as("db"), col("sh"))
-    val common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
-      .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
-      .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
-      .filter(col("jac") >= minJaccard)
-      .select(col("da"), col("db"), col("jac"))
+    // cache it instead of re-exploding the corpus three times. The df cap is
+    // a broadcast ANTI-join against the (tiny, often empty) hot-shingle set —
+    // a partial-aggregated groupBy, NOT a window over every shingle row
+    // (which would shuffle the whole exploded relation a second time).
+    val shAll = shingles(df, idCol, textCol, n)
+    val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("sh"))
+    val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti").cache()
+    try {
+      val sizes = shingleSizes(sh, idCol)
+      val a = sh.select(col(idCol).as("da"), col("sh"))
+      val b = sh.select(col(idCol).as("db"), col("sh"))
+      val common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
+        .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
+        .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
+        .filter(col("jac") >= minJaccard)
+        .select(col("da"), col("db"), col("jac"))
+        // eager materialization (small: only pairs over the threshold) so the
+        // big exploded shingle cache can be released before returning
+        .localCheckpoint()
+    } finally sh.unpersist()
   }
 
   private def aConst(i: Int): Long = (654435747L * (i + 1)) % P
@@ -125,24 +139,27 @@ object Dedup {
                    minJaccard: Double = 0.5): DataFrame = {
     // four consumers of the shingle relation (signature, sizes, verify a/b)
     val sh = shingles(df, idCol, textCol, n).cache()
-    val bands = lshBands(minhashSignature(sh, idCol, k), idCol, k, r)
-    val ba = bands.select(col(idCol).as("da"), col("band"), col("sig"))
-    val bb = bands.select(col(idCol).as("db"), col("band"), col("sig"))
-    val cand = ba.join(bb, Seq("band", "sig")).filter(col("da") < col("db"))
-      .select("da", "db").distinct()
-    val sizes = shingleSizes(sh, idCol)
-    val a = sh.select(col(idCol).as("da"), col("sh"))
-    val b = sh.select(col(idCol).as("db"), col("sh"))
-    val commonCnt = cand
-      .join(a, "da")
-      .join(b, Seq("db", "sh"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-    commonCnt
-      .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
-      .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
-      .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
-      .filter(col("jac") >= minJaccard)
-      .select(col("da"), col("db"), col("jac"))
+    try {
+      val bands = lshBands(minhashSignature(sh, idCol, k), idCol, k, r)
+      val ba = bands.select(col(idCol).as("da"), col("band"), col("sig"))
+      val bb = bands.select(col(idCol).as("db"), col("band"), col("sig"))
+      val cand = ba.join(bb, Seq("band", "sig")).filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      val sizes = shingleSizes(sh, idCol)
+      val a = sh.select(col(idCol).as("da"), col("sh"))
+      val b = sh.select(col(idCol).as("db"), col("sh"))
+      val commonCnt = cand
+        .join(a, "da")
+        .join(b, Seq("db", "sh"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      commonCnt
+        .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
+        .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
+        .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
+        .filter(col("jac") >= minJaccard)
+        .select(col("da"), col("db"), col("jac"))
+        .localCheckpoint() // eager: release the shingle cache on return
+    } finally sh.unpersist()
   }
 
   /** 16-bit SimHash over the token multiset: per bit, sum ±1 across token
@@ -163,9 +180,62 @@ object Dedup {
     agg.select(col(idCol), value.as("simhash"))
   }
 
+  /** Pseudo-random hyperplane component (j-th hyperplane, i-th dimension):
+    * integer LCG reduced mod P then centered — exact in both engines, so the
+    * LSH below is oracle-mirrorable in plain SQL.
+    */
+  def hyperplaneComp(j: Int, i: Int, dim: Int): Double =
+    ((654435747L * (j.toLong * dim + i + 1)) % 1000000007L) - 500000003.0
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH near-dup over an embedding
+    * column: `nBits` sign bits from fixed pseudo-random hyperplanes, banded
+    * into nBits/r buckets, candidate pairs from the bucket self-join, exact
+    * cosine verify on the candidates only. This is the corpus-scale
+    * replacement for label blocking ([[embeddingNearDup]]): candidate volume
+    * is bounded by band collisions (≈ 2^-r per band for unrelated vectors),
+    * never by a hot block's O(block²). The bands travel WITHOUT the vectors
+    * (ids only); embeddings are joined back just for the verify step.
+    */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, nBits: Int = 32, r: Int = 8,
+                          minCos: Double = 0.8): DataFrame = {
+    require(nBits % r == 0, "nBits must be a multiple of the band width r")
+    val nb = nBits / r
+    def bit(j: Int): Column = {
+      // fixed left-to-right double sum — mirrored exactly by the oracle SQL's
+      // list_sum. Array fold instead of a 64-term unrolled chain: 32 bits ×
+      // 64 dims as explicit expressions blew codegen past 7 MB task binaries
+      // (measured 11 s at sf0.1); the loop form is compact and equally exact
+      // (seeding with 0.0 cannot change any nonzero partial sum).
+      val comps = lit((0 until dim).map(i => hyperplaneComp(j, i, dim)).toArray)
+      val dot = aggregate(
+        zip_with(comps, col(vecCol), (c, v) => c * v.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit("1")).otherwise(lit("0"))
+    }
+    val bandCols = (0 until nb).map(bd =>
+      concat((bd * r until (bd + 1) * r).map(bit): _*).as(s"sig$bd"))
+    val sigs = df.select(col(idCol) +: bandCols: _*)
+    val bands = sigs.select(col(idCol),
+      expr(s"stack($nb, ${(0 until nb).map(b => s"$b, sig$b").mkString(", ")}) as (band, sig)"))
+    val ba = bands.select(col(idCol).as("va"), col("band"), col("sig"))
+    val bb = bands.select(col(idCol).as("vb"), col("band"), col("sig"))
+    val cand = ba.join(bb, Seq("band", "sig")).filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    val ea = df.select(col(idCol).as("va"), col(vecCol).as("ea"))
+    val eb = df.select(col(idCol).as("vb"), col(vecCol).as("eb"))
+    cand.join(ea, "va").join(eb, "vb")
+      .withColumn("cos", round(Similarity.dot("ea", "eb", dim) /
+        (sqrt(Similarity.norm2("ea", dim)) * sqrt(Similarity.norm2("eb", dim))), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("va"), col("vb"), col("cos"))
+  }
+
   /** Embedding cosine near-dup: same-label blocking (the coarse partitioner)
     * then an in-block pair join with an exact cosine. The explicit per-index
     * expansion keeps the whole computation inside whole-stage codegen.
+    * Small/medium corpora only — at scale a hot label makes the in-block
+    * pair join O(block²); use [[embeddingNearDupLsh]] there.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, dim: Int,

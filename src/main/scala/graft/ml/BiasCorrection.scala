@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** M2/M3/M4: a-posteriori bias correction of regression output by quantile
@@ -17,13 +16,27 @@ object BiasCorrection {
 
   /** Positionally zip the two independently sorted columns. Ties among equal
     * predictions are interchangeable, so the Σxy slope is order-stable.
+    *
+    * Scale-safe construction: `sort` is a RANGE-partitioned parallel sort
+    * (never a single-partition window), and the global position comes from
+    * `zipWithIndex`, which preserves the sorted partition order without
+    * another shuffle. The old `row_number().over(Window.orderBy(...))`
+    * version pulled the whole table through one partition — twice.
     */
   def sortedPairs(df: DataFrame, predCol: String, obsCol: String): DataFrame = {
-    val p = df.select(col(predCol).as("pred"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("pred"))))
-    val o = df.select(col(obsCol).as("obs"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("obs"))))
-    p.join(o, "rn")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    def ranked(c: String, as: String): DataFrame = {
+      val sorted = df.select(col(c).cast("double").as(as)).sort(col(as))
+      val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+        Row(i + 1, if (row.isNullAt(0)) null else row.getDouble(0))
+      }
+      spark.createDataFrame(rdd, StructType(Seq(
+        StructField("rn", LongType, nullable = false),
+        StructField(as, DoubleType, nullable = true))))
+    }
+    ranked(predCol, "pred").join(ranked(obsCol, "obs"), "rn")
   }
 
   /** Zero-intercept least squares on the sorted pairs: slope = Σ(x·y)/Σ(x²)

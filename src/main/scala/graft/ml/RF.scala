@@ -83,15 +83,28 @@ object RF {
     * reference's in-place shuffle, ml/rf.py:801-839) and measure the RMSE
     * degradation.
     */
-  def permuteColumn(df: DataFrame, column: String, seed: Int): DataFrame = {
+  def permuteColumn(df: DataFrame, column: String, seed: Int,
+                    buckets: Int = 64): DataFrame = {
     val others = df.columns.filterNot(_ == column)
-    val wOrig = Window.orderBy(monotonically_increasing_id())
-    val base = df.withColumn("__rn", row_number().over(wOrig))
-    val shuffled = df.select(col(column))
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(hash(col(column), lit(seed)), col(column))))
+    val all = df.columns.map(col).toSeq
+    // Deterministic random bucketing: hash of the full row (not rand(), not
+    // monotonically_increasing_id — both unstable across stage re-runs).
+    // Every window below is PARTITIONED by the bucket, so the sort is
+    // per-bucket (~n/buckets rows), never a single-partition global sort.
+    // A within-bucket shuffle of randomly-bucketed rows is a valid random
+    // permutation for importance purposes (buckets are independent of the
+    // permuted column by hash mixing).
+    val keyed = df.withColumn("__b",
+      pmod(hash(struct(all: _*), lit(seed)), lit(buckets)))
+    val wBase = Window.partitionBy(col("__b"))
+      .orderBy(hash(struct(all: _*), lit(seed + 1)), struct(all: _*))
+    val base = keyed.withColumn("__rn", row_number().over(wBase))
+    val wPerm = Window.partitionBy(col("__b"))
+      .orderBy(hash(col(column), lit(seed + 2)), col(column))
+    val shuffled = keyed.select(col("__b"), col(column))
+      .withColumn("__rn", row_number().over(wPerm))
       .withColumnRenamed(column, s"__perm_$column")
-    base.join(shuffled, "__rn")
+    base.join(shuffled, Seq("__b", "__rn"))
       .select((others.map(col) :+ col(s"__perm_$column").as(column)): _*)
   }
 

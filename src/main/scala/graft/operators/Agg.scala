@@ -121,6 +121,45 @@ object Agg {
   def pairMean(a: Column, b: Column): Column =
     when(a.isNull, b).when(b.isNull, a).otherwise((a + b) / 2.0)
 
+  /** A12: deterministic `df.summary()` — one row per column with
+    * count / mean / std / min / p25 / p50 / p75 / max (reference:
+    * database_10min/database.py:140-162 `.summary()`). Unlike Spark's
+    * built-in summary (approximate percentiles, string output), this is
+    * exact and cross-engine reproducible: decimal-accumulated mean/std and
+    * EXACT interpolated percentiles, all in ONE aggregation pass + a
+    * zero-shuffle stack unpivot.
+    */
+  def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(
+        count(v).as(s"${c}__n"),
+        sum(v.cast("decimal(27,10)")).cast("double").as(s"${c}__sum"),
+        sum((v * v).cast("decimal(32,14)")).cast("double").as(s"${c}__sum2"),
+        min(v).as(s"${c}__min"),
+        percentile(v, lit(0.25)).as(s"${c}__p25"),
+        percentile(v, lit(0.5)).as(s"${c}__p50"),
+        percentile(v, lit(0.75)).as(s"${c}__p75"),
+        max(v).as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', ${c}__n, ${c}__sum, ${c}__sum2, ${c}__min, ${c}__p25, ${c}__p50, ${c}__p75, ${c}__max"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${cols.length}, $stacked) as " +
+          "(column, n, s1, s2, min, p25, p50, p75, max)"))
+      .select(col("column"), col("n"),
+        round(col("s1") / col("n"), 6).as("mean"),
+        round(sqrt(greatest(lit(0.0),
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))), 6).as("std"),
+        round(col("min"), 6).as("min"),
+        round(col("p25"), 6).as("p25"),
+        round(col("p50"), 6).as("p50"),
+        round(col("p75"), 6).as("p75"),
+        round(col("max"), 6).as("max"))
+  }
+
   /** A14: cross-fold statistics rollup (reference: ml/rf.py:905,1268-1293). */
   def statsRollup(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(

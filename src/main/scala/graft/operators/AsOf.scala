@@ -24,27 +24,30 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns
+    // All valueCols travel as ONE struct per right row: last(ignoreNulls) then
+    // attaches the most recent right ROW atomically — a right row whose values
+    // are null still wins (matching merge_asof / DuckDB ASOF JOIN), and the
+    // output never mixes columns from different right rows.
+    val rStruct = StructType(valueCols.map(c => StructField(c, right.schema(c).dataType)))
     val tagged = left
       .withColumn("__side", lit(1))
-      .select(
-        (leftCols.map(col) :+ col("__side")) ++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .select(leftCols.map(col) :+ col("__side")
+        :+ lit(null).cast(rStruct).as("__r"): _*)
     val rightTagged = right
       .withColumn("__side", lit(0))
-      .select(
-        (leftCols.map(c => if (c == key || c == tsCol) col(c)
-                           else lit(null).cast(left.schema(c).dataType).as(c))
-          :+ col("__side")) ++ valueCols.map(c => col(c).as(s"__r_$c")): _*)
+      .select(leftCols.map(c => if (c == key || c == tsCol) col(c)
+                               else lit(null).cast(left.schema(c).dataType).as(c))
+        :+ col("__side") :+ struct(valueCols.map(col): _*).as("__r"): _*)
     // order: at equal timestamps the right row sorts first (side 0) so a
     // same-instant right observation is visible to the left row (<= semantics)
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val joined = tagged.unionByName(rightTagged)
-    val filled = valueCols.foldLeft(joined)((d, c) =>
-      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    val filled = tagged.unionByName(rightTagged)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__r_$c").as(c)): _*)
+      .select(leftCols.map(col) ++ valueCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** J7 as the reference does it: floor both sides to a common cadence and

@@ -96,13 +96,25 @@ object Relational {
     * deterministic salt in [0, nSalts), the (smaller) right side is
     * replicated once per salt, and the join key becomes (keys..., salt).
     * Breaks a hot key across nSalts reducers; result is identical to the
-    * plain join. (AQE skew-join covers sort-merge cases automatically; this
-    * is the explicit tool for pathological keys.)
+    * plain join for the left-preserving join types (inner/left/semi/anti —
+    * the only ones allowed: a right/full outer join would emit one
+    * null-extended row PER UNMATCHED REPLICA, up to nSalts duplicates).
+    * (AQE skew-join covers sort-merge cases automatically; this is the
+    * explicit tool for pathological keys.)
+    *
+    * The salt is round-robin on the left row's position — the join result is
+    * invariant to which salt a row lands on (the right side is replicated to
+    * every salt), so stage-retry instability of the row order cannot change
+    * the output, and no columns need hashing.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+                "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin replicates the right side; joinType '$joinType' would " +
+        "duplicate unmatched right rows — use inner/left/left_semi/left_anti")
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(nSalts)))
+      pmod(monotonically_increasing_id(), lit(nSalts.toLong)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

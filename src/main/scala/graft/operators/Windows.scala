@@ -41,6 +41,20 @@ object Windows {
   def denseGroupId(df: DataFrame, keys: Seq[String], as: String = "group_id"): DataFrame =
     df.withColumn(as, dense_rank().over(Window.orderBy(keys.map(col): _*)) - 1)
 
+  /** W3/A8 at scale: same contract as [[denseGroupId]] but the global sort
+    * only ever touches the DISTINCT key set (small by construction — group
+    * ids are only meaningful for modest key cardinality), which is then
+    * broadcast-joined back onto the full table. The full table is never
+    * globally sorted, so the plan survives a 100× scale-up: one shuffle for
+    * the distinct, one tiny window, one broadcast join.
+    */
+  def denseGroupIdScalable(df: DataFrame, keys: Seq[String], as: String = "group_id"): DataFrame = {
+    val kc = keys.map(col)
+    val ids = df.select(kc: _*).distinct()
+      .withColumn(as, dense_rank().over(Window.orderBy(kc: _*)) - 1)
+    df.join(broadcast(ids), keys)
+  }
+
   /** W6: windowed least-squares slope over an ordered 1-D neighborhood —
     * the KDP moving least-square fit (reference:
     * common/radarprocessing.py:307-354 kdp_leastsquare_single_window).

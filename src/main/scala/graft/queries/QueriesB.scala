@@ -42,12 +42,17 @@ object QueriesB {
       ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber, l_quantity
       LIMIT 100"""))
 
-  /** W3/A8: contiguous dense group ids. */
+  /** W3/A8: contiguous dense group ids — scale-safe construction: the global
+    * sort only touches the distinct key set, broadcast-joined back (the naive
+    * whole-table dense_rank is kept in [[Windows.denseGroupId]] as the
+    * documented small-data API). Oracle-identical output.
+    */
   val w3DenseRank: QueryDef = QueryDef(
     "w3_dense_rank",
-    (s, dir) => Windows.denseGroupId(
+    (s, dir) => Windows.denseGroupIdScalable(
         t(s, dir, "events").select($"event_id", $"event_type"),
         Seq("event_type"))
+      .select($"event_id", $"event_type", $"group_id")
       .orderBy($"event_id"),
     Some("""SELECT event_id, event_type,
       CAST(DENSE_RANK() OVER (ORDER BY event_type) AS INT) - 1 AS group_id
@@ -200,9 +205,9 @@ object QueriesB {
     Some(s"""SELECT l_returnflag,
       ROUND(${dsumSql("""l_extendedprice / (CASE
         WHEN (l_discount * 100.0 - 5.0) < -2.0
-          THEN 0.865 * EXP(-0.120 * LEAST(l_quantity / 5.0, 9.0)) + 0.135
+          THEN 0.865 * EXP(-0.298 * LEAST(l_quantity / 5.0, 9.0)) + 0.225
         WHEN (l_discount * 100.0 - 5.0) <= 2.0
-          THEN 0.624 * EXP(-0.05 * LEAST(l_quantity / 5.0, 9.0)) + 0.376
+          THEN 0.624 * EXP(-0.185 * LEAST(l_quantity / 5.0, 9.0)) + 0.364
         ELSE 1.0 END)""")}, 6) AS sum_adj,
       COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
@@ -248,6 +253,74 @@ object QueriesB {
       SELECT c_custkey, ROUND(east, 4) AS east, ROUND(north, 4) AS north,
         ROUND(SQRT(POW(east - 600000.0, 2.0) + POW(north - 200000.0, 2.0)) / 1000.0, 6) AS dist_km
       FROM xy ORDER BY c_custkey"""))
+
+  /** F15 rest: CH1903→WGS84 inverse polynomial + COSMO rotated-pole
+    * transform and its exact inverse (pollat=43, pollon=−170, the
+    * MeteoSwiss COSMO-1 rotation). Every trig constant is pre-folded in
+    * Scala and interpolated into the SQL so both engines evaluate the
+    * identical expression tree; `+ 0.0` after ROUND normalizes the sign of
+    * zero (rlat crosses 0 inside the Swiss domain).
+    */
+  val f15Inverse: QueryDef = {
+    val sp = math.sin(math.toRadians(43.0))
+    val cp = math.cos(math.toRadians(43.0))
+    QueryDef(
+      "f15_inverse_rotated",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val lon = lit(6.0) + ($"c_custkey" % 100) / 50.0
+        val lat = lit(46.0) + ($"c_custkey" % 50) / 50.0
+        val (east, north) = Phys.wgs84ToCh1903(lon, lat)
+        val (lon2, lat2) = Phys.ch1903ToWgs84(east, north)
+        val (rlon, rlat) = Phys.geoToRotatedPole(lon, lat, 43.0, -170.0)
+        val (lonRt, latRt) = Phys.rotatedPoleToGeo(rlon, rlat, 43.0, -170.0)
+        c.select($"c_custkey",
+            (r6(lon2) + 0.0).as("lon2"), (r6(lat2) + 0.0).as("lat2"),
+            (r6(rlon) + 0.0).as("rlon"), (r6(rlat) + 0.0).as("rlat"),
+            (r6(lonRt) + 0.0).as("lon_rt"), (r6(latRt) + 0.0).as("lat_rt"))
+          .orderBy($"c_custkey")
+      },
+      Some(s"""WITH g AS (SELECT c_custkey,
+          6.0 + (c_custkey % 100) / 50.0 AS lon,
+          46.0 + (c_custkey % 50) / 50.0 AS lat
+        FROM customer),
+      aux AS (SELECT *, (lat * 3600.0 - 169028.66) / 10000.0 AS phi,
+          (lon * 3600.0 - 26782.5) / 10000.0 AS lam FROM g),
+      ch AS (SELECT *,
+          600072.37 + 211455.93 * lam - 10938.51 * lam * phi
+            - 0.36 * lam * phi * phi - 44.54 * lam * lam * lam AS east,
+          200147.07 + 308807.95 * phi + 3745.25 * lam * lam
+            + 76.63 * phi * phi - 194.56 * lam * lam * phi
+            + 119.79 * phi * phi * phi AS north
+        FROM aux),
+      inv AS (SELECT *, (east - 600000.0) / 1000000.0 AS yy,
+          (north - 200000.0) / 1000000.0 AS xx FROM ch),
+      wgs AS (SELECT *,
+          (2.6779094 + 4.728982 * yy + 0.791484 * yy * xx
+            + 0.1306 * yy * xx * xx - 0.0436 * yy * yy * yy) * 10000.0 / 3600.0 AS lon2,
+          (16.9023892 + 3.238272 * xx - 0.270978 * yy * yy
+            - 0.002528 * xx * xx - 0.0447 * yy * yy * xx
+            - 0.0140 * xx * xx * xx) * 10000.0 / 3600.0 AS lat2
+        FROM inv),
+      rr AS (SELECT *, RADIANS(lon - -170.0) AS rl, RADIANS(lat) AS rp FROM wgs),
+      rot AS (SELECT *,
+          DEGREES(ATAN2(-COS(rp) * SIN(rl),
+            -($sp * COS(rp) * COS(rl) - $cp * SIN(rp)))) AS rlon,
+          DEGREES(ASIN($cp * COS(rp) * COS(rl) + $sp * SIN(rp))) AS rlat
+        FROM rr),
+      bk AS (SELECT *, RADIANS(rlat) AS brp, RADIANS(rlon) AS brl FROM rot),
+      back AS (SELECT *,
+          ((-170.0 + DEGREES(ATAN2(-COS(brp) * SIN(brl),
+            $sp * (-COS(brp) * COS(brl)) + $cp * SIN(brp)))
+            + 180.0) % 360.0 + 360.0) % 360.0 - 180.0 AS lon_rt,
+          DEGREES(ASIN(-($cp) * (-COS(brp) * COS(brl)) + $sp * SIN(brp))) AS lat_rt
+        FROM bk)
+      SELECT c_custkey,
+        ROUND(lon2, 6) + 0.0 AS lon2, ROUND(lat2, 6) + 0.0 AS lat2,
+        ROUND(rlon, 6) + 0.0 AS rlon, ROUND(rlat, 6) + 0.0 AS rlat,
+        ROUND(lon_rt, 6) + 0.0 AS lon_rt, ROUND(lat_rt, 6) + 0.0 AS lat_rt
+      FROM back ORDER BY c_custkey"""))
+  }
 
   /** F16/F1: Z-R proxy rain-rate inversion over dB-domain input. */
   val f16Zr: QueryDef = QueryDef(
@@ -394,8 +467,8 @@ object QueriesB {
 
   val all: Seq[QueryDef] = Seq(
     o1Sort, w3DenseRank, w6Slope, w7Lag, j7Asof, j8Interp, o4SearchSorted,
-    f7CatchEff, f13Regexp, f15Ch1903, f16Zr, s6Manifest, m2BiasCdf, m5Folds,
-    m6Perfscores, m7Contingency)
+    f7CatchEff, f13Regexp, f15Ch1903, f15Inverse, f16Zr, s6Manifest,
+    m2BiasCdf, m5Folds, m6Perfscores, m7Contingency)
 
   import org.apache.spark.sql.ColumnName
   private implicit class Dollar(val sc: StringContext) {

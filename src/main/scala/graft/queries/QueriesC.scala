@@ -42,13 +42,18 @@ object QueriesC {
     Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY text ORDER BY keep_id"""))
 
-  /** N-gram Jaccard near-dup via inverted-index join (no all-pairs). */
+  /** N-gram Jaccard near-dup via inverted-index join (no all-pairs), with the
+    * hot-shingle document-frequency cap mirrored on both engines.
+    */
   val dedupJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.5)
+        n = 3, minJaccard = 0.5, maxDf = 1000)
       .orderBy(col("da"), col("db")),
-    Some(s"""WITH sh AS (${shinglesSql(3)}),
+    Some(s"""WITH sh_all AS (${shinglesSql(3)}),
+      sh AS (SELECT sh_all.* FROM sh_all
+             JOIN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 1000)
+             USING (sh)),
       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
       pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -121,6 +126,36 @@ object QueriesC {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos >= 0.4 ORDER BY va, vb"""))
+
+  /** Random-hyperplane LSH near-dup — the corpus-scale path (no label
+    * blocking, no O(block²)); the oracle mirrors the integer-LCG hyperplanes
+    * and the banding exactly.
+    */
+  val dedupEmbeddingLsh: QueryDef = QueryDef(
+    "dedup_embedding_lsh",
+    (s, dir) => Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, nBits = 32, r = 8, minCos = 0.4)
+      .orderBy(col("va"), col("vb")),
+    Some(s"""WITH sigs AS (
+        SELECT vec_id,
+          [array_to_string([CASE WHEN list_sum([
+             (CAST((654435747 * (j*64 + i + 1)) % 1000000007 AS DOUBLE) - 500000003.0)
+               * CAST(embedding[i+1] AS DOUBLE)
+             for i in generate_series(0, 63)]) > 0 THEN '1' ELSE '0' END
+             for j in generate_series(bd*8, bd*8+7)], '')
+           for bd in generate_series(0, 3)] AS sigl
+        FROM embeddings),
+      bands AS (SELECT vec_id, g AS band, sigl[g+1] AS sig
+                FROM sigs, generate_series(0, 3) t(g)),
+      cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      v AS (SELECT va, vb,
+              ROUND((${dotSql("a", "b", 64)}) /
+                (SQRT(${normSql("a", 64)}) * SQRT(${normSql("b", 64)})), 6) AS cos
+            FROM cand JOIN embeddings a ON a.vec_id = va
+                      JOIN embeddings b ON b.vec_id = vb)
+      SELECT va, vb, cos FROM v WHERE cos >= 0.4 ORDER BY va, vb"""))
 
   /** Brute-force cosine top-k for the first 10 vectors as queries. */
   val simsearchTopK: QueryDef = QueryDef(
@@ -237,6 +272,6 @@ object QueriesC {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    simsearchTopK, simsearchIvf, textQuality, textTokens, textLangId,
-    textFingerprint, multimodal)
+    dedupEmbeddingLsh, simsearchTopK, simsearchIvf, textQuality, textTokens,
+    textLangId, textFingerprint, multimodal)
 }

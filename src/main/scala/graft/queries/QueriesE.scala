@@ -89,15 +89,18 @@ object QueriesE {
     (s, dir) => {
       val e = t(s, dir, "events")
       val temp = $"value" / 20.0 - 5.0
+      // `+ 0.0` after round: IEEE -0.0 + 0.0 = +0.0, so both engines agree on
+      // the sign of zero (DuckDB keeps -0.0 through ROUND, Spark's BigDecimal
+      // round does not — one sf0.01 row hits value=100.0 → temp=0 → hiso=-0.0)
       e.select($"event_id",
-          r6(Phys.isoHeight(temp)).as("hiso"),
+          (r6(Phys.isoHeight(temp)) + 0.0).as("hiso"),
           r6(Phys.heightAboveGround($"value" * 10.0, lit(500.0))).as("hag"),
           r6((epochS($"ts") % 3600) / 60.0).as("min_in_hour"),
           r6(Phys.clampBelow($"value" / 1000.0, 0.04)).as("clamped"))
         .orderBy($"event_id")
     },
     Some(s"""SELECT event_id,
-      ROUND(-(value / 20.0 - 5.0) / 0.7 * 100.0, 6) AS hiso,
+      ROUND(-(value / 20.0 - 5.0) / 0.7 * 100.0, 6) + 0.0 AS hiso,
       ROUND(GREATEST(0.0, value * 10.0 - 500.0), 6) AS hag,
       ROUND((${epochSql("ts")} % 3600) / 60.0, 6) AS min_in_hour,
       ROUND(CASE WHEN value / 1000.0 < 0.04 THEN 0.0 ELSE value / 1000.0 END, 6) AS clamped

@@ -117,5 +117,60 @@ object QueriesF {
              ELSE 0.0 END AS rep_ratio
       FROM g ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(f6Zphi, textRepetition)
+  /** A12: the deterministic `df.summary()` surface — exact percentiles
+    * (Spark `percentile` ↔ DuckDB `quantile_cont`, both exact interpolated)
+    * and decimal-accumulated mean/std, one row per column.
+    */
+  val a12Summary: QueryDef = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    QueryDef(
+      "a12_summary",
+      (s, dir) => graft.operators.Agg.summaryStats(
+          Core.table(s, dir, "lineitem"), cols)
+        .orderBy(col("column")),
+      Some(cols.map { c =>
+        s"""SELECT '$c' AS "column", COUNT($c) AS n,
+          ROUND(CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT($c), 6) AS mean,
+          ROUND(SQRT(GREATEST(0.0,
+            (CAST(SUM(CAST((CAST($c AS DOUBLE) * CAST($c AS DOUBLE)) AS DECIMAL(32,14))) AS DOUBLE)
+             - CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+               * CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT($c))
+            / (COUNT($c) - 1))), 6) AS std,
+          ROUND(MIN(CAST($c AS DOUBLE)), 6) AS min,
+          ROUND(quantile_cont(CAST($c AS DOUBLE), 0.25), 6) AS p25,
+          ROUND(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS p50,
+          ROUND(quantile_cont(CAST($c AS DOUBLE), 0.75), 6) AS p75,
+          ROUND(MAX(CAST($c AS DOUBLE)), 6) AS max
+        FROM lineitem"""
+      }.mkString("", " UNION ALL ", " ORDER BY \"column\"")))
+  }
+
+  /** M9: the model-intercomparison rollup (K-fold CV of an RF config vs a
+    * reference-product column, solid/liquid split at 2 °C, 10/60-min agg) —
+    * model output, rows-only check; the score math itself is oracled via
+    * m6_perfscores / m6_energy_distance and spec'd in IntercomparisonSpec.
+    */
+  val m9Intercomparison: QueryDef = QueryDef(
+    "m9_intercomparison",
+    (s, dir) => {
+      import graft.ml.Intercomparison
+      val li = Core.table(s, dir, "lineitem")
+        .withColumn("ref", col("l_quantity") / 10.0)
+        .withColumn("rzc_proxy", col("l_extendedprice") / 10000.0)
+        .withColumn("temp", col("l_discount") * 100.0 - 5.0)
+        .withColumn("fold", (col("l_orderkey") % 3).cast("int"))
+        .withColumn("hour", (col("l_partkey") % 50).cast("int"))
+        .withColumn("f1", col("l_extendedprice") / 9500.0)
+        .withColumn("f2", col("l_tax") * 100.0)
+      Intercomparison.run(li,
+        configs = Seq(Intercomparison.ModelConfig("RF_small", Seq("f1", "f2"),
+          numTrees = 5, maxDepth = 6)),
+        refProducts = Map("RZC_proxy" -> "rzc_proxy"),
+        labelCol = "ref", tempCol = "temp", foldCol = "fold", k = 3,
+        hourCol = Some("hour"))
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(f6Zphi, textRepetition, a12Summary,
+    m9Intercomparison)
 }

@@ -126,6 +126,47 @@ object QueriesG {
         ROUND(MIN(CASE WHEN cumw >= totw * 0.84 THEN ratio_db END), 6) AS q84
       FROM cum GROUP BY g ORDER BY g"""))
 
+  /** M6: energy distance between the est and ref distributions per group,
+    * through the custom [[graft.functions.Aggregators.EnergyDistance]]
+    * Aggregator (O(n log n) prefix-sum identity; reference reports ED in
+    * every score table, common/utils.py:148). The oracle computes the same
+    * statistic exactly with the sorted-merge GAP identity in SQL:
+    * Σ|x−y| = Σ_gaps gap·(straddling pair count).
+    */
+  val m6EnergyDist: QueryDef = QueryDef(
+    "m6_energy_distance",
+    (s, dir) => {
+      import graft.functions.Aggregators.EnergyDistance
+      val ed = udaf(new EnergyDistance())
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+                (col("l_extendedprice") / 10000.0).as("est"),
+                (col("l_quantity") / 10.0).as("ref"))
+        .groupBy(col("g"))
+        .agg(round(ed(col("est"), col("ref")), 6).as("energy_dist"))
+        .orderBy(col("g"))
+    },
+    Some("""WITH v AS (SELECT l_returnflag AS g, l_extendedprice / 10000.0 AS est,
+               l_quantity / 10.0 AS ref FROM lineitem),
+      m AS (SELECT g, est AS val, 1 AS isx FROM v
+            UNION ALL SELECT g, ref, 0 FROM v),
+      tot AS (SELECT g, COUNT(*) // 2 AS n FROM m GROUP BY g),
+      ord AS (SELECT g, val,
+          SUM(isx) OVER w AS cx,
+          SUM(1 - isx) OVER w AS cy,
+          LEAD(val) OVER (PARTITION BY g ORDER BY val, isx) AS nxt
+        FROM m WINDOW w AS (PARTITION BY g ORDER BY val, isx ROWS UNBOUNDED PRECEDING)),
+      s AS (SELECT o.g, ANY_VALUE(t.n) AS n,
+          SUM((nxt - val) * (cx * (t.n - cy) + cy * (t.n - cx))) AS sxy,
+          SUM((nxt - val) * 2 * cx * (t.n - cx)) AS sxx,
+          SUM((nxt - val) * 2 * cy * (t.n - cy)) AS syy
+        FROM ord o JOIN tot t ON o.g = t.g
+        WHERE nxt IS NOT NULL
+        GROUP BY o.g)
+      SELECT g, ROUND(SQRT(GREATEST(
+          2.0 * sxy / (n*n) - sxx / (n*n) - syy / (n*n), 0.0)), 6) AS energy_dist
+      FROM s ORDER BY g"""))
+
   /** J7 through the custom physical operator (AsOfJoinExec) — same semantics
     * and same DuckDB ASOF JOIN oracle as j7_asof_join, but planned via the
     * injected strategy: declared distribution/ordering + streaming merge.
@@ -252,6 +293,6 @@ object QueriesG {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier, m6WqAgg, j7AsofExec,
-    q7Volume, q10Returns, m3Isotonic, simsearchKmeans)
+  val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier, m6WqAgg, m6EnergyDist,
+    j7AsofExec, q7Volume, q10Returns, m3Isotonic, simsearchKmeans)
 }

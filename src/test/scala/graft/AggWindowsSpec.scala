@@ -8,6 +8,24 @@ import graft.operators.{Agg, AsOf, Windows}
 
 class AggWindowsSpec extends SparkSpec {
 
+  test("denseGroupIdScalable: oracle-identical ids, broadcast join back, no full-table global sort") {
+    import spark.implicits._
+    val d = (1 to 500).map(i => (i, s"t${i % 7}")).toDF("id", "k")
+    val naive = Windows.denseGroupId(d, Seq("k"))
+      .select("id", "k", "group_id").collect()
+      .map(r => (r.getInt(0), r.getInt(2))).toMap
+    val scalable = Windows.denseGroupIdScalable(d, Seq("k"))
+      .select("id", "k", "group_id").collect()
+      .map(r => (r.getInt(0), r.getInt(2))).toMap
+    assert(naive == scalable)
+    val plan = Windows.denseGroupIdScalable(d, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // the only single-partition exchange allowed is the one ranking the tiny
+    // DISTINCT key set; the 500-row table itself must never be globally sorted
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("dbMean equals plain value for constant input, exceeds mean otherwise") {
     val d = df("g STRING, v DOUBLE", Seq(R("a", 30.0), R("a", 30.0)))
     val m = d.groupBy(col("g")).agg(Agg.dbMean(col("v")).as("m"))

@@ -63,6 +63,36 @@ class LlmSpec extends SparkSpec {
     assert(out == Set((1L, 2L))) // blocking excludes (1,4); threshold excludes (1,3)
   }
 
+  test("embeddingNearDupLsh: high recall on planted near-dup clusters, no sub-threshold pairs") {
+    // 20 clusters of 3 near-identical 16-dim vectors (cos > 0.99 within a
+    // cluster) + deterministic pseudo-random noise vectors between clusters
+    def vec(c: Int, j: Int): Seq[Float] = (0 until 16).map { i =>
+      val base = math.sin(c * 16 + i + 1.0)
+      (base + 0.01 * math.sin((c * 3 + j) * 16 + i + 7.0)).toFloat
+    }
+    val rows = for (c <- 0 until 20; j <- 0 until 3)
+      yield R((c * 3 + j).toLong, vec(c, j))
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>", rows)
+    val lsh = Dedup.embeddingNearDupLsh(d, "vec_id", "embedding", dim = 16,
+        nBits = 32, r = 8, minCos = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact verify step: nothing below the threshold can survive
+    assert(lsh.forall(_._3 >= 0.95))
+    // ground truth = brute force: ALL pairs at cos >= 0.95 (distinct clusters
+    // can collide by chance; the LSH must only ever report true pairs)
+    val truth = Dedup.embeddingNearDup(
+        d.withColumn("blk", lit(0)), "vec_id", "embedding", "blk", 16, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = lsh.map(p => (p._1, p._2)).toSet
+    assert(found.subsetOf(truth))
+    // all 60 planted in-cluster pairs are part of the truth set
+    val planted = (for (c <- 0 until 20; a <- 0 until 3; b <- a + 1 until 3)
+      yield (c * 3 + a).toLong -> (c * 3 + b).toLong).toSet
+    assert(planted.subsetOf(truth))
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall (${found.size}/${truth.size})")
+  }
+
   test("bruteForceTopK ranks by cosine desc with deterministic tie-break") {
     val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
       R(1L, Seq(1.0f, 0.0f)),

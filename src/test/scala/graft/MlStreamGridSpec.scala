@@ -69,6 +69,20 @@ class MlStreamGridSpec extends SparkSpec {
     assert(moved > 50) // most rows got someone else's value
   }
 
+  test("permuteColumn is deterministic across runs and never globally sorts") {
+    import spark.implicits._
+    val d = (1 to 200).map(i => (i, i * 1.5)).toDF("id", "v")
+    def pairs() = RF.permuteColumn(d, "v", seed = 7)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(pairs() == pairs()) // same seed → identical re-pairing, run to run
+    // every window in the plan is bucket-partitioned: no single-partition
+    // global Sort (the scale hazard the old monotonically_increasing_id
+    // construction had)
+    val plan = RF.permuteColumn(d, "v", seed = 7).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("SinglePartition"))
+  }
+
   test("streaming completeness: all sources arrived → complete quality string") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -33,8 +33,52 @@ class PhysMlSpec extends SparkSpec {
     val out = d.select(Phys.catchEfficiency(col("t"), col("w"))).collect().map(_.getDouble(0))
     assert(out(0) == 1.0)
     assert(out(1) < 1.0 && out(1) > out(2)) // solid catches less than mixed
-    val clamped = 0.865 * math.exp(-0.120 * 9.0) + 0.135
+    val clamped = 0.865 * math.exp(-0.298 * 9.0) + 0.225
     assert(math.abs(out(3) - clamped) < 1e-12)
+  }
+
+  test("F15 CH1903 forward∘inverse ≈ identity within 1 m over the Swiss domain") {
+    val pts = for (lon <- Seq(6.0, 7.44, 8.5, 10.0); lat <- Seq(45.9, 46.95, 47.6))
+      yield R(lon, lat)
+    val d = df("lon DOUBLE, lat DOUBLE", pts)
+    val (e, n) = Phys.wgs84ToCh1903(col("lon"), col("lat"))
+    val (lon2, lat2) = Phys.ch1903ToWgs84(e, n)
+    val out = d.select(col("lon"), col("lat"), lon2.as("lon2"), lat2.as("lat2"))
+      .collect()
+    out.foreach { r =>
+      // the swisstopo polynomial pair is ~1 m accurate near Bern and a few
+      // metres at the domain corners; 5e-5° ≈ 4 m bounds the whole domain
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 5e-5, r.toString)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 5e-5, r.toString)
+    }
+    // within 1 m at the projection origin (Bern)
+    val bern = d.filter(col("lon") === 7.44 && col("lat") === 46.95)
+      .select(col("lon"), col("lat"), lon2.as("lon2"), lat2.as("lat2")).collect()(0)
+    assert(math.abs(bern.getDouble(0) - bern.getDouble(2)) < 1.4e-5)
+    assert(math.abs(bern.getDouble(1) - bern.getDouble(3)) < 1e-5)
+  }
+
+  test("F15 CH1903 inverse hits the published Bern origin") {
+    val d = df("e DOUBLE, n DOUBLE", Seq(R(600000.0, 200000.0)))
+    val (lon, lat) = Phys.ch1903ToWgs84(col("e"), col("n"))
+    val r = d.select(lon, lat).collect()(0)
+    assert(math.abs(r.getDouble(0) - 7.438632) < 1e-4) // Bern lon
+    assert(math.abs(r.getDouble(1) - 46.951083) < 1e-4) // Bern lat
+  }
+
+  test("F15 rotated pole: exact inverse and near-equator mapping of the Swiss domain") {
+    val pts = for (lon <- Seq(5.5, 7.44, 10.5); lat <- Seq(45.5, 47.0, 48.0))
+      yield R(lon, lat)
+    val d = df("lon DOUBLE, lat DOUBLE", pts)
+    val (rlon, rlat) = Phys.geoToRotatedPole(col("lon"), col("lat"), 43.0, -170.0)
+    val (lonRt, latRt) = Phys.rotatedPoleToGeo(rlon, rlat, 43.0, -170.0)
+    val out = d.select(col("lon"), col("lat"), rlat.as("rlat"),
+      lonRt.as("lon_rt"), latRt.as("lat_rt")).collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(3)) < 1e-9, r.toString) // roundtrip
+      assert(math.abs(r.getDouble(1) - r.getDouble(4)) < 1e-9, r.toString)
+      assert(math.abs(r.getDouble(2)) < 5.0, r.toString) // COSMO-1 pole → |rlat| small
+    }
   }
 
   test("searchSorted matches numpy side='right' semantics") {
