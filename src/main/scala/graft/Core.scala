@@ -128,6 +128,26 @@ object Core {
     }.toMap
   }
 
+  /** P13: config-equivalence guard — two (flattened) configs describe the
+    * same DATA when every key matters-wise agrees; job-control keys
+    * (SLURM fan-out, temp folders) are ignored (reference:
+    * database_10min/database.py:899-941 _compare_config +
+    * common/utils.py:438-450 dict_flatten — our loadConfig already returns
+    * the flat dot-joined form). `keys` restricts the comparison like the
+    * reference's parameter; symmetric over both key sets, so a key missing
+    * on one side is a difference.
+    */
+  val JobControlKeys: Seq[String] =
+    Seq("MAX_NB_SLURM_JOBS", "TMP_FOLDER", "MAX_SIMULTANEOUS_JOBS")
+
+  def configEquivalent(c1: Map[String, String], c2: Map[String, String],
+                       keys: Option[Set[String]] = None): Boolean = {
+    val checked = (c1.keySet ++ c2.keySet)
+      .filter(k => keys.forall(_.contains(k)))
+      .filterNot(k => JobControlKeys.exists(k.contains))
+    checked.forall(k => c1.get(k) == c2.get(k))
+  }
+
   /** S3: query sink — csv / csv.gz / parquet with gzip, dispatched on suffix
     * (reference: database.py:200-224).
     */

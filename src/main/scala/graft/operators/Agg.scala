@@ -121,13 +121,45 @@ object Agg {
   def pairMean(a: Column, b: Column): Column =
     when(a.isNull, b).when(b.isNull, a).otherwise((a + b) / 2.0)
 
+  /** Exact interpolated percentiles of one column via a PARALLEL range sort
+    * + positional lookup of only the boundary rows. The scale path: Spark's
+    * `percentile` aggregate collects the whole column into a single
+    * aggregation buffer (OOM at 100 TB); here the sort is distributed and
+    * the driver receives exactly 2 rows per requested quantile. Matches
+    * `quantile_cont` semantics: rank = p·(n−1), linear between floor/ceil.
+    */
+  def exactPercentiles(df: DataFrame, c: String, ps: Seq[Double],
+                       knownN: Option[Long] = None): Seq[Double] = {
+    val sorted = df.select(col(c).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .sort(col("v"))
+      .rdd.map(_.getDouble(0)).zipWithIndex().map { case (v, i) => (i, v) }
+    sorted.cache()
+    try {
+      val n = knownN.getOrElse(sorted.count())
+      if (n == 0) return ps.map(_ => Double.NaN)
+      val ranks = ps.map(p => p * (n - 1))
+      val needed = ranks.flatMap(r => Seq(r.toLong, math.ceil(r).toLong)).toSet
+      val at = sorted.filter { case (i, _) => needed.contains(i) }
+        .collect().toMap
+      ranks.map { r =>
+        val lo = r.toLong
+        val hi = math.ceil(r).toLong
+        val vlo = at(lo)
+        val vhi = at(hi)
+        vlo + (vhi - vlo) * (r - lo)
+      }
+    } finally sorted.unpersist()
+  }
+
   /** A12: deterministic `df.summary()` — one row per column with
     * count / mean / std / min / p25 / p50 / p75 / max (reference:
     * database_10min/database.py:140-162 `.summary()`). Unlike Spark's
     * built-in summary (approximate percentiles, string output), this is
-    * exact and cross-engine reproducible: decimal-accumulated mean/std and
-    * EXACT interpolated percentiles, all in ONE aggregation pass + a
-    * zero-shuffle stack unpivot.
+    * exact and cross-engine reproducible: decimal-accumulated mean/std in
+    * ONE aggregation pass for all columns, and exact percentiles via the
+    * distributed [[exactPercentiles]] selection (never a whole-column
+    * aggregation buffer).
     */
   def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
@@ -137,27 +169,33 @@ object Agg {
         sum(v.cast("decimal(27,10)")).cast("double").as(s"${c}__sum"),
         sum((v * v).cast("decimal(32,14)")).cast("double").as(s"${c}__sum2"),
         min(v).as(s"${c}__min"),
-        percentile(v, lit(0.25)).as(s"${c}__p25"),
-        percentile(v, lit(0.5)).as(s"${c}__p50"),
-        percentile(v, lit(0.75)).as(s"${c}__p75"),
         max(v).as(s"${c}__max"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      s"'$c', ${c}__n, ${c}__sum, ${c}__sum2, ${c}__min, ${c}__p25, ${c}__p50, ${c}__p75, ${c}__max"
-    }.mkString(", ")
-    one.select(expr(
-        s"stack(${cols.length}, $stacked) as " +
-          "(column, n, s1, s2, min, p25, p50, p75, max)"))
-      .select(col("column"), col("n"),
-        round(col("s1") / col("n"), 6).as("mean"),
-        round(sqrt(greatest(lit(0.0),
-          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))), 6).as("std"),
-        round(col("min"), 6).as("min"),
-        round(col("p25"), 6).as("p25"),
-        round(col("p50"), 6).as("p50"),
-        round(col("p75"), 6).as("p75"),
-        round(col("max"), 6).as("max"))
+    val m = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // identical to Spark SQL round(): BigDecimal HALF_UP at scale 6
+    def r6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = cols.map { c =>
+      val n = m.getAs[Long](s"${c}__n")
+      val s1 = m.getAs[Double](s"${c}__sum")
+      val s2 = m.getAs[Double](s"${c}__sum2")
+      val Seq(p25, p50, p75) =
+        exactPercentiles(df, c, Seq(0.25, 0.5, 0.75), knownN = Some(n))
+      org.apache.spark.sql.Row(c, n,
+        r6(s1 / n),
+        r6(math.sqrt(math.max(0.0, (s2 - s1 * s1 / n) / (n - 1)))),
+        r6(m.getAs[Double](s"${c}__min")), r6(p25), r6(p50), r6(p75),
+        r6(m.getAs[Double](s"${c}__max")))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n", LongType, nullable = false)) ++
+      Seq("mean", "std", "min", "p25", "p50", "p75", "max")
+        .map(StructField(_, DoubleType, nullable = false)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** A14: cross-fold statistics rollup (reference: ml/rf.py:905,1268-1293). */

@@ -56,6 +56,22 @@ class CoreSpec extends SparkSpec {
     assert(cfg("TOP") == "plain")
   }
 
+  test("configEquivalent ignores job-control keys and keys outside the filter") {
+    val a = Map("NO_DATA_FILL" -> "-9999",
+      "RADAR_RETRIEVAL.MAX_NB_SLURM_JOBS" -> "100",
+      "RADAR_RETRIEVAL.TMP_FOLDER" -> "/tmp/a",
+      "SNR_THRESHOLD" -> "3")
+    val sameData = a + ("RADAR_RETRIEVAL.MAX_NB_SLURM_JOBS" -> "5") +
+      ("RADAR_RETRIEVAL.TMP_FOLDER" -> "/scratch")
+    assert(Core.configEquivalent(a, sameData)) // job-control diffs don't matter
+    val diffData = a + ("SNR_THRESHOLD" -> "5")
+    assert(!Core.configEquivalent(a, diffData))
+    // key missing on one side is a data difference...
+    assert(!Core.configEquivalent(a, a - "SNR_THRESHOLD"))
+    // ...unless the comparison is restricted to other keys
+    assert(Core.configEquivalent(a, diffData, Some(Set("NO_DATA_FILL"))))
+  }
+
   test("approx_count_distinct sketch lands within 5% of exact at 100k") {
     val d = Core.table(spark, "/root/testdata/sf0.001", "events")
     val row = d.agg(
