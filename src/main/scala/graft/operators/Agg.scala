@@ -176,12 +176,20 @@ object Agg {
     def r6(x: Double): Double =
       if (x.isNaN || x.isInfinite) x
       else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the per-column sorts are independent Spark jobs — submit them
+    // concurrently so wall time is the slowest column, not the sum
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val pctFutures = cols.map { c =>
+      val n = m.getAs[Long](s"${c}__n")
+      c -> Future(exactPercentiles(df, c, Seq(0.25, 0.5, 0.75), knownN = Some(n)))
+    }.toMap
     val rows = cols.map { c =>
       val n = m.getAs[Long](s"${c}__n")
       val s1 = m.getAs[Double](s"${c}__sum")
       val s2 = m.getAs[Double](s"${c}__sum2")
-      val Seq(p25, p50, p75) =
-        exactPercentiles(df, c, Seq(0.25, 0.5, 0.75), knownN = Some(n))
+      val Seq(p25, p50, p75) = Await.result(pctFutures(c), Duration.Inf)
       org.apache.spark.sql.Row(c, n,
         r6(s1 / n),
         r6(math.sqrt(math.max(0.0, (s2 - s1 * s1 / n) / (n - 1)))),

@@ -121,6 +121,37 @@ class MlStreamGridSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming → product sink e2e: degraded slot writes an ODIM file with '-' quality") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.qpe.{Grid, Odim}
+    val input = MemoryStream[RT.SourceArrival]
+    val q = RT.completenessStream(input.toDS(), timeoutMs = 1000)
+      .writeStream.format("memory").queryName("slots3").outputMode("append").start()
+    try {
+      input.addData(Seq("A", "L", "P", "W").map(s => RT.SourceArrival(5000L, s, 5000L)): _*)
+      q.processAllAvailable()
+      input.addData(RT.SourceArrival(999000L, "A", 999000L)) // advance watermark
+      q.processAllAvailable()
+      input.addData(RT.SourceArrival(999500L, "D", 999500L))
+      q.processAllAvailable()
+      val slot = spark.table("slots3").collect().find(_.getLong(0) == 5000L).get
+      assert(slot.getString(1) == "A-LPW")
+      // the degraded slot's grid goes through the ODIM writer with the
+      // streaming quality string driving the metadata
+      val cells = Seq((0, 0, 1.25), (1, 2, 3.5)).toDF("chx", "chy", "value")
+      val grid = Grid.collectGrid(cells, nx = 3, ny = 4)
+      val path = java.nio.file.Files.createTempFile("graft-rt", ".odim").toString
+      Odim.write(path, grid, Odim.chMetaFromQuality(slot.getLong(0) / 1000 + 300,
+        slot.getString(1)))
+      val (back, fields) = Odim.read(path)
+      assert(fields("radar") == "A-LPW")
+      assert(fields("nodes") == "WMO:06661,WMO:06768,WMO:06726,WMO:06776")
+      assert(math.abs(back(0)(0) - 1.25) < 1e-4 && math.abs(back(1)(2) - 3.5) < 1e-4)
+      assert(back(2)(3).isNaN)
+    } finally q.stop()
+  }
+
   test("streaming pairWithPrevious carries state across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
