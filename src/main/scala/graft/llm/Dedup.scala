@@ -107,8 +107,9 @@ object Dedup {
     * k-row parameter table computes the same minima with k× the shuffle
     * volume; measured 2.5× slower at sf0.1.)
     */
-  def minhashSignature(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val hm = sh.withColumn("hm", TextAnalysis.md5Long(col("sh")) % P)
+  def minhashSignature(sh: DataFrame, idCol: String, k: Int,
+                       hash: Column => Column = TextAnalysis.md5Long): DataFrame = {
+    val hm = sh.withColumn("hm", hash(col("sh")) % P)
     val minCols = (0 until k).map(i =>
       min((lit(aConst(i)) * col("hm") + lit(bConst(i))) % P).as(s"mh$i"))
     hm.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
@@ -138,11 +139,12 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 16, r: Int = 4,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5,
+                   hash: Column => Column = TextAnalysis.md5Long): DataFrame = {
     // four consumers of the shingle relation (signature, sizes, verify a/b)
     val sh = shingles(df, idCol, textCol, n).cache()
     try {
-      val bands = lshBands(minhashSignature(sh, idCol, k), idCol, k, r)
+      val bands = lshBands(minhashSignature(sh, idCol, k, hash), idCol, k, r)
       val ba = bands.select(col(idCol).as("da"), col("band"), col("sig"))
       val bb = bands.select(col(idCol).as("db"), col("band"), col("sig"))
       val cand = ba.join(bb, Seq("band", "sig")).filter(col("da") < col("db"))
@@ -168,10 +170,11 @@ object Dedup {
     * hashes; bit set where the sum is positive. No explosion beyond the token
     * list — 16 conditional sums in one aggregation.
     */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash16(df: DataFrame, idCol: String, textCol: String,
+                hash: Column => Column = TextAnalysis.md5Long): DataFrame = {
     val tok = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", TextAnalysis.md5Long(col("tok")) % 65536)
+      .withColumn("h", hash(col("tok")) % 65536)
     val bitSums = (0 until 16).map { bit =>
       sum(when(shiftright(col("h"), bit) % 2 === 1, 1).otherwise(-1)).as(s"b$bit")
     }

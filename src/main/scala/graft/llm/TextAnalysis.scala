@@ -27,6 +27,16 @@ object TextAnalysis {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Production-speed 63-bit content hash: xxhash64 (whole-stage-codegen'd,
+    * measured ~10× cheaper than the md5 path) masked non-negative so every
+    * downstream `% P` / bit-test keeps its semantics. Spark-only — the
+    * dedup/fingerprint operators accept either hash; the declared gate
+    * queries use [[md5Long]] because md5 is the one hash both engines share
+    * (NOTES_r1 §5), production pipelines should pass this one.
+    */
+  def fastHash64(c: Column): Column =
+    xxhash64(c).bitwiseAND(lit(Long.MaxValue))
+
   /** Quality features per document: char/token counts, punctuation ratio,
     * stopword ratio, mean token length — the standard cheap quality signals
     * for corpus filtering.
@@ -101,7 +111,8 @@ object TextAnalysis {
     * a winnowing-style rolling fingerprint; identical/near-identical prefixes
     * of content produce identical fingerprints.
     */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 5,
+                  hash: Column => Column = md5Long): DataFrame = {
     val toks = tokens(col(textCol))
     val grams = when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -110,7 +121,7 @@ object TextAnalysis {
     // min over the in-row hash array: zero shuffle, zero explode — a pure
     // projection (was: explode + groupBy min, 1.5M-row shuffle at sf0.1)
     df.select(col(idCol),
-      array_min(transform(grams, g => md5Long(g))).as("fingerprint"))
+      array_min(transform(grams, g => hash(g))).as("fingerprint"))
       .filter(col("fingerprint").isNotNull)
   }
 }

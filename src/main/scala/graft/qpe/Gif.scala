@@ -74,7 +74,20 @@ object Gif {
       }
       x += 1
     }
-    require(ImageIO.write(img, "gif", new File(path)), "no GIF writer available")
+    // write NON-interlaced explicitly: the JDK GIF writer's default
+    // progressive mode interlaces rows, and interlaced small images come
+    // back row-scrambled through ImageIO.read (observed on 4-row grids)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val ios = ImageIO.createImageOutputStream(new File(path))
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
   }
 
   /** Read a palette GIF back to mm/h through the green-channel power law. */

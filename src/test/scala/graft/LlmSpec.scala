@@ -44,6 +44,27 @@ class LlmSpec extends SparkSpec {
     assert(!mh.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("fastHash64 path: same verified pairs, simhash/fingerprint invariants hold") {
+    val fast = TextAnalysis.fastHash64 _
+    // the exact-Jaccard verify step is hash-independent: the fast-hash LSH
+    // must surface the same above-threshold pairs with identical scores
+    val md5Pairs = Dedup.minhashDedup(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fastPairs = Dedup.minhashDedup(docs, "doc_id", "text", minJaccard = 0.5,
+        hash = fast)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fastPairs == md5Pairs)
+    // non-negative hashes keep the simhash bit tests valid
+    val sh = Dedup.simhash16(docs, "doc_id", "text", hash = fast).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sh(1L) == sh(4L) && sh(1L) != sh(3L))
+    assert(sh.values.forall(v => v >= 0 && v < 65536))
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text", hash = fast)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(1L) == fp(4L) && fp(1L) != fp(3L))
+    assert(fp.values.forall(_ >= 0))
+  }
+
   test("simhash16: identical docs hash equal, disjoint docs differ") {
     val out = Dedup.simhash16(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -70,6 +70,34 @@ class QpeE2ESpec extends SparkSpec {
     }
   }
 
+  test("Qpe.compute: polar gates to ODIM + GIF product files in one call") {
+    import spark.implicits._
+    import graft.qpe.{Gif, Odim, Qpe}
+    val polar = (for {
+      sweep <- Seq(1, 2); az <- 0 until 8; rng <- 0 until 10
+    } yield (sweep, az, rng, 25.0 + sweep + (az % 3), 2.0, 90.0 + rng, 1.0))
+      .toDF("sweep", "az_idx", "rng_idx", "zh", "noise", "visib", "w")
+    val lut = (for {
+      sweep <- Seq(1, 2); az <- 0 until 8; rng <- 0 until 10
+    } yield (sweep, az, rng, az % 4, rng % 5))
+      .toDF("sweep", "az_idx", "rng_idx", "chx", "chy")
+    val outDir = Files.createTempDirectory("graft_qpe_prod").toString
+    val cfg = Qpe.Config(nx = 4, ny = 5, outlierK = 1)
+    val grid = Qpe.compute(polar, lut, outDir, tEnd = 1700000300L,
+      quality = "AD-PW", cfg = cfg)
+    assert(grid.flatten.count(v => !v.isNaN && v > 0) == 20)
+    // both product files exist and carry the degraded quality / the grid
+    val (odimGrid, fields) = Odim.read(s"$outDir/qpe_1700000300.odim")
+    assert(fields("radar") == "AD-PW")
+    assert(math.abs(odimGrid(1)(1) - BigDecimal(grid(1)(1)).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-4)
+    val gifGrid = Gif.readGif(s"$outDir/qpe_1700000300.gif")
+    // GIF quantization: within one DN step of the product value
+    assert(gifGrid(1)(1) >= grid(1)(1) - 1e-9)
+    // one DN step in the power-law domain = (10^(1/20))^(2/3) = 10^(1/30)
+    assert(gifGrid(1)(1) / grid(1)(1) < math.pow(10.0, 1.0 / 30.0) + 1e-9)
+  }
+
   test("Database wrapper: addTable → info → UT query → display path") {
     val db = new Database(spark)
     db.addTable("ev", "/root/testdata/sf0.001/events.parquet")
