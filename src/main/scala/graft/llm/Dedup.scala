@@ -27,6 +27,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Exact dedup at corpus scale: group on the 128-bit content digest so the
+    * shuffle carries 16-byte keys instead of whole documents (the "group on
+    * md5(text)" variant [[exact]]'s doc promises). Collision probability
+    * ~2⁻⁶⁴ at any realistic corpus size; output is identical to [[exact]].
+    */
+  def exactByDigest(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
   /** Distinct word n-gram shingles per document: one explode, no shuffle. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))

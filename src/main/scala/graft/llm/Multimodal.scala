@@ -58,6 +58,53 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(id: Long, w: Int, h: Int, pixels: Array[Byte])
+
+  /** STUB for a real image scaler: treat the payload as a w0×h0 byte raster
+    * and nearest-neighbor stride-sample it to w×h. Deterministic; a real
+    * implementation swaps the sampling loop for the codec's scaler and
+    * nothing else changes (same signature, same batching).
+    */
+  def resizeStub(payload: Array[Byte], w0: Int, h0: Int, w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h) { i =>
+      // ??? <- real scaler (libjpeg/swscale/...) goes here; stubbed:
+      val idx = (i / w) * h0 / h * w0 + (i % w) * w0 / w
+      if (idx < payload.length) payload(idx) else 0
+    }
+
+  /** Partition-batched resize — the same mapPartitions plumbing as
+    * [[decodeFeatures]]: per-partition scaler init, no shuffle, input stays
+    * partitioned.
+    */
+  def resizeFeatures(df: DataFrame, idCol: String, w0: Int, h0: Int,
+                     w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        ResizedMedia(id, w, h, resizeStub(payload, w0, h0, w, h))
+      })
+  }
+
+  /** Audio-style overlapped window sampling as pure column expressions:
+    * fixed `size` windows every `stride` positions (short payloads yield the
+    * single truncated window). Engine-mirrorable — no UDF, no shuffle.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   size: Int = 64, stride: Int = 48): DataFrame = {
+    val text = col(textCol)
+    val n = length(text)
+    val starts = when(n >= size,
+        sequence(lit(1), n - (size - 1), lit(stride)))
+      .otherwise(array(lit(1)))
+    val chunks = transform(starts, s => text.substr(s, lit(size)))
+    df.select(col(idCol),
+      org.apache.spark.sql.functions.size(chunks).as("n_chunks"),
+      element_at(chunks, 1).as("chunk_first"),
+      element_at(chunks, -1).as("chunk_last"))
+  }
+
   /** Frame-sampling stub as pure column expressions (start / middle / end
     * windows of the payload) — the shape of thumbnail/frame extraction,
     * engine-mirrorable for the oracle.

@@ -42,6 +42,33 @@ object QueriesC {
     Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY text ORDER BY keep_id"""))
 
+  /** Exact dedup through the digest key — the 100 TB shuffle-width variant:
+    * 16-byte md5 keys instead of whole documents through the exchange.
+    */
+  val dedupExactDigest: QueryDef = QueryDef(
+    "dedup_exact_digest",
+    (s, dir) => Dedup.exactByDigest(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("keep_id")),
+    Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+
+  /** Audio-style overlapped window sampling over the payload (64-byte
+    * windows, stride 48; short docs yield one truncated window).
+    */
+  val multimodalChunks: QueryDef = QueryDef(
+    "multimodal_chunks",
+    (s, dir) => Multimodal.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        size = 64, stride = 48)
+      .orderBy(col("doc_id")),
+    Some("""WITH c AS (SELECT doc_id,
+        CASE WHEN LENGTH(text) >= 64
+             THEN [substring(text, s, 64) for s in generate_series(1, LENGTH(text) - 63, 48)]
+             ELSE [substring(text, 1, 64)] END AS chunks
+        FROM documents)
+      SELECT doc_id, CAST(LEN(chunks) AS INT) AS n_chunks,
+        chunks[1] AS chunk_first, chunks[LEN(chunks)] AS chunk_last
+      FROM c ORDER BY doc_id"""))
+
   /** N-gram Jaccard near-dup via inverted-index join (no all-pairs), with the
     * hot-shingle document-frequency cap mirrored on both engines.
     */
@@ -271,7 +298,8 @@ object QueriesC {
       FROM documents ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    dedupEmbeddingLsh, simsearchTopK, simsearchIvf, textQuality, textTokens,
-    textLangId, textFingerprint, multimodal)
+    dedupExact, dedupExactDigest, dedupJaccard, dedupMinhash, dedupSimhash,
+    dedupEmbedding, dedupEmbeddingLsh, simsearchTopK, simsearchIvf,
+    textQuality, textTokens, textLangId, textFingerprint, multimodal,
+    multimodalChunks)
 }

@@ -191,6 +191,31 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) != out(3L))
   }
 
+  test("multimodal resize plumbing: stride sampling through mapPartitions") {
+    // 4×4 "raster" 0..15 → 2×2 nearest-neighbor = corners of each 2×2 block
+    val raster = Array.tabulate(16)(_.toByte)
+    assert(Multimodal.resizeStub(raster, 4, 4, 2, 2).toSeq ==
+      Seq[Byte](0, 2, 8, 10))
+    val withPayload = Multimodal.attachPayload(docs, "doc_id", "text")
+    val out = Multimodal.resizeFeatures(withPayload, "doc_id", 8, 8, 4, 4)
+      .collect().sortBy(_.id)
+    assert(out.length == 4)
+    assert(out.forall(r => r.w == 4 && r.h == 4 && r.pixels.length == 16))
+    // deterministic: identical docs produce identical resized payloads
+    assert(out(0).pixels.toSeq == out(3).pixels.toSeq)
+  }
+
+  test("multimodal chunkWindows: overlapped windows, single truncated window for short docs") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "a" * 200), R(2L, "short")))
+    val byId = Multimodal.chunkWindows(d, "doc_id", "text", 64, 48).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getString(3)))).toMap
+    // starts 1, 49, 97 (137 > 200-63); 3 windows of 64
+    assert(byId(1L)._1 == 3)
+    assert(byId(1L)._2.length == 64 && byId(1L)._3.length == 64)
+    assert(byId(2L) == ((1, "short", "short")))
+  }
+
   test("multimodal decodeFeatures stub preserves batch plumbing") {
     val d = Multimodal.attachPayload(docs, "doc_id", "text")
     val feats = Multimodal.decodeFeatures(d, "doc_id").collect()
