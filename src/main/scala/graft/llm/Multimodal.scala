@@ -18,6 +18,63 @@ object Multimodal {
   final case class MediaFeatures(id: Long, n_bytes: Int, format: String,
                                  checksum: Long, head: Array[Byte])
 
+  /** Decoded-image record: real dimensions + mean luma from an actual codec. */
+  final case class ImageFeatures(id: Long, format: String, width: Int,
+                                 height: Int, meanLuma: Double)
+
+  /** Container sniff from magic bytes (PNG/JPEG/GIF — the formats the JVM
+    * decodes natively).
+    */
+  def sniffFormat(payload: Array[Byte]): Option[String] =
+    if (payload.length >= 8 &&
+        (payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N' &&
+        payload(3) == 'G') Some("image/png")
+    else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) Some("image/jpeg")
+    else if (payload.length >= 6 && payload(0) == 'G' && payload(1) == 'I' &&
+        payload(2) == 'F') Some("image/gif")
+    else None
+
+  /** REAL image decode for the containers the JVM ships codecs for
+    * (PNG/JPEG/GIF via javax.imageio — no external library): dimensions +
+    * mean 8-bit luma. Non-image payloads return None (callers fall back to
+    * [[stubDecode]] — the remaining stub is only for codecs the JVM lacks,
+    * e.g. video/audio).
+    */
+  def decodeImage(id: Long, payload: Array[Byte]): Option[ImageFeatures] =
+    sniffFormat(payload).flatMap { fmt =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      Option(img).map { i =>
+        var sum = 0.0
+        var y = 0
+        while (y < i.getHeight) {
+          var x = 0
+          while (x < i.getWidth) {
+            val rgb = i.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(id, fmt, i.getWidth, i.getHeight,
+          sum / (i.getWidth.toLong * i.getHeight))
+      }
+    }
+
+  /** Partition-batched REAL image decode — same mapPartitions plumbing as
+    * [[decodeFeatures]]; rows whose payload is not a decodable image are
+    * dropped (filter-then-decode is the production shape: sniff is cheap,
+    * the codec only runs on matching containers).
+    */
+  def decodeImages(df: DataFrame, idCol: String): Dataset[ImageFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) => decodeImage(id, payload) })
+  }
+
   /** Attach a binary payload + typed metadata struct to a text corpus
     * (here the payload is the UTF-8 content itself; in production it is the
     * image/audio blob read from object storage).

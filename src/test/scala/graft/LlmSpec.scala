@@ -216,6 +216,30 @@ class LlmSpec extends SparkSpec {
     assert(byId(2L) == ((1, "short", "short")))
   }
 
+  test("multimodal decodeImages: REAL PNG decode through the batch plumbing") {
+    import java.awt.image.BufferedImage
+    // render two tiny PNGs in-process: a 6×4 mid-gray and a 3×3 white
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      R(1L, png(6, 4, 0x808080), "a"),
+      R(2L, png(3, 3, 0xffffff), "b"),
+      R(3L, "not an image".getBytes("UTF-8"), "c"))
+    val d = df("doc_id BIGINT, payload BINARY, text STRING", rows)
+    assert(Multimodal.sniffFormat(rows.head.getAs[Array[Byte]](1))
+      .contains("image/png"))
+    val out = Multimodal.decodeImages(d, "doc_id").collect().sortBy(_.id)
+    assert(out.length == 2) // the text payload is filtered, not crashed on
+    assert(out(0).format == "image/png" && out(0).width == 6 && out(0).height == 4)
+    assert(math.abs(out(0).meanLuma - 128.0) < 1.0)
+    assert(out(1).width == 3 && math.abs(out(1).meanLuma - 255.0) < 1e-9)
+  }
+
   test("multimodal decodeFeatures stub preserves batch plumbing") {
     val d = Multimodal.attachPayload(docs, "doc_id", "text")
     val feats = Multimodal.decodeFeatures(d, "doc_id").collect()
