@@ -157,11 +157,21 @@ object Dedup {
       val bands = lshBands(minhashSignature(sh, idCol, k, hash), idCol, k, r)
       val ba = bands.select(col(idCol).as("da"), col("band"), col("sig"))
       val bb = bands.select(col(idCol).as("db"), col("band"), col("sig"))
+      // eager: the candidate set is tiny but its subtree is the whole
+      // signature+banding pipeline — without materialization it would be
+      // re-evaluated by every consumer below (measured +50 %)
       val cand = ba.join(bb, Seq("band", "sig")).filter(col("da") < col("db"))
-        .select("da", "db").distinct()
+        .select("da", "db").distinct().localCheckpoint()
       val sizes = shingleSizes(sh, idCol)
-      val a = sh.select(col(idCol).as("da"), col("sh"))
-      val b = sh.select(col(idCol).as("db"), col("sh"))
+      // exact-Jaccard verify only touches candidate documents: semi-join the
+      // shingle relation down to them BEFORE the (db, sh) shuffle — the
+      // verify join then carries |candidate docs| × shingles, not the whole
+      // corpus (candidate id set is small by LSH construction → broadcast)
+      val candIds = cand.select(col("da").as(idCol))
+        .union(cand.select(col("db").as(idCol))).distinct()
+      val shCand = sh.join(broadcast(candIds), Seq(idCol), "left_semi")
+      val a = shCand.select(col(idCol).as("da"), col("sh"))
+      val b = shCand.select(col(idCol).as("db"), col("sh"))
       val commonCnt = cand
         .join(a, "da")
         .join(b, Seq("db", "sh"))
