@@ -108,6 +108,42 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Resolve near-dup PAIRS into CLUSTERS — the step between pair detection
+    * and canonical-document selection: connected components over the pair
+    * graph by iterative min-label propagation (each iteration is one join +
+    * one min-aggregation; lineage cut per iteration with localCheckpoint).
+    * Converges in O(component diameter) iterations — near-dup components
+    * are shallow in practice, and `maxIter` bounds the worst case. The
+    * GraphFrames-free Spark connected-components pattern; at 100 TB every
+    * iteration is a pair of shuffles on the id, nothing is collected.
+    * Returns (doc_id, cluster_id = min id in the component).
+    */
+  def resolveClusters(pairs: DataFrame, aCol: String = "da",
+                      bCol: String = "db", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .union(pairs.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
+      .localCheckpoint() // pairs' subtree (often a whole LSH pipeline) runs once
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborLabels = edges
+        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand")), "b")
+        .select(col("a").as("doc_id"), col("cand"))
+      val next = labels.select(col("doc_id"), col("cluster_id").as("cand"))
+        .union(neighborLabels)
+        .groupBy(col("doc_id")).agg(min(col("cand")).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   private def aConst(i: Int): Long = (654435747L * (i + 1)) % P
   private def bConst(i: Int): Long = (654602297L * (i + 1)) % P
 

@@ -154,6 +154,36 @@ object QueriesC {
           ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos >= 0.4 ORDER BY va, vb"""))
 
+  /** Near-dup cluster resolution: connected components over the Jaccard
+    * pair graph by min-label propagation; the oracle computes the same
+    * components with a recursive transitive-closure CTE.
+    */
+  val dedupClusters: QueryDef = QueryDef(
+    "dedup_clusters",
+    (s, dir) => Dedup.resolveClusters(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.5, maxDf = 1000))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE sh_all AS (${shinglesSql(3)}),
+      sh AS (SELECT sh_all.* FROM sh_all
+             JOIN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 1000)
+             USING (sh)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      prs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      j AS (SELECT da, db, ROUND(c / (sa.sz + sb.sz - c), 6) AS jac
+            FROM prs JOIN sizes sa ON da = sa.doc_id
+                     JOIN sizes sb ON db = sb.doc_id),
+      pairs AS (SELECT da, db FROM j WHERE jac >= 0.5),
+      e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+      reach AS (
+        SELECT a, a AS b FROM (SELECT DISTINCT a FROM e)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach
+      GROUP BY a ORDER BY doc_id"""))
+
   /** Random-hyperplane LSH near-dup — the corpus-scale path (no label
     * blocking, no O(block²)); the oracle mirrors the integer-LCG hyperplanes
     * and the banding exactly.
@@ -299,7 +329,7 @@ object QueriesC {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupExactDigest, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupEmbedding, dedupEmbeddingLsh, simsearchTopK, simsearchIvf,
-    textQuality, textTokens, textLangId, textFingerprint, multimodal,
-    multimodalChunks)
+    dedupEmbedding, dedupEmbeddingLsh, dedupClusters, simsearchTopK,
+    simsearchIvf, textQuality, textTokens, textLangId, textFingerprint,
+    multimodal, multimodalChunks)
 }

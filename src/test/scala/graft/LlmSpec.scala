@@ -65,6 +65,17 @@ class LlmSpec extends SparkSpec {
     assert(fp.values.forall(_ >= 0))
   }
 
+  test("resolveClusters: chains merge transitively, min id wins, isolated pairs stay apart") {
+    // chain 1-2-3-4-5 (needs multiple propagation rounds) + isolated 10-11
+    val pairs = df("da BIGINT, db BIGINT", Seq(
+      R(1L, 2L), R(2L, 3L), R(3L, 4L), R(4L, 5L), R(10L, 11L)))
+    val out = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(out(_) == 1L))
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out.size == 7)
+  }
+
   test("simhash16: identical docs hash equal, disjoint docs differ") {
     val out = Dedup.simhash16(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
