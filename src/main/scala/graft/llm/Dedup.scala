@@ -129,16 +129,21 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // own label (flagged) and neighbor labels through ONE aggregation:
+      // min(cand) is the propagated label, max(own) the previous one — the
+      // convergence check reads the already-materialized checkpoint instead
+      // of paying a second join per iteration
+      val own = labels.select(col("doc_id"), col("cluster_id").as("cand"), lit(true).as("isOwn"))
       val neighborLabels = edges
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand")), "b")
-        .select(col("a").as("doc_id"), col("cand"))
-      val next = labels.select(col("doc_id"), col("cluster_id").as("cand"))
-        .union(neighborLabels)
-        .groupBy(col("doc_id")).agg(min(col("cand")).as("cluster_id"))
+        .select(col("a").as("doc_id"), col("cand"), lit(false).as("isOwn"))
+      val step = own.union(neighborLabels)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cand")).as("cluster_id"),
+             max(when(col("isOwn"), col("cand"))).as("__old"))
         .localCheckpoint()
-      converged = next.join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
+      converged = step.filter(col("cluster_id") =!= col("__old")).isEmpty
+      labels = step.select(col("doc_id"), col("cluster_id"))
       i += 1
     }
     labels
