@@ -149,6 +149,17 @@ object Dedup {
     labels
   }
 
+  /** Final dedup step: keep one document per cluster (the min-id canonical)
+    * and every document that is in no cluster — pairs → clusters →
+    * deduplicated corpus. A broadcast-able anti-join against the (small)
+    * non-canonical member set; the corpus itself is never shuffled.
+    */
+  def canonicalize(df: DataFrame, clusters: DataFrame, idCol: String): DataFrame = {
+    val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   private def aConst(i: Int): Long = (654435747L * (i + 1)) % P
   private def bConst(i: Int): Long = (654602297L * (i + 1)) % P
 

@@ -52,17 +52,49 @@ object Similarity {
     * cluster-structured; k-means cells are).
     */
   def kmeansPartitions(corpus: DataFrame, idCol: String, vecCol: String,
-                       nlist: Int, seed: Long = 42L): DataFrame = {
+                       nlist: Int, seed: Long = 42L): DataFrame =
+    kmeansIndex(corpus, idCol, vecCol, nlist, seed)._1
+
+  /** Same as [[kmeansPartitions]] but also returns the fitted coarse
+    * quantizer, so the layout can be persisted ([[saveIndex]]) and future
+    * vectors/queries assigned without refitting.
+    */
+  def kmeansIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int, seed: Long = 42L)
+      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val assembled = corpus.withColumn("__features", array_to_vector(col(vecCol)))
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("__cluster")
       .fit(assembled)
-    model.transform(assembled)
+    (model.transform(assembled)
       .withColumnRenamed("__cluster", "ivf_cell")
-      .drop("__features")
+      .drop("__features"), model)
   }
+
+  /** Persist a trained IVF layout: cell assignments as bucketed parquet ON
+    * THE CELL (so probe-time reads touch only the probed buckets — the
+    * partition-pruning shape an ANN index needs at 100 TB) plus the KMeans
+    * model for assigning future queries/vectors.
+    */
+  def saveIndex(assigned: DataFrame,
+                model: org.apache.spark.ml.clustering.KMeansModel,
+                path: String, nBuckets: Int = 32): Unit = {
+    assigned.write.mode("overwrite")
+      .partitionBy("ivf_cell")
+      .parquet(s"$path/cells")
+    model.write.overwrite().save(s"$path/kmeans")
+  }
+
+  /** Load the persisted layout. The cell relation comes back
+    * partition-pruned: filtering on `ivf_cell` prunes directories before
+    * any IO (the probe path reads nprobe/nlist of the corpus).
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) =
+    (spark.read.parquet(s"$path/cells"),
+     org.apache.spark.ml.clustering.KMeansModel.load(s"$path/kmeans"))
 
   /** IVF-style ANN: coarse centroids from a partition column (label here; at
     * scale, k-means cluster ids), queries probe only the `nprobe` nearest

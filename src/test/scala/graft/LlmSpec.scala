@@ -76,6 +76,37 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 7)
   }
 
+  test("canonicalize keeps one doc per cluster and all unclustered docs") {
+    val pairs = df("da BIGINT, db BIGINT", Seq(R(1L, 2L), R(2L, 3L)))
+    val clusters = Dedup.resolveClusters(pairs)
+    val kept = Dedup.canonicalize(docs, clusters, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3} → keep 1; doc 4 is unclustered → kept
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("IVF index save/load: partition-pruned cells + reusable quantizer") {
+    val emb = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      (0 until 40).map(i => R(i.toLong,
+        Seq.tabulate(8)(d => (math.sin(i / 10 * 8 + d + 1.0) + 0.01 * i).toFloat))))
+    val (assigned, model) = Similarity.kmeansIndex(emb, "vec_id", "embedding", nlist = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.saveIndex(assigned, model, path)
+    val (cells, model2) = Similarity.loadIndex(spark, path)
+    assert(cells.count() == 40)
+    assert(model2.clusterCenters.length == 4)
+    // probe-shaped read: filtering one cell prunes partitions before IO
+    val probed = cells.filter(col("ivf_cell") === 0)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ivf_cell"), plan)
+    // assignments survive the roundtrip
+    val orig = assigned.select("vec_id", "ivf_cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val back = cells.select("vec_id", "ivf_cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(orig == back)
+  }
+
   test("simhash16: identical docs hash equal, disjoint docs differ") {
     val out = Dedup.simhash16(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
