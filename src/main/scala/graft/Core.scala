@@ -55,7 +55,23 @@ object Core {
     * µs-precision, so ns→µs is lossless).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeNanosTs(spark.read.parquet(s"$dir/$name.parquet"))
+    spreadSmallScan(spark, normalizeNanosTs(spark.read.parquet(s"$dir/$name.parquet")))
+
+  /** Parquet parallelism floor: a row group is the indivisible scan unit, so
+    * a small table written as one row group arrives as ONE task — and every
+    * compute-heavy stage fused onto that scan (shingling, hashing, decode)
+    * runs serially no matter how many cores exist. When the scan has fewer
+    * partitions than the cluster has slots, insert one round-robin exchange
+    * of the (by definition small) table so downstream compute fans out. A
+    * 100 TB table arrives as thousands of row-group splits and is left
+    * untouched — this only ever shuffles tables too small to self-partition.
+    * Filters still reach the parquet scan: PushDownPredicates moves them
+    * through Repartition nodes.
+    */
+  def spreadSmallScan(spark: SparkSession, df: DataFrame): DataFrame = {
+    val slots = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
 
   /** Restore a `ts` column read as nanos-long (see Scaladoc above) to
     * TimestampType; no-op otherwise.

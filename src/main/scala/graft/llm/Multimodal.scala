@@ -43,8 +43,14 @@ object Multimodal {
     */
   def decodeImage(id: Long, payload: Array[Byte]): Option[ImageFeatures] =
     sniffFormat(payload).flatMap { fmt =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      Option(img).map { i =>
+      // Try: a payload that passes the magic-byte sniff can still be
+      // truncated/corrupt (common in real corpora) — the codec throws
+      // IIOException mid-decode and that must mean "drop the row", not
+      // "fail the whole job"
+      val img = scala.util.Try(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .getOrElse(null)
+      Option(img).flatMap { i => scala.util.Try {
         var sum = 0.0
         var y = 0
         while (y < i.getHeight) {
@@ -59,7 +65,7 @@ object Multimodal {
         }
         ImageFeatures(id, fmt, i.getWidth, i.getHeight,
           sum / (i.getWidth.toLong * i.getHeight))
-      }
+      }.toOption }
     }
 
   /** Partition-batched REAL image decode — same mapPartitions plumbing as

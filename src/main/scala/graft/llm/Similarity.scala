@@ -104,9 +104,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, partCol: String, dim: Int, k: Int,
               nprobe: Int): DataFrame = {
-    // centroids: element-wise mean per partition (posexplode + groupBy)
+    // centroids: element-wise mean per partition (posexplode + groupBy).
+    // Decimal accumulation so the mean is independent of partition order —
+    // the probe ranking reads these, and a FP-order flip there would make
+    // the result set run-dependent (and oracle-unmirrorable).
     val expl = corpus.select(col(partCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-    val cent = expl.groupBy(col(partCol), col("pos")).agg(avg(col("v")).as("cv"))
+    val cent = expl.groupBy(col(partCol), col("pos"))
+      .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as("cv"))
       .groupBy(col(partCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("s"))
       .select(col(partCol), transform(col("s"), x => x.getField("cv")).as("cvec"))

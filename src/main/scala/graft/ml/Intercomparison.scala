@@ -82,9 +82,12 @@ object Intercomparison {
           refProducts: Map[String, String], labelCol: String, tempCol: String,
           foldCol: String, k: Int,
           hourCol: Option[String] = None): DataFrame = {
+    // every fold filters this once for train and once for test, and the RF
+    // fit iterates over train — cache the input for the duration of the run
+    val cached = data.cache()
     val slices = (0 until k).flatMap { f =>
-      val train = data.filter(col(foldCol) =!= f)
-      val test = data.filter(col(foldCol) === f)
+      val train = cached.filter(col(foldCol) =!= f)
+      val test = cached.filter(col(foldCol) === f)
       val rf = configs.map { cfg =>
         val m = RF.fit(train, cfg.features, labelCol, cfg.numTrees,
           cfg.maxDepth, featureSubset = "auto")
@@ -96,8 +99,15 @@ object Intercomparison {
       }
       rf ++ refs
     }
-    val all = slices.reduce(_ unionByName _)
-      .withColumn("phase", when(col("temp") < 2.0, "solid").otherwise("liquid"))
+    // materialize the prediction union ONCE: four consumers follow (10-min
+    // slice, hourly rollup, and two aggregation passes inside skillScores) —
+    // without the cut each would re-run every RF model.transform. Disk-backed
+    // executor-local checkpoint, ~k× the test data, never the driver.
+    val all = try {
+      slices.reduce(_ unionByName _)
+        .withColumn("phase", when(col("temp") < 2.0, "solid").otherwise("liquid"))
+        .localCheckpoint()
+    } finally cached.unpersist()
     val tenMin = all.withColumn("agg", lit("10min"))
       .select("model", "agg", "phase", "fold", "est", "ref")
     val scored = hourCol match {

@@ -187,14 +187,22 @@ object Agg {
     }.toMap
     val rows = cols.map { c =>
       val n = m.getAs[Long](s"${c}__n")
-      val s1 = m.getAs[Double](s"${c}__sum")
-      val s2 = m.getAs[Double](s"${c}__sum2")
-      val Seq(p25, p50, p75) = Await.result(pctFutures(c), Duration.Inf)
-      org.apache.spark.sql.Row(c, n,
-        r6(s1 / n),
-        r6(math.sqrt(math.max(0.0, (s2 - s1 * s1 / n) / (n - 1)))),
-        r6(m.getAs[Double](s"${c}__min")), r6(p25), r6(p50), r6(p75),
-        r6(m.getAs[Double](s"${c}__max")))
+      if (n == 0) {
+        // all-null column: min/max/sum aggregates are NULL (getAs would unbox
+        // to a misleading 0.0) and mean/std would be 0/0 — report NaN instead
+        org.apache.spark.sql.Row(c, n, Double.NaN, Double.NaN, Double.NaN,
+          Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+      } else {
+        val s1 = m.getAs[Double](s"${c}__sum")
+        val s2 = m.getAs[Double](s"${c}__sum2")
+        val Seq(p25, p50, p75) = Await.result(pctFutures(c), Duration.Inf)
+        org.apache.spark.sql.Row(c, n,
+          r6(s1 / n),
+          if (n == 1) Double.NaN
+          else r6(math.sqrt(math.max(0.0, (s2 - s1 * s1 / n) / (n - 1)))),
+          r6(m.getAs[Double](s"${c}__min")), r6(p25), r6(p50), r6(p75),
+          r6(m.getAs[Double](s"${c}__max")))
+      }
     }
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -52,7 +52,13 @@ object Windows {
     val kc = keys.map(col)
     val ids = df.select(kc: _*).distinct()
       .withColumn(as, dense_rank().over(Window.orderBy(kc: _*)) - 1)
-    df.join(broadcast(ids), keys)
+    // null-safe equality: distinct() keeps a NULL-key group and DENSE_RANK
+    // ranks it, so the join back must match it too (a plain equi-join would
+    // silently drop NULL-key rows, diverging from denseGroupId)
+    val renamed = ids.select(
+      (keys.map(k => col(k).as(s"__k_$k")) :+ col(as)): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    df.join(broadcast(renamed), cond).drop(keys.map(k => s"__k_$k"): _*)
   }
 
   /** W6: windowed least-squares slope over an ordered 1-D neighborhood —

@@ -234,9 +234,10 @@ object QueriesC {
         FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
-  /** IVF-style ANN (coarse quantizer = label centroids, nprobe=3) — not
-    * SQL-expressible compactly; correctness vs brute force is covered by the
-    * recall spec in src/test.
+  /** IVF-style ANN (coarse quantizer = label centroids, nprobe=3). Fully
+    * oracle-mirrored: centroids are decimal-accumulated elementwise means
+    * (order-independent), probe ranking and the in-cell search both
+    * tie-break deterministically, so DuckDB reproduces the exact result.
     */
   val simsearchIvf: QueryDef = QueryDef(
     "simsearch_ivf",
@@ -246,7 +247,74 @@ object QueriesC {
           "vec_id", "embedding", "label", dim = 64, k = 5, nprobe = 3)
         .orderBy(col("qid"), col("rank"))
     },
-    None)
+    Some {
+      val centCols = (1 to 64).map(i =>
+        s"CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c$i")
+        .mkString(", ")
+      val qcDot = (1 to 64).map(i => s"CAST(qv[$i] AS DOUBLE) * c$i").mkString(" + ")
+      val cNorm = (1 to 64).map(i => s"c$i * c$i").mkString(" + ")
+      val qNorm = (1 to 64).map { i =>
+        s"CAST(qv[$i] AS DOUBLE) * CAST(qv[$i] AS DOUBLE)"
+      }.mkString(" + ")
+      val qeDot = (1 to 64).map(i =>
+        s"CAST(qv[$i] AS DOUBLE) * CAST(e.embedding[$i] AS DOUBLE)").mkString(" + ")
+      val eNorm = (1 to 64).map(i =>
+        s"CAST(e.embedding[$i] AS DOUBLE) * CAST(e.embedding[$i] AS DOUBLE)").mkString(" + ")
+      s"""WITH cent AS (SELECT label, $centCols FROM embeddings GROUP BY label),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        probes AS (SELECT qid, qv, label FROM (
+            SELECT q.qid, q.qv, cent.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ($qcDot) / (SQRT($qNorm) * SQRT($cNorm)) DESC, cent.label) AS prn
+            FROM q CROSS JOIN cent)
+          WHERE prn <= 3),
+        scored AS (SELECT qid, vb, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS rank
+          FROM (SELECT p.qid, e.vec_id AS vb,
+              ROUND(($qeDot) / (SQRT($qNorm) * SQRT($eNorm)), 6) AS cos
+            FROM probes p JOIN embeddings e ON e.label = p.label
+            WHERE e.vec_id <> p.qid))
+        SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM scored
+        WHERE rank <= 5 ORDER BY qid, rank"""
+    })
+
+  /** The pairs → clusters → corpus composition, ending in [[Dedup.canonicalize]]:
+    * the deduplicated corpus itself (one canonical doc per near-dup cluster,
+    * all unclustered docs kept).
+    */
+  val dedupCanonicalize: QueryDef = QueryDef(
+    "dedup_canonicalize",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.resolveClusters(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5,
+          maxDf = 1000))
+      Dedup.canonicalize(docs, clusters, "doc_id")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE sh_all AS (${shinglesSql(3)}),
+      sh AS (SELECT sh_all.* FROM sh_all
+             JOIN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 1000)
+             USING (sh)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      prs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      j AS (SELECT da, db, ROUND(c / (sa.sz + sb.sz - c), 6) AS jac
+            FROM prs JOIN sizes sa ON da = sa.doc_id
+                     JOIN sizes sb ON db = sb.doc_id),
+      pairs AS (SELECT da, db FROM j WHERE jac >= 0.5),
+      e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+      reach AS (
+        SELECT a, a AS b FROM (SELECT DISTINCT a FROM e)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (
+        SELECT a FROM (SELECT a, MIN(b) AS cluster_id FROM reach GROUP BY a)
+        WHERE a <> cluster_id)
+      ORDER BY doc_id"""))
 
   /** Per-document quality features. */
   val textQuality: QueryDef = QueryDef(
@@ -329,7 +397,7 @@ object QueriesC {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupExactDigest, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupEmbedding, dedupEmbeddingLsh, dedupClusters, simsearchTopK,
-    simsearchIvf, textQuality, textTokens, textLangId, textFingerprint,
-    multimodal, multimodalChunks)
+    dedupEmbedding, dedupEmbeddingLsh, dedupClusters, dedupCanonicalize,
+    simsearchTopK, simsearchIvf, textQuality, textTokens, textLangId,
+    textFingerprint, multimodal, multimodalChunks)
 }
