@@ -118,10 +118,13 @@ object TextAnalysis {
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    // min over the in-row hash array: zero shuffle, zero explode — a pure
-    // projection (was: explode + groupBy min, 1.5M-row shuffle at sf0.1)
-    df.select(col(idCol),
-      array_min(transform(grams, g => hash(g))).as("fingerprint"))
-      .filter(col("fingerprint").isNotNull)
+    // explode, hash in whole-stage codegen, then min with map-side partial
+    // aggregation — the shuffle carries one (id, long) per map partition.
+    // An in-row `array_min(transform(grams, hash))` variant avoids the
+    // explode but evaluates the hash INTERPRETED (higher-order-function
+    // lambdas don't codegen): measured 3× slower once scans parallelize.
+    df.select(col(idCol), explode(grams).as("g"))
+      .groupBy(col(idCol))
+      .agg(min(hash(col("g"))).as("fingerprint"))
   }
 }

@@ -134,6 +134,9 @@ object Agg {
       .filter(col("v").isNotNull)
       .sort(col("v"))
       .rdd.map(_.getDouble(0)).zipWithIndex().map { case (v, i) => (i, v) }
+    // always cache: zipWithIndex's internal partition-count job already
+    // executes the sort once, and the boundary-row pass below would re-sort
+    // from scratch without the materialization
     sorted.cache()
     try {
       val n = knownN.getOrElse(sorted.count())

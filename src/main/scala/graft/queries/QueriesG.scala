@@ -286,7 +286,12 @@ object QueriesG {
     (s, dir) => {
       import graft.llm.Similarity
       val emb = t(s, dir, "embeddings")
+      // materialize the cell assignment once: ivfTopK reads it three times
+      // (centroids, query side, search side) and each read would otherwise
+      // re-run the KMeans transform; this is the in-memory analogue of the
+      // persisted saveIndex layout
       val cells = Similarity.kmeansPartitions(emb, "vec_id", "embedding", nlist = 8)
+        .localCheckpoint()
       Similarity.ivfTopK(cells, cells.filter(col("vec_id") < 10),
           "vec_id", "embedding", "ivf_cell", dim = 64, k = 5, nprobe = 2)
         .orderBy(col("qid"), col("rank"))

@@ -26,6 +26,31 @@ class AggWindowsSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("denseGroupIdScalable keeps NULL-key rows and ranks the null group like denseGroupId") {
+    val d = df("id INT, k STRING",
+      Seq(R(1, "a"), R(2, null), R(3, "b"), R(4, null)))
+    val naive = Windows.denseGroupId(d, Seq("k"))
+      .select("id", "group_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    val scalable = Windows.denseGroupIdScalable(d, Seq("k"))
+      .select("id", "group_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(scalable.size == 4) // null-key rows survive the join back
+    assert(naive == scalable)
+  }
+
+  test("summaryStats short-circuits an all-null column to NaN instead of fake zeros") {
+    val d = df("full DOUBLE, empty DOUBLE",
+      Seq(R(1.0, null), R(2.0, null), R(3.0, null)))
+    val out = Agg.summaryStats(d, Seq("full", "empty")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("full").getLong(1) == 3 && out("full").getDouble(2) == 2.0)
+    val e = out("empty")
+    assert(e.getLong(1) == 0)
+    // every stat of a column with no data is NaN — not min=max=0.0
+    assert((2 to 8).forall(i => e.getDouble(i).isNaN))
+  }
+
   test("dbMean equals plain value for constant input, exceeds mean otherwise") {
     val d = df("g STRING, v DOUBLE", Seq(R("a", 30.0), R("a", 30.0)))
     val m = d.groupBy(col("g")).agg(Agg.dbMean(col("v")).as("m"))

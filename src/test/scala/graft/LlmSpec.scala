@@ -76,6 +76,25 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 7)
   }
 
+  test("resolveClusters: pointer doubling resolves a 200-deep chain within 10 iterations") {
+    // a path graph 1-2-...-200: plain min-label propagation needs ~199
+    // iterations; pointer doubling must finish in ceil(log2(199))+O(1)
+    val pairs = df("da BIGINT, db BIGINT",
+      (1L until 200L).map(i => R(i, i + 1)))
+    val out = Dedup.resolveClusters(pairs, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 200)
+    assert(out.values.forall(_ == 1L))
+  }
+
+  test("resolveClusters throws on non-convergence instead of returning partial labels") {
+    val pairs = df("da BIGINT, db BIGINT",
+      (1L until 200L).map(i => R(i, i + 1)))
+    assertThrows[IllegalStateException] {
+      Dedup.resolveClusters(pairs, maxIter = 2)
+    }
+  }
+
   test("canonicalize keeps one doc per cluster and all unclustered docs") {
     val pairs = df("da BIGINT, db BIGINT", Seq(R(1L, 2L), R(2L, 3L)))
     val clusters = Dedup.resolveClusters(pairs)
@@ -280,6 +299,20 @@ class LlmSpec extends SparkSpec {
     assert(out(0).format == "image/png" && out(0).width == 6 && out(0).height == 4)
     assert(math.abs(out(0).meanLuma - 128.0) < 1.0)
     assert(out(1).width == 3 && math.abs(out(1).meanLuma - 255.0) < 1e-9)
+  }
+
+  test("multimodal decodeImages drops corrupt payloads that pass the magic sniff") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(6, 4, BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val whole = bos.toByteArray
+    // truncated mid-stream: sniffs as PNG, decoder throws/returns null —
+    // the row must be dropped, never fail the job
+    val rows = Seq(R(1L, whole, "ok"), R(2L, whole.take(20), "truncated"))
+    val d = df("doc_id BIGINT, payload BINARY, text STRING", rows)
+    val out = Multimodal.decodeImages(d, "doc_id").collect()
+    assert(out.map(_.id).toSet == Set(1L))
   }
 
   test("multimodal decodeFeatures stub preserves batch plumbing") {
