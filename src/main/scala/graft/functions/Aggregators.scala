@@ -147,4 +147,62 @@ object Aggregators {
     override def bufferEncoder: Encoder[EDBuffer] = Encoders.product[EDBuffer]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  final case class Hit(score: Double, id: Long)
+  final case class TopKBuffer(scores: ArrayBuffer[Double], ids: ArrayBuffer[Long])
+
+  /** Bounded top-k by (score DESC, id ASC): the scale path for per-group
+    * ranking. A window `row_number() ... <= k` shuffles EVERY scored row to
+    * rank it; this aggregator keeps at most k candidates per partial buffer,
+    * so the exchange carries |groups|·k rows however large the scored
+    * relation is — the difference between shuffling |Q|×|C| similarity pairs
+    * and |Q|×k. Exact and partitioning-independent (deterministic id
+    * tie-break in both admit and merge).
+    */
+  class TopK(k: Int) extends Aggregator[(Double, Long), TopKBuffer, Seq[Hit]] {
+    require(k > 0, "k must be positive")
+
+    override def zero: TopKBuffer = TopKBuffer(ArrayBuffer.empty, ArrayBuffer.empty)
+
+    /** a strictly better than b under (score DESC, id ASC). */
+    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+
+    private def admit(b: TopKBuffer, s: Double, id: Long): Unit = {
+      if (b.scores.length < k) { b.scores += s; b.ids += id }
+      else {
+        // replace the current worst if the candidate beats it (k is small —
+        // the linear scan is cheaper than heap bookkeeping at these sizes)
+        var worst = 0
+        var i = 1
+        while (i < b.scores.length) {
+          if (better(b.scores(worst), b.ids(worst), b.scores(i), b.ids(i))) worst = i
+          i += 1
+        }
+        if (better(s, id, b.scores(worst), b.ids(worst))) {
+          b.scores(worst) = s; b.ids(worst) = id
+        }
+      }
+    }
+
+    override def reduce(b: TopKBuffer, in: (Double, Long)): TopKBuffer = {
+      if (!in._1.isNaN) admit(b, in._1, in._2)
+      b
+    }
+
+    override def merge(a: TopKBuffer, c: TopKBuffer): TopKBuffer = {
+      var i = 0
+      while (i < c.scores.length) { admit(a, c.scores(i), c.ids(i)); i += 1 }
+      a
+    }
+
+    override def finish(b: TopKBuffer): Seq[Hit] = {
+      val hits = b.scores.indices.map(i => Hit(b.scores(i), b.ids(i)))
+      hits.sortWith((x, y) => better(x.score, x.id, y.score, y.id)).toSeq
+    }
+
+    override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
+    override def outputEncoder: Encoder[Seq[Hit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Hit]]()
+  }
 }

@@ -46,6 +46,27 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vb"), col("cos"))
   }
 
+  /** Brute-force cosine top-k through the bounded [[graft.functions.Aggregators.TopK]]
+    * aggregator — identical output to [[bruteForceTopK]], different physics:
+    * the window variant shuffles every |Q|×|C| scored pair to rank it, this
+    * one keeps k candidates per map partition so the exchange carries
+    * |Q|×k rows per partition regardless of corpus size. The 100 TB shape.
+    */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, dim: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vb"), col(vecCol).as("eb"))
+    val cos = dot("qv", "eb", dim) / (sqrt(norm2("qv", dim)) * sqrt(norm2("eb", dim)))
+    val topk = udaf(new graft.functions.Aggregators.TopK(k))
+    broadcast(q).join(c, col("qid") =!= col("vb"))
+      .select(col("qid"), round(cos, 6).as("cos"), col("vb"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cos"), col("vb")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+              col("col.id").as("vb"), col("col.score").as("cos"))
+  }
+
   /** IVF with a learned coarse quantizer: MLlib KMeans over the corpus
     * assigns every vector a cluster id, which then serves as the partition
     * column for [[ivfTopK]] — the production shape (labels are rarely

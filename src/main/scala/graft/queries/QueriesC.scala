@@ -234,6 +234,29 @@ object QueriesC {
         FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** Brute-force top-k through the bounded TopK aggregator — same oracle as
+    * the window variant (results are identical); the plan shuffles |Q|×k
+    * partial buffers instead of every scored pair.
+    */
+  val simsearchTopKAgg: QueryDef = QueryDef(
+    "simsearch_topk_agg",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS vb,
+          ROUND((${dotSql("q", "c", 64)}) /
+            (SQRT(${normSql("q", 64)}) * SQRT(${normSql("c", 64)})), 6) AS cos,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND((${dotSql("q", "c", 64)}) /
+              (SQRT(${normSql("q", 64)}) * SQRT(${normSql("c", 64)})), 6) DESC,
+            c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
   /** IVF-style ANN (coarse quantizer = label centroids, nprobe=3). Fully
     * oracle-mirrored: centroids are decimal-accumulated elementwise means
     * (order-independent), probe ranking and the in-cell search both
@@ -398,6 +421,6 @@ object QueriesC {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupExactDigest, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupEmbeddingLsh, dedupClusters, dedupCanonicalize,
-    simsearchTopK, simsearchIvf, textQuality, textTokens, textLangId,
-    textFingerprint, multimodal, multimodalChunks)
+    simsearchTopK, simsearchTopKAgg, simsearchIvf, textQuality, textTokens,
+    textLangId, textFingerprint, multimodal, multimodalChunks)
 }

@@ -187,6 +187,24 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq.sortBy(_._1).map(_._2) == Seq(2L, 3L, 4L))
   }
 
+  test("bruteForceTopKAgg: identical to the window variant, no Window in the plan") {
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      (1 to 30).map(i => R(i.toLong,
+        Seq((math.cos(i / 5.0)).toFloat, (math.sin(i / 5.0)).toFloat))))
+    val q = d.filter(col("vec_id") <= 3)
+    val win = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 2, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val aggDf = Similarity.bruteForceTopKAgg(d, q, "vec_id", "embedding", 2, 4)
+    val agg = aggDf
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(agg == win)
+    // the scale property: ranking happens in a partial aggregation, never a
+    // per-group window sort over the full scored relation
+    val plan = aggDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("ivfTopK with nprobe = nlist equals brute force") {
     val d = df("vec_id BIGINT, label INT, embedding ARRAY<FLOAT>", Seq(
       R(1L, 0, Seq(1.0f, 0.0f)), R(2L, 0, Seq(0.9f, 0.1f)),
