@@ -12,19 +12,24 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact dot product with a fixed association order (left fold), so Spark
-    * and any SQL mirror produce bit-identical doubles. Codegen-friendly:
-    * unrolled column arithmetic, no UDF.
+    * and any SQL mirror produce bit-identical doubles (an unrolled `+` chain
+    * and `aggregate`'s left fold add in the same order; the 0.0 seed cannot
+    * change any sum). Array-fold form, NOT an unrolled 64-term chain: three
+    * unrolled cosines inside one join condition blow the generated method
+    * past Janino's 64 KB limit, killing whole-stage codegen for the entire
+    * stage — the fold keeps the expression tree tiny so the stage compiles,
+    * at the cost of interpreted per-element lambdas (measured net win).
+    * `dim` is the contract the caller asserts for both arrays.
     */
   def dot(aCol: String, bCol: String, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(col(aCol), i).cast("double") * element_at(col(bCol), i).cast("double"))
-      .reduce(_ + _)
+    aggregate(
+      zip_with(col(aCol), col(bCol), (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
 
   def norm2(aCol: String, dim: Int): Column =
-    (1 to dim).map { i =>
-      val v = element_at(col(aCol), i).cast("double")
-      v * v
-    }.reduce(_ + _)
+    aggregate(
+      transform(col(aCol), a => { val v = a.cast("double"); v * v }),
+      lit(0.0), (acc, x) => acc + x)
 
   def cosine(aCol: String, bCol: String, dim: Int): Column =
     dot(aCol, bCol, dim) / (sqrt(norm2(aCol, dim)) * sqrt(norm2(bCol, dim)))

@@ -124,6 +124,20 @@ object RT {
       }
   }
 
+  /** Streaming exact dedup for ingest pipelines: drop any document whose
+    * content digest already arrived within the watermark horizon — the
+    * streaming analogue of [[graft.llm.Dedup.exactByDigest]]. The dedup
+    * state holds 16-byte digests (never documents) and entries older than
+    * the watermark are evicted, so state is bounded by the horizon's unique
+    * content count however long the stream runs.
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__digest"))
+      .drop("__digest")
+
   // ---- R8: incremental day recompute --------------------------------------
 
   /** Dynamic partition overwrite on day partitions — re-running a day

@@ -170,6 +170,24 @@ class MlStreamGridSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated content within the watermark horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = input.toDS().toDF("ts", "text")
+    val q = RT.streamingDedup(docs, "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("streamdedup").outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((t(0), "alpha"), (t(1), "alpha"), (t(2), "beta"))
+      q.processAllAvailable()
+      input.addData((t(3), "alpha"), (t(4), "gamma")) // dup across batches
+      q.processAllAvailable()
+      val texts = spark.table("streamdedup").collect().map(_.getString(1))
+      assert(texts.sorted.toSeq == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("RF save/load round-trips the forest, slope and feature list") {
     import spark.implicits._
     val train = (1 to 100).map(i => ((i % 10).toDouble, i % 3.0, 2.0 * (i % 10)))
