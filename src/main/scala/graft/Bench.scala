@@ -15,9 +15,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JVM/codegen/scheduler startup must not bill the first query
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().count()
+    // warmup: JVM/codegen/scheduler startup must not bill the first query —
+    // touch each cold path the query classes share (scan+agg, partitioned
+    // window sort, broadcast join, explode+md5) on small slices
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy("l_returnflag").count().count()
+      val liS = li.filter(col("l_orderkey") % 1000 === 0)
+      liS.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))))
+        .agg(max(col("rn"))).count()
+      liS.join(broadcast(liS.select(col("l_orderkey")).limit(100)), Seq("l_orderkey"))
+        .count()
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+        .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+        .select(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+        .agg(min(col("h"))).count()
+    }
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -33,19 +33,24 @@ object RF {
   def fit(train: DataFrame, features: Seq[String], labelCol: String,
           numTrees: Int = 15, maxDepth: Int = 20,
           featureSubset: String = "7", seed: Long = 42L): FittedModel = {
-    val assembled = assembler(features).transform(train)
-    val rf = new RandomForestRegressor()
-      .setNumTrees(numTrees)
-      .setMaxDepth(math.min(maxDepth, 30))
-      .setFeatureSubsetStrategy(featureSubset)
-      .setLabelCol(labelCol)
-      .setFeaturesCol("features")
-      .setSeed(seed)
-      .fit(assembled)
-    val preds = rf.transform(assembled).select(col("prediction"), col(labelCol))
-    val slope = BiasCorrection.cdfSlope(preds, "prediction", labelCol)
-      .collect().head.getDouble(0)
-    FittedModel(rf, features, slope)
+    // cache: the assembled relation feeds the (multi-pass) forest fit AND
+    // the training-prediction pass the BC slope needs; the slope collect
+    // below is eager, so the cache can be released before returning
+    val assembled = assembler(features).transform(train).cache()
+    try {
+      val rf = new RandomForestRegressor()
+        .setNumTrees(numTrees)
+        .setMaxDepth(math.min(maxDepth, 30))
+        .setFeatureSubsetStrategy(featureSubset)
+        .setLabelCol(labelCol)
+        .setFeaturesCol("features")
+        .setSeed(seed)
+        .fit(assembled)
+      val preds = rf.transform(assembled).select(col("prediction"), col(labelCol))
+      val slope = BiasCorrection.cdfSlope(preds, "prediction", labelCol)
+        .collect().head.getDouble(0)
+      FittedModel(rf, features, slope)
+    } finally assembled.unpersist()
   }
 
   /** Predict with BC + non-negativity clamp (reference: rfdefinitions.py:205-242). */
