@@ -107,6 +107,22 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Corpus vocabulary: per-token occurrence count and document frequency,
+    * global top-n by (count DESC, token ASC) — the tokenizer-training /
+    * vocab-building aggregation. One explode + one two-phase aggregation;
+    * the global top-n plans as TakeOrderedAndProject: each partition keeps
+    * n candidates and the driver merges |partitions|·n rows, so no global
+    * sort exists at any corpus size.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 100): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_total"),
+           countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_total").desc, col("tok"))
+      .limit(n)
+
   /** Document fingerprint: min 60-bit hash over word 5-gram shingles —
     * a winnowing-style rolling fingerprint; identical/near-identical prefixes
     * of content produce identical fingerprints.

@@ -36,6 +36,14 @@ object Queries {
   /** Matching SQL fragment for the DuckDB oracle. */
   private def dsumSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(27,10))) AS DOUBLE)"
+  /** Pure-sum output columns: round in DECIMAL space, THEN cast to double.
+    * Rounding the already-cast double at 6 dp is 1-ULP ambiguous across
+    * engines once the sum exceeds ~2^33 (observed at sf0.1); rounding the
+    * exact decimal makes both engines convert the identical decimal. */
+  private def dsum6(c: Column): Column =
+    round(sum(c.cast("decimal(27,10)")), 6).cast("double")
+  private def dsum6Sql(expr: String): String =
+    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 6) AS DOUBLE)"
 
   private def dmean(c: Column): Column = dsum(c) / count(c)
   private def dmeanSql(expr: String): String =
@@ -57,17 +65,17 @@ object Queries {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
       li.groupBy($"l_returnflag", $"l_linestatus").agg(
-          r6(dsum($"l_quantity")).as("sum_qty"),
-          r6(dsum($"l_extendedprice")).as("sum_price"),
-          r6(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"),
+          dsum6($"l_quantity").as("sum_qty"),
+          dsum6($"l_extendedprice").as("sum_price"),
+          dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
           r6(dmean($"l_discount")).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some(s"""SELECT l_returnflag, l_linestatus,
-      ROUND(${dsumSql("l_quantity")}, 6) AS sum_qty,
-      ROUND(${dsumSql("l_extendedprice")}, 6) AS sum_price,
-      ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,
+      ${dsum6Sql("l_quantity")} AS sum_qty,
+      ${dsum6Sql("l_extendedprice")} AS sum_price,
+      ${dsum6Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
       ROUND(${dmeanSql("l_discount")}, 6) AS avg_disc,
       COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -112,7 +120,7 @@ object Queries {
       val incoming = e.filter($"ts" >= lit("2024-01-10").cast("timestamp"))
       Relational.incrementalMerge(existing, incoming, Seq("event_id"))
         .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), r6(dsum($"value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dsum6($"value").as("sum_value"))
         .orderBy($"event_type")
     },
     Some(s"""WITH existing AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
@@ -120,7 +128,7 @@ object Queries {
       merged AS (SELECT * FROM existing
                  UNION ALL
                  SELECT * FROM incoming WHERE event_id NOT IN (SELECT event_id FROM existing))
-      SELECT event_type, COUNT(*) AS n, ROUND(${dsumSql("value")}, 6) AS sum_value
+      SELECT event_type, COUNT(*) AS n, ${dsum6Sql("value")} AS sum_value
       FROM merged GROUP BY event_type ORDER BY event_type"""))
 
   /** P1/P2: SQL gateway with the `UT(` → `UNIX_TIMESTAMP(` macro rewrite. */
@@ -135,7 +143,7 @@ object Queries {
            GROUP BY event_type ORDER BY event_type""")
     },
     Some(s"""SELECT event_type, COUNT(*) AS n,
-      ROUND(${dsumSql("value")}, 6) AS sum_value
+      ${dsum6Sql("value")} AS sum_value
       FROM events WHERE ${epochSql("ts")} >= 1704412800
       GROUP BY event_type ORDER BY event_type"""))
 
@@ -147,10 +155,10 @@ object Queries {
                             lit("2024-01-12").cast("timestamp")))
       .withColumn("bucket", Phys.floorToCadence(epochS($"ts"), 600L))
       .groupBy($"bucket")
-      .agg(count(lit(1)).as("n"), r6(dsum($"value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum6($"value").as("sum_value"))
       .orderBy($"bucket"),
     Some(s"""SELECT (${epochSql("ts")} - ${epochSql("ts")} % 600) AS bucket,
-      COUNT(*) AS n, ROUND(${dsumSql("value")}, 6) AS sum_value
+      COUNT(*) AS n, ${dsum6Sql("value")} AS sum_value
       FROM events
       WHERE ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-12'
       GROUP BY 1 ORDER BY 1"""))
@@ -192,9 +200,9 @@ object Queries {
         !(($"l_quantity" > 40.0) && ($"l_extendedprice" < 20000.0)) &&
         !(($"l_quantity" < 5.0) && ($"l_extendedprice" > 80000.0)))
       .groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("n"), r6(dsum($"l_quantity")).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), dsum6($"l_quantity").as("sum_qty"))
       .orderBy($"l_returnflag"),
-    Some(s"""SELECT l_returnflag, COUNT(*) AS n, ROUND(${dsumSql("l_quantity")}, 6) AS sum_qty
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${dsum6Sql("l_quantity")} AS sum_qty
       FROM lineitem
       WHERE NOT (l_quantity > 40.0 AND l_extendedprice < 20000.0)
         AND NOT (l_quantity < 5.0 AND l_extendedprice > 80000.0)
@@ -209,11 +217,11 @@ object Queries {
       o.join(li, o("o_orderkey") === li("l_orderkey"))
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"),
-             r6(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+             dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
         .orderBy($"o_orderpriority")
     },
     Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
-      ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue
+      ${dsum6Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
@@ -228,13 +236,13 @@ object Queries {
         .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
         .groupBy($"p_brand")
         .agg(count(lit(1)).as("n"),
-             r6(dsum($"l_extendedprice")).as("sum_price"),
-             r6(dsum($"p_retailprice" * $"l_quantity")).as("retail_value"))
+             dsum6($"l_extendedprice").as("sum_price"),
+             dsum6($"p_retailprice" * $"l_quantity").as("retail_value"))
         .orderBy($"p_brand")
     },
     Some(s"""SELECT p_brand, COUNT(*) AS n,
-      ROUND(${dsumSql("l_extendedprice")}, 6) AS sum_price,
-      ROUND(${dsumSql("p_retailprice * l_quantity")}, 6) AS retail_value
+      ${dsum6Sql("l_extendedprice")} AS sum_price,
+      ${dsum6Sql("p_retailprice * l_quantity")} AS retail_value
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -269,10 +277,10 @@ object Queries {
     (s, dir) => Relational.wetPeriodFilter(
         t(s, dir, "events"), "user_id", "ts", "value", 200.0)
       .groupBy($"user_id", Phys.floorToCadence(epochS($"ts"), 3600L).as("hour_e"))
-      .agg(count(lit(1)).as("n"), r6(dsum($"value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum6($"value").as("sum_value"))
       .orderBy($"user_id", $"hour_e"),
     Some(s"""SELECT user_id, (${epochSql("ts")} - ${epochSql("ts")} % 3600) AS hour_e,
-      COUNT(*) AS n, ROUND(${dsumSql("value")}, 6) AS sum_value
+      COUNT(*) AS n, ${dsum6Sql("value")} AS sum_value
       FROM events GROUP BY 1, 2 HAVING SUM(value) >= 200.0
       ORDER BY user_id, hour_e"""))
 
@@ -282,10 +290,10 @@ object Queries {
     (s, dir) => Relational.fullPeriodFilter(
         t(s, dir, "events"), "user_id", "ts", 2L)
       .groupBy($"user_id", Phys.floorToCadence(epochS($"ts"), 3600L).as("hour_e"))
-      .agg(count(lit(1)).as("n"), r6(dsum($"value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum6($"value").as("sum_value"))
       .orderBy($"user_id", $"hour_e"),
     Some(s"""SELECT user_id, (${epochSql("ts")} - ${epochSql("ts")} % 3600) AS hour_e,
-      COUNT(*) AS n, ROUND(${dsumSql("value")}, 6) AS sum_value
+      COUNT(*) AS n, ${dsum6Sql("value")} AS sum_value
       FROM events GROUP BY 1, 2 HAVING COUNT(*) = 2
       ORDER BY user_id, hour_e"""))
 
@@ -296,12 +304,12 @@ object Queries {
       .groupBy($"l_returnflag")
       .agg(r6(dmean($"l_quantity")).as("qty_mean"),
            r6(log10(dmean(pow(lit(10.0), $"l_quantity" * 0.1))) * 10.0).as("qty_dbmean"),
-           r6(dsum($"l_tax")).as("tax_sum"))
+           dsum6($"l_tax").as("tax_sum"))
       .orderBy($"l_returnflag"),
     Some(s"""SELECT l_returnflag,
       ROUND(${dmeanSql("l_quantity")}, 6) AS qty_mean,
       ROUND(LOG10(${dmeanSql("POW(10.0, l_quantity * 0.1)")}) * 10.0, 6) AS qty_dbmean,
-      ROUND(${dsumSql("l_tax")}, 6) AS tax_sum
+      ${dsum6Sql("l_tax")} AS tax_sum
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** A3: vertical aggregation — weighted means + weighted one-hot proportions
@@ -355,13 +363,13 @@ object Queries {
       .withColumn("y", ($"event_id" % 7).cast("int"))
       .withColumn("v", when($"value" > 10.0, $"value"))
       .groupBy($"x", $"y")
-      .agg(r6(dsum($"v")).as("sum_v"),
+      .agg(dsum6($"v").as("sum_v"),
            count($"v").as("n_v"),
            r6(dsum($"v") / count($"v")).as("mean_v"),
            max($"v".isNotNull).as("any_valid"))
       .orderBy($"x", $"y"),
     Some(s"""SELECT CAST(user_id % 16 AS INT) AS x, CAST(event_id % 7 AS INT) AS y,
-      ROUND(${dsumSql("CASE WHEN value > 10.0 THEN value END")}, 6) AS sum_v,
+      ${dsum6Sql("CASE WHEN value > 10.0 THEN value END")} AS sum_v,
       COUNT(CASE WHEN value > 10.0 THEN value END) AS n_v,
       ROUND(${dsumSql("CASE WHEN value > 10.0 THEN value END")} / COUNT(CASE WHEN value > 10.0 THEN value END), 6) AS mean_v,
       MAX(value > 10.0) AS any_valid

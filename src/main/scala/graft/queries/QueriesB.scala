@@ -22,6 +22,14 @@ object QueriesB {
   private def dsum(c: Column): Column = sum(c.cast("decimal(27,10)")).cast("double")
   private def dsumSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(27,10))) AS DOUBLE)"
+  /** Pure-sum output columns: round in DECIMAL space, THEN cast to double.
+    * Rounding the already-cast double at 6 dp is 1-ULP ambiguous across
+    * engines once the sum exceeds ~2^33 (observed at sf0.1); rounding the
+    * exact decimal makes both engines convert the identical decimal. */
+  private def dsum6(c: Column): Column =
+    round(sum(c.cast("decimal(27,10)")), 6).cast("double")
+  private def dsum6Sql(expr: String): String =
+    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 6) AS DOUBLE)"
   private def dmeanSql(expr: String): String =
     s"(${dsumSql(expr)} / COUNT($expr))"
   private val r6 = (c: Column) => round(c, 6)
@@ -180,25 +188,32 @@ object QueriesB {
     (s, dir) => t(s, dir, "events")
       .withColumn("dn", Phys.searchSorted($"value", Seq(10.0, 25.0, 50.0, 100.0, 150.0)))
       .groupBy($"dn")
-      .agg(count(lit(1)).as("n"), r6(dsum($"value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum6($"value").as("sum_value"))
       .orderBy($"dn"),
     Some(s"""SELECT (CASE WHEN value >= 10.0 THEN 1 ELSE 0 END
         + CASE WHEN value >= 25.0 THEN 1 ELSE 0 END
         + CASE WHEN value >= 50.0 THEN 1 ELSE 0 END
         + CASE WHEN value >= 100.0 THEN 1 ELSE 0 END
         + CASE WHEN value >= 150.0 THEN 1 ELSE 0 END) AS dn,
-      COUNT(*) AS n, ROUND(${dsumSql("value")}, 6) AS sum_value
+      COUNT(*) AS n, ${dsum6Sql("value")} AS sum_value
       FROM events GROUP BY 1 ORDER BY 1"""))
 
-  /** F7: Kochendorfer catch-efficiency wind adjustment (regime-split CE). */
+  /** F7: Kochendorfer catch-efficiency wind adjustment (regime-split CE).
+    * The compared aggregate is the per-group MEAN, not the sum: EXP differs
+    * between the JVM and libm by 1 ULP on some inputs, and under a SUM those
+    * per-row discrepancies ACCUMULATE linearly with row count (measured
+    * 2e-6 on the exact decimal sum at sf0.1 — past any rounding). Under a
+    * mean they shrink with the divisor, so the comparison is scale-stable.
+    */
   val f7CatchEff: QueryDef = QueryDef(
     "f7_catch_efficiency",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
       val temp = $"l_discount" * 100.0 - 5.0
       val wind = $"l_quantity" / 5.0
+      val adj = Phys.windAdjustedPrecip($"l_extendedprice", temp, wind)
       li.groupBy($"l_returnflag")
-        .agg(r6(dsum(Phys.windAdjustedPrecip($"l_extendedprice", temp, wind))).as("sum_adj"),
+        .agg(r6(dsum(adj) / count(lit(1))).as("mean_adj"),
              count(lit(1)).as("n"))
         .orderBy($"l_returnflag")
     },
@@ -208,7 +223,7 @@ object QueriesB {
           THEN 0.865 * EXP(-0.298 * LEAST(l_quantity / 5.0, 9.0)) + 0.225
         WHEN (l_discount * 100.0 - 5.0) <= 2.0
           THEN 0.624 * EXP(-0.185 * LEAST(l_quantity / 5.0, 9.0)) + 0.364
-        ELSE 1.0 END)""")}, 6) AS sum_adj,
+        ELSE 1.0 END)""")} / COUNT(*), 6) AS mean_adj,
       COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
@@ -327,11 +342,11 @@ object QueriesB {
     "f16_zr_proxy",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(r6(dsum(Phys.zrProxy(Phys.dbToLin($"l_quantity")))).as("sum_rproxy"),
+      .agg(dsum6(Phys.zrProxy(Phys.dbToLin($"l_quantity"))).as("sum_rproxy"),
            count(lit(1)).as("n"))
       .orderBy($"l_returnflag"),
     Some(s"""SELECT l_returnflag,
-      ROUND(${dsumSql("POW(POW(10.0, l_quantity * 0.1) / 316.0, 1.0 / 1.5)")}, 6) AS sum_rproxy,
+      ${dsum6Sql("POW(POW(10.0, l_quantity * 0.1) / 316.0, 1.0 / 1.5)")} AS sum_rproxy,
       COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
@@ -348,7 +363,7 @@ object QueriesB {
         .filter(dayofmonth($"o_orderdate") <= 7)
       o.join(manifest, Seq("o_orderdate"), "left_semi")
         .groupBy(month($"o_orderdate").as("m"))
-        .agg(count(lit(1)).as("n"), r6(dsum($"o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"), dsum6($"o_totalprice").as("sum_price"))
         .orderBy($"m")
     },
     Some(s"""WITH manifest AS (
@@ -356,7 +371,7 @@ object QueriesB {
         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
           AND EXTRACT(day FROM o_orderdate) <= 7)
       SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
-        COUNT(*) AS n, ROUND(${dsumSql("o_totalprice")}, 6) AS sum_price
+        COUNT(*) AS n, ${dsum6Sql("o_totalprice")} AS sum_price
       FROM orders WHERE o_orderdate IN (SELECT o_orderdate FROM manifest)
       GROUP BY 1 ORDER BY 1"""))
 

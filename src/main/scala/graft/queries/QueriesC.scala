@@ -393,6 +393,20 @@ object QueriesC {
       ORDER BY d.doc_id"""
     })
 
+  /** Corpus vocabulary top-100: occurrence + document frequency per token,
+    * global top-n as TakeOrderedAndProject (partition-local candidates, no
+    * global sort).
+    */
+  val textVocab: QueryDef = QueryDef(
+    "text_vocab",
+    (s, dir) => TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text",
+        n = 100)
+      .orderBy(col("n_total").desc, col("tok")),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+      SELECT tok, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+      FROM tok GROUP BY tok
+      ORDER BY n_total DESC, tok LIMIT 100"""))
+
   /** Winnowing-style document fingerprint (min hash over 5-gram shingles). */
   val textFingerprint: QueryDef = QueryDef(
     "text_fingerprint",
@@ -422,5 +436,5 @@ object QueriesC {
     dedupExact, dedupExactDigest, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupEmbeddingLsh, dedupClusters, dedupCanonicalize,
     simsearchTopK, simsearchTopKAgg, simsearchIvf, textQuality, textTokens,
-    textLangId, textFingerprint, multimodal, multimodalChunks)
+    textLangId, textVocab, textFingerprint, multimodal, multimodalChunks)
 }

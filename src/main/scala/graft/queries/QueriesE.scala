@@ -21,6 +21,14 @@ object QueriesE {
   private def dsum(c: Column): Column = sum(c.cast("decimal(27,10)")).cast("double")
   private def dsumSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(27,10))) AS DOUBLE)"
+  /** Pure-sum output columns: round in DECIMAL space, THEN cast to double.
+    * Rounding the already-cast double at 6 dp is 1-ULP ambiguous across
+    * engines once the sum exceeds ~2^33 (observed at sf0.1); rounding the
+    * exact decimal makes both engines convert the identical decimal. */
+  private def dsum6(c: Column): Column =
+    round(sum(c.cast("decimal(27,10)")), 6).cast("double")
+  private def dsum6Sql(expr: String): String =
+    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 6) AS DOUBLE)"
   private val r6 = (c: Column) => round(c, 6)
   private def epochS(c: Column): Column = unix_timestamp(c)
   private val epochSql = (e: String) => s"CAST(FLOOR(EPOCH($e)) AS BIGINT)"
@@ -34,7 +42,7 @@ object QueriesE {
       val e = t(s, dir, "events")
       val hourly = e.groupBy($"user_id",
           Phys.floorToCadence(epochS($"ts"), 3600L).as("hour_e"))
-        .agg(r6(dsum($"value")).as("hv"))
+        .agg(dsum6($"value").as("hv"))
       e.withColumn("hour_e", Phys.floorToCadence(epochS($"ts"), 3600L))
         .join(hourly, Seq("user_id", "hour_e"), "left")
         .select($"event_id", $"user_id", $"hour_e", $"hv")
@@ -42,7 +50,7 @@ object QueriesE {
     },
     Some(s"""WITH hourly AS (
         SELECT user_id, (${epochSql("ts")} - ${epochSql("ts")} % 3600) AS hour_e,
-               ROUND(${dsumSql("value")}, 6) AS hv
+               ${dsum6Sql("value")} AS hv
         FROM events GROUP BY 1, 2)
       SELECT e.event_id, e.user_id,
              (${epochSql("e.ts")} - ${epochSql("e.ts")} % 3600) AS hour_e, h.hv
@@ -143,7 +151,7 @@ object QueriesE {
       val cells = t(s, dir, "events")
         .groupBy(($"user_id" % 16).cast("int").as("chx"),
                  ($"event_id" % 7).cast("int").as("chy"))
-        .agg(r6(dsum($"value")).as("v"))
+        .agg(dsum6($"value").as("v"))
       val off = lit((-1 to 1).toArray)
       val n = count($"v")
       val sx = dsum($"v")
@@ -162,7 +170,7 @@ object QueriesE {
     },
     Some(s"""WITH cells AS (
         SELECT CAST(user_id % 16 AS INT) AS chx, CAST(event_id % 7 AS INT) AS chy,
-               ROUND(${dsumSql("value")}, 6) AS v
+               ${dsum6Sql("value")} AS v
         FROM events GROUP BY 1, 2),
       scattered AS (
         SELECT c.chx + dx.g AS chx, c.chy + dy.g AS chy, c.v

@@ -18,6 +18,14 @@ object QueriesG {
   private def dsum(c: Column): Column = sum(c.cast("decimal(27,10)")).cast("double")
   private def dsumSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(27,10))) AS DOUBLE)"
+  /** Pure-sum output columns: round in DECIMAL space, THEN cast to double.
+    * Rounding the already-cast double at 6 dp is 1-ULP ambiguous across
+    * engines once the sum exceeds ~2^33 (observed at sf0.1); rounding the
+    * exact decimal makes both engines convert the identical decimal. */
+  private def dsum6(c: Column): Column =
+    round(sum(c.cast("decimal(27,10)")), 6).cast("double")
+  private def dsum6Sql(expr: String): String =
+    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 6) AS DOUBLE)"
 
   /** Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, revenue per
     * order, top 10 by (revenue desc, orderkey).
@@ -33,7 +41,7 @@ object QueriesG {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
                 unix_timestamp(col("o_orderdate")).as("orderdate_e"))
@@ -41,7 +49,7 @@ object QueriesG {
         .limit(10)
     },
     Some(s"""SELECT l_orderkey,
-        ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,
+        ${dsum6Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS orderdate_e
       FROM customer
       JOIN orders ON c_custkey = o_custkey
@@ -71,12 +79,12 @@ object QueriesG {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n"))
         .orderBy(col("n_name"))
     },
     Some(s"""SELECT n_name,
-        ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,
+        ${dsum6Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         COUNT(*) AS n
       FROM customer
       JOIN orders ON c_custkey = o_custkey
@@ -212,13 +220,13 @@ object QueriesG {
         .filter(col("cust_nation") =!= col("supp_nation"))
         .groupBy(col("cust_nation"), col("supp_nation"),
                  year(col("l_shipdate")).as("l_year"))
-        .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n"))
         .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
     },
     Some(s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
-        ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,
+        ${dsum6Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         COUNT(*) AS n
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -239,13 +247,13 @@ object QueriesG {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
     Some(s"""SELECT c_custkey, c_name,
-        ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,
+        ${dsum6Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         COUNT(*) AS n
       FROM customer
       JOIN orders ON c_custkey = o_custkey

@@ -126,6 +126,18 @@ class LlmSpec extends SparkSpec {
     assert(orig == back)
   }
 
+  test("vocabulary: occurrence + doc frequency, top-n without a global sort") {
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text", n = 3)
+    val rows = v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "the" appears 3x in docs 1/2/4 each = 9 total across 3 docs
+    assert(rows.head == (("the", 9L, 3L)))
+    assert(rows.length == 3)
+    // n_total descending, token ascending on ties
+    assert(rows.map(-_._2).toSeq == rows.map(-_._2).sorted.toSeq)
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("simhash16: identical docs hash equal, disjoint docs differ") {
     val out = Dedup.simhash16(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
