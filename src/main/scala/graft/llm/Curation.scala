@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, deterministic sampling, and PII redaction — the
+  * curation steps that sit between dedup and tokenization in a 100 TB
+  * pipeline. All are single-pass column expressions, bounded broadcasts,
+  * or one keyed shuffle; no RNG state, so every run (and every engine)
+  * produces the identical sample/score.
+  */
+object Curation {
+
+  /** Benchmark decontamination: for each corpus document, the fraction of
+    * its distinct word n-grams that appear anywhere in the benchmark set
+    * (the standard eval-contamination check before training).
+    *
+    * Scale shape: the benchmark shingle set is small by definition (eval
+    * suites are MBs, not TBs) → distinct once and broadcast; the corpus
+    * side is one shingle explode + ONE aggregation on doc id (the hit flag
+    * rides along as a broadcast-joined 0/1, so totals and hits come out of
+    * the same shuffle). Documents shorter than n tokens have no shingles:
+    * they surface with n_grams = 0, overlap 0.0, not flagged.
+    */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         threshold: Double = 0.2): DataFrame = {
+    val benchSh = Dedup.shingles(benchmark, idCol, textCol, n)
+      .select(col("sh")).distinct().withColumn("__hit", lit(1L))
+    val perDoc = Dedup.shingles(corpus, idCol, textCol, n)
+      .join(broadcast(benchSh), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+           coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "n_hit"))
+      .withColumn("overlap",
+        when(col("n_grams") > 0,
+          round(col("n_hit").cast("double") / col("n_grams"), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
+
+  /** Hash bucket in [0, 1e6) from the row id + salt — the deterministic
+    * coin every sampling operator here flips. md5-based so the DuckDB
+    * oracle can mirror it bit-for-bit; production pipelines can swap in
+    * [[TextAnalysis.fastHash64]] (same downstream semantics, ~10× cheaper).
+    */
+  def sampleBucket(id: Column, salt: String): Column =
+    TextAnalysis.md5Long(concat(id.cast("string"), lit(salt))) % 1000000L
+
+  /** Deterministic stratified Bernoulli sample: keep a row iff its hash
+    * bucket falls under the stratum's rate. A pure filter — no shuffle, no
+    * RNG state, independent of partitioning and input order, reproducible
+    * across runs and engines; each stratum is sampled at its own rate
+    * (exact in expectation). Strata missing from `rates` use `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "graft"): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(sampleBucket(col(idCol), salt).cast("double") < rate * 1e6)
+  }
+
+  /** Deterministic per-stratum "reservoir": the k rows with the smallest
+    * hash values in each stratum — a uniform-without-replacement sample
+    * that is stable across runs, engines, and input order. One shuffle on
+    * the stratum key. For very hot strata the bounded-buffer alternative
+    * is [[graft.functions.Aggregators.TopK]]'s pattern (partial top-k per
+    * partition, |strata|×k exchange rows); the window form is kept here
+    * because the 60-bit hash exceeds double precision and the oracle
+    * compare needs exact long ordering.
+    */
+  def hashReservoir(df: DataFrame, idCol: String, strataCol: String,
+                    k: Int, salt: String = "graft"): DataFrame = {
+    val h = TextAnalysis.md5Long(concat(col(idCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Email / phone patterns chosen to behave identically under Java regex
+    * (Spark) and RE2 (DuckDB): character classes + `\b` only, no lookaround.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII redaction: count and mask email / phone-shaped spans. Pure
+    * codegen'd projection — regexp_extract_all for the counts,
+    * regexp_replace for the masking; no shuffle, linear at any scale.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+                     PhonePattern, "<PHONE>").as("redacted"))
+}

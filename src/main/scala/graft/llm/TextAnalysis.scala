@@ -123,6 +123,56 @@ object TextAnalysis {
       .orderBy(col("n_total").desc, col("tok"))
       .limit(n)
 
+  /** Per-(document, token) TF-IDF with the smoothed idf
+    * `ln((1 + N) / (1 + df)) + 1` (sklearn's smooth_idf form — never
+    * zero/negative, defined for unseen terms). N arrives as a broadcast
+    * 1-row corpus-count relation, NOT a driver-side `count()`: the plan
+    * stays lazy and fully distributed. Two keyed aggregations ((doc,tok)
+    * then tok), both with map-side partial combine.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_corpus"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(1.0) + col("n_corpus")) /
+                               (lit(1.0) + col("df"))) + 1.0), 6))
+      .select(col(idCol), col("tok"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** BM25 relevance of every document to a fixed bag of query terms
+    * (k1/b = the standard 1.2/0.75). The per-term stats are computed on
+    * the term-filtered token relation only (|terms| × |docs| upper bound,
+    * usually far sparser), then joined back to the per-doc length — one
+    * broadcastable stats relation, one keyed join; avgdl and N are 1-row
+    * broadcast aggregates. idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docLen = df.select(col(idCol),
+      size(tokens(col(textCol))).cast("double").as("dl"))
+    val corpus = docLen.select(
+      count(lit(1)).cast("double").as("n_corpus"),
+      avg(col("dl")).as("avgdl"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_corpus") - col("df") + 0.5) / (col("df") + 0.5))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .withColumn("term_score",
+        idf * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("term_score")), 6).as("bm25"),
+           count(lit(1)).as("n_terms_hit"))
+  }
+
   /** Document fingerprint: min 60-bit hash over word 5-gram shingles —
     * a winnowing-style rolling fingerprint; identical/near-identical prefixes
     * of content produce identical fingerprints.

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Core
+import graft.llm.{Curation, TextAnalysis}
+
+/** Batch 8: corpus-curation operators — benchmark decontamination,
+  * TF-IDF / BM25 term relevance, deterministic stratified + reservoir
+  * sampling, PII redaction. The curation steps between dedup and
+  * tokenization in a training-data pipeline, each with an exact DuckDB
+  * oracle.
+  */
+object QueriesH {
+  import Queries.QueryDef
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.table(s, dir, name)
+
+  private val toksSql = "regexp_extract_all(lower(text), '\\S+')"
+  private def md5LongSql(e: String): String =
+    s"CAST(CONCAT('0x', SUBSTRING(md5($e), 1, 15)) AS BIGINT)"
+  /** DuckDB mirror of Curation.sampleBucket. */
+  private def bucketSql(idExpr: String, salt: String): String =
+    s"${md5LongSql(s"CAST($idExpr AS VARCHAR) || '$salt'")} % 1000000"
+  private def shinglesFromSql(src: String, n: Int): String =
+    s"""SELECT DISTINCT doc_id, unnest([array_to_string(w[g : g + ${n - 1}], ' ')
+        for g in generate_series(1, len(w) - ${n - 1})]) AS sh
+        FROM (SELECT doc_id, $toksSql AS w FROM $src)"""
+
+  /** Benchmark decontamination: overlap of each corpus doc's distinct word
+    * 3-grams with a benchmark slice (doc_id % 20 = 0), flag at ≥ 20 %.
+    */
+  val decontaminate: QueryDef = QueryDef(
+    "curation_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contaminationScore(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 3, threshold = 0.2)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+      bench AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+      csh AS (${shinglesFromSql("corpus", 3)}),
+      bsh AS (SELECT DISTINCT sh FROM (${shinglesFromSql("bench", 3)})),
+      agg AS (SELECT doc_id, COUNT(*) AS n_grams,
+                CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bsh)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              FROM csh GROUP BY doc_id)
+      SELECT c.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+        COALESCE(a.n_hit, 0) AS n_hit,
+        CASE WHEN COALESCE(a.n_grams, 0) > 0
+             THEN ROUND(CAST(a.n_hit AS DOUBLE) / a.n_grams, 6)
+             ELSE 0.0 END AS overlap,
+        (CASE WHEN COALESCE(a.n_grams, 0) > 0
+              THEN ROUND(CAST(a.n_hit AS DOUBLE) / a.n_grams, 6)
+              ELSE 0.0 END) >= 0.2 AS contaminated
+      FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
+      ORDER BY c.doc_id"""))
+
+  /** Top-3 TF-IDF terms per document (smoothed idf, deterministic
+    * (tfidf DESC, token ASC) tie-break). Partitioned window — no global
+    * sort; the heavy relation is the (doc, token) tf table, aggregated
+    * with map-side partial combine before either shuffle.
+    */
+  val tfidfTopK: QueryDef = QueryDef(
+    "text_tfidf_topk",
+    (s, dir) => {
+      val scored = TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok"))
+      scored.withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_corpus FROM documents),
+      scored AS (SELECT doc_id, t.tok, t.tf, d.df,
+          ROUND(t.tf * (LN((1.0 + n.n_corpus) / (1.0 + d.df)) + 1.0), 6) AS tfidf
+        FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
+      rk AS (SELECT *, CAST(ROW_NUMBER() OVER
+          (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rk
+        FROM scored)
+      SELECT doc_id, tok, tf, df, tfidf, rk FROM rk WHERE rk <= 3
+      ORDER BY doc_id, rk"""))
+
+  /** BM25 top-20 documents for a fixed query-term bag. The global top-20
+    * plans as TakeOrderedAndProject (partition-local candidates).
+    */
+  val bm25Rank: QueryDef = QueryDef(
+    "text_bm25_rank",
+    (s, dir) => TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("hash", "merge", "scan"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20),
+    Some(s"""WITH dl AS (SELECT doc_id, CAST(LEN($toksSql) AS DOUBLE) AS dl
+        FROM documents),
+      corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_corpus, AVG(dl) AS avgdl
+        FROM dl),
+      tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+        WHERE tok IN ('hash', 'merge', 'scan') GROUP BY 1, 2),
+      dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+      SELECT t.doc_id,
+        ROUND(SUM(LN(1.0 + (c.n_corpus - d.df + 0.5) / (d.df + 0.5))
+          * (t.tf * (1.2 + 1.0))
+          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl))), 6) AS bm25,
+        COUNT(*) AS n_terms_hit
+      FROM tf t JOIN dfreq d USING (tok) JOIN dl l USING (doc_id)
+        CROSS JOIN corpus c
+      GROUP BY t.doc_id ORDER BY bm25 DESC, t.doc_id LIMIT 20"""))
+
+  /** Deterministic stratified Bernoulli sample: en at 50 %, de at 25 %,
+    * everything else at 10 % — a pure hash filter, no shuffle.
+    */
+  val sampleStratified: QueryDef = QueryDef(
+    "sample_stratified",
+    (s, dir) => Curation.stratifiedSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, lang FROM documents
+      WHERE CAST(${bucketSql("doc_id", "graft")} AS DOUBLE) <
+        (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 1e6
+      ORDER BY doc_id"""))
+
+  /** Deterministic per-language reservoir: the 5 smallest-hash docs per
+    * language — uniform without replacement, stable across engines.
+    */
+  val sampleReservoir: QueryDef = QueryDef(
+    "sample_reservoir",
+    (s, dir) => Curation.hashReservoir(t(s, dir, "documents"),
+        "doc_id", "lang", k = 5)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank")),
+    Some(s"""WITH rk AS (SELECT doc_id, lang,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY ${md5LongSql("CAST(doc_id AS VARCHAR) || 'graft'")}, doc_id
+        ) AS INT) AS sample_rank FROM documents)
+      SELECT doc_id, lang, sample_rank FROM rk WHERE sample_rank <= 5
+      ORDER BY lang, sample_rank"""))
+
+  /** PII redaction over a contact line derived from the table's own fields
+    * (the raw corpus has no PII-shaped spans, so the line makes the regexes
+    * observable): count + mask emails and phone spans, digest the redacted
+    * text.
+    */
+  val piiRedact: QueryDef = QueryDef(
+    "pii_redact",
+    (s, dir) => {
+      val withContact = t(s, dir, "documents").withColumn("text2",
+        concat(col("text"), lit(" contact "), col("source"),
+               lit("@example.com phone 555-"),
+               lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      Curation.redactPii(withContact, "doc_id", "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+                md5(col("redacted")).as("digest"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH c AS (SELECT doc_id,
+        text || ' contact ' || source || '@example.com phone 555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+        FROM documents)
+      SELECT doc_id,
+        CAST(LEN(regexp_extract_all(text2, '${Curation.EmailPattern}')) AS BIGINT)
+          AS n_emails,
+        CAST(LEN(regexp_extract_all(text2, '${Curation.PhonePattern}')) AS BIGINT)
+          AS n_phones,
+        md5(regexp_replace(regexp_replace(text2, '${Curation.EmailPattern}',
+          '<EMAIL>', 'g'), '${Curation.PhonePattern}', '<PHONE>', 'g')) AS digest
+      FROM c ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    decontaminate, tfidfTopK, bm25Rank, sampleStratified, sampleReservoir,
+    piiRedact)
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Curation, TextAnalysis}
+
+class CurationSpec extends SparkSpec {
+
+  private def corpus = df("doc_id BIGINT, text STRING, lang STRING", Seq(
+    R(1L, "the quick brown fox jumps over the lazy dog", "en"),
+    R(2L, "pack my box with five dozen liquor jugs today", "en"),
+    R(3L, "the quick brown fox jumps over the lazy dog", "de"), // = bench doc
+    R(4L, "tiny", "en"), // shorter than n tokens: no shingles
+    R(5L, "half overlap here the quick brown fox sits still", "fr")))
+
+  private def bench = df("doc_id BIGINT, text STRING", Seq(
+    R(100L, "the quick brown fox jumps over the lazy dog")))
+
+  test("contaminationScore: exact bench copy flagged, short doc scores 0/0") {
+    val out = Curation.contaminationScore(corpus, bench, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(3L) == ((7L, 7L, 1.0, true)))      // identical to the bench doc
+    assert(out(2L)._2 == 0L && !out(2L)._4)       // disjoint
+    assert(out(4L) == ((0L, 0L, 0.0, false)))     // no shingles, present, unflagged
+    assert(out(5L)._2 > 0L && out(5L)._2 < out(5L)._1) // partial overlap
+    assert(out.size == 5)                         // every corpus doc surfaces
+  }
+
+  test("stratifiedSample: deterministic, rate-monotone, honors strata rates") {
+    val many = spark.range(0, 2000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang")
+    def run(rates: Map[String, Double], dflt: Double) =
+      Curation.stratifiedSample(many, "doc_id", "lang", rates, dflt)
+    val a = run(Map("en" -> 0.5), 0.1).collect().map(_.getLong(0)).toSet
+    val b = run(Map("en" -> 0.5), 0.1).collect().map(_.getLong(0)).toSet
+    assert(a == b)                                     // no RNG state
+    assert(run(Map("en" -> 1.0), 1.0).count() == 2000) // rate 1 keeps all
+    assert(run(Map("en" -> 0.0), 0.0).count() == 0)    // rate 0 keeps none
+    // smaller rate ⊂ larger rate within a stratum (same hash, lower cut)
+    val small = run(Map("en" -> 0.2), 0.0).collect().map(_.getLong(0)).toSet
+    val large = run(Map("en" -> 0.6), 0.0).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+    // en sampled at ~50%, de at ~10% of 1000 each
+    val n = run(Map("en" -> 0.5), 0.1)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("en") > 400 && n("en") < 600, n)
+    assert(n("de") > 50 && n("de") < 160, n)
+  }
+
+  test("hashReservoir: exactly k per stratum, deterministic, order-independent") {
+    val many = spark.range(0, 300).selectExpr("id AS doc_id",
+      "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS lang")
+    val out = Curation.hashReservoir(many, "doc_id", "lang", k = 7)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("a" -> 7L, "b" -> 7L))
+    val ids1 = out.collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0))).toSet
+    // input order must not matter: reverse the input, same sample + ranks
+    val ids2 = Curation.hashReservoir(
+        many.orderBy(col("doc_id").desc), "doc_id", "lang", k = 7)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0))).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("redactPii: counts and masks email/phone spans; clean text untouched") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "reach me at alice.smith@mail.example.org or 555-0199 thanks"),
+      R(2L, "no personal data in this row at all"),
+      R(3L, "two mails a@b.co c.d@e.org and numbers 123-4567 890-1234")))
+    val out = Curation.redactPii(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L)
+    assert(out(1L)._3 == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(2L) == ((0L, 0L, "no personal data in this row at all")))
+    assert(out(3L)._1 == 2L && out(3L)._2 == 2L)
+    assert(out(3L)._3 == "two mails <EMAIL> <EMAIL> and numbers <PHONE> <PHONE>")
+  }
+
+  test("tfidf: rare term outranks common term; smoothed idf exact on a hand case") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "alpha alpha beta"), R(2L, "alpha gamma"), R(3L, "alpha beta")))
+    val out = TextAnalysis.tfidf(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // alpha: df=3 of N=3 → idf = ln(4/4)+1 = 1; doc1 tf=2 → tfidf 2.0
+    assert(out((1L, "alpha")) == ((2L, 3L, 2.0)))
+    // gamma: df=1 → idf = ln(4/2)+1; tf=1
+    val expGamma = BigDecimal(math.log(2.0) + 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((2L, "gamma"))._3 == expGamma)
+    // rarer term scores higher than the ubiquitous one at equal tf
+    assert(out((2L, "gamma"))._3 > out((2L, "alpha"))._3)
+  }
+
+  test("bm25: doc with more query-term hits and shorter length ranks higher") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "hash hash merge"),                      // dense in query terms
+      R(2L, "hash filler filler filler filler pad"), // one hit, long
+      R(3L, "nothing relevant here")))
+    val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("hash", "merge"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out.contains(1L) && out.contains(2L) && !out.contains(3L))
+    assert(out(1L)._2 == 2L && out(2L)._2 == 1L)
+    assert(out(1L)._1 > out(2L)._1)
+  }
+
+  test("vocabulary + bm25 plans: top-n is TakeOrderedAndProject, no global sort") {
+    val plan = TextAnalysis.bm25(corpus, "doc_id", "text", Seq("the", "fox"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
