@@ -84,6 +84,25 @@ object Curation {
       .filter(col("sample_rank") <= k)
   }
 
+  /** GPT-style sequence packing layout: documents are (logically)
+    * concatenated per shard in deterministic id order and sliced into
+    * fixed `maxTokens` training windows; each document gets its start
+    * offset in the shard's token stream, the window it starts in, and its
+    * offset within that window. The cumulative sum is a window partitioned
+    * by the SHARD key — real pipelines pack within shards precisely so no
+    * global sequential pass exists; shards scale out independently.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, maxTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(shardCol), col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("start_off") / maxTokens))
+      .withColumn("off_in_bin", col("start_off") % maxTokens)
+  }
+
   /** Email / phone patterns chosen to behave identically under Java regex
     * (Spark) and RE2 (DuckDB): character classes + `\b` only, no lookaround.
     */

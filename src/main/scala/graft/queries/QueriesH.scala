@@ -176,7 +176,41 @@ object QueriesH {
           '<EMAIL>', 'g'), '${Curation.PhonePattern}', '<PHONE>', 'g')) AS digest
       FROM c ORDER BY doc_id"""))
 
+  /** GPT-style packing layout: concat docs per source shard in id order,
+    * slice into 512-token windows. All-integer arithmetic — exact oracle.
+    */
+  val packSequences: QueryDef = QueryDef(
+    "pack_sequences",
+    (s, dir) => Curation.packSequences(t(s, dir, "documents"),
+        "doc_id", "text", shardCol = "source", maxTokens = 512)
+      .orderBy(col("source"), col("doc_id")),
+    Some(s"""WITH tl AS (SELECT source, doc_id,
+        CAST(LEN($toksSql) AS BIGINT) AS n_tok FROM documents),
+      cum AS (SELECT source, doc_id, n_tok,
+        CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off FROM tl)
+      SELECT source, doc_id, n_tok, start_off,
+        CAST(FLOOR(CAST(start_off AS DOUBLE) / 512) AS BIGINT) AS bin,
+        start_off % 512 AS off_in_bin
+      FROM cum ORDER BY source, doc_id"""))
+
+  /** Data-mixture accounting: per (lang, source) document/token/char
+    * totals — the corpus-composition report behind mixture weighting.
+    */
+  val corpusMixture: QueryDef = QueryDef(
+    "corpus_mixture",
+    (s, dir) => t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"),
+           sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source")),
+    Some(s"""SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(LEN($toksSql)) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
   val all: Seq[QueryDef] = Seq(
     decontaminate, tfidfTopK, bm25Rank, sampleStratified, sampleReservoir,
-    piiRedact)
+    piiRedact, packSequences, corpusMixture)
 }

@@ -106,6 +106,25 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._1 > out(2L)._1)
   }
 
+  test("packSequences: offsets/bins follow the concat-per-shard token stream") {
+    val d = df("doc_id BIGINT, text STRING, source STRING", Seq(
+      R(1L, "a b c", "s1"),            // 3 tokens, start 0, bin 0
+      R(2L, "d e f g h", "s1"),        // 5 tokens, start 3, bin 0
+      R(3L, "i j k l", "s1"),          // 4 tokens, start 8, bin 2 (maxTokens=4)
+      R(10L, "x y", "s2")))            // other shard restarts at 0
+    val out = Curation.packSequences(d, "doc_id", "text", "source", maxTokens = 4)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((3L, 0L, 0L, 0L)))
+    assert(out(2L) == ((5L, 3L, 0L, 3L)))  // starts inside bin 0, overflows
+    assert(out(3L) == ((4L, 8L, 2L, 0L)))
+    assert(out(10L) == ((2L, 0L, 0L, 0L))) // shard-local stream
+    // the window is partitioned by shard — no single-partition global sort
+    val plan = Curation.packSequences(d, "doc_id", "text", "source", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("vocabulary + bm25 plans: top-n is TakeOrderedAndProject, no global sort") {
     val plan = TextAnalysis.bm25(corpus, "doc_id", "text", Seq("the", "fox"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(5)
