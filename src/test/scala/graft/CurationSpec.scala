@@ -131,4 +131,20 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("contaminationScore plan: bench set broadcasts, no sort-merge join") {
+    val plan = Curation.contaminationScore(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("tfidf top-k plan: WindowGroupLimit bounds the window shuffle") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.tfidf(corpus, "doc_id", "text")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    val plan = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
