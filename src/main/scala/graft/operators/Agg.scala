@@ -155,14 +155,172 @@ object Agg {
     } finally sorted.unpersist()
   }
 
+  /** Exact interpolated percentiles for MANY columns at once, via selection
+    * by counting — three shuffle-free aggregation passes and never a global
+    * sort of the table:
+    *   1. one aggregation: value BRACKETS around every needed order
+    *      statistic — from a codegen'd Bernoulli row sample (6σ binomial
+    *      rank margin) below `sketchFrom` rows, from a GK
+    *      percentile_approx sketch (deterministic n/accuracy rank bound,
+    *      interpreted eval — slower, but O(accuracy) state at any n) above;
+    *   2. one aggregation: per bracket, rows strictly below `lo` and the
+    *      [lo, hi] window size — VERIFYING the bracket actually contains
+    *      the target rank, whatever pass 1 estimated;
+    *   3. one aggregation: `collect_list` of just the window values,
+    *      sorted locally on the driver.
+    * The interpolation arithmetic is identical to [[exactPercentiles]]
+    * (quantile_cont: rank = p·(n−1), linear between floor/ceil), so results
+    * are bit-equal. At 100 TB this replaces a full range-shuffle of the
+    * column with three scan-local aggregations whose buffers are O(accuracy)
+    * map-side and O(window) driver-side. Columns whose window exceeds
+    * `maxWindow` (pathological tie mass) or whose bracket check fails fall
+    * back to the sorted path — exactness is never at risk.
+    */
+  def exactPercentilesMulti(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+                            knownNs: Map[String, Long],
+                            maxWindow: Long = 4000000L,
+                            sketchFrom: Long = 100000000L): Map[String, Seq[Double]] = {
+    val live = cols.filter(c => knownNs.getOrElse(c, 0L) > 0L)
+    val base = df.select(live.map(c => col(c).cast("double").as(c)): _*)
+    // per column: needed 0-based order statistics (floor/ceil per rank)
+    case class Win(c: String, kLo: Long, kHi: Long)
+    val wins = live.flatMap { c =>
+      val n = knownNs(c)
+      ps.map { p =>
+        val r = p * (n - 1)
+        Win(c, r.toLong, math.ceil(r).toLong)
+      }.distinct
+    }
+    if (wins.isEmpty)
+      return cols.map(c => c -> ps.map(_ => Double.NaN)).toMap
+    // pass 1: brackets. Below `sketchFrom` rows: a Bernoulli row sample
+    // (codegen'd rand filter + collect_list, one scan; 6σ binomial margin
+    // on the sample rank). Above: ONE GK percentile_approx sketch per
+    // column (deterministic n/accuracy rank bound; interpreted eval makes
+    // it ~4× the sample's cost, so it is reserved for sizes where a 40 MB+
+    // sample collect would hurt the driver). Either way pass 2's counts
+    // VERIFY the bracket, so a busted margin degrades to the sorted
+    // fallback — never to a wrong answer.
+    val byCol = wins.groupBy(_.c)
+    val liveCols = live.filter(byCol.contains)
+    val brackets: Seq[(Double, Double)] = {
+      val sampleCols = liveCols.filter(c => knownNs(c) < sketchFrom)
+      val sketchCols = liveCols.filterNot(sampleCols.contains)
+      val samples: Map[String, IndexedSeq[Double]] =
+        if (sampleCols.isEmpty) Map.empty
+        else {
+          val aggs = sampleCols.zipWithIndex.map { case (c, i) =>
+            val n = knownNs(c)
+            val sTarget = math.max(50000L, math.min(2000000L, n / 200L))
+            val keep = if (n <= sTarget) lit(true)
+                       else rand(42 + i) * (n.toDouble / sTarget) < 1.0
+            sort_array(collect_list(when(keep, col(c)))).as(s"s_$c")
+          }
+          val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+          sampleCols.map(c =>
+            c -> row.getSeq[Double](row.fieldIndex(s"s_$c")).toIndexedSeq).toMap
+        }
+      val sketches: Map[String, Map[Double, Double]] =
+        if (sketchCols.isEmpty) Map.empty
+        else {
+          val qs: Map[String, Seq[Double]] = sketchCols.map { c =>
+            val n = knownNs(c)
+            val margin = n / 1000000L + 1
+            c -> byCol(c).flatMap(w => Seq(
+              math.max(0.0, (w.kLo - margin).toDouble / n),
+              math.min(1.0, (w.kHi + margin).toDouble / n))).distinct.sorted
+          }.toMap
+          val aggs = sketchCols.map { c =>
+            percentile_approx(col(c), array(qs(c).map(lit): _*), lit(1000000))
+              .as(s"b_$c")
+          }
+          val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+          sketchCols.map { c =>
+            val arr = row.getSeq[Double](row.fieldIndex(s"b_$c"))
+            c -> qs(c).zip(arr).toMap
+          }.toMap
+        }
+      wins.map { w =>
+        val n = knownNs(w.c)
+        if (samples.contains(w.c)) {
+          val s = samples(w.c)
+          val sz = s.size
+          // 6σ binomial rank margin in sample units, + slack for the
+          // realized-sample-size variance
+          val m = math.ceil(6.0 * math.sqrt(0.25 * sz)).toLong + 16
+          val iLo = math.round(w.kLo.toDouble / n * sz) - m
+          val iHi = math.round(w.kHi.toDouble / n * sz) + m
+          (if (iLo < 0) Double.NegativeInfinity else s(iLo.toInt),
+           if (iHi > sz - 1) Double.PositiveInfinity else s(iHi.toInt))
+        } else {
+          val margin = n / 1000000L + 1
+          val br = sketches(w.c)
+          (br(math.max(0.0, (w.kLo - margin).toDouble / n)),
+           br(math.min(1.0, (w.kHi + margin).toDouble / n)))
+        }
+      }
+    }
+    // pass 2: verify brackets + window sizes (conditional counts, one scan)
+    val countAggs = wins.zipWithIndex.flatMap { case (w, i) =>
+      val (lo, hi) = brackets(i)
+      val v = col(w.c)
+      Seq(count(when(v < lo, 1)).as(s"below_$i"),
+          count(when(v >= lo && v <= hi, 1)).as(s"size_$i"))
+    }
+    val cRow = base.agg(countAggs.head, countAggs.tail: _*).collect()(0)
+    val below = wins.indices.map(i => cRow.getAs[Long](s"below_$i"))
+    val sizes = wins.indices.map(i => cRow.getAs[Long](s"size_$i"))
+    val ok = wins.indices.map { i =>
+      val w = wins(i)
+      below(i) <= w.kLo && below(i) + sizes(i) > w.kHi && sizes(i) <= maxWindow
+    }
+    // pass 3: collect just the verified windows, sorted in-agg
+    val okIdx = wins.indices.filter(ok)
+    val windows: Map[Int, Seq[Double]] =
+      if (okIdx.isEmpty) Map.empty
+      else {
+        val collectAggs = okIdx.map { i =>
+          val (lo, hi) = brackets(i)
+          val v = col(wins(i).c)
+          sort_array(collect_list(when(v >= lo && v <= hi, v))).as(s"w_$i")
+        }
+        val wRow = base.agg(collectAggs.head, collectAggs.tail: _*).collect()(0)
+        okIdx.map(i => i -> wRow.getSeq[Double](wRow.fieldIndex(s"w_$i"))).toMap
+      }
+    val winAt: Map[(String, Long), Double] = wins.indices.flatMap { i =>
+      if (!ok(i)) Nil
+      else {
+        val w = wins(i); val vals = windows(i)
+        Seq(w.kLo, w.kHi).distinct.map(k =>
+          (w.c, k) -> vals((k - below(i)).toInt))
+      }
+    }.toMap
+    // per-column fallback to the sorted path when any window failed
+    val fallback: Map[String, Seq[Double]] = live
+      .filter(c => wins.zipWithIndex.exists { case (w, i) => w.c == c && !ok(i) })
+      .map(c => c -> exactPercentiles(df, c, ps, knownN = Some(knownNs(c))))
+      .toMap
+    cols.map { c =>
+      val n = knownNs.getOrElse(c, 0L)
+      c -> (if (n == 0L) ps.map(_ => Double.NaN)
+            else fallback.getOrElse(c, ps.map { p =>
+              val r = p * (n - 1)
+              val vlo = winAt((c, r.toLong))
+              val vhi = winAt((c, math.ceil(r).toLong))
+              vlo + (vhi - vlo) * (r - r.toLong)
+            }))
+    }.toMap
+  }
+
   /** A12: deterministic `df.summary()` — one row per column with
     * count / mean / std / min / p25 / p50 / p75 / max (reference:
     * database_10min/database.py:140-162 `.summary()`). Unlike Spark's
     * built-in summary (approximate percentiles, string output), this is
     * exact and cross-engine reproducible: decimal-accumulated mean/std in
     * ONE aggregation pass for all columns, and exact percentiles via the
-    * distributed [[exactPercentiles]] selection (never a whole-column
-    * aggregation buffer).
+    * [[exactPercentilesMulti]] counting selection — three scan passes for
+    * every column together, no global sort, never a whole-column
+    * aggregation buffer.
     */
   def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
@@ -179,15 +337,9 @@ object Agg {
     def r6(x: Double): Double =
       if (x.isNaN || x.isInfinite) x
       else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // the per-column sorts are independent Spark jobs — submit them
-    // concurrently so wall time is the slowest column, not the sum
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val pctFutures = cols.map { c =>
-      val n = m.getAs[Long](s"${c}__n")
-      c -> Future(exactPercentiles(df, c, Seq(0.25, 0.5, 0.75), knownN = Some(n)))
-    }.toMap
+    // all columns' percentiles in three shuffle-free scan passes
+    val pcts = exactPercentilesMulti(df, cols, Seq(0.25, 0.5, 0.75),
+      cols.map(c => c -> m.getAs[Long](s"${c}__n")).toMap)
     val rows = cols.map { c =>
       val n = m.getAs[Long](s"${c}__n")
       if (n == 0) {
@@ -198,7 +350,7 @@ object Agg {
       } else {
         val s1 = m.getAs[Double](s"${c}__sum")
         val s2 = m.getAs[Double](s"${c}__sum2")
-        val Seq(p25, p50, p75) = Await.result(pctFutures(c), Duration.Inf)
+        val Seq(p25, p50, p75) = pcts(c)
         org.apache.spark.sql.Row(c, n,
           r6(s1 / n),
           if (n == 1) Double.NaN

@@ -51,6 +51,30 @@ class AggWindowsSpec extends SparkSpec {
     assert((2 to 8).forall(i => e.getDouble(i).isNaN))
   }
 
+  test("exactPercentilesMulti matches the sorted path on ties, both bracket modes") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    // heavy ties (value % 13) + a continuous column + nulls
+    val rows = (1 to 5000).map(i =>
+      R((i % 13).toDouble, rnd.nextDouble() * 1000.0,
+        if (i % 7 == 0) null else rnd.nextGaussian()))
+    val d = df("tied DOUBLE, uni DOUBLE, gaps DOUBLE", rows)
+    val ns = Map("tied" -> 5000L, "uni" -> 5000L,
+                 "gaps" -> d.filter(col("gaps").isNotNull).count())
+    val ps = Seq(0.25, 0.5, 0.75)
+    val viaSort = Seq("tied", "uni", "gaps").map(c =>
+      c -> Agg.exactPercentiles(d, c, ps, knownN = Some(ns(c)))).toMap
+    val viaSample = Agg.exactPercentilesMulti(d, Seq("tied", "uni", "gaps"), ps, ns)
+    val viaSketch = Agg.exactPercentilesMulti(d, Seq("tied", "uni", "gaps"), ps, ns,
+      sketchFrom = 0L)
+    assert(viaSample == viaSort, s"sample-bracket path diverged: $viaSample vs $viaSort")
+    assert(viaSketch == viaSort, s"sketch-bracket path diverged: $viaSketch vs $viaSort")
+    // degenerate maxWindow: every window breaches -> sorted fallback, same result
+    val viaFallback = Agg.exactPercentilesMulti(d, Seq("tied"), ps,
+      Map("tied" -> 5000L), maxWindow = 1L)
+    assert(viaFallback("tied") == viaSort("tied"))
+  }
+
   test("dbMean equals plain value for constant input, exceeds mean otherwise") {
     val d = df("g STRING, v DOUBLE", Seq(R("a", 30.0), R("a", 30.0)))
     val m = d.groupBy(col("g")).agg(Agg.dbMean(col("v")).as("m"))
