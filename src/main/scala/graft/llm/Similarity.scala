@@ -91,7 +91,13 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val assembled = corpus.withColumn("__features", array_to_vector(col(vecCol)))
+    // quantizer-grade settings (the FAISS-style IVF training recipe):
+    // random init + bounded iterations. A coarse quantizer needs cells of
+    // roughly balanced mass, not converged centroids — kmeans||'s extra
+    // init passes and 20 default iterations are ~2x the jobs for no recall
+    // gain (gated by the ivfTopK recall spec).
     val model = new KMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(10)
       .setFeaturesCol("__features").setPredictionCol("__cluster")
       .fit(assembled)
     (model.transform(assembled)
