@@ -63,13 +63,30 @@ object Core {
     * session identity so a stopped session's plans are never resurrected.
     */
   private val tableMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableMemo.computeIfAbsent(
-      (spark, s"$dir/$name.parquet"),
-      { case (s, path) =>
-        spreadSmallScan(s, normalizeNanosTs(s.read.parquet(path))) })
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // weak session key: a stopped/dereferenced session's plans become
+    // collectable instead of pinned for the JVM's lifetime. NOTE the memo
+    // snapshots the parquet file listing at first read — a caller that
+    // rewrites a table directory mid-session must call [[invalidateTables]]
+    // (or re-read directly) to see the new files.
+    val perSession = tableMemo.synchronized {
+      var m = tableMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+        tableMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet",
+      path => spreadSmallScan(spark, normalizeNanosTs(spark.read.parquet(path))))
+  }
+
+  /** Drop the memoized plans for a session (after rewriting table files). */
+  def invalidateTables(spark: SparkSession): Unit =
+    tableMemo.synchronized { tableMemo.remove(spark); () }
 
   /** Parquet parallelism floor: a row group is the indivisible scan unit, so
     * a small table written as one row group arrives as ONE task — and every

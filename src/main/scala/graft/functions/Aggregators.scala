@@ -164,9 +164,16 @@ object Aggregators {
 
     override def zero: TopKBuffer = TopKBuffer(ArrayBuffer.empty, ArrayBuffer.empty)
 
-    /** a strictly better than b under (score DESC, id ASC). */
-    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    /** a strictly better than b under (score DESC, id ASC). Total order via
+      * java.lang.Double.compare, so NaN ranks ABOVE every finite score —
+      * exactly where a descending window sort (Spark and DuckDB both order
+      * NaN greatest) would put it — and NaN ties break on id instead of
+      * being unordered under IEEE ==.
+      */
+    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val cmp = java.lang.Double.compare(s1, s2)
+      cmp > 0 || (cmp == 0 && i1 < i2)
+    }
 
     private def admit(b: TopKBuffer, s: Double, id: Long): Unit = {
       if (b.scores.length < k) { b.scores += s; b.ids += id }
@@ -186,7 +193,7 @@ object Aggregators {
     }
 
     override def reduce(b: TopKBuffer, in: (Double, Long)): TopKBuffer = {
-      if (!in._1.isNaN) admit(b, in._1, in._2)
+      admit(b, in._1, in._2)
       b
     }
 

@@ -341,8 +341,7 @@ object Dedup {
     val ea = df.select(col(idCol).as("va"), col(vecCol).as("ea"))
     val eb = df.select(col(idCol).as("vb"), col(vecCol).as("eb"))
     cand.join(ea, "va").join(eb, "vb")
-      .withColumn("cos", round(Similarity.dot("ea", "eb", dim) /
-        (sqrt(Similarity.norm2("ea", dim)) * sqrt(Similarity.norm2("eb", dim))), 6))
+      .withColumn("cos", round(Similarity.cosine("ea", "eb", dim), 6))
       .filter(col("cos") >= minCos)
       .select(col("va"), col("vb"), col("cos"))
   }
@@ -358,11 +357,8 @@ object Dedup {
                        minCos: Double): DataFrame = {
     val a = df.select(col(blockCol), col(idCol).as("va"), col(vecCol).as("ea"))
     val b = df.select(col(blockCol), col(idCol).as("vb"), col(vecCol).as("eb"))
-    val dot = Similarity.dot("ea", "eb", dim)
-    val na = Similarity.norm2("ea", dim)
-    val nb = Similarity.norm2("eb", dim)
     a.join(b, Seq(blockCol)).filter(col("va") < col("vb"))
-      .withColumn("cos", round(dot / (sqrt(na) * sqrt(nb)), 6))
+      .withColumn("cos", round(Similarity.cosine("ea", "eb", dim), 6))
       .filter(col("cos") >= minCos)
       .select(col("va"), col("vb"), col("cos"))
   }

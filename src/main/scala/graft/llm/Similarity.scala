@@ -31,8 +31,16 @@ object Similarity {
       transform(col(aCol), a => { val v = a.cast("double"); v * v }),
       lit(0.0), (acc, x) => acc + x)
 
-  def cosine(aCol: String, bCol: String, dim: Int): Column =
-    dot(aCol, bCol, dim) / (sqrt(norm2(aCol, dim)) * sqrt(norm2(bCol, dim)))
+  /** Cosine with a zero-norm guard: ANSI mode (Spark 4's default) turns the
+    * 0/0 of a degenerate all-zeros vector into a DIVIDE_BY_ZERO job failure,
+    * not a NaN — so the undefined similarity is an explicit NULL instead.
+    * Null embeddings propagate to NULL the same way; every consumer treats
+    * "unscoreable" uniformly (excluded from rankings / pair candidates).
+    */
+  def cosine(aCol: String, bCol: String, dim: Int): Column = {
+    val denom = sqrt(norm2(aCol, dim)) * sqrt(norm2(bCol, dim))
+    when(denom > 0.0, dot(aCol, bCol, dim) / denom)
+  }
 
   /** Brute-force cosine top-k: queries × corpus pair join, rank per query by
     * (cosine desc, id) — deterministic under ties. The corpus side stays
@@ -42,10 +50,11 @@ object Similarity {
                      vecCol: String, dim: Int, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("vb"), col(vecCol).as("eb"))
-    val cos = dot("qv", "eb", dim) / (sqrt(norm2("qv", dim)) * sqrt(norm2("eb", dim)))
+    val cos = cosine("qv", "eb", dim)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vb"))
     broadcast(q).join(c, col("qid") =!= col("vb"))
       .withColumn("cos", round(cos, 6))
+      .filter(col("cos").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vb"), col("cos"))
@@ -61,10 +70,15 @@ object Similarity {
                         vecCol: String, dim: Int, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("vb"), col(vecCol).as("eb"))
-    val cos = dot("qv", "eb", dim) / (sqrt(norm2("qv", dim)) * sqrt(norm2("eb", dim)))
+    val cos = cosine("qv", "eb", dim)
     val topk = udaf(new graft.functions.Aggregators.TopK(k))
+    // unscoreable (NULL) cosines — null or zero-norm embeddings — are
+    // dropped before the typed aggregator (its (Double, Long) encoder is
+    // non-nullable); the window variant filters them identically, so the
+    // two variants stay output-identical on degenerate corpora too.
     broadcast(q).join(c, col("qid") =!= col("vb"))
       .select(col("qid"), round(cos, 6).as("cos"), col("vb"))
+      .filter(col("cos").isNotNull)
       .groupBy(col("qid"))
       .agg(topk(col("cos"), col("vb")).as("hits"))
       .select(col("qid"), posexplode(col("hits")))
@@ -149,8 +163,7 @@ object Similarity {
       .select(col(partCol), transform(col("s"), x => x.getField("cv")).as("cvec"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     // probe assignment: nprobe nearest centroids per query (centroids are tiny)
-    val qcos = dot("qv", "cvec", dim) /
-      (sqrt(norm2("qv", dim)) * sqrt(norm2("cvec", dim)))
+    val qcos = cosine("qv", "cvec", dim)
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col(partCol))
     val probes = broadcast(q).crossJoin(broadcast(cent))
       .withColumn("ccos", qcos)
@@ -159,7 +172,7 @@ object Similarity {
       .select(col("qid"), col("qv"), col(partCol))
     // search only within probed partitions
     val c = corpus.select(col(partCol), col(idCol).as("vb"), col(vecCol).as("eb"))
-    val cos = dot("qv", "eb", dim) / (sqrt(norm2("qv", dim)) * sqrt(norm2("eb", dim)))
+    val cos = cosine("qv", "eb", dim)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vb"))
     probes.join(c, Seq(partCol)).filter(col("qid") =!= col("vb"))
       .withColumn("cos", round(cos, 6))

@@ -206,40 +206,39 @@ object Agg {
     val brackets: Seq[(Double, Double)] = {
       val sampleCols = liveCols.filter(c => knownNs(c) < sketchFrom)
       val sketchCols = liveCols.filterNot(sampleCols.contains)
-      val samples: Map[String, IndexedSeq[Double]] =
-        if (sampleCols.isEmpty) Map.empty
-        else {
-          val aggs = sampleCols.zipWithIndex.map { case (c, i) =>
-            val n = knownNs(c)
-            val sTarget = math.max(50000L, math.min(2000000L, n / 200L))
-            val keep = if (n <= sTarget) lit(true)
-                       else rand(42 + i) * (n.toDouble / sTarget) < 1.0
-            sort_array(collect_list(when(keep, col(c)))).as(s"s_$c")
-          }
-          val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
-          sampleCols.map(c =>
-            c -> row.getSeq[Double](row.fieldIndex(s"s_$c")).toIndexedSeq).toMap
-        }
-      val sketches: Map[String, Map[Double, Double]] =
-        if (sketchCols.isEmpty) Map.empty
-        else {
-          val qs: Map[String, Seq[Double]] = sketchCols.map { c =>
-            val n = knownNs(c)
-            val margin = n / 1000000L + 1
-            c -> byCol(c).flatMap(w => Seq(
-              math.max(0.0, (w.kLo - margin).toDouble / n),
-              math.min(1.0, (w.kHi + margin).toDouble / n))).distinct.sorted
-          }.toMap
-          val aggs = sketchCols.map { c =>
-            percentile_approx(col(c), array(qs(c).map(lit): _*), lit(1000000))
-              .as(s"b_$c")
-          }
-          val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
-          sketchCols.map { c =>
-            val arr = row.getSeq[Double](row.fieldIndex(s"b_$c"))
-            c -> qs(c).zip(arr).toMap
-          }.toMap
-        }
+      // the Bernoulli coin is PROJECTED below the aggregate (a nondeterministic
+      // expression inside an aggregate function's argument is rejected by some
+      // analyzer paths and semantically murky under retries everywhere), and
+      // both bracket sources share ONE aggregation job — one scan of the
+      // relation regardless of how columns straddle `sketchFrom`
+      val withKeep = sampleCols.zipWithIndex.foldLeft(base) {
+        case (d, (c, i)) =>
+          val n = knownNs(c)
+          val sTarget = math.max(50000L, math.min(2000000L, n / 200L))
+          val keep = if (n <= sTarget) lit(true)
+                     else rand(42 + i) * (n.toDouble / sTarget) < 1.0
+          d.withColumn(s"__keep_$c", keep)
+      }
+      val sketchQs: Map[String, Seq[Double]] = sketchCols.map { c =>
+        val n = knownNs(c)
+        val margin = n / 1000000L + 1
+        c -> byCol(c).flatMap(w => Seq(
+          math.max(0.0, (w.kLo - margin).toDouble / n),
+          math.min(1.0, (w.kHi + margin).toDouble / n))).distinct.sorted
+      }.toMap
+      val aggs =
+        sampleCols.map(c =>
+          sort_array(collect_list(when(col(s"__keep_$c"), col(c)))).as(s"s_$c")) ++
+        sketchCols.map(c =>
+          percentile_approx(col(c), array(sketchQs(c).map(lit): _*), lit(1000000))
+            .as(s"b_$c"))
+      val row = withKeep.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val samples: Map[String, IndexedSeq[Double]] = sampleCols.map(c =>
+        c -> row.getSeq[Double](row.fieldIndex(s"s_$c")).toIndexedSeq).toMap
+      val sketches: Map[String, Map[Double, Double]] = sketchCols.map { c =>
+        val arr = row.getSeq[Double](row.fieldIndex(s"b_$c"))
+        c -> sketchQs(c).zip(arr).toMap
+      }.toMap
       wins.map { w =>
         val n = knownNs(w.c)
         if (samples.contains(w.c)) {

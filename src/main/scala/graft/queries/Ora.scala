@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared Spark-side/oracle-side expression pairs for the declared queries.
+  * Every helper exists in BOTH forms because the driver's compare is an
+  * exact cross-engine hash: the Spark expression and the DuckDB SQL must
+  * perform the identical arithmetic in the identical order. One definition
+  * here instead of a copy per query file — a change to the decimal scale,
+  * hash width, or token regex now lands everywhere or nowhere.
+  */
+private[queries] object Ora {
+
+  /** Order-independent double sum: accumulate in DECIMAL(27,10), then cast. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(27,10)")).cast("double")
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(27,10))) AS DOUBLE)"
+
+  /** Pure-sum output columns: round in DECIMAL space, THEN cast to double.
+    * Rounding the already-cast double at 6 dp is 1-ULP ambiguous across
+    * engines once the sum exceeds ~2^33 (observed at sf0.1); rounding the
+    * exact decimal makes both engines convert the identical decimal.
+    */
+  def dsum6(c: Column): Column =
+    round(sum(c.cast("decimal(27,10)")), 6).cast("double")
+  def dsum6Sql(expr: String): String =
+    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 6) AS DOUBLE)"
+
+  def dmean(c: Column): Column = dsum(c) / count(c)
+  def dmeanSql(expr: String): String =
+    s"(${dsumSql(expr)} / COUNT($expr))"
+
+  val r6: Column => Column = (c: Column) => round(c, 6)
+
+  def epochS(c: Column): Column = unix_timestamp(c)
+  val epochSql: String => String = (e: String) => s"CAST(FLOOR(EPOCH($e)) AS BIGINT)"
+
+  /** DuckDB mirror of TextAnalysis.md5Long (60-bit md5 prefix). */
+  def md5LongSql(e: String): String =
+    s"CAST(CONCAT('0x', SUBSTRING(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB mirror of TextAnalysis.tokens over the documents.text column. */
+  val toksSql = "regexp_extract_all(lower(text), '\\S+')"
+}

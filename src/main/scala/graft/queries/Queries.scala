@@ -23,6 +23,7 @@ import graft.operators.{Agg, AsOf, Relational, Windows}
   *   - every query ends in a total ORDER BY on its key columns.
   */
 object Queries {
+  import Ora._
 
   final case class QueryDef(name: String,
                             build: (SparkSession, String) => DataFrame,
@@ -32,28 +33,10 @@ object Queries {
     Core.table(s, dir, name)
 
   /** Exact, order-independent sum of a double expression (see header). */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(27,10)")).cast("double")
-  /** Matching SQL fragment for the DuckDB oracle. */
-  private def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(27,10))) AS DOUBLE)"
-  /** Pure-sum output columns: round in DECIMAL space, THEN cast to double.
-    * Rounding the already-cast double at 6 dp is 1-ULP ambiguous across
-    * engines once the sum exceeds ~2^33 (observed at sf0.1); rounding the
-    * exact decimal makes both engines convert the identical decimal. */
-  private def dsum6(c: Column): Column =
-    round(sum(c.cast("decimal(27,10)")), 6).cast("double")
-  private def dsum6Sql(expr: String): String =
-    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 6) AS DOUBLE)"
 
-  private def dmean(c: Column): Column = dsum(c) / count(c)
-  private def dmeanSql(expr: String): String =
-    s"(${dsumSql(expr)} / COUNT($expr))"
 
-  private val r6 = (c: Column) => round(c, 6)
 
   // epoch seconds, truncated — Spark unix_timestamp() truncates sub-second
-  private def epochS(c: Column): Column = unix_timestamp(c)
-  private val epochSql = (e: String) => s"CAST(FLOOR(EPOCH($e)) AS BIGINT)"
 
   // ---------------------------------------------------------------- queries
 

@@ -14,27 +14,12 @@ import graft.operators.{AsOf, Windows}
   * discipline as [[Queries]].
   */
 object QueriesB {
+  import Ora._
   import Queries.QueryDef
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Core.table(s, dir, name)
 
-  private def dsum(c: Column): Column = sum(c.cast("decimal(27,10)")).cast("double")
-  private def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(27,10))) AS DOUBLE)"
-  /** Pure-sum output columns: round in DECIMAL space, THEN cast to double.
-    * Rounding the already-cast double at 6 dp is 1-ULP ambiguous across
-    * engines once the sum exceeds ~2^33 (observed at sf0.1); rounding the
-    * exact decimal makes both engines convert the identical decimal. */
-  private def dsum6(c: Column): Column =
-    round(sum(c.cast("decimal(27,10)")), 6).cast("double")
-  private def dsum6Sql(expr: String): String =
-    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 6) AS DOUBLE)"
-  private def dmeanSql(expr: String): String =
-    s"(${dsumSql(expr)} / COUNT($expr))"
-  private val r6 = (c: Column) => round(c, 6)
-  private def epochS(c: Column): Column = unix_timestamp(c)
-  private val epochSql = (e: String) => s"CAST(FLOOR(EPOCH($e)) AS BIGINT)"
 
   /** O1/O2: multi-key sort + limit (display-n). */
   val o1Sort: QueryDef = QueryDef(

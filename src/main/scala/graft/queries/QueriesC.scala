@@ -12,15 +12,12 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   * fingerprint), multimodal-column plumbing.
   */
 object QueriesC {
+  import Ora._
   import Queries.QueryDef
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Core.table(s, dir, name)
 
-  /** DuckDB mirror of TextAnalysis.md5Long. */
-  private def md5LongSql(e: String): String =
-    s"CAST(CONCAT('0x', SUBSTRING(md5($e), 1, 15)) AS BIGINT)"
-  private val toksSql = "regexp_extract_all(lower(text), '\\S+')"
   /** DuckDB mirror of Dedup.shingles (distinct word n-grams, 1-based slices). */
   private def shinglesSql(n: Int): String =
     s"""SELECT DISTINCT doc_id, unnest([array_to_string(w[g : g + ${n - 1}], ' ')

@@ -10,22 +10,12 @@ import graft.Core
   * semi-structured date pruning on the testdata star schema.
   */
 object QueriesG {
+  import Ora._
   import Queries.QueryDef
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Core.table(s, dir, name)
 
-  private def dsum(c: Column): Column = sum(c.cast("decimal(27,10)")).cast("double")
-  private def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(27,10))) AS DOUBLE)"
-  /** Pure-sum output columns: round in DECIMAL space, THEN cast to double.
-    * Rounding the already-cast double at 6 dp is 1-ULP ambiguous across
-    * engines once the sum exceeds ~2^33 (observed at sf0.1); rounding the
-    * exact decimal makes both engines convert the identical decimal. */
-  private def dsum6(c: Column): Column =
-    round(sum(c.cast("decimal(27,10)")), 6).cast("double")
-  private def dsum6Sql(expr: String): String =
-    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 6) AS DOUBLE)"
 
   /** Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, revenue per
     * order, top 10 by (revenue desc, orderkey).

@@ -14,14 +14,12 @@ import graft.llm.{Curation, TextAnalysis}
   * oracle.
   */
 object QueriesH {
+  import Ora._
   import Queries.QueryDef
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Core.table(s, dir, name)
 
-  private val toksSql = "regexp_extract_all(lower(text), '\\S+')"
-  private def md5LongSql(e: String): String =
-    s"CAST(CONCAT('0x', SUBSTRING(md5($e), 1, 15)) AS BIGINT)"
   /** DuckDB mirror of Curation.sampleBucket. */
   private def bucketSql(idExpr: String, salt: String): String =
     s"${md5LongSql(s"CAST($idExpr AS VARCHAR) || '$salt'")} % 1000000"

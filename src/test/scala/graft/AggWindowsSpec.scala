@@ -75,6 +75,15 @@ class AggWindowsSpec extends SparkSpec {
     assert(viaFallback("tied") == viaSort("tied"))
   }
 
+  test("exactPercentilesMulti rand-sampled branch (n > sample target) stays exact") {
+    // 60001 rows > the 50k sample target: the Bernoulli-coin bracket path
+    // must analyze (coin projected BELOW the aggregate) and stay exact
+    val d = spark.range(0, 60001).selectExpr("CAST(id AS DOUBLE) AS v")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val out = Agg.exactPercentilesMulti(d, Seq("v"), ps, Map("v" -> 60001L))
+    assert(out("v") == Seq(15000.0, 30000.0, 45000.0), out)
+  }
+
   test("dbMean equals plain value for constant input, exceeds mean otherwise") {
     val d = df("g STRING, v DOUBLE", Seq(R("a", 30.0), R("a", 30.0)))
     val m = d.groupBy(col("g")).agg(Agg.dbMean(col("v")).as("m"))

@@ -217,6 +217,25 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("degenerate vectors (zero-norm, null) are unscoreable in BOTH top-k variants") {
+    // Spark 4 ANSI mode turns the 0/0 of a zero-norm cosine into a
+    // DIVIDE_BY_ZERO job failure without the guard; vec 8's null embedding
+    // would crash the typed aggregator's non-nullable encoder unfiltered
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      (1 to 7).map(i => R(i.toLong,
+        Seq(math.cos(i / 3.0).toFloat, math.sin(i / 3.0).toFloat))) ++
+      Seq(R(8L, null), R(9L, Seq(0.0f, 0.0f))))
+    val q = d.filter(col("vec_id") === 1)
+    val agg = Similarity.bruteForceTopKAgg(d, q, "vec_id", "embedding", 2, 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val win = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 2, 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(agg.toSeq == win.toSeq, s"agg ${agg.toSeq} vs win ${win.toSeq}")
+    // the unscoreable vectors are excluded, every scoreable one is ranked
+    assert(!agg.exists(h => h._2 == 8L || h._2 == 9L))
+    assert(agg.length == 5 && agg.map(_._2).forall((2L to 7L).contains), agg.toSeq)
+  }
+
   test("ivfTopK with nprobe = nlist equals brute force") {
     val d = df("vec_id BIGINT, label INT, embedding ARRAY<FLOAT>", Seq(
       R(1L, 0, Seq(1.0f, 0.0f)), R(2L, 0, Seq(0.9f, 0.1f)),
