@@ -42,4 +42,20 @@ private[queries] object Ora {
 
   /** DuckDB mirror of TextAnalysis.tokens over the documents.text column. */
   val toksSql = "regexp_extract_all(lower(text), '\\S+')"
+
+  /** DuckDB mirrors of Similarity.dot / norm2 / cosine — same left-assoc
+    * element order as the Spark-side fold, same zero-norm NULL guard.
+    */
+  def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+  def normSql(a: String, dim: Int): String =
+    (1 to dim).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"""CASE WHEN SQRT(${normSql(a, dim)}) * SQRT(${normSql(b, dim)}) > 0
+        THEN (${dotSql(a, b, dim)})
+             / (SQRT(${normSql(a, dim)}) * SQRT(${normSql(b, dim)})) END"""
 }

@@ -208,7 +208,58 @@ object QueriesH {
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY lang, source ORDER BY lang, source"""))
 
+  /** Hybrid retrieval: lexical BM25 candidate generation (top 50) reranked
+    * by embedding cosine against a query vector — the canonical two-stage
+    * retrieval shape. Stage 1's stats relations broadcast and its top-50 is
+    * TakeOrderedAndProject; stage 2 joins the 50 candidates (broadcast)
+    * against the embedding table and reranks — the full corpus is never
+    * scored by the vector stage.
+    */
+  val hybridRerank: QueryDef = QueryDef(
+    "hybrid_rerank",
+    (s, dir) => {
+      import graft.llm.Similarity
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val cand = TextAnalysis.bm25(docs, "doc_id", "text",
+          terms = Seq("hash", "merge", "scan"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      broadcast(cand)
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding").as("ev")),
+              Seq("doc_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", round(Similarity.cosine("qv", "ev", 64), 6))
+        .select(col("doc_id"), col("bm25"), col("cos"))
+        .orderBy(col("cos").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""WITH dl AS (SELECT doc_id, CAST(LEN($toksSql) AS DOUBLE) AS dl
+        FROM documents),
+      corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_corpus, AVG(dl) AS avgdl
+        FROM dl),
+      tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+        WHERE tok IN ('hash', 'merge', 'scan') GROUP BY 1, 2),
+      dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      cand AS (SELECT t.doc_id,
+          ROUND(SUM(LN(1.0 + (c.n_corpus - d.df + 0.5) / (d.df + 0.5))
+            * (t.tf * (1.2 + 1.0))
+            / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl))), 6) AS bm25
+        FROM tf t JOIN dfreq d USING (tok) JOIN dl l USING (doc_id)
+          CROSS JOIN corpus c
+        GROUP BY t.doc_id ORDER BY bm25 DESC, t.doc_id LIMIT 50),
+      q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      SELECT cand.doc_id, cand.bm25,
+        ROUND(${cosineSql("q", "e", 64)}, 6) AS cos
+      FROM cand
+      JOIN embeddings e ON cand.doc_id = e.vec_id
+      CROSS JOIN q
+      ORDER BY cos DESC, cand.doc_id LIMIT 10"""))
+
   val all: Seq[QueryDef] = Seq(
     decontaminate, tfidfTopK, bm25Rank, sampleStratified, sampleReservoir,
-    piiRedact, packSequences, corpusMixture)
+    piiRedact, packSequences, corpusMixture, hybridRerank)
 }
