@@ -55,52 +55,72 @@ object Core {
     * µs-precision, so ns→µs is lossless).
     */
   /** Per-(session, path) memo of the resolved table PLAN — not data. Each
-    * `spark.read.parquet` re-lists the directory, re-reads footers for
-    * schema, and the [[spreadSmallScan]] gate pays one `.rdd` planning pass;
-    * at ~84 queries × 1-3 tables per benchmark run that fixed cost is
-    * seconds of driver time for byte-identical plans. DataFrames are
+    * `spark.read.parquet` re-lists the directory and re-reads footers for
+    * schema; at ~90 queries × 1-3 tables per benchmark run that fixed cost
+    * is seconds of driver time for byte-identical plans. DataFrames are
     * immutable and session-bound, so reuse is safe; the key carries the
     * session identity so a stopped session's plans are never resurrected.
+    *
+    * Lifecycle note: the cached DataFrames strongly reference their
+    * SparkSession (Dataset → QueryExecution → SparkSession), so a
+    * WeakHashMap key alone would never be collected — entries are therefore
+    * cleared EXPLICITLY by an application-end listener installed on first
+    * use (and by [[invalidateTables]]); the weak key is only a second line
+    * of defense, not the cleanup mechanism.
     */
   private val tableMemo =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // weak session key: a stopped/dereferenced session's plans become
-    // collectable instead of pinned for the JVM's lifetime. NOTE the memo
-    // snapshots the parquet file listing at first read — a caller that
-    // rewrites a table directory mid-session must call [[invalidateTables]]
-    // (or re-read directly) to see the new files.
+    // NOTE the memo snapshots the parquet file listing at first read — a
+    // caller that rewrites a table directory mid-session must call
+    // [[invalidateTables]] (or re-read directly) to see the new files.
     val perSession = tableMemo.synchronized {
       var m = tableMemo.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
         tableMemo.put(spark, m)
+        // drop this session's plans when its context ends, so the memo never
+        // pins a stopped session's Catalyst state for the JVM lifetime
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              invalidateTables(spark)
+          })
       }
       m
     }
     perSession.computeIfAbsent(s"$dir/$name.parquet",
-      path => spreadSmallScan(spark, normalizeNanosTs(spark.read.parquet(path))))
+      path => normalizeNanosTs(spark.read.parquet(path)))
   }
 
   /** Drop the memoized plans for a session (after rewriting table files). */
   def invalidateTables(spark: SparkSession): Unit =
     tableMemo.synchronized { tableMemo.remove(spark); () }
 
-  /** Parquet parallelism floor: a row group is the indivisible scan unit, so
-    * a small table written as one row group arrives as ONE task — and every
-    * compute-heavy stage fused onto that scan (shingling, hashing, decode)
-    * runs serially no matter how many cores exist. When the scan has fewer
-    * partitions than the cluster has slots, insert one round-robin exchange
-    * of the (by definition small) table so downstream compute fans out. A
-    * 100 TB table arrives as thousands of row-group splits and is left
-    * untouched — this only ever shuffles tables too small to self-partition.
+  /** Parallelism floor for COMPUTE-HEAVY stages: a row group is the
+    * indivisible scan unit, so a small table written as one row group
+    * arrives as ONE task — and every compute-heavy stage fused onto that
+    * scan (shingling, hashing, regex, codec decode) runs serially no matter
+    * how many cores exist. When the input has fewer partitions than the
+    * cluster has slots, insert one round-robin exchange of the (by
+    * definition small) relation so downstream compute fans out. A 100 TB
+    * table arrives as thousands of row-group splits and is left untouched —
+    * this only ever shuffles relations too small to self-partition.
     * Filters still reach the parquet scan: PushDownPredicates moves them
     * through Repartition nodes.
+    *
+    * Call this INSIDE operators whose per-row work dominates the exchange
+    * (HOF shingling, per-token md5, regex extraction, image/audio decode,
+    * per-pair cosines) — NOT on every table read: a plain scan→aggregate
+    * query gains nothing from the fan-out but pays a full-table exchange
+    * before its partial agg, a measured 2-4× regression on the cheap-scan
+    * query tier (round-3 driver bench).
     */
-  def spreadSmallScan(spark: SparkSession, df: DataFrame): DataFrame = {
-    val slots = spark.sparkContext.defaultParallelism
+  def fanOut(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
   }
 

@@ -96,7 +96,9 @@ object Curation {
                     shardCol: String, maxTokens: Int): DataFrame = {
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(shardCol), col(idCol),
+    // tokenization happens map-side BEFORE the shard shuffle — floor its
+    // parallelism (the window itself re-partitions on the shard key)
+    graft.Core.fanOut(df).select(col(shardCol), col(idCol),
         size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
       .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("bin", floor(col("start_off") / maxTokens))
@@ -114,7 +116,7 @@ object Curation {
     * regexp_replace for the masking; no shuffle, linear at any scale.
     */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    graft.Core.fanOut(df).select(
       col(idCol),
       size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
         .cast("long").as("n_emails"),

@@ -37,7 +37,11 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** Distinct word n-gram shingles per document: one explode, no shuffle. */
+  /** Distinct word n-gram shingles per document: one explode, no shuffle
+    * beyond the [[graft.Core.fanOut]] parallelism floor (shingling is the
+    * canonical compute-heavy projection — a single-row-group corpus must
+    * not tokenize serially on one core).
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // guard: sequence(1, x) DESCENDS for x < 1 (step defaults to -1), so a
@@ -46,7 +50,7 @@ object Dedup {
       .otherwise(array().cast("array<int>"))
     // distinct-within-doc via array_distinct BEFORE the explode: the (id, sh)
     // relation is identical, but the global distinct() shuffle disappears
-    df.select(col(idCol), explode(array_distinct(
+    graft.Core.fanOut(df).select(col(idCol), explode(array_distinct(
         transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))).as("sh"))
   }
 
@@ -64,7 +68,7 @@ object Dedup {
     val toks = TextAnalysis.tokens(col(textCol))
     val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol), size(array_distinct(
+    graft.Core.fanOut(df).select(col(idCol), size(array_distinct(
         transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))).cast("long").as("sz"))
       .filter(col("sz") > 0)
   }
@@ -283,7 +287,7 @@ object Dedup {
     */
   def simhash16(df: DataFrame, idCol: String, textCol: String,
                 hash: Column => Column = TextAnalysis.md5Long): DataFrame = {
-    val tok = df.select(col(idCol),
+    val tok = graft.Core.fanOut(df).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("h", hash(col("tok")) % 65536)
     val bitSums = (0 until 16).map { bit =>
@@ -316,6 +320,9 @@ object Dedup {
                           dim: Int, nBits: Int = 32, r: Int = 8,
                           minCos: Double = 0.8): DataFrame = {
     require(nBits % r == 0, "nBits must be a multiple of the band width r")
+    // nBits × dim multiply-adds per row: the signature projection is the
+    // costliest map stage in the file — floor its parallelism
+    val spread = graft.Core.fanOut(df)
     val nb = nBits / r
     def bit(j: Int): Column = {
       // fixed left-to-right double sum — mirrored exactly by the oracle SQL's
@@ -331,15 +338,15 @@ object Dedup {
     }
     val bandCols = (0 until nb).map(bd =>
       concat((bd * r until (bd + 1) * r).map(bit): _*).as(s"sig$bd"))
-    val sigs = df.select(col(idCol) +: bandCols: _*)
+    val sigs = spread.select(col(idCol) +: bandCols: _*)
     val bands = sigs.select(col(idCol),
       expr(s"stack($nb, ${(0 until nb).map(b => s"$b, sig$b").mkString(", ")}) as (band, sig)"))
     val ba = bands.select(col(idCol).as("va"), col("band"), col("sig"))
     val bb = bands.select(col(idCol).as("vb"), col("band"), col("sig"))
     val cand = ba.join(bb, Seq("band", "sig")).filter(col("va") < col("vb"))
       .select("va", "vb").distinct()
-    val ea = df.select(col(idCol).as("va"), col(vecCol).as("ea"))
-    val eb = df.select(col(idCol).as("vb"), col(vecCol).as("eb"))
+    val ea = spread.select(col(idCol).as("va"), col(vecCol).as("ea"))
+    val eb = spread.select(col(idCol).as("vb"), col(vecCol).as("eb"))
     cand.join(ea, "va").join(eb, "vb")
       .withColumn("cos", round(Similarity.cosine("ea", "eb", dim), 6))
       .filter(col("cos") >= minCos)
@@ -355,8 +362,11 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, dim: Int,
                        minCos: Double): DataFrame = {
-    val a = df.select(col(blockCol), col(idCol).as("va"), col(vecCol).as("ea"))
-    val b = df.select(col(blockCol), col(idCol).as("vb"), col(vecCol).as("eb"))
+    // a small corpus broadcast-joins (no exchange), so the per-pair cosine
+    // stage inherits the scan's partitioning — floor it explicitly
+    val spread = graft.Core.fanOut(df)
+    val a = spread.select(col(blockCol), col(idCol).as("va"), col(vecCol).as("ea"))
+    val b = spread.select(col(blockCol), col(idCol).as("vb"), col(vecCol).as("eb"))
     a.join(b, Seq(blockCol)).filter(col("va") < col("vb"))
       .withColumn("cos", round(Similarity.cosine("ea", "eb", dim), 6))
       .filter(col("cos") >= minCos)

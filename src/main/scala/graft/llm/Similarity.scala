@@ -49,7 +49,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, dim: Int, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("vb"), col(vecCol).as("eb"))
+    // the broadcast join is map-side: the |Q| cosines per corpus row run on
+    // the scan's partitioning — floor it ([[graft.Core.fanOut]])
+    val c = graft.Core.fanOut(corpus).select(col(idCol).as("vb"), col(vecCol).as("eb"))
     val cos = cosine("qv", "eb", dim)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vb"))
     broadcast(q).join(c, col("qid") =!= col("vb"))
@@ -69,7 +71,7 @@ object Similarity {
   def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, dim: Int, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("vb"), col(vecCol).as("eb"))
+    val c = graft.Core.fanOut(corpus).select(col(idCol).as("vb"), col(vecCol).as("eb"))
     val cos = cosine("qv", "eb", dim)
     val topk = udaf(new graft.functions.Aggregators.TopK(k))
     // unscoreable (NULL) cosines — null or zero-norm embeddings — are

@@ -51,7 +51,7 @@ object TextAnalysis {
     val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
     val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
     val nCharsNoWs = length(regexp_replace(text, "\\s", ""))
-    df.select(
+    graft.Core.fanOut(df).select(
       col(idCol),
       length(text).as("n_chars"),
       nTok.as("n_tokens"),
@@ -80,7 +80,8 @@ object TextAnalysis {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("mlang", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("mword", org.apache.spark.sql.types.StringType))))
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tok = graft.Core.fanOut(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val hits = tok.join(broadcast(markers), col("tok") === col("mword"))
       .groupBy(col(idCol), col("mlang")).agg(count(lit(1)).as("n_hits"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("n_hits").desc, col("mlang"))
@@ -116,7 +117,8 @@ object TextAnalysis {
     */
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 100): DataFrame =
-    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    graft.Core.fanOut(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n_total"),
            countDistinct(col(idCol)).as("n_docs"))
@@ -131,7 +133,8 @@ object TextAnalysis {
     * then tok), both with map-side partial combine.
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val spread = graft.Core.fanOut(df)
+    val tf = spread.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = df.select(countDistinct(col(idCol)).as("n_corpus"))
@@ -152,12 +155,13 @@ object TextAnalysis {
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val docLen = df.select(col(idCol),
+    val spread = graft.Core.fanOut(df)
+    val docLen = spread.select(col(idCol),
       size(tokens(col(textCol))).cast("double").as("dl"))
     val corpus = docLen.select(
       count(lit(1)).cast("double").as("n_corpus"),
       avg(col("dl")).as("avgdl"))
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = spread.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
@@ -189,7 +193,7 @@ object TextAnalysis {
     // An in-row `array_min(transform(grams, hash))` variant avoids the
     // explode but evaluates the hash INTERPRETED (higher-order-function
     // lambdas don't codegen): measured 3× slower once scans parallelize.
-    df.select(col(idCol), explode(grams).as("g"))
+    graft.Core.fanOut(df).select(col(idCol), explode(grams).as("g"))
       .groupBy(col(idCol))
       .agg(min(hash(col("g"))).as("fingerprint"))
   }
