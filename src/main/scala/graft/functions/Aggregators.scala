@@ -212,4 +212,64 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Hit]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Hit]]()
   }
+
+  final case class LongHit(key: Long, id: Long)
+  final case class BottomKLongBuffer(keys: ArrayBuffer[Long], ids: ArrayBuffer[Long])
+
+  /** Bounded bottom-k by (key ASC, id ASC) over EXACT Long keys — the
+    * integer-ordered sibling of [[TopK]]. Exists because a 60-bit hash key
+    * does not survive TopK's Double score (53-bit mantissa): two hashes
+    * differing only below bit 53 would compare equal and tie-break on id,
+    * silently reordering the sample. Long comparison keeps the full order.
+    * Same scale shape: at most k candidates per partial buffer, |groups|·k
+    * exchange rows however large the scored relation is, deterministic and
+    * partitioning-independent.
+    */
+  class BottomKLong(k: Int)
+      extends Aggregator[(Long, Long), BottomKLongBuffer, Seq[LongHit]] {
+    require(k > 0, "k must be positive")
+
+    /** (k1,i1) strictly before (k2,i2) under (key ASC, id ASC). */
+    private def before(k1: Long, i1: Long, k2: Long, i2: Long): Boolean =
+      k1 < k2 || (k1 == k2 && i1 < i2)
+
+    private def admit(b: BottomKLongBuffer, key: Long, id: Long): Unit = {
+      if (b.keys.length < k) { b.keys += key; b.ids += id }
+      else {
+        var worst = 0
+        var i = 1
+        while (i < b.keys.length) {
+          if (before(b.keys(worst), b.ids(worst), b.keys(i), b.ids(i))) worst = i
+          i += 1
+        }
+        if (before(key, id, b.keys(worst), b.ids(worst))) {
+          b.keys(worst) = key; b.ids(worst) = id
+        }
+      }
+    }
+
+    override def zero: BottomKLongBuffer =
+      BottomKLongBuffer(ArrayBuffer.empty, ArrayBuffer.empty)
+
+    override def reduce(b: BottomKLongBuffer, in: (Long, Long)): BottomKLongBuffer = {
+      admit(b, in._1, in._2)
+      b
+    }
+
+    override def merge(a: BottomKLongBuffer, c: BottomKLongBuffer): BottomKLongBuffer = {
+      var i = 0
+      while (i < c.keys.length) { admit(a, c.keys(i), c.ids(i)); i += 1 }
+      a
+    }
+
+    override def finish(b: BottomKLongBuffer): Seq[LongHit] = {
+      val hits = b.keys.indices.map(i => LongHit(b.keys(i), b.ids(i)))
+      hits.sortWith((x, y) => before(x.key, x.id, y.key, y.id)).toSeq
+    }
+
+    override def bufferEncoder: Encoder[BottomKLongBuffer] =
+      Encoders.product[BottomKLongBuffer]
+    override def outputEncoder: Encoder[Seq[LongHit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[LongHit]]()
+  }
 }

@@ -69,19 +69,29 @@ object Curation {
 
   /** Deterministic per-stratum "reservoir": the k rows with the smallest
     * hash values in each stratum — a uniform-without-replacement sample
-    * that is stable across runs, engines, and input order. One shuffle on
-    * the stratum key. For very hot strata the bounded-buffer alternative
-    * is [[graft.functions.Aggregators.TopK]]'s pattern (partial top-k per
-    * partition, |strata|×k exchange rows); the window form is kept here
-    * because the 60-bit hash exceeds double precision and the oracle
-    * compare needs exact long ordering.
+    * that is stable across runs, engines, and input order. Selection runs
+    * through the bounded [[graft.functions.Aggregators.BottomKLong]]
+    * aggregator (exact 60-bit long ordering, at most k candidates per
+    * partial buffer), so a hot stratum never sorts all its rows in one
+    * partition — the exchange carries |strata|·k (hash, id) pairs however
+    * large the stratum is, then the k·|strata| winners broadcast-join back
+    * to the full rows. Requires a UNIQUE, integral, non-null `idCol` (a
+    * document id): the id is both the hash seed and the join-back key.
     */
   def hashReservoir(df: DataFrame, idCol: String, strataCol: String,
                     k: Int, salt: String = "graft"): DataFrame = {
     val h = TextAnalysis.md5Long(concat(col(idCol).cast("string"), lit(salt)))
-    val w = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
-    df.withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= k)
+    val bottomK = udaf(new graft.functions.Aggregators.BottomKLong(k))
+    val picked = df
+      .select(col(strataCol).as("__stratum"), h.as("__h"),
+              col(idCol).cast("long").as("__id"))
+      .filter(col("__id").isNotNull)
+      .groupBy(col("__stratum"))
+      .agg(bottomK(col("__h"), col("__id")).as("hits"))
+      .select(posexplode(col("hits")))
+      .select(col("col.id").as("__id"),
+              (col("pos") + 1).cast("int").as("sample_rank"))
+    df.join(broadcast(picked), col(idCol) === col("__id")).drop("__id")
   }
 
   /** GPT-style sequence packing layout: documents are (logically)

@@ -148,6 +148,14 @@ object Similarity {
     * scale, k-means cluster ids), queries probe only the `nprobe` nearest
     * centroids, then brute-force within the probed partitions. Search cost
     * drops from O(N) to O(N·nprobe/nlist) per query.
+    *
+    * Both ranking stages run through the bounded
+    * [[graft.functions.Aggregators.TopK]] aggregator, never a window: the
+    * probe stage exchanges |Q|·nprobe rows and the search stage |Q|·k rows
+    * per partition — a `row_number()` window here would shuffle EVERY probed
+    * candidate pair to rank it, the one shape that dies at 100× corpus size.
+    * `partCol` and `idCol` must be integral (cell/cluster/vector ids), which
+    * is what every quantizer emits — the aggregator keys on Long.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, partCol: String, dim: Int, k: Int,
@@ -162,24 +170,41 @@ object Similarity {
         count(lit(1))).as("cv"))
       .groupBy(col(partCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("s"))
-      .select(col(partCol), transform(col("s"), x => x.getField("cv")).as("cvec"))
+      .select(col(partCol).cast("long").as(partCol),
+              transform(col("s"), x => x.getField("cv")).as("cvec"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    // probe assignment: nprobe nearest centroids per query (centroids are tiny)
+    // probe assignment: nprobe nearest centroids per query, ranked through
+    // the bounded aggregator — (ccos DESC, partCol ASC), the same total
+    // order the previous window form declared. Unscoreable (NULL) centroid
+    // cosines are dropped: a descending window ranks NULLs last, so they
+    // could only ever be probed when fewer than nprobe scoreable centroids
+    // exist — in which case probing fewer cells is the honest answer.
     val qcos = cosine("qv", "cvec", dim)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col(partCol))
+    val probeK = udaf(new graft.functions.Aggregators.TopK(nprobe))
     val probes = broadcast(q).crossJoin(broadcast(cent))
-      .withColumn("ccos", qcos)
-      .withColumn("prn", row_number().over(wq))
-      .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qv"), col(partCol))
-    // search only within probed partitions
-    val c = corpus.select(col(partCol), col(idCol).as("vb"), col(vecCol).as("eb"))
+      .select(col("qid"), qcos.as("ccos"), col(partCol))
+      .filter(col("ccos").isNotNull)
+      .groupBy(col("qid"))
+      .agg(probeK(col("ccos"), col(partCol)).as("ph"))
+      .select(col("qid"), explode(col("ph")).as("h"))
+      .select(col("qid"), col("h.id").as(partCol))
+    // search only within probed partitions: the probe set (|Q|·nprobe rows +
+    // query vectors) broadcasts; the corpus side stays partitioned, with the
+    // parallelism floor for the per-pair cosines ([[graft.Core.fanOut]])
+    val c = graft.Core.fanOut(corpus)
+      .select(col(partCol).cast("long").as(partCol),
+              col(idCol).as("vb"), col(vecCol).as("eb"))
     val cos = cosine("qv", "eb", dim)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vb"))
-    probes.join(c, Seq(partCol)).filter(col("qid") =!= col("vb"))
-      .withColumn("cos", round(cos, 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vb"), col("cos"))
+    val topk = udaf(new graft.functions.Aggregators.TopK(k))
+    broadcast(probes.join(q, Seq("qid")))
+      .join(c, Seq(partCol))
+      .filter(col("qid") =!= col("vb"))
+      .select(col("qid"), round(cos, 6).as("cos"), col("vb"))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("qid"))
+      .agg(topk(col("cos"), col("vb")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+              col("col.id").as("vb"), col("col.score").as("cos"))
   }
 }

@@ -62,6 +62,11 @@ class CurationSpec extends SparkSpec {
         many.orderBy(col("doc_id").desc), "doc_id", "lang", k = 7)
       .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0))).toSet
     assert(ids1 == ids2)
+    // scale shape: selection is a bounded partial aggregation (|strata|·k
+    // exchange rows), never a per-stratum window sort of the whole stratum
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
   test("redactPii: counts and masks email/phone spans; clean text untouched") {

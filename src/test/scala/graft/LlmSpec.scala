@@ -248,6 +248,27 @@ class LlmSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("ivfTopK ranks through the bounded aggregator: no Window in the plan") {
+    val d = df("vec_id BIGINT, label INT, embedding ARRAY<FLOAT>",
+      (1 to 30).map(i => R(i.toLong, i % 3,
+        Seq(math.cos(i / 5.0).toFloat, math.sin(i / 5.0).toFloat))))
+    val q = d.filter(col("vec_id") <= 3)
+    val ivfDf = Similarity.ivfTopK(d, q, "vec_id", "embedding", "label",
+      dim = 2, k = 4, nprobe = 3)
+    // nprobe = nlist ⇒ exhaustive ⇒ must equal the brute-force window ranking
+    val win = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 2, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ivf = ivfDf
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ivf == win)
+    // the scale property, for BOTH stages (probe assignment + in-cell
+    // search): ranking happens in partial aggregation, never a per-group
+    // window sort over the probed candidate pairs
+    val plan = ivfDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("kmeansPartitions + ivfTopK: learned cells recover true neighbors") {
     val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
       // two tight clusters around (1,0) and (0,1)
