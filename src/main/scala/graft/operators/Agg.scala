@@ -156,8 +156,8 @@ object Agg {
   }
 
   /** Exact interpolated percentiles for MANY columns at once, via selection
-    * by counting — three shuffle-free aggregation passes and never a global
-    * sort of the table:
+    * by counting — shuffle-free aggregation passes and never a global sort
+    * of the table:
     *   1. one aggregation: value BRACKETS around every needed order
     *      statistic — from a codegen'd Bernoulli row sample (6σ binomial
     *      rank margin) below `sketchFrom` rows, from a GK
@@ -165,13 +165,17 @@ object Agg {
     *      interpreted eval — slower, but O(accuracy) state at any n) above;
     *   2. one aggregation: per bracket, rows strictly below `lo` and the
     *      [lo, hi] window size — VERIFYING the bracket actually contains
-    *      the target rank, whatever pass 1 estimated;
-    *   3. one aggregation: `collect_list` of just the window values,
-    *      sorted locally on the driver.
+    *      the target rank, whatever pass 1 estimated — AND, when the
+    *      sample's tie-mass estimate says the window is comfortably within
+    *      `maxWindow`, the sorted window VALUES in the same scan (a
+    *      separate collect pass survives only for sketch-bracketed or
+    *      heavy-tie columns).
+    * Columns small enough that pass 1's "sample" was the ENTIRE column
+    * resolve directly from it — no verify or collect scan at all.
     * The interpolation arithmetic is identical to [[exactPercentiles]]
     * (quantile_cont: rank = p·(n−1), linear between floor/ceil), so results
     * are bit-equal. At 100 TB this replaces a full range-shuffle of the
-    * column with three scan-local aggregations whose buffers are O(accuracy)
+    * column with 2-3 scan-local aggregations whose buffers are O(accuracy)
     * map-side and O(window) driver-side. Columns whose window exceeds
     * `maxWindow` (pathological tie mass) or whose bracket check fails fall
     * back to the sorted path — exactness is never at risk.
@@ -179,135 +183,205 @@ object Agg {
   def exactPercentilesMulti(df: DataFrame, cols: Seq[String], ps: Seq[Double],
                             knownNs: Map[String, Long],
                             maxWindow: Long = 4000000L,
-                            sketchFrom: Long = 100000000L): Map[String, Seq[Double]] = {
-    val live = cols.filter(c => knownNs.getOrElse(c, 0L) > 0L)
-    val base = df.select(live.map(c => col(c).cast("double").as(c)): _*)
-    // per column: needed 0-based order statistics (floor/ceil per rank)
+                            sketchFrom: Long = 100000000L,
+                            sampleFloor: Long = 1000000L): Map[String, Seq[Double]] = {
+    val candCols = cols.filter(c => knownNs.getOrElse(c, 0L) > 0L)
+    if (candCols.isEmpty)
+      return cols.map(c => c -> ps.map(_ => Double.NaN)).toMap
+    val ns = knownNs
+    // `sampleFloor` doubles as the full-collect cutoff: a column at or under
+    // it IS its own sample (one bounded ≤8 MB collect, direct resolution, no
+    // verify/collect scans) — the buffer stays bounded at any table size
+    // because columns above the floor fall back to the Bernoulli sample
+    def sTargetOf(n: Long): Long = math.max(sampleFloor, math.min(2000000L, n / 200L))
+    val base = df.select(candCols.map(c => col(c).cast("double").as(c)): _*)
+    val sampleCols = candCols.filter(c => ns(c) < sketchFrom)
+    val sketchCols = candCols.filterNot(sampleCols.contains)
+    // full-column "samples": the coin is lit(true), so pass 1 collects the
+    // whole (non-null) column and no verify/collect scan is needed
+    val fullSampleCols: Set[String] =
+      sampleCols.filter(c => ns(c) <= sTargetOf(ns(c))).toSet
     case class Win(c: String, kLo: Long, kHi: Long)
-    val wins = live.flatMap { c =>
-      val n = knownNs(c)
+    def winsFor(c: String, n: Long): Seq[Win] =
       ps.map { p =>
         val r = p * (n - 1)
         Win(c, r.toLong, math.ceil(r).toLong)
       }.distinct
-    }
-    if (wins.isEmpty)
-      return cols.map(c => c -> ps.map(_ => Double.NaN)).toMap
-    // pass 1: brackets. Below `sketchFrom` rows: a Bernoulli row sample
-    // (codegen'd rand filter + collect_list, one scan; 6σ binomial margin
-    // on the sample rank). Above: ONE GK percentile_approx sketch per
-    // column (deterministic n/accuracy rank bound; interpreted eval makes
-    // it ~4× the sample's cost, so it is reserved for sizes where a 40 MB+
-    // sample collect would hurt the driver). Either way pass 2's counts
-    // VERIFY the bracket, so a busted margin degrades to the sorted
-    // fallback — never to a wrong answer.
-    val byCol = wins.groupBy(_.c)
-    val liveCols = live.filter(byCol.contains)
-    val brackets: Seq[(Double, Double)] = {
-      val sampleCols = liveCols.filter(c => knownNs(c) < sketchFrom)
-      val sketchCols = liveCols.filterNot(sampleCols.contains)
-      // the Bernoulli coin is PROJECTED below the aggregate (a nondeterministic
-      // expression inside an aggregate function's argument is rejected by some
-      // analyzer paths and semantically murky under retries everywhere), and
-      // both bracket sources share ONE aggregation job — one scan of the
-      // relation regardless of how columns straddle `sketchFrom`
-      val withKeep = sampleCols.zipWithIndex.foldLeft(base) {
-        case (d, (c, i)) =>
-          val n = knownNs(c)
-          val sTarget = math.max(50000L, math.min(2000000L, n / 200L))
-          val keep = if (n <= sTarget) lit(true)
-                     else rand(42 + i) * (n.toDouble / sTarget) < 1.0
-          d.withColumn(s"__keep_$c", keep)
-      }
-      val sketchQs: Map[String, Seq[Double]] = sketchCols.map { c =>
-        val n = knownNs(c)
-        val margin = n / 1000000L + 1
-        c -> byCol(c).flatMap(w => Seq(
-          math.max(0.0, (w.kLo - margin).toDouble / n),
-          math.min(1.0, (w.kHi + margin).toDouble / n))).distinct.sorted
-      }.toMap
-      val aggs =
+    // pass 1: brackets. Below `sketchFrom` rows: a Bernoulli row sample.
+    // The coin is PROJECTED below the aggregate (a nondeterministic
+    // expression inside an aggregate function's argument is rejected by
+    // some analyzer paths and semantically murky under retries everywhere)
+    // and the relation is pre-FILTERED to rows any coin kept: collect_list
+    // forces the whole aggregation into interpreted ObjectHashAggregate, so
+    // feeding it the full table row-by-row is the slow shape — the
+    // codegen'd filter passes ~|sample|·|cols| rows through the interpreted
+    // aggregate instead of n (measured 2.3 s → 0.7 s on the a12 gate).
+    // This is also why the moments pass of [[summaryStats]] is NOT fused in
+    // here: riding codegen'd decimal sums on this object aggregate
+    // de-compiles them (measured 0.84 s → 2.3 s for the combined job).
+    val samples: Map[String, IndexedSeq[Double]] =
+      if (sampleCols.isEmpty) Map.empty
+      else {
+        val withKeep = sampleCols.zipWithIndex.foldLeft(base) {
+          case (d, (c, i)) =>
+            val n = ns(c)
+            val sTarget = sTargetOf(n)
+            val keep = if (n <= sTarget) lit(true)
+                       else rand(42 + i) * (n.toDouble / sTarget) < 1.0
+            d.withColumn(s"__keep_$c", keep && col(c).isNotNull)
+        }
+        val kept = withKeep
+          .filter(sampleCols.map(c => col(s"__keep_$c")).reduce(_ || _))
+        val aggs = sampleCols.map(c =>
+          sort_array(collect_list(when(col(s"__keep_$c"), col(c)))).as(s"s_$c"))
+        val row = kept.agg(aggs.head, aggs.tail: _*).collect()(0)
         sampleCols.map(c =>
-          sort_array(collect_list(when(col(s"__keep_$c"), col(c)))).as(s"s_$c")) ++
-        sketchCols.map(c =>
+          c -> row.getSeq[Double](row.fieldIndex(s"s_$c")).toIndexedSeq).toMap
+      }
+    // sketch-bracketed columns (≥ `sketchFrom` rows: ONE GK percentile_approx
+    // sketch per column, deterministic n/accuracy rank bound, O(accuracy)
+    // state at any n) aggregate over the UNFILTERED relation — a separate
+    // job from the sample pass, taken only at sizes where scans are assumed
+    // partitioned wide anyway
+    val sketchQs: Map[String, Seq[Double]] = sketchCols.map { c =>
+      val n = ns(c)
+      val margin = n / 1000000L + 1
+      c -> winsFor(c, n).flatMap(w => Seq(
+        math.max(0.0, (w.kLo - margin).toDouble / n),
+        math.min(1.0, (w.kHi + margin).toDouble / n))).distinct.sorted
+    }.toMap
+    val sketches: Map[String, Map[Double, Double]] =
+      if (sketchCols.isEmpty) Map.empty
+      else {
+        val aggs = sketchCols.map(c =>
           percentile_approx(col(c), array(sketchQs(c).map(lit): _*), lit(1000000))
             .as(s"b_$c"))
-      val row = withKeep.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val samples: Map[String, IndexedSeq[Double]] = sampleCols.map(c =>
-        c -> row.getSeq[Double](row.fieldIndex(s"s_$c")).toIndexedSeq).toMap
-      val sketches: Map[String, Map[Double, Double]] = sketchCols.map { c =>
-        val arr = row.getSeq[Double](row.fieldIndex(s"b_$c"))
-        c -> sketchQs(c).zip(arr).toMap
-      }.toMap
-      wins.map { w =>
-        val n = knownNs(w.c)
-        if (samples.contains(w.c)) {
-          val s = samples(w.c)
-          val sz = s.size
-          // 6σ binomial rank margin in sample units, + slack for the
-          // realized-sample-size variance
-          val m = math.ceil(6.0 * math.sqrt(0.25 * sz)).toLong + 16
-          val iLo = math.round(w.kLo.toDouble / n * sz) - m
-          val iHi = math.round(w.kHi.toDouble / n * sz) + m
-          (if (iLo < 0) Double.NegativeInfinity else s(iLo.toInt),
-           if (iHi > sz - 1) Double.PositiveInfinity else s(iHi.toInt))
-        } else {
-          val margin = n / 1000000L + 1
-          val br = sketches(w.c)
-          (br(math.max(0.0, (w.kLo - margin).toDouble / n)),
-           br(math.min(1.0, (w.kHi + margin).toDouble / n)))
+        val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+        sketchCols.map { c =>
+          val arr = row.getSeq[Double](row.fieldIndex(s"b_$c"))
+          c -> sketchQs(c).zip(arr).toMap
+        }.toMap
+      }
+    val live = candCols
+    // direct resolution: the sorted "sample" is the whole sorted column
+    // (guarded by size == n, so a caller-supplied wrong count cannot lie)
+    val direct: Map[String, Seq[Double]] = live
+      .filter(c => fullSampleCols.contains(c) && samples.get(c).exists(_.size == ns(c)))
+      .map { c =>
+        val s = samples(c)
+        c -> ps.map { p =>
+          val r = p * (ns(c) - 1)
+          val lo = r.toLong
+          val vlo = s(lo.toInt)
+          val vhi = s(math.ceil(r).toLong.toInt)
+          vlo + (vhi - vlo) * (r - lo)
         }
+      }.toMap
+    val pending: Seq[Win] = live.filterNot(direct.contains).flatMap(c => winsFor(c, ns(c)))
+    val brackets: Seq[(Double, Double)] = pending.map { w =>
+      val n = ns(w.c)
+      if (samples.contains(w.c)) {
+        val s = samples(w.c)
+        val sz = s.size
+        // 6σ binomial rank margin in sample units, + slack for the
+        // realized-sample-size variance
+        val m = math.ceil(6.0 * math.sqrt(0.25 * sz)).toLong + 16
+        val iLo = math.round(w.kLo.toDouble / n * sz) - m
+        val iHi = math.round(w.kHi.toDouble / n * sz) + m
+        (if (iLo < 0) Double.NegativeInfinity else s(iLo.toInt),
+         if (iHi > sz - 1) Double.PositiveInfinity else s(iHi.toInt))
+      } else {
+        val margin = n / 1000000L + 1
+        val br = sketches(w.c)
+        (br(math.max(0.0, (w.kLo - margin).toDouble / n)),
+         br(math.min(1.0, (w.kHi + margin).toDouble / n)))
       }
     }
-    // pass 2: verify brackets + window sizes (conditional counts, one scan)
-    val countAggs = wins.zipWithIndex.flatMap { case (w, i) =>
-      val (lo, hi) = brackets(i)
-      val v = col(w.c)
-      Seq(count(when(v < lo, 1)).as(s"below_$i"),
-          count(when(v >= lo && v <= hi, 1)).as(s"size_$i"))
+    // tie-mass window estimate from the sample: |{v ∈ s : lo ≤ v ≤ hi}|
+    // scaled to n, with 6σ binomial slack. Only windows this says fit
+    // `maxWindow` are collected inside the verify scan; the estimate is
+    // reliable precisely when it matters (a huge tie window has a huge,
+    // low-variance sample count), so a fused collect cannot blow past
+    // ~maxWindow memory even when verification later fails the bracket.
+    def countInBracket(s: IndexedSeq[Double], lo: Double, hi: Double): Int = {
+      var a = 0
+      var b = s.size
+      while (a < b) { val mid = (a + b) >>> 1; if (s(mid) < lo) a = mid + 1 else b = mid }
+      val first = a
+      b = s.size
+      while (a < b) { val mid = (a + b) >>> 1; if (s(mid) <= hi) a = mid + 1 else b = mid }
+      a - first
     }
-    val cRow = base.agg(countAggs.head, countAggs.tail: _*).collect()(0)
-    val below = wins.indices.map(i => cRow.getAs[Long](s"below_$i"))
-    val sizes = wins.indices.map(i => cRow.getAs[Long](s"size_$i"))
-    val ok = wins.indices.map { i =>
-      val w = wins(i)
+    val fusableWin: Seq[Boolean] = pending.zip(brackets).map { case (w, (lo, hi)) =>
+      samples.get(w.c) match {
+        case Some(s) if s.nonEmpty =>
+          val cnt = countInBracket(s, lo, hi)
+          (cnt + 6.0 * math.sqrt(cnt + 1.0) + 16.0) / s.size * ns(w.c) <= maxWindow
+        case _ => false
+      }
+    }
+    // pass 2: verify brackets + window sizes, and collect the fusable
+    // windows in the same scan
+    val (below, sizes, fusedWindows) =
+      if (pending.isEmpty)
+        (IndexedSeq.empty[Long], IndexedSeq.empty[Long], Map.empty[Int, Seq[Double]])
+      else {
+        val aggs = pending.indices.flatMap { i =>
+          val (lo, hi) = brackets(i)
+          val v = col(pending(i).c)
+          Seq(count(when(v < lo, 1)).as(s"below_$i"),
+              count(when(v >= lo && v <= hi, 1)).as(s"size_$i")) ++
+          (if (fusableWin(i))
+             Seq(sort_array(collect_list(when(v >= lo && v <= hi, v))).as(s"w_$i"))
+           else Nil)
+        }
+        val r = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+        (pending.indices.map(i => r.getAs[Long](s"below_$i")),
+         pending.indices.map(i => r.getAs[Long](s"size_$i")),
+         pending.indices.filter(fusableWin).map(i =>
+           i -> r.getSeq[Double](r.fieldIndex(s"w_$i"))).toMap)
+      }
+    val ok = pending.indices.map { i =>
+      val w = pending(i)
       below(i) <= w.kLo && below(i) + sizes(i) > w.kHi && sizes(i) <= maxWindow
     }
-    // pass 3: collect just the verified windows, sorted in-agg
-    val okIdx = wins.indices.filter(ok)
-    val windows: Map[Int, Seq[Double]] =
-      if (okIdx.isEmpty) Map.empty
+    // residual pass 3: collect verified windows that could NOT be fused
+    // (sketch-bracketed columns, or tie mass too close to maxWindow)
+    val residIdx = pending.indices.filter(i => ok(i) && !fusableWin(i))
+    val residWindows: Map[Int, Seq[Double]] =
+      if (residIdx.isEmpty) Map.empty
       else {
-        val collectAggs = okIdx.map { i =>
+        val aggs = residIdx.map { i =>
           val (lo, hi) = brackets(i)
-          val v = col(wins(i).c)
+          val v = col(pending(i).c)
           sort_array(collect_list(when(v >= lo && v <= hi, v))).as(s"w_$i")
         }
-        val wRow = base.agg(collectAggs.head, collectAggs.tail: _*).collect()(0)
-        okIdx.map(i => i -> wRow.getSeq[Double](wRow.fieldIndex(s"w_$i"))).toMap
+        val r = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+        residIdx.map(i => i -> r.getSeq[Double](r.fieldIndex(s"w_$i"))).toMap
       }
-    val winAt: Map[(String, Long), Double] = wins.indices.flatMap { i =>
+    val windows = fusedWindows ++ residWindows
+    val winAt: Map[(String, Long), Double] = pending.indices.flatMap { i =>
       if (!ok(i)) Nil
       else {
-        val w = wins(i); val vals = windows(i)
-        Seq(w.kLo, w.kHi).distinct.map(k =>
-          (w.c, k) -> vals((k - below(i)).toInt))
+        val w = pending(i)
+        val vals = windows(i)
+        Seq(w.kLo, w.kHi).distinct.map(k => (w.c, k) -> vals((k - below(i)).toInt))
       }
     }.toMap
     // per-column fallback to the sorted path when any window failed
     val fallback: Map[String, Seq[Double]] = live
-      .filter(c => wins.zipWithIndex.exists { case (w, i) => w.c == c && !ok(i) })
-      .map(c => c -> exactPercentiles(df, c, ps, knownN = Some(knownNs(c))))
+      .filter(c => pending.zipWithIndex.exists { case (w, i) => w.c == c && !ok(i) })
+      .map(c => c -> exactPercentiles(df, c, ps, knownN = Some(ns(c))))
       .toMap
     cols.map { c =>
-      val n = knownNs.getOrElse(c, 0L)
+      val n = ns.getOrElse(c, 0L)
       c -> (if (n == 0L) ps.map(_ => Double.NaN)
-            else fallback.getOrElse(c, ps.map { p =>
+            else direct.getOrElse(c, fallback.getOrElse(c, ps.map { p =>
               val r = p * (n - 1)
               val vlo = winAt((c, r.toLong))
               val vhi = winAt((c, math.ceil(r).toLong))
               vlo + (vhi - vlo) * (r - r.toLong)
-            }))
+            })))
     }.toMap
   }
 
@@ -316,9 +390,12 @@ object Agg {
     * database_10min/database.py:140-162 `.summary()`). Unlike Spark's
     * built-in summary (approximate percentiles, string output), this is
     * exact and cross-engine reproducible: decimal-accumulated mean/std in
-    * ONE aggregation pass for all columns, and exact percentiles via the
-    * [[exactPercentilesMulti]] counting selection — three scan passes for
-    * every column together, no global sort, never a whole-column
+    * ONE codegen'd aggregation pass for all columns (deliberately NOT fused
+    * onto the percentile pass — collect_list forces that one into
+    * interpreted ObjectHashAggregate, and dragging the decimal sums in with
+    * it measured 0.84 s → 2.3 s), then exact percentiles via the
+    * [[exactPercentilesMulti]] counting selection: a filtered sample pass
+    * and a fused verify+collect pass, no global sort, never a whole-column
     * aggregation buffer.
     */
   def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
@@ -336,7 +413,6 @@ object Agg {
     def r6(x: Double): Double =
       if (x.isNaN || x.isInfinite) x
       else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // all columns' percentiles in three shuffle-free scan passes
     val pcts = exactPercentilesMulti(df, cols, Seq(0.25, 0.5, 0.75),
       cols.map(c => c -> m.getAs[Long](s"${c}__n")).toMap)
     val rows = cols.map { c =>

@@ -69,18 +69,24 @@ class AggWindowsSpec extends SparkSpec {
       sketchFrom = 0L)
     assert(viaSample == viaSort, s"sample-bracket path diverged: $viaSample vs $viaSort")
     assert(viaSketch == viaSort, s"sketch-bracket path diverged: $viaSketch vs $viaSort")
-    // degenerate maxWindow: every window breaches -> sorted fallback, same result
+    // degenerate maxWindow: every window breaches -> sorted fallback, same
+    // result (sketchFrom=0 forces the bracket path — at this size the
+    // sample path would short-circuit to the full-column direct resolution
+    // and never consult maxWindow)
     val viaFallback = Agg.exactPercentilesMulti(d, Seq("tied"), ps,
-      Map("tied" -> 5000L), maxWindow = 1L)
+      Map("tied" -> 5000L), maxWindow = 1L, sketchFrom = 0L)
     assert(viaFallback("tied") == viaSort("tied"))
   }
 
   test("exactPercentilesMulti rand-sampled branch (n > sample target) stays exact") {
-    // 60001 rows > the 50k sample target: the Bernoulli-coin bracket path
-    // must analyze (coin projected BELOW the aggregate) and stay exact
+    // sampleFloor forced under n: the Bernoulli-coin bracket path must
+    // analyze (coin projected BELOW the aggregate, pre-filtered relation)
+    // and stay exact; the default floor would short-circuit to the
+    // full-column direct resolution at this size
     val d = spark.range(0, 60001).selectExpr("CAST(id AS DOUBLE) AS v")
     val ps = Seq(0.25, 0.5, 0.75)
-    val out = Agg.exactPercentilesMulti(d, Seq("v"), ps, Map("v" -> 60001L))
+    val out = Agg.exactPercentilesMulti(d, Seq("v"), ps, Map("v" -> 60001L),
+      sampleFloor = 50000L)
     assert(out("v") == Seq(15000.0, 30000.0, 45000.0), out)
   }
 
