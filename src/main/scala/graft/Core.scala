@@ -72,6 +72,14 @@ object Core {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
 
+  /** Sessions that already carry the cleanup listener — tracked SEPARATELY
+    * from the memo entries, because [[invalidateTables]] clears the memo but
+    * must NOT forget the registration: re-registering on the next read would
+    * stack a fresh listener (each strongly pinning the session on the
+    * context's listener bus) per invalidate-then-read cycle.
+    */
+  private val listenerRegistered = new java.util.WeakHashMap[SparkSession, java.lang.Boolean]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // NOTE the memo snapshots the parquet file listing at first read — a
     // caller that rewrites a table directory mid-session must call
@@ -81,6 +89,9 @@ object Core {
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
         tableMemo.put(spark, m)
+      }
+      if (listenerRegistered.get(spark) == null) {
+        listenerRegistered.put(spark, java.lang.Boolean.TRUE)
         // drop this session's plans when its context ends, so the memo never
         // pins a stopped session's Catalyst state for the JVM lifetime
         spark.sparkContext.addSparkListener(

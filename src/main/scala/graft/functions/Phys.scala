@@ -27,6 +27,26 @@ object Phys {
   def snrMask(zh: Column, noise: Column, snrThreshold: Double): Column =
     when(zh - noise < snrThreshold, lit(null)).otherwise(zh)
 
+  /** F5: range-dependent noise floor in dBZ — the noise reference (dB, at
+    * `refDistKm` from the radar) projected to each gate's range by the
+    * radar-equation 20·log10(r/r_ref) spreading term
+    * (reference: radarprocessing.py:210-216 compute_noisedBZ with
+    * ref_dist=100 km; the pyart kernel is `noise_ref + 20·log10(km(r)/ref)`).
+    * Gates at/inside 0 range are undefined → NULL (log of ≤0 would be an
+    * ANSI error, and a zero-range gate has no meaningful noise floor).
+    * Feed the result into [[snrMask]] as its `noise` column.
+    */
+  def noisedBZ(rangeM: Column, noiseRefDb: Column, refDistKm: Double = 100.0): Column =
+    when(rangeM > 0.0,
+      noiseRefDb + log10(rangeM / 1000.0 / refDistKm) * 20.0)
+
+  /** F5 companion: noise reference in dBADU from the status file's frontend
+    * noise power + receiver constant, `10·log10(power) + rconst`
+    * (reference: radarprocessing.py:192-202).
+    */
+  def noiseDbAdu(noisePower: Column, rconst: Column): Column =
+    linToDb(noisePower) + rconst
+
   /** F7: Kochendorfer catch-efficiency wind correction of gauge precipitation
     * (reference: retrieve_dwh_data.py:76-97): wind clamped to 9 m/s;
     * mixed regime (−2 ≤ T ≤ 2 °C) and solid regime (T < −2 °C) each have

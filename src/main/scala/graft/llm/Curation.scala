@@ -123,7 +123,9 @@ object Curation {
 
   /** PII redaction: count and mask email / phone-shaped spans. Pure
     * codegen'd projection — regexp_extract_all for the counts,
-    * regexp_replace for the masking; no shuffle, linear at any scale.
+    * regexp_replace for the masking. Linear at any scale; shuffle-free
+    * except the conditional [[graft.Core.fanOut]] exchange, which fires only
+    * on under-partitioned (i.e. small) inputs so the regex work fans out.
     */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.Core.fanOut(df).select(

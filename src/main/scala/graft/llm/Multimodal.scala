@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, processed in partition-sized batches.
   *
-  * The actual decoders (image/audio/video libs) are NOT available in this
-  * environment — the decode step is a clearly-marked deterministic STUB
-  * (`stubDecode`); everything around it (schema, batching, partitioning, the
+  * Decode is REAL for every codec the JVM ships: images (PNG/JPEG/GIF via
+  * javax.imageio — [[decodeImage]]) and audio (WAV/AIFF/AU via
+  * javax.sound.sampled — [[decodeAudio]]). Only video remains a
+  * clearly-marked deterministic STUB (`stubDecode` — no JVM video codec
+  * exists); everything around it (schema, batching, partitioning, the
   * per-partition iterator shape a real JNI/FFI decoder would plug into) is
   * real and tested.
   */
@@ -76,9 +78,89 @@ object Multimodal {
   def decodeImages(df: DataFrame, idCol: String): Dataset[ImageFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col("payload"))
+    // codec decode is exactly the per-row-dominant work fanOut exists for:
+    // a single-row-group corpus would otherwise decode serially on one core
+    graft.Core.fanOut(df).select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) => decodeImage(id, payload) })
+  }
+
+  /** Decoded-audio record: container facts + signal RMS from a real codec. */
+  final case class AudioFeatures(id: Long, format: String, sampleRate: Double,
+                                 channels: Int, nFrames: Long,
+                                 durationS: Double, rms: Double)
+
+  /** Container sniff for the audio formats the JVM decodes natively
+    * (WAV = RIFF….WAVE, AIFF/AIFC = FORM….AIF?, AU = .snd).
+    */
+  def sniffAudioFormat(payload: Array[Byte]): Option[String] = {
+    def ascii(off: Int, s: String): Boolean =
+      payload.length >= off + s.length &&
+        s.indices.forall(i => payload(off + i) == s.charAt(i).toByte)
+    if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("audio/wav")
+    else if (ascii(0, "FORM") && (ascii(8, "AIFF") || ascii(8, "AIFC"))) Some("audio/aiff")
+    else if (ascii(0, ".snd")) Some("audio/basic")
+    else None
+  }
+
+  /** REAL audio decode for the containers the JVM ships codecs for
+    * (WAV/AIFF/AU via javax.sound.sampled — no external library): sample
+    * rate, channel count, frame count, duration, and full-signal RMS on the
+    * [-1, 1] scale (8/16-bit PCM, both endiannesses, signed or unsigned —
+    * what the JVM's WAV/AIFF readers emit). Corrupt or truncated payloads
+    * that pass the magic sniff drop the row, not the job, exactly like
+    * [[decodeImage]].
+    */
+  def decodeAudio(id: Long, payload: Array[Byte]): Option[AudioFeatures] =
+    sniffAudioFormat(payload).flatMap { fmt =>
+      scala.util.Try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          val enc = f.getEncoding
+          val bits = f.getSampleSizeInBits
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          require((signed || unsigned) && (bits == 8 || bits == 16),
+            s"unsupported PCM shape: $enc/$bits-bit")
+          val bytes = ais.readAllBytes()
+          val step = bits / 8
+          var sumSq = 0.0
+          var n = 0
+          var i = 0
+          while (i + step <= bytes.length) {
+            val raw =
+              if (bits == 8) {
+                if (signed) bytes(i).toDouble else (bytes(i) & 0xff) - 128.0
+              } else if (f.isBigEndian) {
+                ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort.toDouble
+              } else {
+                ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toDouble
+              }
+            val s = raw / (if (bits == 8) 128.0 else 32768.0)
+            sumSq += s * s
+            n += 1
+            i += step
+          }
+          val frames = ais.getFrameLength
+          AudioFeatures(id, fmt, f.getSampleRate.toDouble, f.getChannels,
+            frames, frames / f.getFrameRate.toDouble,
+            if (n > 0) math.sqrt(sumSq / n) else 0.0)
+        } finally ais.close()
+      }.toOption
+    }
+
+  /** Partition-batched REAL audio decode — same mapPartitions plumbing (and
+    * the same [[graft.Core.fanOut]] floor) as [[decodeImages]]; rows whose
+    * payload is not decodable audio are dropped.
+    */
+  def decodeAudios(df: DataFrame, idCol: String): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.Core.fanOut(df).select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) => decodeAudio(id, payload) })
   }
 
   /** Attach a binary payload + typed metadata struct to a text corpus
@@ -94,9 +176,11 @@ object Multimodal {
         lit("text/plain").as("mime"),
         lit(1).as("version")).as("media_meta"))
 
-  /** STUB for the real media decode. Deterministic fake: checksum = byte sum,
-    * head = first 8 bytes. A real implementation would call the codec here —
-    * one call per item, batched per partition, nothing else changes.
+  /** STUB for media the JVM has no codec for (video — images and audio now
+    * decode for real via [[decodeImage]]/[[decodeAudio]]). Deterministic
+    * fake: checksum = byte sum, head = first 8 bytes. A real implementation
+    * would call the codec here — one call per item, batched per partition,
+    * nothing else changes.
     */
   def stubDecode(id: Long, payload: Array[Byte]): MediaFeatures = {
     // ??? <- real decoder (libjpeg/ffmpeg/...) goes here; stubbed:
@@ -113,7 +197,7 @@ object Multimodal {
   def decodeFeatures(df: DataFrame, idCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col("payload"))
+    graft.Core.fanOut(df).select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         // per-partition init of a real decoder context would happen here
@@ -143,7 +227,7 @@ object Multimodal {
                      w: Int, h: Int): Dataset[ResizedMedia] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col("payload"))
+    graft.Core.fanOut(df).select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         ResizedMedia(id, w, h, resizeStub(payload, w0, h0, w, h))

@@ -385,6 +385,54 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_.id).toSet == Set(1L))
   }
 
+  /** Render a mono 16-bit little-endian PCM WAV of a pure sine in-process
+    * (javax.sound writes the container; no external fixture needed).
+    */
+  private def sineWav(sampleRate: Float, nFrames: Int, amp: Double,
+                      freqHz: Double): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (amp * math.sin(2 * math.Pi * freqHz * i / sampleRate) * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal decodeAudios: REAL WAV decode through the batch plumbing") {
+    // 1 s of 440 Hz at amplitude 0.5 → RMS = 0.5/√2; plus a half-second clip
+    val rows = Seq(
+      R(1L, sineWav(8000f, 8000, 0.5, 440.0), "a"),
+      R(2L, sineWav(16000f, 8000, 0.25, 440.0), "b"),
+      R(3L, "not audio at all".getBytes("UTF-8"), "c"))
+    val d = df("doc_id BIGINT, payload BINARY, text STRING", rows)
+    assert(Multimodal.sniffAudioFormat(rows.head.getAs[Array[Byte]](1))
+      .contains("audio/wav"))
+    val out = Multimodal.decodeAudios(d, "doc_id").collect().sortBy(_.id)
+    assert(out.length == 2) // the text payload is filtered, not crashed on
+    assert(out(0).format == "audio/wav" && out(0).sampleRate == 8000.0 &&
+      out(0).channels == 1 && out(0).nFrames == 8000L)
+    assert(math.abs(out(0).durationS - 1.0) < 1e-9)
+    assert(math.abs(out(0).rms - 0.5 / math.sqrt(2.0)) < 1e-3)
+    assert(math.abs(out(1).durationS - 0.5) < 1e-9)
+    assert(math.abs(out(1).rms - 0.25 / math.sqrt(2.0)) < 1e-3)
+  }
+
+  test("multimodal decodeAudios drops corrupt payloads that pass the magic sniff") {
+    val whole = sineWav(8000f, 2000, 0.5, 440.0)
+    // truncated mid-header: sniffs as RIFF/WAVE, codec throws — row dropped
+    val rows = Seq(R(1L, whole, "ok"), R(2L, whole.take(16), "truncated"))
+    val d = df("doc_id BIGINT, payload BINARY, text STRING", rows)
+    val out = Multimodal.decodeAudios(d, "doc_id").collect()
+    assert(out.map(_.id).toSet == Set(1L))
+  }
+
   test("multimodal decodeFeatures stub preserves batch plumbing") {
     val d = Multimodal.attachPayload(docs, "doc_id", "text")
     val feats = Multimodal.decodeFeatures(d, "doc_id").collect()

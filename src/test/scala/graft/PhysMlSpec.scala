@@ -27,6 +27,26 @@ class PhysMlSpec extends SparkSpec {
     assert(out(0).isNullAt(0) && out(1).getDouble(0) == 30.0)
   }
 
+  test("F5 noisedBZ: range-dependent floor feeds snrMask") {
+    // noise_ref −31 dB at 100 km: at 100 km the floor IS the reference; at
+    // 10 km it is 20 dB lower; at 0 range it is undefined (NULL)
+    val d = df("r DOUBLE, zh DOUBLE",
+      Seq(R(100000.0, -20.0), R(10000.0, -20.0), R(0.0, -20.0)))
+    val noise = Phys.noisedBZ(col("r"), lit(-31.0))
+    val floors = d.select(noise).collect()
+    assert(math.abs(floors(0).getDouble(0) - (-31.0)) < 1e-9)
+    assert(math.abs(floors(1).getDouble(0) - (-51.0)) < 1e-9)
+    assert(floors(2).isNullAt(0))
+    // masked exactly like the reference: SNR = zh − noisedBZ(r) vs threshold.
+    // zh=−20: SNR 11 dB at 100 km (< 23 → masked), 31 dB at 10 km (kept)
+    val masked = d.select(Phys.snrMask(col("zh"), noise, 23.0)).collect()
+    assert(masked(0).isNullAt(0) && masked(1).getDouble(0) == -20.0)
+    // companion: noisedBADU = 10·log10(power) + rconst (status-file path)
+    val badu = df("p DOUBLE, rc DOUBLE", Seq(R(0.01, 75.0)))
+      .select(Phys.noiseDbAdu(col("p"), col("rc"))).collect()
+    assert(math.abs(badu(0).getDouble(0) - 55.0) < 1e-9)
+  }
+
   test("catchEfficiency regimes: liquid=1, mixed and solid < 1, wind clamped") {
     val d = df("t DOUBLE, w DOUBLE",
       Seq(R(10.0, 5.0), R(0.0, 5.0), R(-5.0, 5.0), R(-5.0, 50.0)))
