@@ -44,9 +44,24 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once()
+      // heavy-tail noise control: one cold/contended run mis-bills a
+      // multi-second query by 2-3x (round 4: dedup_minhash billed 10.9 s
+      // in-suite vs 3.7 s isolated — pure ordering/contention noise).
+      // Queries past 2 s get two more runs and report the MEDIAN; the
+      // cheap tier stays single-run (re-running ~80 sub-2 s queries would
+      // triple wall clock to fix noise already within the ±15% single-run
+      // band — NOTES_r3 lesson 8).
+      val t = if (first > 2.0) {
+        val three = Seq(first, once(), once()).sorted
+        three(1)
+      } else first
+      name -> t
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,479 @@
+package graft.qpe
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/** Minimal pure-JVM HDF5 serialization — enough of the classic (v0
+  * superblock) format for ODIM product files: a group hierarchy with
+  * scalar string/double/int64 attributes and contiguous little-endian
+  * float32 2-D datasets. No external library: the JVM has no HDF5 codec
+  * and the dependency set is fixed, so the container is emitted directly
+  * from the published HDF5 File Format Specification (v1 object headers,
+  * symbol-table groups with v1 B-tree + local heap + SNOD, v1 attribute
+  * messages, v3 contiguous data layout). Files written here open with any
+  * HDF5 1.x reader (h5py/libhdf5/nczarr) — the structures used are the
+  * lowest-compatibility classic ones libhdf5 itself writes by default.
+  *
+  * Writer + structural reader (the reader follows addresses from the
+  * superblock, never assumes this writer's block order), driver-side on
+  * collected grids like the reference's writer (qpe/qpe.py:302-308).
+  */
+object Hdf5 {
+
+  // ---- public model -------------------------------------------------------
+
+  sealed trait Attr
+  final case class Str(v: String) extends Attr
+  final case class Dbl(v: Double) extends Attr
+  final case class Lng(v: Long) extends Attr
+
+  sealed trait Node
+  /** Group with attributes and named children (groups or datasets). */
+  final case class Group(attrs: Seq[(String, Attr)] = Nil,
+                         children: Seq[(String, Node)] = Nil) extends Node
+  /** Contiguous float32 dataset, `grid(row)(col)`. */
+  final case class Data(grid: Array[Array[Float]],
+                        attrs: Seq[(String, Attr)] = Nil) extends Node
+
+  /** Parse result: the same shape, data re-materialized. */
+  final case class Parsed(attrs: Map[String, Attr],
+                          children: Map[String, Parsed],
+                          data: Option[Array[Array[Float]]])
+
+  // ---- format constants ---------------------------------------------------
+
+  private val Signature = Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte)
+  private val Undef = -1L // 0xFFFF…FF = "undefined address"
+  private val LeafK = 4   // group leaf node K (superblock bytes 16-17)
+  private val BtreeSize = 24 + (2 * LeafK + 1) * 8 + 2 * LeafK * 8 // header + keys + children
+  private val SnodSize = 8 + 2 * LeafK * 40                        // header + entries
+
+  private def pad8(n: Int): Int = (n + 7) & ~7
+
+  private def nulTerm(s: String): Array[Byte] =
+    s.getBytes("US-ASCII") :+ 0.toByte
+
+  // ---- size computation (addresses are fixed-width, so sizes are static) --
+
+  /** v1 header message: 8-byte header + data padded to 8 (the size FIELD
+    * includes the padding, per the v1 spec).
+    */
+  private def msgSize(dataLen: Int): Int = 8 + pad8(dataLen)
+
+  private def dtLen(a: Attr): Int = a match {
+    case Str(v) => 8       // class 3 string, no property fields
+    case _: Dbl => 8 + 12  // class 1 float, 12 property bytes
+    case _: Lng => 8 + 4   // class 0 fixed-point, 4 property bytes
+  }
+
+  private def dataLen(a: Attr): Int = a match {
+    case Str(v) => v.length + 1 // NUL-terminated
+    case _ => 8
+  }
+
+  /** v1 attribute message data: fixed 8 + padded name/datatype/dataspace +
+    * raw value (the value itself is not padded).
+    */
+  private def attrDataLen(name: String, a: Attr): Int =
+    8 + pad8(name.length + 1) + pad8(dtLen(a)) + pad8(8) + dataLen(a)
+
+  private def groupOhSize(g: Group): Int =
+    16 + msgSize(16) + g.attrs.map { case (n, a) => msgSize(attrDataLen(n, a)) }.sum
+
+  private def datasetOhSize(d: Data): Int =
+    16 + msgSize(8 + 16) /* dataspace: 2 dims */ +
+      msgSize(20) /* float32 datatype */ +
+      msgSize(4) /* fill value v2, undefined */ +
+      msgSize(18) /* layout v3 contiguous */ +
+      d.attrs.map { case (n, a) => msgSize(attrDataLen(n, a)) }.sum
+
+  /** Local heap: 32-byte header + data (8-byte null entry at offset 0 so
+    * link-name-offset 0 is the empty string, then NUL-terminated names
+    * padded to 8).
+    */
+  private def heapSizes(names: Seq[String]): (Int, Map[String, Long]) = {
+    var off = 8L
+    val offsets = names.map { n =>
+      val o = n -> off
+      off += pad8(n.length + 1)
+      o
+    }.toMap
+    (32 + off.toInt, offsets)
+  }
+
+  // ---- layout plan --------------------------------------------------------
+
+  private sealed trait Plan { def addrOh: Long }
+  private final case class GPlan(g: Group, addrOh: Long, addrHeap: Long,
+                                 addrBtree: Long, addrSnod: Long,
+                                 heapDataSize: Int, nameOff: Map[String, Long],
+                                 kids: Seq[(String, Plan)]) extends Plan
+  private final case class DPlan(d: Data, addrOh: Long, addrData: Long) extends Plan
+
+  private final class Alloc(var at: Long) {
+    def take(n: Int): Long = { val a = at; at += n; a }
+  }
+
+  private def layout(node: Node, alloc: Alloc): Plan = node match {
+    case d: Data =>
+      val oh = alloc.take(datasetOhSize(d))
+      val rows = d.grid.length
+      val cols = if (rows == 0) 0 else d.grid(0).length
+      DPlan(d, oh, alloc.take(rows * cols * 4))
+    case g: Group =>
+      require(g.children.length <= 2 * LeafK,
+        s"one-SNOD subset: at most ${2 * LeafK} children per group " +
+          s"(got ${g.children.length}) — ODIM trees stay well under this")
+      val oh = alloc.take(groupOhSize(g))
+      // symbol-table entries must be name-ordered (B-tree invariant)
+      val sorted = g.children.sortBy(_._1)
+      val kids = sorted.map { case (n, c) => n -> layout(c, alloc) }
+      val (heapSize, nameOff) = heapSizes(sorted.map(_._1))
+      val heap = alloc.take(heapSize)
+      val btree = alloc.take(BtreeSize)
+      val snod = alloc.take(SnodSize)
+      GPlan(g, oh, heap, btree, snod, heapSize - 32, nameOff, kids)
+  }
+
+  // ---- rendering ----------------------------------------------------------
+
+  private def putMsgHeader(b: ByteBuffer, tpe: Int, dataLen: Int): Unit = {
+    b.putShort(tpe.toShort)
+    b.putShort(pad8(dataLen).toShort)
+    b.put(0.toByte) // flags
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+  }
+
+  private def putPadded(b: ByteBuffer, bytes: Array[Byte]): Unit = {
+    b.put(bytes)
+    (bytes.length until pad8(bytes.length)).foreach(_ => b.put(0.toByte))
+  }
+
+  private def datatypeBytes(a: Attr): Array[Byte] = {
+    val b = ByteBuffer.allocate(dtLen(a)).order(ByteOrder.LITTLE_ENDIAN)
+    a match {
+      case Str(v) =>
+        b.put(0x13.toByte)      // version 1, class 3 (string)
+        b.put(0x00.toByte)      // padding: NUL-terminated; charset: ASCII
+        b.put(0.toByte); b.put(0.toByte)
+        b.putInt(v.length + 1)  // element size includes the terminator
+      case _: Dbl =>
+        b.put(0x11.toByte)      // version 1, class 1 (float)
+        b.put(0x20.toByte)      // LE, implied-mantissa normalization
+        b.put(63.toByte)        // sign bit location
+        b.put(0.toByte)
+        b.putInt(8)
+        b.putShort(0); b.putShort(64)          // bit offset / precision
+        b.put(52.toByte); b.put(11.toByte)     // exponent location / size
+        b.put(0.toByte); b.put(52.toByte)      // mantissa location / size
+        b.putInt(1023)                         // exponent bias
+      case _: Lng =>
+        b.put(0x10.toByte)      // version 1, class 0 (fixed-point)
+        b.put(0x08.toByte)      // LE, signed
+        b.put(0.toByte); b.put(0.toByte)
+        b.putInt(8)
+        b.putShort(0); b.putShort(64)          // bit offset / precision
+    }
+    b.array()
+  }
+
+  private val Float32Datatype: Array[Byte] = {
+    val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x11.toByte); b.put(0x20.toByte); b.put(31.toByte); b.put(0.toByte)
+    b.putInt(4)
+    b.putShort(0); b.putShort(32)
+    b.put(23.toByte); b.put(8.toByte)
+    b.put(0.toByte); b.put(23.toByte)
+    b.putInt(127)
+    b.array()
+  }
+
+  private val ScalarDataspace: Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte)  // version
+    b.put(0.toByte)  // dimensionality 0 = scalar
+    b.put(0.toByte)  // flags: no max dims
+    b.array()        // + 5 reserved zero bytes
+  }
+
+  private def attrValueBytes(a: Attr): Array[Byte] = a match {
+    case Str(v) => nulTerm(v)
+    case Dbl(v) =>
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+    case Lng(v) =>
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+  }
+
+  private def putAttrMsg(b: ByteBuffer, name: String, a: Attr): Unit = {
+    val len = attrDataLen(name, a)
+    putMsgHeader(b, 0x000C, len)
+    val start = b.position()
+    b.put(1.toByte); b.put(0.toByte)              // version 1, reserved
+    b.putShort((name.length + 1).toShort)          // name size (with NUL)
+    b.putShort(dtLen(a).toShort)                   // datatype size (unpadded)
+    b.putShort(8.toShort)                          // dataspace size (unpadded)
+    putPadded(b, nulTerm(name))
+    putPadded(b, datatypeBytes(a))
+    putPadded(b, ScalarDataspace)
+    b.put(attrValueBytes(a))
+    (len until pad8(len)).foreach(_ => b.put(0.toByte)) // message padding
+    require(b.position() - start == pad8(len), s"attr '$name' mis-sized")
+  }
+
+  private def putOhPrefix(b: ByteBuffer, nMsgs: Int, msgBytes: Int): Unit = {
+    b.put(1.toByte); b.put(0.toByte)  // version 1, reserved
+    b.putShort(nMsgs.toShort)
+    b.putInt(1)                       // reference count
+    b.putInt(msgBytes)                // message-block size
+    b.putInt(0)                       // 4-byte gap: messages align to 8
+  }
+
+  private def render(plan: Plan, b: ByteBuffer): Unit = plan match {
+    case DPlan(d, addrOh, addrData) =>
+      val rows = d.grid.length
+      val cols = if (rows == 0) 0 else d.grid(0).length
+      b.position(addrOh.toInt)
+      val nMsgs = 4 + d.attrs.length
+      putOhPrefix(b, nMsgs, datasetOhSize(d) - 16)
+      // dataspace: v1, 2 dims
+      putMsgHeader(b, 0x0001, 8 + 16)
+      b.put(1.toByte); b.put(2.toByte); b.put(0.toByte)
+      (0 until 5).foreach(_ => b.put(0.toByte))
+      b.putLong(rows.toLong); b.putLong(cols.toLong)
+      // datatype: float32 LE
+      putMsgHeader(b, 0x0003, 20)
+      putPadded(b, Float32Datatype)
+      // fill value v2: unallocated/undefined
+      putMsgHeader(b, 0x0005, 4)
+      b.put(2.toByte)  // version
+      b.put(1.toByte)  // space allocation: early
+      b.put(0.toByte)  // fill write time: on allocation
+      b.put(0.toByte)  // fill value undefined
+      (4 until 8).foreach(_ => b.put(0.toByte))
+      // layout v3, contiguous
+      putMsgHeader(b, 0x0008, 18)
+      b.put(3.toByte); b.put(1.toByte)
+      b.putLong(addrData)
+      b.putLong(rows.toLong * cols * 4)
+      (18 until pad8(18)).foreach(_ => b.put(0.toByte))
+      d.attrs.foreach { case (n, a) => putAttrMsg(b, n, a) }
+      // raw data, row-major, LE float32
+      b.position(addrData.toInt)
+      d.grid.foreach(_.foreach(b.putFloat))
+
+    case GPlan(g, addrOh, addrHeap, addrBtree, addrSnod, heapData, nameOff, kids) =>
+      b.position(addrOh.toInt)
+      putOhPrefix(b, 1 + g.attrs.length, groupOhSize(g) - 16)
+      putMsgHeader(b, 0x0011, 16) // symbol table message
+      b.putLong(addrBtree)
+      b.putLong(addrHeap)
+      g.attrs.foreach { case (n, a) => putAttrMsg(b, n, a) }
+      // local heap
+      b.position(addrHeap.toInt)
+      b.put("HEAP".getBytes("US-ASCII"))
+      b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.putLong(heapData.toLong)
+      b.putLong(Undef) // no free list
+      b.putLong(addrHeap + 32)
+      b.putLong(0L)    // null entry: heap offset 0 = empty string
+      kids.foreach { case (n, _) =>
+        b.position((addrHeap + 32 + nameOff(n)).toInt)
+        putPadded(b, nulTerm(n))
+      }
+      // B-tree v1: one leaf pointing at the single SNOD (zero entries for
+      // an empty group — libhdf5's shape for a group with no links)
+      b.position(addrBtree.toInt)
+      b.put("TREE".getBytes("US-ASCII"))
+      b.put(0.toByte)  // node type: group
+      b.put(0.toByte)  // leaf level
+      b.putShort((if (kids.isEmpty) 0 else 1).toShort)
+      b.putLong(Undef); b.putLong(Undef)
+      if (kids.nonEmpty) {
+        b.putLong(0L)    // key[0]: empty string (≤ every name)
+        b.putLong(addrSnod)
+        b.putLong(nameOff(kids.last._1)) // key[1]: last (greatest) name
+      }
+      // SNOD with one entry per child, name-ordered
+      b.position(addrSnod.toInt)
+      b.put("SNOD".getBytes("US-ASCII"))
+      b.put(1.toByte); b.put(0.toByte)
+      b.putShort(kids.length.toShort)
+      kids.foreach { case (n, p) =>
+        b.putLong(nameOff(n))
+        b.putLong(p.addrOh)
+        b.putInt(0)  // cache type: none
+        b.putInt(0)
+        b.putLong(0L); b.putLong(0L)
+      }
+      kids.foreach { case (_, p) => render(p, b) }
+  }
+
+  /** Write `root` as a classic HDF5 file. */
+  def write(path: String, root: Group): Unit = {
+    val alloc = new Alloc(96) // superblock v0 with 8-byte offsets
+    val plan = layout(root, alloc).asInstanceOf[GPlan]
+    val total = alloc.at
+    val b = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(Signature)
+    b.put(0.toByte)  // superblock version
+    b.put(0.toByte)  // free-space version
+    b.put(0.toByte)  // root symbol-table version
+    b.put(0.toByte)
+    b.put(0.toByte)  // shared-header-message version
+    b.put(8.toByte)  // size of offsets
+    b.put(8.toByte)  // size of lengths
+    b.put(0.toByte)
+    b.putShort(LeafK.toShort)
+    b.putShort(16.toShort) // internal node K
+    b.putInt(0)            // consistency flags
+    b.putLong(0L)          // base address
+    b.putLong(Undef)       // free-space info
+    b.putLong(total)       // end-of-file address
+    b.putLong(Undef)       // driver info
+    // root symbol-table entry (cached: scratch = btree + heap)
+    b.putLong(0L)          // link name offset
+    b.putLong(plan.addrOh)
+    b.putInt(1)            // cache type 1: group metadata cached
+    b.putInt(0)
+    b.putLong(plan.addrBtree)
+    b.putLong(plan.addrHeap)
+    render(plan, b)
+    Files.write(Paths.get(path), b.array())
+  }
+
+  // ---- structural reader --------------------------------------------------
+
+  /** Parse a file this subset writes (and any classic file restricted to
+    * symbol-table groups + contiguous float32 data + scalar attributes).
+    * Follows addresses from the superblock; never assumes block order.
+    */
+  def read(path: String): Parsed = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require((0 until 8).forall(i => bytes(i) == Signature(i)), "not an HDF5 file")
+    require(bytes(8) == 0, s"superblock version ${bytes(8)} unsupported")
+    require(bytes(13) == 8 && bytes(14) == 8, "only 8-byte offsets/lengths")
+    b.position(56 + 8)
+    val rootOh = b.getLong
+    readObject(b, rootOh)
+  }
+
+  private def readObject(b: ByteBuffer, addr: Long): Parsed = {
+    b.position(addr.toInt)
+    require(b.get() == 1, "v1 object header expected")
+    b.get()
+    val nMsgs = b.getShort.toInt
+    b.getInt // refcount
+    b.getInt // size
+    b.getInt // alignment gap
+    var attrs = Map.empty[String, Attr]
+    var children = Map.empty[String, Parsed]
+    var dims: Option[(Int, Int)] = None
+    var dataAddr = Undef
+    var i = 0
+    var pos = b.position()
+    while (i < nMsgs) {
+      b.position(pos)
+      val tpe = b.getShort.toInt & 0xffff
+      val size = b.getShort.toInt & 0xffff
+      b.getInt // flags + reserved
+      val dataStart = b.position()
+      tpe match {
+        case 0x0011 => // symbol table: walk the B-tree for children
+          val btree = b.getLong
+          val heap = b.getLong
+          children = readGroupChildren(b, btree, heap)
+        case 0x000C =>
+          val (n, a) = readAttr(b)
+          attrs += (n -> a)
+        case 0x0001 =>
+          require(b.get() == 1, "v1 dataspace expected")
+          val ndim = b.get().toInt
+          b.get(); (0 until 5).foreach(_ => b.get())
+          require(ndim == 2, s"only 2-D datasets supported, got $ndim")
+          dims = Some((b.getLong.toInt, b.getLong.toInt))
+        case 0x0008 =>
+          require(b.get() == 3, "v3 layout expected")
+          require(b.get() == 1, "contiguous layout expected")
+          dataAddr = b.getLong
+        case _ => // datatype (validated float32 by construction), fill, NIL…
+      }
+      pos = dataStart + size
+      i += 1
+    }
+    val data = dims.map { case (rows, cols) =>
+      require(dataAddr != Undef, "dataset without layout address")
+      b.position(dataAddr.toInt)
+      Array.fill(rows)(Array.fill(cols)(b.getFloat))
+    }
+    Parsed(attrs, children, data)
+  }
+
+  private def readGroupChildren(b: ByteBuffer, btreeAddr: Long,
+                                heapAddr: Long): Map[String, Parsed] = {
+    b.position(heapAddr.toInt)
+    require((0 until 4).forall(i => b.get() == "HEAP".charAt(i).toByte), "HEAP expected")
+    b.position(heapAddr.toInt + 24)
+    val heapData = b.getLong
+    b.position(btreeAddr.toInt)
+    require((0 until 4).forall(i => b.get() == "TREE".charAt(i).toByte), "TREE expected")
+    require(b.get() == 0, "group B-tree expected")
+    val level = b.get().toInt
+    require(level == 0, "multi-level B-trees not supported (≤8 SNODs suffice here)")
+    val used = b.getShort.toInt
+    b.getLong; b.getLong // siblings
+    val snods = (0 until used).map { i =>
+      b.position((btreeAddr + 24 + 8 + i * 16).toInt) // skip key[i], read child[i]
+      b.getLong
+    }
+    snods.flatMap { snod =>
+      b.position(snod.toInt)
+      require((0 until 4).forall(i => b.get() == "SNOD".charAt(i).toByte), "SNOD expected")
+      b.get(); b.get()
+      val n = b.getShort.toInt
+      (0 until n).map { j =>
+        b.position((snod + 8 + j * 40).toInt)
+        val nameOff = b.getLong
+        val ohAddr = b.getLong
+        val name = readHeapString(b, heapData + nameOff)
+        name -> readObject(b, ohAddr)
+      }
+    }.toMap
+  }
+
+  private def readHeapString(b: ByteBuffer, addr: Long): String = {
+    val sb = new StringBuilder
+    var p = addr.toInt
+    while (b.get(p) != 0) { sb.append(b.get(p).toChar); p += 1 }
+    sb.toString
+  }
+
+  private def readAttr(b: ByteBuffer): (String, Attr) = {
+    val start = b.position()
+    require(b.get() == 1, "v1 attribute expected"); b.get()
+    val nameSize = b.getShort.toInt
+    val dtSize = b.getShort.toInt
+    val dsSize = b.getShort.toInt
+    val nameBytes = new Array[Byte](nameSize - 1)
+    b.get(nameBytes); b.get() // NUL
+    val name = new String(nameBytes, "US-ASCII")
+    val dtStart = start + 8 + pad8(nameSize)
+    b.position(dtStart)
+    val classVer = b.get().toInt
+    val cls = classVer & 0x0f
+    b.get(); b.get(); b.get()
+    val elemSize = b.getInt
+    val dataStart = dtStart + pad8(dtSize) + pad8(dsSize)
+    b.position(dataStart)
+    val attr = cls match {
+      case 3 =>
+        val raw = new Array[Byte](elemSize)
+        b.get(raw)
+        Str(new String(raw.takeWhile(_ != 0), "US-ASCII"))
+      case 1 => Dbl(b.getDouble)
+      case 0 => Lng(b.getLong)
+      case c => throw new IllegalArgumentException(s"attribute class $c unsupported")
+    }
+    (name, attr)
+  }
+}

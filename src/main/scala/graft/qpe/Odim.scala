@@ -1,8 +1,5 @@
 package graft.qpe
 
-import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
-
 /** S12: ODIM-convention gridded product writer/reader — the metadata
   * assembly of the reference's `write_odim_grid_h5` export
   * (reference: qpe/qpe.py:299-308 write call with time_ref="end",
@@ -11,16 +8,14 @@ import java.nio.file.{Files, Paths}
   * with '-' for missing radars, WMO node list, mm/hr RATE field, data
   * rounded to `precision` decimals).
   *
-  * The container is a self-describing single file (one-line JSON header +
-  * raw little-endian float32 payload) rather than HDF5 — the JVM has no
-  * built-in HDF5 codec and the dependency set is fixed; every ODIM
-  * group/attribute the reference emits is carried in the header verbatim,
-  * so a downstream HDF5 shim is a pure re-serialization. Driver-side on the
-  * collected grid, like the reference's writer.
+  * The container is REAL HDF5 (classic v0 superblock, symbol-table groups,
+  * contiguous float32 dataset — [[Hdf5]], pure JVM, no external library)
+  * with the ODIM group layout the reference emits: root `Conventions`
+  * attribute, `/what` `/where` `/how` metadata groups,
+  * `/dataset1/what` + `/dataset1/data1/data`. Driver-side on the collected
+  * grid, like the reference's writer.
   */
 object Odim {
-
-  val Magic = "GRAFTODIM1"
 
   /** The five Swiss radars and their WMO station ids
     * (reference: qpe_utils.py:222-228).
@@ -77,64 +72,116 @@ object Odim {
     chMeta(tEndEpochS, missing)
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def dateStr(epochS: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(epochS))
 
-  /** Write grid(x)(y) + metadata. Values are rounded to `meta.precision`
-    * decimals (reference default 0.01 mm/hr); NaN cells stay NaN (the
-    * reference's nodata).
+  private def timeStr(epochS: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("HHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(epochS))
+
+  /** Write grid(x)(y) + metadata as an ODIM_H5/V2_3 HDF5 file. Values are
+    * rounded to `meta.precision` decimals (reference default 0.01 mm/hr);
+    * NaN cells stay NaN (the reference's nodata). Group layout mirrors the
+    * reference's writer: root Conventions attr, `/what` `/where` `/how`,
+    * `/dataset1/what`, `/dataset1/data1/data` (reference: qpe/qpe.py:302-308
+    * write_odim_grid_h5 with odim_convention="ODIM_H5/V2_3").
     */
   def write(path: String, grid: Array[Array[Double]], meta: OdimMeta): Unit = {
+    import Hdf5.{Data, Dbl, Group, Lng, Str}
     val nx = grid.length
     val ny = grid(0).length
-    val header =
-      s"""{"convention":${jstr(meta.convention)},"object":"IMAGE",""" +
-        s""""version":${jstr(meta.version)},"source":${jstr(meta.source)},""" +
-        s""""startEpochS":${meta.startEpochS},"endEpochS":${meta.endEpochS},""" +
-        s""""timeRef":"end","projdef":${jstr(meta.projdef)},""" +
-        s""""originLat":${meta.originLat},"originLon":${meta.originLon},""" +
-        s""""nx":$nx,"ny":$ny,"product":${jstr(meta.product)},""" +
-        s""""quantity":${jstr(meta.quantity)},"unit":${jstr(meta.unit)},""" +
-        s""""longName":${jstr(meta.longName)},"prodName":${jstr(meta.prodName)},""" +
-        s""""radar":${jstr(meta.quality)},"nodes":${jstr(meta.nodes)},""" +
-        s""""nodata":"NaN","undetect":${meta.undetect},""" +
-        s""""precision":${meta.precision}}"""
-    val headerBytes = (Magic + "\n" + header + "\n").getBytes("UTF-8")
-    val buf = ByteBuffer.allocate(headerBytes.length + nx * ny * 4)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    buf.put(headerBytes)
     val p = math.pow(10.0, meta.precision)
-    grid.foreach(_.foreach { v =>
-      buf.putFloat(if (v.isNaN) Float.NaN else (math.round(v * p) / p).toFloat)
-    })
-    Files.write(Paths.get(path), buf.array())
+    val data = grid.map(_.map(v =>
+      if (v.isNaN) Float.NaN else (math.round(v * p) / p).toFloat))
+    val root = Group(
+      attrs = Seq("Conventions" -> Str(meta.convention)),
+      children = Seq(
+        "what" -> Group(Seq(
+          "object" -> Str("IMAGE"),
+          "version" -> Str(meta.version),
+          "date" -> Str(dateStr(meta.endEpochS)),
+          "time" -> Str(timeStr(meta.endEpochS)),
+          "source" -> Str(meta.source))),
+        "where" -> Group(Seq(
+          "projdef" -> Str(meta.projdef),
+          "xsize" -> Lng(ny),
+          "ysize" -> Lng(nx),
+          "lat_0" -> Dbl(meta.originLat),
+          "lon_0" -> Dbl(meta.originLon))),
+        "how" -> Group(Seq(
+          "startepochs" -> Lng(meta.startEpochS),
+          "endepochs" -> Lng(meta.endEpochS),
+          "time_ref" -> Str("end"),
+          "radar" -> Str(meta.quality),
+          "nodes" -> Str(meta.nodes))),
+        "dataset1" -> Group(children = Seq(
+          "what" -> Group(Seq(
+            "product" -> Str(meta.product),
+            "quantity" -> Str(meta.quantity),
+            "units" -> Str(meta.unit),
+            "prodname" -> Str(meta.prodName),
+            "longname" -> Str(meta.longName),
+            "startdate" -> Str(dateStr(meta.startEpochS)),
+            "starttime" -> Str(timeStr(meta.startEpochS)),
+            "enddate" -> Str(dateStr(meta.endEpochS)),
+            "endtime" -> Str(timeStr(meta.endEpochS)),
+            "gain" -> Dbl(1.0),
+            "offset" -> Dbl(0.0),
+            "nodata" -> Dbl(Double.NaN),
+            "undetect" -> Dbl(meta.undetect),
+            "precision" -> Lng(meta.precision))),
+          "data1" -> Group(children = Seq(
+            "data" -> Data(data, Seq(
+              "CLASS" -> Str("IMAGE"),
+              "IMAGE_VERSION" -> Str("1.2")))))))))
+    Hdf5.write(path, root)
   }
 
-  /** Read back (grid, header fields). The header is our own flat JSON — a
-    * minimal field scanner suffices (strings have no raw control chars).
+  /** Read back (grid, flat metadata fields). Parses the real HDF5 container
+    * structurally ([[Hdf5.read]]) and flattens the ODIM groups to the same
+    * field names the pre-HDF5 container exposed, so downstream consumers
+    * (QPE E2E, RT product checks) are unchanged.
     */
   def read(path: String): (Array[Array[Double]], Map[String, String]) = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    val nl1 = bytes.indexOf('\n'.toByte)
-    val nl2 = bytes.indexOf('\n'.toByte, nl1 + 1)
-    require(new String(bytes, 0, nl1, "UTF-8") == Magic, s"not a $Magic file")
-    val header = new String(bytes, nl1 + 1, nl2 - nl1 - 1, "UTF-8")
-    val fields = """"([A-Za-z]+)":(?:"((?:[^"\\]|\\.)*)"|([-0-9.eE]+))""".r
-      .findAllMatchIn(header).map { m =>
-        m.group(1) -> Option(m.group(2))
-          .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
-          .getOrElse(m.group(3))
-      }.toMap
-    val nx = fields("nx").toInt
-    val ny = fields("ny").toInt
-    val buf = ByteBuffer.wrap(bytes, nl2 + 1, nx * ny * 4)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    val grid = Array.tabulate(nx, ny)((_, _) => buf.getFloat.toDouble)
+    val root = Hdf5.read(path)
+    def str(a: Hdf5.Attr): String = a match {
+      case Hdf5.Str(v) => v
+      case Hdf5.Dbl(v) => if (v.isNaN) "NaN" else v.toString
+      case Hdf5.Lng(v) => v.toString
+    }
+    val what = root.children("what").attrs
+    val where = root.children("where").attrs
+    val how = root.children("how").attrs
+    val dsWhat = root.children("dataset1").children("what").attrs
+    val data = root.children("dataset1").children("data1").children("data")
+    val grid = data.data.getOrElse(sys.error(s"$path: no /dataset1/data1/data"))
+      .map(_.map(_.toDouble))
+    val fields = Map(
+      "convention" -> str(root.attrs("Conventions")),
+      "object" -> str(what("object")),
+      "version" -> str(what("version")),
+      "source" -> str(what("source")),
+      "projdef" -> str(where("projdef")),
+      "originLat" -> str(where("lat_0")),
+      "originLon" -> str(where("lon_0")),
+      "nx" -> grid.length.toString,
+      "ny" -> (if (grid.isEmpty) "0" else grid(0).length.toString),
+      "startEpochS" -> str(how("startepochs")),
+      "endEpochS" -> str(how("endepochs")),
+      "timeRef" -> str(how("time_ref")),
+      "radar" -> str(how("radar")),
+      "nodes" -> str(how("nodes")),
+      "product" -> str(dsWhat("product")),
+      "quantity" -> str(dsWhat("quantity")),
+      "unit" -> str(dsWhat("units")),
+      "longName" -> str(dsWhat("longname")),
+      "prodName" -> str(dsWhat("prodname")),
+      "nodata" -> str(dsWhat("nodata")),
+      "undetect" -> str(dsWhat("undetect")),
+      "precision" -> str(dsWhat("precision")))
     (grid, fields)
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.qpe.Hdf5
+import graft.qpe.Hdf5.{Data, Dbl, Group, Lng, Str}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S12 container: the minimal pure-JVM HDF5 writer/reader — byte-level
+  * superblock conformance (the part any HDF5 1.x reader checks first) plus
+  * structural roundtrips of the group/attribute/dataset subset ODIM needs.
+  */
+class Hdf5Spec extends AnyFunSuite {
+
+  private def tmp(): String = Files.createTempFile("graft-h5", ".h5").toString
+
+  test("superblock: signature, version 0, 8-byte offsets, EOF address = file size") {
+    val path = tmp()
+    Hdf5.write(path, Group(
+      attrs = Seq("A" -> Str("x")),
+      children = Seq("data" -> Data(Array(Array(1.0f, 2.0f))))))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // the 8-byte format signature every HDF5 reader checks first
+    assert(bytes.take(8).toSeq == Seq[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    assert(bytes(8) == 0)             // superblock version 0 (classic)
+    assert(bytes(13) == 8)            // size of offsets
+    assert(bytes(14) == 8)            // size of lengths
+    val leafK = (bytes(16) & 0xff) | ((bytes(17) & 0xff) << 8)
+    assert(leafK > 0)                 // group leaf node K must be nonzero
+    // end-of-file address (bytes 40-47 LE) matches the actual file length
+    val eof = (0 until 8).map(i => (bytes(40 + i) & 0xffL) << (8 * i)).sum
+    assert(eof == bytes.length)
+  }
+
+  test("roundtrip: nested groups, all three attribute types, float32 data with NaN") {
+    val grid = Array(
+      Array(1.5f, Float.NaN, -2.25f),
+      Array(0.0f, 1e10f, -1e-10f))
+    val root = Group(
+      attrs = Seq("Conventions" -> Str("ODIM_H5/V2_3")),
+      children = Seq(
+        "what" -> Group(Seq(
+          "object" -> Str("IMAGE"),
+          "gain" -> Dbl(0.5),
+          "count" -> Lng(-42L))),
+        "dataset1" -> Group(children = Seq(
+          "data1" -> Group(children = Seq(
+            "data" -> Data(grid, Seq("CLASS" -> Str("IMAGE")))))))))
+    val path = tmp()
+    Hdf5.write(path, root)
+    val back = Hdf5.read(path)
+    assert(back.attrs("Conventions") == Str("ODIM_H5/V2_3"))
+    assert(back.children("what").attrs == Map(
+      "object" -> Str("IMAGE"), "gain" -> Dbl(0.5), "count" -> Lng(-42L)))
+    val data = back.children("dataset1").children("data1").children("data")
+    assert(data.attrs("CLASS") == Str("IMAGE"))
+    val g = data.data.get
+    assert(g.length == 2 && g(0).length == 3)
+    assert(g(0)(0) == 1.5f && g(0)(1).isNaN && g(0)(2) == -2.25f)
+    assert(g(1)(0) == 0.0f && g(1)(1) == 1e10f && g(1)(2) == -1e-10f)
+  }
+
+  test("children are stored and recovered regardless of declaration order") {
+    // declared out of name order: the writer must sort into the B-tree/SNOD
+    // (HDF5 symbol tables are name-ordered; a violating file is corrupt)
+    val root = Group(children = Seq(
+      "zeta" -> Group(Seq("k" -> Lng(1))),
+      "alpha" -> Group(Seq("k" -> Lng(2))),
+      "mid" -> Group(Seq("k" -> Lng(3)))))
+    val path = tmp()
+    Hdf5.write(path, root)
+    val back = Hdf5.read(path)
+    assert(back.children.keySet == Set("zeta", "alpha", "mid"))
+    assert(back.children("alpha").attrs("k") == Lng(2))
+    assert(back.children("zeta").attrs("k") == Lng(1))
+  }
+
+  test("empty group and empty-string attribute survive the roundtrip") {
+    val root = Group(children = Seq(
+      "how" -> Group(Seq("empty" -> Str(""))),
+      "nothing" -> Group()))
+    val path = tmp()
+    Hdf5.write(path, root)
+    val back = Hdf5.read(path)
+    assert(back.children("nothing").attrs.isEmpty)
+    assert(back.children("nothing").children.isEmpty)
+    assert(back.children("how").attrs("empty") == Str(""))
+  }
+}
