@@ -8,8 +8,16 @@ object Verify {
     // args: <sfDir> <outDir> [comma-separated query-name filter (dev loop)]
     val sfDir = args(0)
     val outDir = args(1)
+    // blank/whitespace filter = NO filter (a quoted-but-unset shell var must
+    // not silently select zero queries and zero the round's correctness);
+    // unknown names fail loudly for the same reason
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(',').toSet) else None
+      if (args.length > 2 && args(2).trim.nonEmpty) {
+        val names = args(2).split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown query names in filter: ${unknown.mkString(",")}")
+        Some(names)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

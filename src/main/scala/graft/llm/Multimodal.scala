@@ -133,10 +133,13 @@ object Multimodal {
             val raw =
               if (bits == 8) {
                 if (signed) bytes(i).toDouble else (bytes(i) & 0xff) - 128.0
-              } else if (f.isBigEndian) {
-                ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort.toDouble
               } else {
-                ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toDouble
+                val u =
+                  if (f.isBigEndian) ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+                  else ((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)
+                // unsigned 16-bit centers at 0x8000, not two's complement —
+                // decoding it as signed would report full-scale RMS for silence
+                if (signed) u.toShort.toDouble else u - 32768.0
               }
             val s = raw / (if (bits == 8) 128.0 else 32768.0)
             sumSq += s * s

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The bounded-TopK ranking path keys candidate/cell ids on Long, and the
+    * IVF join casts `partCol` to long — a string id would cast to null and
+    * silently return an EMPTY result. Enforce the documented integral
+    * contract loudly instead.
+    */
+  private def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
+    val t = df.schema(c).dataType.simpleString
+    require(Seq("byte", "short", "int", "integer", "long", "bigint").contains(t),
+      s"$op needs an integral '$c' column (aggregator keys on Long); got $t")
+  }
+
   /** Exact dot product with a fixed association order (left fold), so Spark
     * and any SQL mirror produce bit-identical doubles (an unrolled `+` chain
     * and `aggregate`'s left fold add in the same order; the 0.0 seed cannot
@@ -70,6 +81,7 @@ object Similarity {
     */
   def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, dim: Int, k: Int): DataFrame = {
+    requireIntegral(corpus, idCol, "bruteForceTopKAgg")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = graft.Core.fanOut(corpus).select(col(idCol).as("vb"), col(vecCol).as("eb"))
     val cos = cosine("qv", "eb", dim)
@@ -155,11 +167,17 @@ object Similarity {
     * per partition — a `row_number()` window here would shuffle EVERY probed
     * candidate pair to rank it, the one shape that dies at 100× corpus size.
     * `partCol` and `idCol` must be integral (cell/cluster/vector ids), which
-    * is what every quantizer emits — the aggregator keys on Long.
+    * is what every quantizer emits — the aggregator keys on Long; enforced
+    * with a loud `require`. Unscoreable (NULL-cosine) candidates are dropped
+    * in BOTH stages, so a query whose probed cells hold fewer than k
+    * scoreable vectors returns fewer than k rows — returning unscoreable
+    * filler would be the dishonest alternative.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, partCol: String, dim: Int, k: Int,
               nprobe: Int): DataFrame = {
+    requireIntegral(corpus, partCol, "ivfTopK")
+    requireIntegral(corpus, idCol, "ivfTopK")
     // centroids: element-wise mean per partition (posexplode + groupBy).
     // Decimal accumulation so the mean is independent of partition order —
     // the probe ranking reads these, and a FP-order flip there would make

@@ -189,11 +189,16 @@ object Agg {
     if (candCols.isEmpty)
       return cols.map(c => c -> ps.map(_ => Double.NaN)).toMap
     val ns = knownNs
-    // `sampleFloor` doubles as the full-collect cutoff: a column at or under
-    // it IS its own sample (one bounded ≤8 MB collect, direct resolution, no
-    // verify/collect scans) — the buffer stays bounded at any table size
-    // because columns above the floor fall back to the Bernoulli sample
-    def sTargetOf(n: Long): Long = math.max(sampleFloor, math.min(2000000L, n / 200L))
+    // `sampleFloor` is the full-collect cutoff: a column at or under it IS
+    // its own sample (one bounded ≤8 MB collect, direct resolution, no
+    // verify/collect scans). ABOVE the cutoff the target drops back to the
+    // n/200 Bernoulli rate (50k..2M) — the cutoff must not inflate the
+    // sampling target for bigger columns, or a 20-column summary at n=10M
+    // would collect 20×1M doubles into one driver row and push 10% of the
+    // table through the interpreted object aggregate.
+    def sTargetOf(n: Long): Long =
+      if (n <= sampleFloor) n
+      else math.max(50000L, math.min(2000000L, n / 200L))
     val base = df.select(candCols.map(c => col(c).cast("double").as(c)): _*)
     val sampleCols = candCols.filter(c => ns(c) < sketchFrom)
     val sketchCols = candCols.filterNot(sampleCols.contains)
@@ -303,13 +308,27 @@ object Agg {
     // reliable precisely when it matters (a huge tie window has a huge,
     // low-variance sample count), so a fused collect cannot blow past
     // ~maxWindow memory even when verification later fails the bracket.
+    // TOTAL-ORDER comparisons (java.lang.Double.compare), NOT IEEE: the
+    // sample is Spark-sorted (NaN greatest) and the scan-side window
+    // predicate `v >= lo && v <= hi` uses Spark's NaN-greatest comparison
+    // semantics — with IEEE semantics here, a bracket endpoint landing in a
+    // column's NaN tail would estimate ~0 rows while the scan collects
+    // every v >= lo (hi=NaN admits all), blowing the fused-collect memory
+    // guard. Under total order the NaN-tail window counts its true mass,
+    // fails the maxWindow gate, and the column falls back to the sorted
+    // path (which collects only boundary rows — bounded at any NaN mass).
+    // (-0.0 vs 0.0 divergence from Spark's equality is absorbed by the 6σ
+    // slack; correctness is anyway gated by verify+fallback, this count
+    // only gates memory.)
     def countInBracket(s: IndexedSeq[Double], lo: Double, hi: Double): Int = {
       var a = 0
       var b = s.size
-      while (a < b) { val mid = (a + b) >>> 1; if (s(mid) < lo) a = mid + 1 else b = mid }
+      while (a < b) { val mid = (a + b) >>> 1
+        if (java.lang.Double.compare(s(mid), lo) < 0) a = mid + 1 else b = mid }
       val first = a
       b = s.size
-      while (a < b) { val mid = (a + b) >>> 1; if (s(mid) <= hi) a = mid + 1 else b = mid }
+      while (a < b) { val mid = (a + b) >>> 1
+        if (java.lang.Double.compare(s(mid), hi) <= 0) a = mid + 1 else b = mid }
       a - first
     }
     val fusableWin: Seq[Boolean] = pending.zip(brackets).map { case (w, (lo, hi)) =>

@@ -50,8 +50,13 @@ object Hdf5 {
 
   private def pad8(n: Int): Int = (n + 7) & ~7
 
-  private def nulTerm(s: String): Array[Byte] =
-    s.getBytes("US-ASCII") :+ 0.toByte
+  /** All name/value strings are UTF-8 (HDF5 charset 1) and every size field
+    * derives from ENCODED byte length — sizing from String.length would
+    * diverge on non-ASCII text and corrupt the fixed-offset layout.
+    */
+  private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  private def nulTerm(s: String): Array[Byte] = utf8(s) :+ 0.toByte
 
   // ---- size computation (addresses are fixed-width, so sizes are static) --
 
@@ -67,7 +72,7 @@ object Hdf5 {
   }
 
   private def dataLen(a: Attr): Int = a match {
-    case Str(v) => v.length + 1 // NUL-terminated
+    case Str(v) => utf8(v).length + 1 // NUL-terminated
     case _ => 8
   }
 
@@ -75,7 +80,7 @@ object Hdf5 {
     * raw value (the value itself is not padded).
     */
   private def attrDataLen(name: String, a: Attr): Int =
-    8 + pad8(name.length + 1) + pad8(dtLen(a)) + pad8(8) + dataLen(a)
+    8 + pad8(utf8(name).length + 1) + pad8(dtLen(a)) + pad8(8) + dataLen(a)
 
   private def groupOhSize(g: Group): Int =
     16 + msgSize(16) + g.attrs.map { case (n, a) => msgSize(attrDataLen(n, a)) }.sum
@@ -95,7 +100,7 @@ object Hdf5 {
     var off = 8L
     val offsets = names.map { n =>
       val o = n -> off
-      off += pad8(n.length + 1)
+      off += pad8(utf8(n).length + 1)
       o
     }.toMap
     (32 + off.toInt, offsets)
@@ -119,7 +124,13 @@ object Hdf5 {
       val oh = alloc.take(datasetOhSize(d))
       val rows = d.grid.length
       val cols = if (rows == 0) 0 else d.grid(0).length
-      DPlan(d, oh, alloc.take(rows * cols * 4))
+      // single-buffer writer: guard the Int byte math explicitly — a grid
+      // past ~500M cells would otherwise overflow the allocator silently
+      // and corrupt every downstream address (ODIM grids are ~1.8 MB)
+      val dataBytes = rows.toLong * cols * 4
+      require(dataBytes <= Int.MaxValue - alloc.at,
+        s"dataset of $rows x $cols floats exceeds the 2 GiB single-buffer cap")
+      DPlan(d, oh, alloc.take(dataBytes.toInt))
     case g: Group =>
       require(g.children.length <= 2 * LeafK,
         s"one-SNOD subset: at most ${2 * LeafK} children per group " +
@@ -154,9 +165,9 @@ object Hdf5 {
     a match {
       case Str(v) =>
         b.put(0x13.toByte)      // version 1, class 3 (string)
-        b.put(0x00.toByte)      // padding: NUL-terminated; charset: ASCII
+        b.put(0x10.toByte)      // padding: NUL-terminated; charset: UTF-8
         b.put(0.toByte); b.put(0.toByte)
-        b.putInt(v.length + 1)  // element size includes the terminator
+        b.putInt(utf8(v).length + 1) // element BYTE size incl. terminator
       case _: Dbl =>
         b.put(0x11.toByte)      // version 1, class 1 (float)
         b.put(0x20.toByte)      // LE, implied-mantissa normalization
@@ -209,7 +220,7 @@ object Hdf5 {
     putMsgHeader(b, 0x000C, len)
     val start = b.position()
     b.put(1.toByte); b.put(0.toByte)              // version 1, reserved
-    b.putShort((name.length + 1).toShort)          // name size (with NUL)
+    b.putShort((utf8(name).length + 1).toShort)    // name BYTE size (with NUL)
     b.putShort(dtLen(a).toShort)                   // datatype size (unpadded)
     b.putShort(8.toShort)                          // dataspace size (unpadded)
     putPadded(b, nulTerm(name))
@@ -442,10 +453,10 @@ object Hdf5 {
   }
 
   private def readHeapString(b: ByteBuffer, addr: Long): String = {
-    val sb = new StringBuilder
+    val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
     var p = addr.toInt
-    while (b.get(p) != 0) { sb.append(b.get(p).toChar); p += 1 }
-    sb.toString
+    while (b.get(p) != 0) { bytes += b.get(p); p += 1 }
+    new String(bytes.toArray, "UTF-8")
   }
 
   private def readAttr(b: ByteBuffer): (String, Attr) = {
@@ -456,7 +467,7 @@ object Hdf5 {
     val dsSize = b.getShort.toInt
     val nameBytes = new Array[Byte](nameSize - 1)
     b.get(nameBytes); b.get() // NUL
-    val name = new String(nameBytes, "US-ASCII")
+    val name = new String(nameBytes, "UTF-8")
     val dtStart = start + 8 + pad8(nameSize)
     b.position(dtStart)
     val classVer = b.get().toInt
@@ -469,7 +480,7 @@ object Hdf5 {
       case 3 =>
         val raw = new Array[Byte](elemSize)
         b.get(raw)
-        Str(new String(raw.takeWhile(_ != 0), "US-ASCII"))
+        Str(new String(raw.takeWhile(_ != 0), "UTF-8"))
       case 1 => Dbl(b.getDouble)
       case 0 => Lng(b.getLong)
       case c => throw new IllegalArgumentException(s"attribute class $c unsupported")

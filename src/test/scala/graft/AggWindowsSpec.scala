@@ -90,6 +90,32 @@ class AggWindowsSpec extends SparkSpec {
     assert(out("v") == Seq(15000.0, 30000.0, 45000.0), out)
   }
 
+  test("exactPercentilesMulti: heavy NaN mass stays exact on every bracket path") {
+    // 40% NaN (Spark sorts NaN greatest): p75/p90 land inside the NaN run,
+    // so their sample bracket endpoints are NaN. countInBracket's
+    // total-order comparisons must see the tail's true mass (IEEE
+    // comparisons with a NaN endpoint are all-false → ~0 estimate while the
+    // scan-side `v <= NaN` admits every value — the fused-collect memory
+    // guard this regression pins). Both the fused-window route (default
+    // maxWindow: the NaN window fits and ranks resolve inside it) and the
+    // fallback route (tiny maxWindow) must agree with the sorted path.
+    val d = spark.range(0, 60000).selectExpr(
+      "CAST(CASE WHEN id % 5 < 2 THEN 'NaN' ELSE CAST(id AS STRING) END AS DOUBLE) AS v")
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val viaSort = Agg.exactPercentiles(d, "v", ps, knownN = Some(60000L))
+    def same(a: Seq[Double], b: Seq[Double]): Boolean =
+      a.zip(b).forall { case (x, y) => (x.isNaN && y.isNaN) || x == y }
+    // sampleFloor below n forces the Bernoulli bracket path (the default
+    // floor would short-circuit to full-column direct resolution)
+    val fused = Agg.exactPercentilesMulti(d, Seq("v"), ps, Map("v" -> 60000L),
+      sampleFloor = 50000L)
+    val fallback = Agg.exactPercentilesMulti(d, Seq("v"), ps, Map("v" -> 60000L),
+      sampleFloor = 50000L, maxWindow = 4000L)
+    assert(same(fused("v"), viaSort), s"fused: ${fused("v")} vs $viaSort")
+    assert(same(fallback("v"), viaSort), s"fallback: ${fallback("v")} vs $viaSort")
+    assert(viaSort(3).isNaN && !viaSort.head.isNaN) // NaN run genuinely hit
+  }
+
   test("dbMean equals plain value for constant input, exceeds mean otherwise") {
     val d = df("g STRING, v DOUBLE", Seq(R("a", 30.0), R("a", 30.0)))
     val m = d.groupBy(col("g")).agg(Agg.dbMean(col("v")).as("m"))

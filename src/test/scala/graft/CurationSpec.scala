@@ -49,6 +49,16 @@ class CurationSpec extends SparkSpec {
     assert(n("de") > 50 && n("de") < 160, n)
   }
 
+  test("hashReservoir rejects a non-integral id column loudly") {
+    // a string/uuid id would cast to null and silently return an EMPTY
+    // sample — the documented integral contract must fail fast instead
+    val d = df("uuid STRING, lang STRING", Seq(R("a-1", "de"), R("b-2", "fr")))
+    val e = intercept[IllegalArgumentException] {
+      Curation.hashReservoir(d, "uuid", "lang", k = 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("hashReservoir: exactly k per stratum, deterministic, order-independent") {
     val many = spark.range(0, 300).selectExpr("id AS doc_id",
       "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS lang")

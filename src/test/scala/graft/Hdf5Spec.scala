@@ -75,6 +75,20 @@ class Hdf5Spec extends AnyFunSuite {
     assert(back.children("zeta").attrs("k") == Lng(1))
   }
 
+  test("non-ASCII attribute values roundtrip via UTF-8 (sizes from encoded bytes)") {
+    // umlaut (2 UTF-8 bytes) + a supplementary-plane char (4 bytes, 2 Java
+    // chars): byte-length/char-length divergence must not corrupt offsets
+    val root = Group(
+      attrs = Seq("place" -> Str("Zürich"), "emoji" -> Str("a😀b")),
+      children = Seq("g" -> Group(Seq("note" -> Str("établi")))))
+    val path = tmp()
+    Hdf5.write(path, root)
+    val back = Hdf5.read(path)
+    assert(back.attrs("place") == Str("Zürich"))
+    assert(back.attrs("emoji") == Str("a😀b"))
+    assert(back.children("g").attrs("note") == Str("établi"))
+  }
+
   test("empty group and empty-string attribute survive the roundtrip") {
     val root = Group(children = Seq(
       "how" -> Group(Seq("empty" -> Str(""))),

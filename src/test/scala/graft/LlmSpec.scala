@@ -236,6 +236,21 @@ class LlmSpec extends SparkSpec {
     assert(agg.length == 5 && agg.map(_._2).forall((2L to 7L).contains), agg.toSeq)
   }
 
+  test("ivfTopK and bruteForceTopKAgg reject non-integral id/cell columns loudly") {
+    // a string cell label would cast(long) to null on both join sides and
+    // silently return an EMPTY result — fail fast per the Long-keyed contract
+    val d = df("vec_id BIGINT, cell STRING, embedding ARRAY<FLOAT>",
+      Seq(R(1L, "a", Seq(1.0f, 0.0f))))
+    val q = d.select(col("vec_id"), col("embedding"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(d, q, "vec_id", "embedding", "cell", 2, 1, 1)
+    }.getMessage.contains("integral"))
+    val ds = df("sid STRING, embedding ARRAY<FLOAT>", Seq(R("x", Seq(1.0f, 0.0f))))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopKAgg(ds, ds, "sid", "embedding", 2, 1)
+    }.getMessage.contains("integral"))
+  }
+
   test("ivfTopK with nprobe = nlist equals brute force") {
     val d = df("vec_id BIGINT, label INT, embedding ARRAY<FLOAT>", Seq(
       R(1L, 0, Seq(1.0f, 0.0f)), R(2L, 0, Seq(0.9f, 0.1f)),
