@@ -31,9 +31,14 @@ object Hdf5 {
   /** Group with attributes and named children (groups or datasets). */
   final case class Group(attrs: Seq[(String, Attr)] = Nil,
                          children: Seq[(String, Node)] = Nil) extends Node
-  /** Contiguous float32 dataset, `grid(row)(col)`. */
+  /** Float32 dataset, `grid(row)(col)`. `chunkRows = 0` writes contiguous;
+    * `chunkRows > 0` writes row-band chunks, each deflate-compressed — the
+    * libhdf5-default shape real ODIM products ship with (chunked + gzip),
+    * and typically ~10x smaller for radar grids full of repeated nodata.
+    */
   final case class Data(grid: Array[Array[Float]],
-                        attrs: Seq[(String, Attr)] = Nil) extends Node
+                        attrs: Seq[(String, Attr)] = Nil,
+                        chunkRows: Int = 0) extends Node
 
   /** Parse result: the same shape, data re-materialized. */
   final case class Parsed(attrs: Map[String, Attr],
@@ -89,8 +94,27 @@ object Hdf5 {
     16 + msgSize(8 + 16) /* dataspace: 2 dims */ +
       msgSize(20) /* float32 datatype */ +
       msgSize(4) /* fill value v2, undefined */ +
-      msgSize(18) /* layout v3 contiguous */ +
+      (if (d.chunkRows > 0)
+         msgSize(8 + 16) /* filter pipeline: one deflate entry */ +
+           msgSize(23)   /* layout v3 chunked: 3 dims + btree addr */
+       else
+         msgSize(18) /* layout v3 contiguous */) +
       d.attrs.map { case (n, a) => msgSize(attrDataLen(n, a)) }.sum
+
+  /** v1 chunk B-tree (node type 1): 24-byte header + n children (8 each) +
+    * n+1 keys of (size 4 + mask 4 + 3×8 offsets = 32 bytes).
+    */
+  private def chunkBtreeSize(nChunks: Int): Int = 24 + (nChunks + 1) * 32 + nChunks * 8
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 4 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
 
   /** Local heap: 32-byte header + data (8-byte null entry at offset 0 so
     * link-name-offset 0 is the empty string, then NUL-terminated names
@@ -113,7 +137,12 @@ object Hdf5 {
                                  addrBtree: Long, addrSnod: Long,
                                  heapDataSize: Int, nameOff: Map[String, Long],
                                  kids: Seq[(String, Plan)]) extends Plan
-  private final case class DPlan(d: Data, addrOh: Long, addrData: Long) extends Plan
+  /** Contiguous: `addrData` set, `chunks` empty. Chunked: per-chunk
+    * (address, deflated bytes, row offset) + the chunk B-tree address.
+    */
+  private final case class DPlan(d: Data, addrOh: Long, addrData: Long,
+                                 chunks: Seq[(Long, Array[Byte], Int)],
+                                 addrBtree: Long) extends Plan
 
   private final class Alloc(var at: Long) {
     def take(n: Int): Long = { val a = at; at += n; a }
@@ -130,7 +159,21 @@ object Hdf5 {
       val dataBytes = rows.toLong * cols * 4
       require(dataBytes <= Int.MaxValue - alloc.at,
         s"dataset of $rows x $cols floats exceeds the 2 GiB single-buffer cap")
-      DPlan(d, oh, alloc.take(dataBytes.toInt))
+      if (d.chunkRows <= 0) DPlan(d, oh, alloc.take(dataBytes.toInt), Nil, Undef)
+      else {
+        // row-band chunks, deflated at layout time so addresses are final
+        val chunks = (0 until rows by d.chunkRows).map { r0 =>
+          val h = math.min(d.chunkRows, rows - r0)
+          val raw = ByteBuffer.allocate(d.chunkRows * cols * 4)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          (r0 until r0 + h).foreach(r => d.grid(r).foreach(raw.putFloat))
+          // edge chunk: HDF5 stores FULL chunks; the tail rows beyond the
+          // dataset are fill bytes the reader clips
+          val packed = deflate(raw.array())
+          (alloc.take(packed.length), packed, r0)
+        }
+        DPlan(d, oh, Undef, chunks, alloc.take(chunkBtreeSize(chunks.length)))
+      }
     case g: Group =>
       require(g.children.length <= 2 * LeafK,
         s"one-SNOD subset: at most ${2 * LeafK} children per group " +
@@ -240,11 +283,12 @@ object Hdf5 {
   }
 
   private def render(plan: Plan, b: ByteBuffer): Unit = plan match {
-    case DPlan(d, addrOh, addrData) =>
+    case DPlan(d, addrOh, addrData, chunks, addrBtree) =>
       val rows = d.grid.length
       val cols = if (rows == 0) 0 else d.grid(0).length
+      val chunked = d.chunkRows > 0
       b.position(addrOh.toInt)
-      val nMsgs = 4 + d.attrs.length
+      val nMsgs = (if (chunked) 5 else 4) + d.attrs.length
       putOhPrefix(b, nMsgs, datasetOhSize(d) - 16)
       // dataspace: v1, 2 dims
       putMsgHeader(b, 0x0001, 8 + 16)
@@ -261,16 +305,59 @@ object Hdf5 {
       b.put(0.toByte)  // fill write time: on allocation
       b.put(0.toByte)  // fill value undefined
       (4 until 8).foreach(_ => b.put(0.toByte))
-      // layout v3, contiguous
-      putMsgHeader(b, 0x0008, 18)
-      b.put(3.toByte); b.put(1.toByte)
-      b.putLong(addrData)
-      b.putLong(rows.toLong * cols * 4)
-      (18 until pad8(18)).foreach(_ => b.put(0.toByte))
+      if (!chunked) {
+        // layout v3, contiguous
+        putMsgHeader(b, 0x0008, 18)
+        b.put(3.toByte); b.put(1.toByte)
+        b.putLong(addrData)
+        b.putLong(rows.toLong * cols * 4)
+        (18 until pad8(18)).foreach(_ => b.put(0.toByte))
+      } else {
+        // filter pipeline v1: one deflate entry (id 1, no name, level 6)
+        putMsgHeader(b, 0x000B, 8 + 16)
+        b.put(1.toByte); b.put(1.toByte)              // version, nfilters
+        (0 until 6).foreach(_ => b.put(0.toByte))
+        b.putShort(1.toShort)                          // filter id: deflate
+        b.putShort(0.toShort)                          // no name
+        b.putShort(0.toShort)                          // flags: mandatory
+        b.putShort(1.toShort)                          // one client value
+        b.putInt(6)                                    // level
+        b.putInt(0)                                    // pad to even count
+        // layout v3, chunked: dimensionality+1 dims, last = element size
+        putMsgHeader(b, 0x0008, 23)
+        b.put(3.toByte); b.put(2.toByte)
+        b.put(3.toByte)                                // 2 data dims + elem dim
+        b.putLong(addrBtree)
+        b.putInt(d.chunkRows); b.putInt(cols); b.putInt(4)
+        (23 until pad8(23)).foreach(_ => b.put(0.toByte))
+      }
       d.attrs.foreach { case (n, a) => putAttrMsg(b, n, a) }
-      // raw data, row-major, LE float32
-      b.position(addrData.toInt)
-      d.grid.foreach(_.foreach(b.putFloat))
+      if (!chunked) {
+        // raw data, row-major, LE float32
+        b.position(addrData.toInt)
+        d.grid.foreach(_.foreach(b.putFloat))
+      } else {
+        chunks.foreach { case (addr, bytes, _) =>
+          b.position(addr.toInt); b.put(bytes)
+        }
+        // chunk B-tree: single level-0 node, entries in row-offset order;
+        // each key = (stored nbytes, filter mask 0, offsets row/col/elem)
+        b.position(addrBtree.toInt)
+        b.put("TREE".getBytes("US-ASCII"))
+        b.put(1.toByte)  // node type: raw data chunks
+        b.put(0.toByte)  // leaf
+        b.putShort(chunks.length.toShort)
+        b.putLong(Undef); b.putLong(Undef)
+        chunks.foreach { case (addr, bytes, r0) =>
+          b.putInt(bytes.length); b.putInt(0)
+          b.putLong(r0.toLong); b.putLong(0L); b.putLong(0L)
+          b.putLong(addr)
+        }
+        // final key: the coordinates just past the last chunk
+        b.putInt(0); b.putInt(0)
+        b.putLong((chunks.length.toLong * d.chunkRows)); b.putLong(cols.toLong)
+        b.putLong(4L)
+      }
 
     case GPlan(g, addrOh, addrHeap, addrBtree, addrSnod, heapData, nameOff, kids) =>
       b.position(addrOh.toInt)
@@ -369,22 +456,44 @@ object Hdf5 {
     readObject(b, rootOh)
   }
 
+  /** Dataset element type: class 0 (fixed-point) or 1 (float), 1-8 bytes,
+    * either endianness — real ODIM producers write uint8/uint16 DN grids or
+    * float32/float64, all of which decode to Float here.
+    */
+  private final case class ElemType(cls: Int, size: Int, littleEndian: Boolean,
+                                    signed: Boolean)
+
+  private final case class ChunkedLayout(btree: Long, chunkRows: Int, chunkCols: Int)
+
   private def readObject(b: ByteBuffer, addr: Long): Parsed = {
     b.position(addr.toInt)
     require(b.get() == 1, "v1 object header expected")
     b.get()
     val nMsgs = b.getShort.toInt
     b.getInt // refcount
-    b.getInt // size
+    val blockSize = b.getInt
     b.getInt // alignment gap
     var attrs = Map.empty[String, Attr]
     var children = Map.empty[String, Parsed]
     var dims: Option[(Int, Int)] = None
     var dataAddr = Undef
+    var chunked: Option[ChunkedLayout] = None
+    var elem = ElemType(1, 4, littleEndian = true, signed = true) // default f32 LE
+    var deflated = false
+    var shuffled = false
     var i = 0
-    var pos = b.position()
+    var pos: Long = b.position().toLong
+    // message blocks beyond the first arrive via CONTINUATION messages
+    // (0x0010) — real libhdf5 files with many attributes always have them
+    var blockEnd: Long = pos + blockSize
+    val moreBlocks = scala.collection.mutable.Queue.empty[(Long, Long)]
     while (i < nMsgs) {
-      b.position(pos)
+      if (pos + 8 > blockEnd) {
+        require(moreBlocks.nonEmpty, s"object header at $addr: ran out of blocks")
+        val (s, len) = moreBlocks.dequeue()
+        pos = s; blockEnd = s + len
+      }
+      b.position(pos.toInt)
       val tpe = b.getShort.toInt & 0xffff
       val size = b.getShort.toInt & 0xffff
       b.getInt // flags + reserved
@@ -403,21 +512,179 @@ object Hdf5 {
           b.get(); (0 until 5).foreach(_ => b.get())
           require(ndim == 2, s"only 2-D datasets supported, got $ndim")
           dims = Some((b.getLong.toInt, b.getLong.toInt))
+        case 0x0003 => // datatype: remember element shape for data decode
+          val classVer = b.get().toInt
+          val bits0 = b.get().toInt
+          b.get(); b.get()
+          val sz = b.getInt
+          val cls = classVer & 0x0f
+          require(cls == 0 || cls == 1, s"dataset datatype class $cls unsupported")
+          elem = ElemType(cls, sz, littleEndian = (bits0 & 1) == 0,
+            signed = cls == 1 || (bits0 & 0x08) != 0)
+        case 0x000B => // filter pipeline: deflate and shuffle supported
+          require(b.get() == 1, "v1 filter pipeline expected")
+          val nf = b.get().toInt
+          (0 until 6).foreach(_ => b.get())
+          (0 until nf).foreach { _ =>
+            val id = b.getShort.toInt
+            val nameLen = b.getShort.toInt
+            b.getShort // flags
+            val nVals = b.getShort.toInt
+            (0 until nameLen).foreach(_ => b.get())
+            (0 until nVals).foreach(_ => b.getInt)
+            if (nVals % 2 == 1) b.getInt // pad
+            id match {
+              case 1 => deflated = true
+              case 2 => shuffled = true
+              case other =>
+                throw new IllegalArgumentException(s"filter $other unsupported")
+            }
+          }
         case 0x0008 =>
           require(b.get() == 3, "v3 layout expected")
-          require(b.get() == 1, "contiguous layout expected")
-          dataAddr = b.getLong
-        case _ => // datatype (validated float32 by construction), fill, NIL…
+          b.get().toInt match {
+            case 1 => dataAddr = b.getLong
+            case 2 =>
+              val nd = b.get().toInt
+              require(nd == 3, s"chunked layout with $nd dims unsupported")
+              val btree = b.getLong
+              chunked = Some(ChunkedLayout(btree, b.getInt, b.getInt))
+            case c => throw new IllegalArgumentException(s"layout class $c unsupported")
+          }
+        case 0x0010 => // continuation: another message block elsewhere
+          moreBlocks.enqueue((b.getLong, b.getLong))
+        case _ => // fill value, NIL, modification time…
       }
       pos = dataStart + size
       i += 1
     }
     val data = dims.map { case (rows, cols) =>
-      require(dataAddr != Undef, "dataset without layout address")
-      b.position(dataAddr.toInt)
-      Array.fill(rows)(Array.fill(cols)(b.getFloat))
+      chunked match {
+        case Some(cl) =>
+          readChunkedData(b, cl, rows, cols, elem, deflated, shuffled)
+        case None =>
+          require(dataAddr != Undef, "dataset without layout address")
+          require(!deflated && !shuffled, "filters require chunked layout")
+          val raw = new Array[Byte](rows * cols * elem.size)
+          b.position(dataAddr.toInt)
+          b.get(raw)
+          val grid = Array.ofDim[Float](rows, cols)
+          scatterChunk(raw, grid, 0, 0, rows, cols, rows, cols, elem)
+          grid
+      }
     }
     Parsed(attrs, children, data)
+  }
+
+  /** Decode one element at byte offset `off` of `raw` to Float. */
+  private def decodeElem(raw: Array[Byte], off: Int, e: ElemType): Float = {
+    var v = 0L
+    if (e.littleEndian) {
+      var i = e.size - 1
+      while (i >= 0) { v = (v << 8) | (raw(off + i) & 0xffL); i -= 1 }
+    } else {
+      var i = 0
+      while (i < e.size) { v = (v << 8) | (raw(off + i) & 0xffL); i += 1 }
+    }
+    e.cls match {
+      case 1 if e.size == 4 => java.lang.Float.intBitsToFloat(v.toInt)
+      case 1 if e.size == 8 => java.lang.Double.longBitsToDouble(v).toFloat
+      case 0 =>
+        val signed =
+          if (!e.signed || e.size == 8) v
+          else { // sign-extend
+            val shift = 64 - 8 * e.size
+            (v << shift) >> shift
+          }
+        signed.toFloat
+      case _ => throw new IllegalArgumentException(s"element $e unsupported")
+    }
+  }
+
+  /** Copy a decoded chunk (or contiguous block) into the grid, clipping
+    * edge chunks that overrun the dataset bounds.
+    */
+  private def scatterChunk(raw: Array[Byte], grid: Array[Array[Float]],
+                           r0: Int, c0: Int, chunkRows: Int, chunkCols: Int,
+                           rows: Int, cols: Int, e: ElemType): Unit = {
+    var r = 0
+    while (r < chunkRows && r0 + r < rows) {
+      var c = 0
+      while (c < chunkCols && c0 + c < cols) {
+        grid(r0 + r)(c0 + c) = decodeElem(raw, (r * chunkCols + c) * e.size, e)
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  private def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(raw)
+    val out = new Array[Byte](expected)
+    var off = 0
+    while (off < expected && !inf.finished())
+      off += inf.inflate(out, off, expected - off)
+    inf.end()
+    out
+  }
+
+  /** De-shuffle (filter id 2): bytes stored plane-by-plane back to
+    * interleaved element order.
+    */
+  private def unshuffle(raw: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return raw
+    val n = raw.length / elemSize
+    val out = new Array[Byte](raw.length)
+    var j = 0
+    while (j < elemSize) {
+      var i = 0
+      while (i < n) { out(i * elemSize + j) = raw(j * n + i); i += 1 }
+      j += 1
+    }
+    out
+  }
+
+  /** Walk a v1 chunk B-tree (any level) and materialize the dataset;
+    * chunks absent from the tree stay at the float fill (NaN — ODIM
+    * nodata; 0 for integer grids).
+    */
+  private def readChunkedData(b: ByteBuffer, cl: ChunkedLayout, rows: Int,
+                              cols: Int, e: ElemType, deflated: Boolean,
+                              shuffled: Boolean): Array[Array[Float]] = {
+    val fill = if (e.cls == 1) Float.NaN else 0.0f
+    val grid = Array.fill(rows, cols)(fill)
+    def walk(nodeAddr: Long): Unit = {
+      b.position(nodeAddr.toInt)
+      require((0 until 4).forall(i => b.get() == "TREE".charAt(i).toByte), "TREE expected")
+      require(b.get() == 1, "chunk B-tree expected")
+      val level = b.get().toInt
+      val used = b.getShort.toInt
+      b.getLong; b.getLong // siblings
+      val base = nodeAddr + 24
+      val keySize = 8 + 2 * 8 + 8 // nbytes+mask, 2 dim offsets + elem offset
+      (0 until used).foreach { i =>
+        b.position((base + i * (keySize + 8)).toInt)
+        val nBytes = b.getInt
+        b.getInt // filter mask
+        val r0 = b.getLong.toInt
+        val c0 = b.getLong.toInt
+        b.getLong // element-dim offset
+        val child = b.getLong
+        if (level > 0) walk(child)
+        else {
+          val stored = new Array[Byte](nBytes)
+          b.position(child.toInt)
+          b.get(stored)
+          val plainSize = cl.chunkRows * cl.chunkCols * e.size
+          var raw = if (deflated) inflate(stored, plainSize) else stored
+          if (shuffled) raw = unshuffle(raw, e.size)
+          scatterChunk(raw, grid, r0, c0, cl.chunkRows, cl.chunkCols, rows, cols, e)
+        }
+      }
+    }
+    walk(cl.btree)
+    grid
   }
 
   private def readGroupChildren(b: ByteBuffer, btreeAddr: Long,

@@ -134,9 +134,11 @@ object Odim {
             "undetect" -> Dbl(meta.undetect),
             "precision" -> Lng(meta.precision))),
           "data1" -> Group(children = Seq(
+            // chunked + deflate: the libhdf5-default product shape (and
+            // ~10x smaller for grids dominated by repeated nodata)
             "data" -> Data(data, Seq(
               "CLASS" -> Str("IMAGE"),
-              "IMAGE_VERSION" -> Str("1.2")))))))))
+              "IMAGE_VERSION" -> Str("1.2")), chunkRows = 64)))))))
     Hdf5.write(path, root)
   }
 

@@ -75,6 +75,40 @@ class Hdf5Spec extends AnyFunSuite {
     assert(back.children("zeta").attrs("k") == Lng(1))
   }
 
+  test("chunked+deflate dataset roundtrips, including the clipped edge chunk") {
+    // 10 rows at chunkRows=4 -> chunks at rows 0/4/8, last one 2 rows short;
+    // values chosen so any offset slip is visible, NaN mass compresses well
+    val grid = Array.tabulate(10, 7)((r, c) =>
+      if ((r + c) % 3 == 0) Float.NaN else (r * 100 + c).toFloat)
+    val path = tmp()
+    Hdf5.write(path, Group(children = Seq(
+      "data" -> Data(grid, Seq("CLASS" -> Str("IMAGE")), chunkRows = 4))))
+    val back = Hdf5.read(path).children("data")
+    assert(back.attrs("CLASS") == Str("IMAGE"))
+    val g = back.data.get
+    assert(g.length == 10 && g(0).length == 7)
+    for (r <- 0 until 10; c <- 0 until 7) {
+      if (grid(r)(c).isNaN) assert(g(r)(c).isNaN, s"($r,$c)")
+      else assert(g(r)(c) == grid(r)(c), s"($r,$c): ${g(r)(c)}")
+    }
+    // compression actually engaged: smaller than the raw payload + overhead
+    val packed = Files.size(java.nio.file.Paths.get(path))
+    val contiguous = tmp()
+    Hdf5.write(contiguous, Group(children = Seq("data" -> Data(grid))))
+    assert(packed < Files.size(java.nio.file.Paths.get(contiguous)) + 200,
+      s"chunked file $packed bytes suspiciously large")
+  }
+
+  test("chunk smaller than, equal to, and larger than the grid all roundtrip") {
+    val grid = Array.tabulate(5, 3)((r, c) => (r * 10 + c).toFloat)
+    Seq(1, 5, 64).foreach { cr =>
+      val path = tmp()
+      Hdf5.write(path, Group(children = Seq("data" -> Data(grid, Nil, cr))))
+      val g = Hdf5.read(path).children("data").data.get
+      assert(g.map(_.toSeq).toSeq == grid.map(_.toSeq).toSeq, s"chunkRows=$cr")
+    }
+  }
+
   test("non-ASCII attribute values roundtrip via UTF-8 (sizes from encoded bytes)") {
     // umlaut (2 UTF-8 bytes) + a supplementary-plane char (4 bytes, 2 Java
     // chars): byte-length/char-length divergence must not corrupt offsets
