@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.qpe.Hdf5
-import graft.qpe.Hdf5.{Data, Dbl, Group, Lng, Str}
+import graft.qpe.Hdf5.{Attr, Data, Dbl, Group, Lng, Node, Parsed, Str}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** S12 container: the minimal pure-JVM HDF5 writer/reader — byte-level
@@ -121,6 +121,54 @@ class Hdf5Spec extends AnyFunSuite {
     assert(back.attrs("place") == Str("Zürich"))
     assert(back.attrs("emoji") == Str("a😀b"))
     assert(back.children("g").attrs("note") == Str("établi"))
+  }
+
+  test("property: randomized trees roundtrip losslessly (20 seeded cases)") {
+    // dependency-free property drive (scalatestplus absent, same pattern as
+    // PropertiesSpec): random nesting, attr mix, grid shapes, chunk modes
+    val rnd = new scala.util.Random(7)
+    def randAttr(): Attr = rnd.nextInt(3) match {
+      case 0 => Str(rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+      case 1 => Dbl(rnd.nextDouble() * 1e6 - 5e5)
+      case _ => Lng(rnd.nextLong())
+    }
+    def randAttrs(): Seq[(String, Attr)] =
+      (0 until rnd.nextInt(4)).map(i => s"a$i" -> randAttr())
+    def randData(): Data = {
+      val rows = 1 + rnd.nextInt(9)
+      val cols = 1 + rnd.nextInt(9)
+      val grid = Array.tabulate(rows, cols)((r, c) =>
+        if (rnd.nextInt(5) == 0) Float.NaN else rnd.nextFloat() * 1000f)
+      Data(grid, randAttrs(), chunkRows = Seq(0, 1, 3, 64)(rnd.nextInt(4)))
+    }
+    def randGroup(depth: Int): Group = Group(
+      randAttrs(),
+      (0 until rnd.nextInt(4)).map { i =>
+        if (depth >= 2 || rnd.nextBoolean()) s"d$i" -> randData()
+        else s"g$i" -> randGroup(depth + 1)
+      })
+    def check(exp: Node, got: Parsed): Unit = exp match {
+      case g: Group =>
+        assert(got.attrs == g.attrs.toMap)
+        assert(got.children.keySet == g.children.map(_._1).toSet)
+        g.children.foreach { case (n, c) => check(c, got.children(n)) }
+      case d: Data =>
+        assert(got.attrs == d.attrs.toMap)
+        val back = got.data.get
+        assert(back.length == d.grid.length)
+        d.grid.indices.foreach { r =>
+          d.grid(r).indices.foreach { c =>
+            val (a, b) = (d.grid(r)(c), back(r)(c))
+            assert((a.isNaN && b.isNaN) || a == b, s"($r,$c): $b != $a")
+          }
+        }
+    }
+    (1 to 20).foreach { i =>
+      val root = randGroup(0)
+      val path = tmp()
+      Hdf5.write(path, root)
+      check(root, Hdf5.read(path))
+    }
   }
 
   test("empty group and empty-string attribute survive the roundtrip") {
