@@ -5,18 +5,24 @@ import java.nio.file.{Files, Paths}
 
 /** Minimal pure-JVM HDF5 serialization — enough of the classic (v0
   * superblock) format for ODIM product files: a group hierarchy with
-  * scalar string/double/int64 attributes and contiguous little-endian
-  * float32 2-D datasets. No external library: the JVM has no HDF5 codec
-  * and the dependency set is fixed, so the container is emitted directly
-  * from the published HDF5 File Format Specification (v1 object headers,
-  * symbol-table groups with v1 B-tree + local heap + SNOD, v1 attribute
-  * messages, v3 contiguous data layout). Files written here open with any
-  * HDF5 1.x reader (h5py/libhdf5/nczarr) — the structures used are the
+  * scalar string/double/int64 attributes and float32 2-D datasets, either
+  * contiguous or chunked + deflate (the libhdf5-default product shape).
+  * No external library: the JVM has no HDF5 codec and the dependency set
+  * is fixed, so the container is emitted directly from the published HDF5
+  * File Format Specification (v1 object headers, symbol-table groups with
+  * v1 B-tree + local heap + SNOD, v1 attribute messages, v3 layouts,
+  * filter pipeline). Files written here open with any HDF5 1.x reader
+  * (h5py/libhdf5/nczarr) — the structures used are the
   * lowest-compatibility classic ones libhdf5 itself writes by default.
   *
-  * Writer + structural reader (the reader follows addresses from the
-  * superblock, never assumes this writer's block order), driver-side on
-  * collected grids like the reference's writer (qpe/qpe.py:302-308).
+  * The reader goes further than the writer for interop with files OTHER
+  * producers write (the reference reads foreign ODIM grids,
+  * io_data.py:189): chunk B-trees at any level with per-chunk filter
+  * masks, deflate + shuffle filters, fixed-point and float element types
+  * of 1-8 bytes in either endianness, and object-header continuation
+  * blocks. It follows addresses from the superblock, never assumes this
+  * writer's block order. Driver-side on collected grids like the
+  * reference's writer (qpe/qpe.py:302-308).
   */
 object Hdf5 {
 
@@ -138,14 +144,24 @@ object Hdf5 {
                                  heapDataSize: Int, nameOff: Map[String, Long],
                                  kids: Seq[(String, Plan)]) extends Plan
   /** Contiguous: `addrData` set, `chunks` empty. Chunked: per-chunk
-    * (address, deflated bytes, row offset) + the chunk B-tree address.
+    * (address, deflated bytes, row offset) + the chunk B-tree address and
+    * the EFFECTIVE chunk row count (caller's chunkRows clamped to the grid
+    * — libhdf5 rejects chunk dims larger than a fixed dataspace, so a file
+    * advertising one would undercut the interop claim).
     */
   private final case class DPlan(d: Data, addrOh: Long, addrData: Long,
                                  chunks: Seq[(Long, Array[Byte], Int)],
-                                 addrBtree: Long) extends Plan
+                                 addrBtree: Long, chunkRows: Int) extends Plan
 
   private final class Alloc(var at: Long) {
-    def take(n: Int): Long = { val a = at; at += n; a }
+    def take(n: Int): Long = {
+      // single growable-buffer writer: every block must land below the
+      // ByteBuffer cap, INCLUDING deflate-expanded chunks and edge-chunk
+      // padding — guarding only the raw dataset bytes is not enough
+      require(at + n <= Int.MaxValue,
+        s"allocation of $n bytes at $at exceeds the 2 GiB single-buffer cap")
+      val a = at; at += n; a
+    }
   }
 
   private def layout(node: Node, alloc: Alloc): Plan = node match {
@@ -153,18 +169,21 @@ object Hdf5 {
       val oh = alloc.take(datasetOhSize(d))
       val rows = d.grid.length
       val cols = if (rows == 0) 0 else d.grid(0).length
-      // single-buffer writer: guard the Int byte math explicitly — a grid
-      // past ~500M cells would otherwise overflow the allocator silently
-      // and corrupt every downstream address (ODIM grids are ~1.8 MB)
+      // guard the Int byte math explicitly — a grid past ~500M cells would
+      // otherwise overflow the allocator silently (ODIM grids are ~1.8 MB)
       val dataBytes = rows.toLong * cols * 4
       require(dataBytes <= Int.MaxValue - alloc.at,
         s"dataset of $rows x $cols floats exceeds the 2 GiB single-buffer cap")
-      if (d.chunkRows <= 0) DPlan(d, oh, alloc.take(dataBytes.toInt), Nil, Undef)
+      if (d.chunkRows <= 0) DPlan(d, oh, alloc.take(dataBytes.toInt), Nil, Undef, 0)
       else {
+        val cr = math.min(d.chunkRows, math.max(rows, 1))
+        val chunkBytes = cr.toLong * cols * 4
+        require(chunkBytes <= Int.MaxValue,
+          s"chunk of $cr x $cols floats exceeds the 2 GiB single-buffer cap")
         // row-band chunks, deflated at layout time so addresses are final
-        val chunks = (0 until rows by d.chunkRows).map { r0 =>
-          val h = math.min(d.chunkRows, rows - r0)
-          val raw = ByteBuffer.allocate(d.chunkRows * cols * 4)
+        val chunks = (0 until rows by cr).map { r0 =>
+          val h = math.min(cr, rows - r0)
+          val raw = ByteBuffer.allocate(chunkBytes.toInt)
             .order(ByteOrder.LITTLE_ENDIAN)
           (r0 until r0 + h).foreach(r => d.grid(r).foreach(raw.putFloat))
           // edge chunk: HDF5 stores FULL chunks; the tail rows beyond the
@@ -172,7 +191,10 @@ object Hdf5 {
           val packed = deflate(raw.array())
           (alloc.take(packed.length), packed, r0)
         }
-        DPlan(d, oh, Undef, chunks, alloc.take(chunkBtreeSize(chunks.length)))
+        // the B-tree entries-used field is 2 bytes — refuse what it can't hold
+        require(chunks.length <= 0xffff,
+          s"${chunks.length} chunks exceed the 16-bit B-tree entry count; raise chunkRows")
+        DPlan(d, oh, Undef, chunks, alloc.take(chunkBtreeSize(chunks.length)), cr)
       }
     case g: Group =>
       require(g.children.length <= 2 * LeafK,
@@ -283,10 +305,10 @@ object Hdf5 {
   }
 
   private def render(plan: Plan, b: ByteBuffer): Unit = plan match {
-    case DPlan(d, addrOh, addrData, chunks, addrBtree) =>
+    case DPlan(d, addrOh, addrData, chunks, addrBtree, cr) =>
       val rows = d.grid.length
       val cols = if (rows == 0) 0 else d.grid(0).length
-      val chunked = d.chunkRows > 0
+      val chunked = cr > 0
       b.position(addrOh.toInt)
       val nMsgs = (if (chunked) 5 else 4) + d.attrs.length
       putOhPrefix(b, nMsgs, datasetOhSize(d) - 16)
@@ -328,7 +350,7 @@ object Hdf5 {
         b.put(3.toByte); b.put(2.toByte)
         b.put(3.toByte)                                // 2 data dims + elem dim
         b.putLong(addrBtree)
-        b.putInt(d.chunkRows); b.putInt(cols); b.putInt(4)
+        b.putInt(cr); b.putInt(cols); b.putInt(4)
         (23 until pad8(23)).foreach(_ => b.put(0.toByte))
       }
       d.attrs.foreach { case (n, a) => putAttrMsg(b, n, a) }
@@ -355,7 +377,7 @@ object Hdf5 {
         }
         // final key: the coordinates just past the last chunk
         b.putInt(0); b.putInt(0)
-        b.putLong((chunks.length.toLong * d.chunkRows)); b.putLong(cols.toLong)
+        b.putLong(chunks.length.toLong * cr); b.putLong(cols.toLong)
         b.putLong(4L)
       }
 
@@ -469,7 +491,7 @@ object Hdf5 {
     b.position(addr.toInt)
     require(b.get() == 1, "v1 object header expected")
     b.get()
-    val nMsgs = b.getShort.toInt
+    val nMsgs = b.getShort.toInt & 0xffff
     b.getInt // refcount
     val blockSize = b.getInt
     b.getInt // alignment gap
@@ -479,8 +501,7 @@ object Hdf5 {
     var dataAddr = Undef
     var chunked: Option[ChunkedLayout] = None
     var elem = ElemType(1, 4, littleEndian = true, signed = true) // default f32 LE
-    var deflated = false
-    var shuffled = false
+    var filters: Seq[Int] = Nil // pipeline order; applied in reverse on read
     var i = 0
     var pos: Long = b.position().toLong
     // message blocks beyond the first arrive via CONTINUATION messages
@@ -525,7 +546,7 @@ object Hdf5 {
           require(b.get() == 1, "v1 filter pipeline expected")
           val nf = b.get().toInt
           (0 until 6).foreach(_ => b.get())
-          (0 until nf).foreach { _ =>
+          filters = (0 until nf).map { _ =>
             val id = b.getShort.toInt
             val nameLen = b.getShort.toInt
             b.getShort // flags
@@ -533,12 +554,8 @@ object Hdf5 {
             (0 until nameLen).foreach(_ => b.get())
             (0 until nVals).foreach(_ => b.getInt)
             if (nVals % 2 == 1) b.getInt // pad
-            id match {
-              case 1 => deflated = true
-              case 2 => shuffled = true
-              case other =>
-                throw new IllegalArgumentException(s"filter $other unsupported")
-            }
+            require(id == 1 || id == 2, s"filter $id unsupported")
+            id
           }
         case 0x0008 =>
           require(b.get() == 3, "v3 layout expected")
@@ -561,10 +578,10 @@ object Hdf5 {
     val data = dims.map { case (rows, cols) =>
       chunked match {
         case Some(cl) =>
-          readChunkedData(b, cl, rows, cols, elem, deflated, shuffled)
+          readChunkedData(b, cl, rows, cols, elem, filters)
         case None =>
           require(dataAddr != Undef, "dataset without layout address")
-          require(!deflated && !shuffled, "filters require chunked layout")
+          require(filters.isEmpty, "filters require chunked layout")
           val raw = new Array[Byte](rows * cols * elem.size)
           b.position(dataAddr.toInt)
           b.get(raw)
@@ -623,8 +640,14 @@ object Hdf5 {
     inf.setInput(raw)
     val out = new Array[Byte](expected)
     var off = 0
-    while (off < expected && !inf.finished())
-      off += inf.inflate(out, off, expected - off)
+    while (off < expected && !inf.finished()) {
+      val n = inf.inflate(out, off, expected - off)
+      // truncated/corrupt stream: Inflater returns 0 wanting more input —
+      // without this check the loop would spin forever instead of failing
+      require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+        s"deflate stream truncated at $off of $expected bytes")
+      off += n
+    }
     inf.end()
     out
   }
@@ -647,26 +670,33 @@ object Hdf5 {
 
   /** Walk a v1 chunk B-tree (any level) and materialize the dataset;
     * chunks absent from the tree stay at the float fill (NaN — ODIM
-    * nodata; 0 for integer grids).
+    * nodata; 0 for integer grids). `filters` is the pipeline in forward
+    * (write) order; each chunk undoes it in REVERSE, skipping filters
+    * whose bit is set in the chunk's filter mask — libhdf5 marks an
+    * OPTIONAL filter it skipped (e.g. deflate that would have grown a
+    * high-entropy chunk) exactly this way, and inflating such a chunk
+    * would fail on a perfectly valid file.
     */
   private def readChunkedData(b: ByteBuffer, cl: ChunkedLayout, rows: Int,
-                              cols: Int, e: ElemType, deflated: Boolean,
-                              shuffled: Boolean): Array[Array[Float]] = {
+                              cols: Int, e: ElemType,
+                              filters: Seq[Int]): Array[Array[Float]] = {
     val fill = if (e.cls == 1) Float.NaN else 0.0f
     val grid = Array.fill(rows, cols)(fill)
+    val plainSize = cl.chunkRows.toLong * cl.chunkCols * e.size
+    require(plainSize <= Int.MaxValue, s"chunk of $plainSize bytes unsupported")
     def walk(nodeAddr: Long): Unit = {
       b.position(nodeAddr.toInt)
       require((0 until 4).forall(i => b.get() == "TREE".charAt(i).toByte), "TREE expected")
       require(b.get() == 1, "chunk B-tree expected")
       val level = b.get().toInt
-      val used = b.getShort.toInt
+      val used = b.getShort.toInt & 0xffff
       b.getLong; b.getLong // siblings
       val base = nodeAddr + 24
       val keySize = 8 + 2 * 8 + 8 // nbytes+mask, 2 dim offsets + elem offset
       (0 until used).foreach { i =>
         b.position((base + i * (keySize + 8)).toInt)
         val nBytes = b.getInt
-        b.getInt // filter mask
+        val mask = b.getInt
         val r0 = b.getLong.toInt
         val c0 = b.getLong.toInt
         b.getLong // element-dim offset
@@ -676,9 +706,12 @@ object Hdf5 {
           val stored = new Array[Byte](nBytes)
           b.position(child.toInt)
           b.get(stored)
-          val plainSize = cl.chunkRows * cl.chunkCols * e.size
-          var raw = if (deflated) inflate(stored, plainSize) else stored
-          if (shuffled) raw = unshuffle(raw, e.size)
+          val raw = filters.zipWithIndex.reverse.foldLeft(stored) {
+            case (acc, (_, idx)) if (mask & (1 << idx)) != 0 => acc // skipped
+            case (acc, (1, _)) => inflate(acc, plainSize.toInt)
+            case (acc, (2, _)) => unshuffle(acc, e.size)
+            case (acc, _) => acc
+          }
           scatterChunk(raw, grid, r0, c0, cl.chunkRows, cl.chunkCols, rows, cols, e)
         }
       }
@@ -698,7 +731,7 @@ object Hdf5 {
     require(b.get() == 0, "group B-tree expected")
     val level = b.get().toInt
     require(level == 0, "multi-level B-trees not supported (≤8 SNODs suffice here)")
-    val used = b.getShort.toInt
+    val used = b.getShort.toInt & 0xffff
     b.getLong; b.getLong // siblings
     val snods = (0 until used).map { i =>
       b.position((btreeAddr + 24 + 8 + i * 16).toInt) // skip key[i], read child[i]
@@ -708,7 +741,7 @@ object Hdf5 {
       b.position(snod.toInt)
       require((0 until 4).forall(i => b.get() == "SNOD".charAt(i).toByte), "SNOD expected")
       b.get(); b.get()
-      val n = b.getShort.toInt
+      val n = b.getShort.toInt & 0xffff
       (0 until n).map { j =>
         b.position((snod + 8 + j * 40).toInt)
         val nameOff = b.getLong
