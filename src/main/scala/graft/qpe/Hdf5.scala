@@ -112,7 +112,7 @@ object Hdf5 {
     */
   private def chunkBtreeSize(nChunks: Int): Int = 24 + (nChunks + 1) * 32 + nChunks * 8
 
-  private def deflate(raw: Array[Byte]): Array[Byte] = {
+  private[qpe] def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(6)
     d.setInput(raw); d.finish()
     val out = new java.io.ByteArrayOutputStream(raw.length / 4 + 64)
@@ -482,7 +482,7 @@ object Hdf5 {
     * either endianness — real ODIM producers write uint8/uint16 DN grids or
     * float32/float64, all of which decode to Float here.
     */
-  private final case class ElemType(cls: Int, size: Int, littleEndian: Boolean,
+  private[qpe] final case class ElemType(cls: Int, size: Int, littleEndian: Boolean,
                                     signed: Boolean)
 
   private final case class ChunkedLayout(btree: Long, chunkRows: Int, chunkCols: Int)
@@ -594,7 +594,7 @@ object Hdf5 {
   }
 
   /** Decode one element at byte offset `off` of `raw` to Float. */
-  private def decodeElem(raw: Array[Byte], off: Int, e: ElemType): Float = {
+  private[qpe] def decodeElem(raw: Array[Byte], off: Int, e: ElemType): Float = {
     var v = 0L
     if (e.littleEndian) {
       var i = e.size - 1
@@ -635,7 +635,7 @@ object Hdf5 {
     }
   }
 
-  private def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
+  private[qpe] def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(raw)
     val out = new Array[Byte](expected)
@@ -655,7 +655,7 @@ object Hdf5 {
   /** De-shuffle (filter id 2): bytes stored plane-by-plane back to
     * interleaved element order.
     */
-  private def unshuffle(raw: Array[Byte], elemSize: Int): Array[Byte] = {
+  private[qpe] def unshuffle(raw: Array[Byte], elemSize: Int): Array[Byte] = {
     if (elemSize <= 1) return raw
     val n = raw.length / elemSize
     val out = new Array[Byte](raw.length)
