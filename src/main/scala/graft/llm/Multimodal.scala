@@ -166,6 +166,92 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, payload) => decodeAudio(id, payload) })
   }
 
+  /** 64-bit average-hash perceptual fingerprint of a decoded image: luma
+    * stride-sampled to an 8x8 grid, each cell 1 iff above the grid mean.
+    * Near-identical images (recompression, mild noise, small crops) land
+    * within a few bits; unrelated images differ in ~32. The image analogue
+    * of [[graft.llm.Dedup.simhash16]].
+    */
+  def phash64(img: java.awt.image.BufferedImage): Long = {
+    val cells = new Array[Double](64)
+    val w = img.getWidth
+    val h = img.getHeight
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        // mean luma over the cell's pixel block (stride-free exact mean so
+        // the hash is deterministic across JVMs — no Graphics2D scaler)
+        val x0 = gx * w / 8; val x1 = math.max(x0 + 1, (gx + 1) * w / 8)
+        val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        cells(gy * 8 + gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = cells.sum / 64
+    cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+      if (c > mean) acc | (1L << i) else acc
+    }
+  }
+
+  final case class ImageHash(id: Long, phash: Long)
+
+  /** Partition-batched decode → perceptual hash (same plumbing and fanOut
+    * floor as [[decodeImages]]); undecodable payloads drop.
+    */
+  def imageHashes(df: DataFrame, idCol: String): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.Core.fanOut(df).select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        sniffFormat(payload).flatMap { _ =>
+          scala.util.Try(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))).toOption
+            .flatMap(Option(_))
+            .map(img => ImageHash(id, phash64(img)))
+        }
+      })
+  }
+
+  /** Image near-dup pairs by perceptual hash: candidates from 16-bit hash
+    * BANDS (two near-dups within `maxHamming` ≤ 3 bits always share at
+    * least one intact band by pigeonhole at 4 bands), exact Hamming verify
+    * on candidates only — never an all-pairs comparison, the same
+    * LSH-banding discipline as [[Dedup.minhashPairs]]. Returns
+    * (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4 x 16-bit bands guarantee recall only for hamming <= 3")
+    val banded = hashes.select(col("id"), col("phash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("phash"), i * 16).bitwiseAND(0xffff).as("key"))): _*)).as("b"))
+      .select(col("id"), col("phash"), col("b.band"), col("b.key"))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.phash").as("ha"), col("r.phash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Attach a binary payload + typed metadata struct to a text corpus
     * (here the payload is the UTF-8 content itself; in production it is the
     * image/audio blob read from object storage).

@@ -448,6 +448,37 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_.id).toSet == Set(1L))
   }
 
+  test("multimodal perceptual hash: near-dup images pair up, distinct ones do not") {
+    import java.awt.image.BufferedImage
+    def gradient(w: Int, h: Int, invert: Boolean, noise: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val base = (x * 255) / (w - 1)
+        val v0 = if (invert) 255 - base else base
+        // deterministic tiny perturbation: must not flip 8x8 cell means
+        val v = math.max(0, math.min(255, v0 + (if (noise > 0) ((x * 7 + y * 13) % (2 * noise + 1)) - noise else 0)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      R(1L, gradient(64, 48, invert = false, noise = 0), "a"),
+      R(2L, gradient(64, 48, invert = false, noise = 3), "near-dup of 1"),
+      R(3L, gradient(64, 48, invert = true, noise = 0), "inverted"),
+      R(4L, "not an image".getBytes("UTF-8"), "undecodable"))
+    val d = df("doc_id BIGINT, payload BINARY, text STRING", rows)
+    val hashes = Multimodal.imageHashes(d, "doc_id")
+    val hmap = hashes.collect().map(ih => ih.id -> ih.phash).toMap
+    assert(hmap.keySet == Set(1L, 2L, 3L)) // undecodable row dropped
+    assert(java.lang.Long.bitCount(hmap(1L) ^ hmap(2L)) <= 3)
+    assert(java.lang.Long.bitCount(hmap(1L) ^ hmap(3L)) > 10)
+    val pairs = Multimodal.nearDupImages(hashes.toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("multimodal decodeFeatures stub preserves batch plumbing") {
     val d = Multimodal.attachPayload(docs, "doc_id", "text")
     val feats = Multimodal.decodeFeatures(d, "doc_id").collect()
