@@ -112,6 +112,13 @@ object Multimodal {
     * [[decodeImage]].
     */
   def decodeAudio(id: Long, payload: Array[Byte]): Option[AudioFeatures] =
+    decodeAudioSamples(id, payload).map(_._1)
+
+  /** Full decode: aggregate features PLUS the normalized [-1, 1] sample
+    * array (channel-interleaved) — the input [[audioFingerprint64]] hashes.
+    */
+  def decodeAudioSamples(id: Long,
+                         payload: Array[Byte]): Option[(AudioFeatures, Array[Double])] =
     sniffAudioFormat(payload).flatMap { fmt =>
       scala.util.Try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -126,6 +133,7 @@ object Multimodal {
             s"unsupported PCM shape: $enc/$bits-bit")
           val bytes = ais.readAllBytes()
           val step = bits / 8
+          val samples = new Array[Double](bytes.length / step)
           var sumSq = 0.0
           var n = 0
           var i = 0
@@ -142,14 +150,15 @@ object Multimodal {
                 if (signed) u.toShort.toDouble else u - 32768.0
               }
             val s = raw / (if (bits == 8) 128.0 else 32768.0)
+            samples(n) = s
             sumSq += s * s
             n += 1
             i += step
           }
           val frames = ais.getFrameLength
-          AudioFeatures(id, fmt, f.getSampleRate.toDouble, f.getChannels,
+          (AudioFeatures(id, fmt, f.getSampleRate.toDouble, f.getChannels,
             frames, frames / f.getFrameRate.toDouble,
-            if (n > 0) math.sqrt(sumSq / n) else 0.0)
+            if (n > 0) math.sqrt(sumSq / n) else 0.0), samples)
         } finally ais.close()
       }.toOption
     }
@@ -227,30 +236,80 @@ object Multimodal {
       })
   }
 
-  /** Image near-dup pairs by perceptual hash: candidates from 16-bit hash
-    * BANDS (two near-dups within `maxHamming` ≤ 3 bits always share at
-    * least one intact band by pigeonhole at 4 bands), exact Hamming verify
-    * on candidates only — never an all-pairs comparison, the same
-    * LSH-banding discipline as [[Dedup.minhashPairs]]. Returns
+  /** Near-dup pairs over any 64-bit perceptual hash column: candidates
+    * from 16-bit hash BANDS (two hashes within `maxHamming` ≤ 3 bits always
+    * share at least one intact band by pigeonhole at 4 bands), exact
+    * Hamming verify on candidates only — never an all-pairs comparison,
+    * the same LSH-banding discipline as the minhash dedup. Returns
     * (id_a, id_b, hamming) with id_a < id_b.
     */
-  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def nearDupByHash64(hashes: DataFrame, hashCol: String,
+                      maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4 x 16-bit bands guarantee recall only for hamming <= 3")
-    val banded = hashes.select(col("id"), col("phash"),
+    val banded = hashes.select(col("id"), col(hashCol).as("h"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
-          shiftright(col("phash"), i * 16).bitwiseAND(0xffff).as("key"))): _*)).as("b"))
-      .select(col("id"), col("phash"), col("b.band"), col("b.key"))
+          shiftright(col(hashCol), i * 16).bitwiseAND(0xffff).as("key"))): _*)).as("b"))
+      .select(col("id"), col("h"), col("b.band"), col("b.key"))
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.phash").as("ha"), col("r.phash").as("hb"))
+        col("l.h").as("ha"), col("r.h").as("hb"))
       .distinct()
     cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Image near-dup pairs by [[phash64]] (see [[nearDupByHash64]]). */
+  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    nearDupByHash64(hashes, "phash", maxHamming)
+
+  /** 64-bit audio fingerprint: the signal's RMS ENVELOPE over 64 equal
+    * windows, bit i set iff window i's RMS exceeds the envelope median —
+    * robust to mild noise/requantization, sensitive to rhythm/amplitude
+    * structure. (Flat-envelope signals — steady tones, silence — hash
+    * degenerately; envelope structure is the feature, as with any
+    * energy-based fingerprint.)
+    */
+  def audioFingerprint64(samples: Array[Double]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val rms = Array.tabulate(64) { w =>
+      val a = w * n / 64
+      val b = math.max(a + 1, math.min(n, (w + 1) * n / 64))
+      var s = 0.0
+      var i = a
+      while (i < b) { s += samples(i) * samples(i); i += 1 }
+      math.sqrt(s / (b - a))
+    }
+    val median = rms.sorted.apply(32)
+    rms.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v > median) acc | (1L << i) else acc
+    }
+  }
+
+  final case class AudioHash(id: Long, afp: Long)
+
+  /** Partition-batched decode → audio fingerprint (same plumbing and
+    * fanOut floor as [[decodeAudios]]); undecodable payloads drop.
+    */
+  def audioHashes(df: DataFrame, idCol: String): Dataset[AudioHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.Core.fanOut(df).select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeAudioSamples(id, payload).map { case (_, samples) =>
+          AudioHash(id, audioFingerprint64(samples))
+        }
+      })
+  }
+
+  /** Audio near-dup pairs by [[audioFingerprint64]] (see [[nearDupByHash64]]). */
+  def nearDupAudio(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    nearDupByHash64(hashes, "afp", maxHamming)
 
   /** Attach a binary payload + typed metadata struct to a text corpus
     * (here the payload is the UTF-8 content itself; in production it is the

@@ -479,6 +479,49 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  /** AM-modulated sine WAV: `beatHz` shapes the RMS envelope the audio
+    * fingerprint hashes; `noise` adds a small deterministic perturbation.
+    */
+  private def beatWav(beatHz: Double, noise: Double): Array[Byte] = {
+    val sr = 8000f
+    val n = 8000
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val t = i / sr.toDouble
+      val amp = 0.2 + 0.3 * math.abs(math.sin(2 * math.Pi * beatHz * t))
+      val nz = noise * math.sin(2 * math.Pi * 1931.0 * t)
+      val s = ((amp * math.sin(2 * math.Pi * 440.0 * t) + nz) * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal audio fingerprint: same beat pattern pairs up, different beat does not") {
+    val rows = Seq(
+      R(1L, beatWav(2.0, 0.0), "a"),
+      R(2L, beatWav(2.0, 0.01), "noisy near-dup of 1"),
+      R(3L, beatWav(5.0, 0.0), "different rhythm"),
+      R(4L, "not audio".getBytes("UTF-8"), "undecodable"))
+    val d = df("doc_id BIGINT, payload BINARY, text STRING", rows)
+    val hashes = Multimodal.audioHashes(d, "doc_id")
+    val hmap = hashes.collect().map(h => h.id -> h.afp).toMap
+    assert(hmap.keySet == Set(1L, 2L, 3L)) // undecodable row dropped
+    assert(java.lang.Long.bitCount(hmap(1L) ^ hmap(2L)) <= 3,
+      s"near-dup hamming ${java.lang.Long.bitCount(hmap(1L) ^ hmap(2L))}")
+    assert(java.lang.Long.bitCount(hmap(1L) ^ hmap(3L)) > 10,
+      s"distinct hamming ${java.lang.Long.bitCount(hmap(1L) ^ hmap(3L))}")
+    val pairs = Multimodal.nearDupAudio(hashes.toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("multimodal decodeFeatures stub preserves batch plumbing") {
     val d = Multimodal.attachPayload(docs, "doc_id", "text")
     val feats = Multimodal.decodeFeatures(d, "doc_id").collect()
