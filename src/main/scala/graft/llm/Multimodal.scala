@@ -37,22 +37,28 @@ object Multimodal {
         payload(2) == 'F') Some("image/gif")
     else None
 
+  /** Sniff-gated codec decode shared by every image operator. Try: a
+    * payload that passes the magic-byte sniff can still be truncated or
+    * corrupt (common in real corpora) — the codec throws IIOException
+    * mid-decode and that must mean "drop the row", not "fail the whole
+    * job".
+    */
+  private def decodeBuffered(payload: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
+    sniffFormat(payload).flatMap { fmt =>
+      scala.util.Try(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .toOption.flatMap(Option(_)).map(fmt -> _)
+    }
+
   /** REAL image decode for the containers the JVM ships codecs for
     * (PNG/JPEG/GIF via javax.imageio — no external library): dimensions +
     * mean 8-bit luma. Non-image payloads return None (callers fall back to
-    * [[stubDecode]] — the remaining stub is only for codecs the JVM lacks,
-    * e.g. video/audio).
+    * [[stubDecode]] — the remaining stub is only for video, the one codec
+    * the JVM lacks).
     */
   def decodeImage(id: Long, payload: Array[Byte]): Option[ImageFeatures] =
-    sniffFormat(payload).flatMap { fmt =>
-      // Try: a payload that passes the magic-byte sniff can still be
-      // truncated/corrupt (common in real corpora) — the codec throws
-      // IIOException mid-decode and that must mean "drop the row", not
-      // "fail the whole job"
-      val img = scala.util.Try(
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-        .getOrElse(null)
-      Option(img).flatMap { i => scala.util.Try {
+    decodeBuffered(payload).flatMap { case (fmt, i) =>
+      scala.util.Try {
         var sum = 0.0
         var y = 0
         while (y < i.getHeight) {
@@ -67,7 +73,7 @@ object Multimodal {
         }
         ImageFeatures(id, fmt, i.getWidth, i.getHeight,
           sum / (i.getWidth.toLong * i.getHeight))
-      }.toOption }
+      }.toOption
     }
 
   /** Partition-batched REAL image decode — same mapPartitions plumbing as
@@ -112,13 +118,22 @@ object Multimodal {
     * [[decodeImage]].
     */
   def decodeAudio(id: Long, payload: Array[Byte]): Option[AudioFeatures] =
-    decodeAudioSamples(id, payload).map(_._1)
+    decodeAudioImpl(id, payload, keepSamples = false).map(_._1)
 
   /** Full decode: aggregate features PLUS the normalized [-1, 1] sample
     * array (channel-interleaved) — the input [[audioFingerprint64]] hashes.
     */
   def decodeAudioSamples(id: Long,
                          payload: Array[Byte]): Option[(AudioFeatures, Array[Double])] =
+    decodeAudioImpl(id, payload, keepSamples = true)
+
+  /** One streaming decode core: features are always computed with O(1)
+    * extra memory; the sample array (4-8x the payload size) is allocated
+    * ONLY when the caller needs it — features-only decode over a large
+    * corpus must not materialize-and-discard every clip.
+    */
+  private def decodeAudioImpl(id: Long, payload: Array[Byte],
+                              keepSamples: Boolean): Option[(AudioFeatures, Array[Double])] =
     sniffAudioFormat(payload).flatMap { fmt =>
       scala.util.Try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -133,7 +148,8 @@ object Multimodal {
             s"unsupported PCM shape: $enc/$bits-bit")
           val bytes = ais.readAllBytes()
           val step = bits / 8
-          val samples = new Array[Double](bytes.length / step)
+          val samples =
+            if (keepSamples) new Array[Double](bytes.length / step) else null
           var sumSq = 0.0
           var n = 0
           var i = 0
@@ -150,7 +166,7 @@ object Multimodal {
                 if (signed) u.toShort.toDouble else u - 32768.0
               }
             val s = raw / (if (bits == 8) 128.0 else 32768.0)
-            samples(n) = s
+            if (keepSamples) samples(n) = s
             sumSq += s * s
             n += 1
             i += step
@@ -158,7 +174,8 @@ object Multimodal {
           val frames = ais.getFrameLength
           (AudioFeatures(id, fmt, f.getSampleRate.toDouble, f.getChannels,
             frames, frames / f.getFrameRate.toDouble,
-            if (n > 0) math.sqrt(sumSq / n) else 0.0), samples)
+            if (n > 0) math.sqrt(sumSq / n) else 0.0),
+           if (keepSamples) samples else Array.emptyDoubleArray)
         } finally ais.close()
       }.toOption
     }
@@ -227,11 +244,10 @@ object Multimodal {
     graft.Core.fanOut(df).select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        sniffFormat(payload).flatMap { _ =>
-          scala.util.Try(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))).toOption
-            .flatMap(Option(_))
-            .map(img => ImageHash(id, phash64(img)))
+        // Try around the pixel loop too: a corrupt-but-readable image can
+        // throw mid-getRGB — drop the row, never the job (decodeImage's rule)
+        decodeBuffered(payload).flatMap { case (_, img) =>
+          scala.util.Try(ImageHash(id, phash64(img))).toOption
         }
       })
   }
@@ -246,7 +262,11 @@ object Multimodal {
   def nearDupByHash64(hashes: DataFrame, hashCol: String,
                       maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4 x 16-bit bands guarantee recall only for hamming <= 3")
-    val banded = hashes.select(col("id"), col(hashCol).as("h"),
+    // materialize before the self-join: both sides share the upstream
+    // decode+hash lineage, which Spark would otherwise execute TWICE —
+    // the same trap Dedup's candidate subtree documents (measured +50%)
+    val mat = hashes.localCheckpoint()
+    val banded = mat.select(col("id"), col(hashCol).as("h"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           shiftright(col(hashCol), i * 16).bitwiseAND(0xffff).as("key"))): _*)).as("b"))
@@ -277,8 +297,10 @@ object Multimodal {
     val n = samples.length
     if (n == 0) return 0L
     val rms = Array.tabulate(64) { w =>
-      val a = w * n / 64
-      val b = math.max(a + 1, math.min(n, (w + 1) * n / 64))
+      // Long window math: w*n overflows Int past ~34M samples (minutes of
+      // 44.1 kHz audio) and a negative index would fail the whole task
+      val a = (w.toLong * n / 64).toInt
+      val b = math.max(a + 1, math.min(n, ((w + 1).toLong * n / 64).toInt))
       var s = 0.0
       var i = a
       while (i < b) { s += samples(i) * samples(i); i += 1 }
