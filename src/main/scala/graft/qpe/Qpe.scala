@@ -67,7 +67,7 @@ object Qpe {
   def writeProducts(grid: Array[Array[Double]], outDir: String, tEnd: Long,
                     quality: String): Seq[String] = {
     val meta = Odim.chMetaFromQuality(tEnd, quality)
-    val odimPath = s"$outDir/qpe_$tEnd.odim"
+    val odimPath = s"$outDir/qpe_$tEnd.h5"
     val gifPath = s"$outDir/qpe_$tEnd.gif"
     Odim.write(odimPath, grid, meta)
     Gif.saveGif(gifPath, grid)

@@ -141,7 +141,7 @@ class MlStreamGridSpec extends SparkSpec {
       // streaming quality string driving the metadata
       val cells = Seq((0, 0, 1.25), (1, 2, 3.5)).toDF("chx", "chy", "value")
       val grid = Grid.collectGrid(cells, nx = 3, ny = 4)
-      val path = java.nio.file.Files.createTempFile("graft-rt", ".odim").toString
+      val path = java.nio.file.Files.createTempFile("graft-rt", ".h5").toString
       Odim.write(path, grid, Odim.chMetaFromQuality(slot.getLong(0) / 1000 + 300,
         slot.getString(1)))
       val (back, fields) = Odim.read(path)

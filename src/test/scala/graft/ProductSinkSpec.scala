@@ -37,7 +37,7 @@ class ProductSinkSpec extends AnyFunSuite {
     val grid = Array.tabulate(6, 9)((x, y) =>
       if ((x + y) % 7 == 0) Double.NaN else x * 1.2345 + y * 0.0789)
     val meta = Odim.chMeta(1700000300L, Set('P'))
-    val path = tmpFile(".odim")
+    val path = tmpFile(".h5")
     Odim.write(path, grid, meta)
     val (back, fields) = Odim.read(path)
     assert(back.length == 6 && back(0).length == 9)

@@ -87,7 +87,7 @@ class QpeE2ESpec extends SparkSpec {
       quality = "AD-PW", cfg = cfg)
     assert(grid.flatten.count(v => !v.isNaN && v > 0) == 20)
     // both product files exist and carry the degraded quality / the grid
-    val (odimGrid, fields) = Odim.read(s"$outDir/qpe_1700000300.odim")
+    val (odimGrid, fields) = Odim.read(s"$outDir/qpe_1700000300.h5")
     assert(fields("radar") == "AD-PW")
     assert(math.abs(odimGrid(1)(1) - BigDecimal(grid(1)(1)).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-4)
