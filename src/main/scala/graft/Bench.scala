@@ -43,6 +43,19 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // anchor times from the last committed local bench (same harness, same
+    // sf): a single-run time that lands ≥1.5× away from its anchor in either
+    // direction is suspect noise, not a finding — round 5's verdict chased a
+    // j2 "regression" (0.51→1.02 s) on an implementation untouched since r2.
+    // Missing/new queries (or a missing file) simply have no anchor.
+    val anchor: Map[String, Double] = scala.util.Try {
+      val txt = scala.io.Source.fromFile("BENCH_local.json").mkString
+      txt.split("\"queries\":\\{", 2)(1).split("\\}", 2)(0)
+        .split(",").toSeq.flatMap { kv =>
+          val p = kv.split(":")
+          scala.util.Try(p(0).replace("\"", "").trim -> p(1).trim.toDouble).toOption
+        }.toMap
+    }.getOrElse(Map.empty)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -50,14 +63,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      // heavy-tail noise control: one cold/contended run mis-bills a
-      // multi-second query by 2-3x (round 4: dedup_minhash billed 10.9 s
-      // in-suite vs 3.7 s isolated — pure ordering/contention noise).
-      // Queries past 2 s get two more runs and report the MEDIAN; the
-      // cheap tier stays single-run (re-running ~80 sub-2 s queries would
-      // triple wall clock to fix noise already within the ±15% single-run
-      // band — NOTES_r3 lesson 8).
-      val t = if (first > 2.0) {
+      // noise control, two triggers for a median-of-3 re-run:
+      // (a) heavy tail: one cold/contended run mis-bills a multi-second
+      //     query by 2-3x (round 4: dedup_minhash billed 10.9 s in-suite vs
+      //     3.7 s isolated — pure ordering/contention noise);
+      // (b) anchor drift: ANY query ≥1.5× off its committed anchor, so
+      //     sub-2 s phantoms (round 5's j2) get settled in-run instead of
+      //     adjudicated from a single noisy sample. Cheap stable queries
+      //     stay single-run — re-running all ~90 would triple wall clock
+      //     (NOTES_r3 lesson 8).
+      val drifted = anchor.get(name)
+        .exists(a => a > 0 && (first >= a * 1.5 || first <= a / 1.5))
+      val t = if (first > 2.0 || drifted) {
         val three = Seq(first, once(), once()).sorted
         three(1)
       } else first

@@ -131,8 +131,34 @@ object Core {
     * query tier (round-3 driver bench).
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    val spark = df.sparkSession
+    val slots = spark.sparkContext.defaultParallelism
+    // decide from OPTIMIZED-PLAN STATS, not df.rdd.getNumPartitions: the rdd
+    // conversion compiles and materializes a second physical plan (outside
+    // AQE) on every call just to read a count. Stats need only the optimizer.
+    // The threshold is exact on the big side: a file relation of size ≥
+    // slots·maxPartitionBytes always splits into ≥ slots scan partitions
+    // (maxSplitBytes ≤ maxPartitionBytes), so it never needed the exchange;
+    // below it the scan MAY arrive under-parallel — one cheap (by definition
+    // small) exchange. Unknown stats (defaultSizeInBytes = Long.Max) read as
+    // huge → untouched, the safe direction at 100 TB.
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(slots) * maxPart) df.repartition(slots) else df
+  }
+
+  /** Loud integral-id contract check shared by the Long-keyed operators
+    * (TopK/BottomK aggregators, IVF cell joins, hash-reservoir join-back):
+    * a string/uuid id would cast to null downstream and silently return an
+    * EMPTY result. Matches on the DataType itself — simpleString spellings
+    * differ per type ("tinyint", not "byte"), which falsely rejected valid
+    * byte/short id columns when this check was name-based.
+    */
+  def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    val t = df.schema(c).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$op needs an integral '$c' column (keys on Long); got ${t.simpleString}")
   }
 
   /** Restore a `ts` column read as nanos-long (see Scaladoc above) to

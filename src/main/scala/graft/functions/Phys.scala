@@ -22,10 +22,13 @@ object Phys {
       .otherwise(zlin * least(lit(100.0) / visib, lit(maxCorr)))
 
   /** F4: SNR mask — null where `zh − noise < snrThreshold`
-    * (reference: radarprocessing.py:116-142).
+    * (reference: radarprocessing.py:116-142). A NULL noise floor (e.g.
+    * [[noisedBZ]] at range ≤ 0, where no floor is defined) masks the gate:
+    * a bare `when(zh - noise < thr)` would let the NULL comparison fall to
+    * the otherwise branch and pass an un-SNR-checked gate through unmasked.
     */
   def snrMask(zh: Column, noise: Column, snrThreshold: Double): Column =
-    when(zh - noise < snrThreshold, lit(null)).otherwise(zh)
+    when(noise.isNull || zh - noise < snrThreshold, lit(null)).otherwise(zh)
 
   /** F5: range-dependent noise floor in dBZ — the noise reference (dB, at
     * `refDistKm` from the radar) projected to each gate's range by the

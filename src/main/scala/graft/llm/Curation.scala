@@ -82,11 +82,7 @@ object Curation {
                     k: Int, salt: String = "graft"): DataFrame = {
     // enforce the documented integral-id contract loudly: a string/uuid id
     // would cast to null below and silently return an EMPTY "sample"
-    val idType = df.schema(idCol).dataType
-    require(Seq("byte", "short", "int", "long", "integer", "bigint")
-        .contains(idType.simpleString),
-      s"hashReservoir needs an integral idCol (join-back key); " +
-        s"'$idCol' is ${idType.simpleString}")
+    graft.Core.requireIntegral(df, idCol, "hashReservoir")
     val h = TextAnalysis.md5Long(concat(col(idCol).cast("string"), lit(salt)))
     val bottomK = udaf(new graft.functions.Aggregators.BottomKLong(k))
     val picked = df

@@ -258,19 +258,38 @@ object Multimodal {
     * Hamming verify on candidates only — never an all-pairs comparison,
     * the same LSH-banding discipline as the minhash dedup. Returns
     * (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * Hot (band, key) buckets are capped at `maxBucket` members, mirroring
+    * [[Dedup.jaccardPairs]]'s maxDf guard: DEGENERATE hashes are common, not
+    * pathological — every flat/solid image and every silent/steady-tone clip
+    * hashes to 0 ([[phash64]]/[[audioFingerprint64]] set a bit only above the
+    * cell mean / envelope median, which a constant signal never exceeds), so
+    * all such rows share all four band keys and the band self-join would go
+    * QUADRATIC in their count. Over-populated buckets are dropped from the
+    * candidate stage instead; the recall consequence is that members of a
+    * bucket past the cap (degenerate media, or > maxBucket exact copies of
+    * one hash) report no pairs here — route those through exact dedup
+    * ([[Dedup]] on the payload digest), where identical content belongs.
     */
   def nearDupByHash64(hashes: DataFrame, hashCol: String,
-                      maxHamming: Int): DataFrame = {
+                      maxHamming: Int, idCol: String = "id",
+                      maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < 4, "4 x 16-bit bands guarantee recall only for hamming <= 3")
     // materialize before the self-join: both sides share the upstream
     // decode+hash lineage, which Spark would otherwise execute TWICE —
     // the same trap Dedup's candidate subtree documents (measured +50%)
     val mat = hashes.localCheckpoint()
-    val banded = mat.select(col("id"), col(hashCol).as("h"),
+    // the cap is a count window PARTITIONED BY the band key: its exchange is
+    // exactly the hash distribution the self-join needs next (same move as
+    // Dedup.jaccardPairs' df cap riding the inverted-index shuffle)
+    val banded = mat.select(col(idCol).as("id"), col(hashCol).as("h"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           shiftright(col(hashCol), i * 16).bitwiseAND(0xffff).as("key"))): _*)).as("b"))
       .select(col("id"), col("h"), col("b.band"), col("b.key"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))

@@ -59,6 +59,18 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("hashReservoir accepts byte/short ids (type-based check, not simpleString)") {
+    // regression: the old name-based whitelist compared against "byte"/"short"
+    // but Spark spells those simpleStrings "tinyint"/"smallint" — valid
+    // narrow integral ids were falsely rejected
+    val d = spark.range(0, 40).selectExpr(
+      "CAST(id AS SMALLINT) AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS lang")
+    val out = Curation.hashReservoir(d, "doc_id", "lang", k = 3)
+    assert(out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 3L, "b" -> 3L))
+  }
+
   test("hashReservoir: exactly k per stratum, deterministic, order-independent") {
     val many = spark.range(0, 300).selectExpr("id AS doc_id",
       "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS lang")

@@ -522,6 +522,35 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupByHash64 caps hot buckets: a degenerate hash-0 flood stays bounded") {
+    // 50 degenerate items (flat images / silent audio all hash to 0) plus one
+    // genuine near-dup pair. Uncapped, the hash-0 bucket alone emits
+    // C(50,2) = 1225 candidate pairs in EVERY band — the quadratic shape the
+    // maxBucket guard exists to cut off.
+    val rows = (1L to 50L).map(i => R(i, 0L)) ++
+      Seq(R(100L, 0x0f0f0f0f0f0f0f0fL), R(101L, 0x0f0f0f0f0f0f0f0eL)) // hamming 1
+    val hashes = df("id BIGINT, h BIGINT", rows)
+    val capped = Multimodal.nearDupByHash64(hashes, "h", maxHamming = 3,
+        maxBucket = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // flooded buckets drop from the candidate stage (documented recall trade);
+    // the genuine pair lives in four 2-member buckets and survives
+    assert(capped == Set((100L, 101L)))
+    // under the cap the degenerate cluster still pairs up exhaustively
+    val uncapped = Multimodal.nearDupByHash64(hashes, "h", maxHamming = 3,
+      maxBucket = 1000)
+    assert(uncapped.count() == 50L * 49 / 2 + 1)
+  }
+
+  test("nearDupByHash64 honors a non-default id column name") {
+    val hashes = df("img_id BIGINT, h BIGINT",
+      Seq(R(7L, 123L), R(9L, 122L))) // hamming 1
+    val pairs = Multimodal.nearDupByHash64(hashes, "h", maxHamming = 3,
+        idCol = "img_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((7L, 9L)))
+  }
+
   test("multimodal decodeFeatures stub preserves batch plumbing") {
     val d = Multimodal.attachPayload(docs, "doc_id", "text")
     val feats = Multimodal.decodeFeatures(d, "doc_id").collect()

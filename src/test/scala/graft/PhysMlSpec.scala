@@ -41,6 +41,9 @@ class PhysMlSpec extends SparkSpec {
     // zh=−20: SNR 11 dB at 100 km (< 23 → masked), 31 dB at 10 km (kept)
     val masked = d.select(Phys.snrMask(col("zh"), noise, 23.0)).collect()
     assert(masked(0).isNullAt(0) && masked(1).getDouble(0) == -20.0)
+    // a gate with an UNDEFINED noise floor (r ≤ 0 → NULL) is masked, not
+    // passed through: a NULL SNR comparison must never count as "above"
+    assert(masked(2).isNullAt(0))
     // companion: noisedBADU = 10·log10(power) + rconst (status-file path)
     val badu = df("p DOUBLE, rc DOUBLE", Seq(R(0.01, 75.0)))
       .select(Phys.noiseDbAdu(col("p"), col("rc"))).collect()
