@@ -14,13 +14,10 @@ object Similarity {
   /** The bounded-TopK ranking path keys candidate/cell ids on Long, and the
     * IVF join casts `partCol` to long — a string id would cast to null and
     * silently return an EMPTY result. Enforce the documented integral
-    * contract loudly instead.
+    * contract loudly instead (shared type-based check: [[graft.Core.requireIntegral]]).
     */
-  private def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
-    val t = df.schema(c).dataType.simpleString
-    require(Seq("byte", "short", "int", "integer", "long", "bigint").contains(t),
-      s"$op needs an integral '$c' column (aggregator keys on Long); got $t")
-  }
+  private def requireIntegral(df: DataFrame, c: String, op: String): Unit =
+    graft.Core.requireIntegral(df, c, op)
 
   /** Exact dot product with a fixed association order (left fold), so Spark
     * and any SQL mirror produce bit-identical doubles (an unrolled `+` chain
@@ -131,6 +128,40 @@ object Similarity {
     (model.transform(assembled)
       .withColumnRenamed("__cluster", "ivf_cell")
       .drop("__features"), model)
+  }
+
+  /** Deterministic coarse-quantizer assignment: each corpus vector gets the
+    * cell id of its nearest centroid (cosine DESC, cell ASC tie-break) from
+    * an explicit centroid table — the role `KMeansModel.transform` plays
+    * after a fit, usable with ANY centroid source (a persisted model's
+    * centers, a fixed seed set, a previous epoch's layout) and fully
+    * engine-mirrorable since there is no RNG anywhere.
+    *
+    * Scale shape: centroids are small by definition (nlist entries) →
+    * broadcast; scoring is map-side on the corpus partitioning; the
+    * argmax runs through the bounded TopK(1) aggregator (the exchange
+    * carries one (cos, cell) pair per vector), and the winners join back
+    * keyed on the corpus id. Unscoreable vectors (zero-norm/NULL, no
+    * scoreable centroid) get no row — surfaced by the inner join as
+    * "unassigned", never silently binned.
+    */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, cellCol: String, cvecCol: String,
+                  dim: Int, outCol: String = "ivf_cell"): DataFrame = {
+    requireIntegral(corpus, idCol, "assignCells")
+    requireIntegral(centroids, cellCol, "assignCells")
+    val cent = centroids.select(col(cellCol).cast("long").as("__cell"),
+      col(cvecCol).as("__cv"))
+    val top1 = udaf(new graft.functions.Aggregators.TopK(1))
+    val best = graft.Core.fanOut(corpus)
+      .select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), cosine("__v", "__cv", dim).as("__ccos"), col("__cell"))
+      .filter(col("__ccos").isNotNull)
+      .groupBy(col(idCol))
+      .agg(top1(col("__ccos"), col("__cell")).as("__h"))
+      .select(col(idCol), element_at(col("__h"), 1).getField("id").as(outCol))
+    corpus.join(best, Seq(idCol))
   }
 
   /** Persist a trained IVF layout: cell assignments as bucketed parquet ON

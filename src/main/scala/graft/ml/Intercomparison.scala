@@ -28,19 +28,44 @@ object Intercomparison {
 
   /** Reference-style skill scores per (model, agg, phase, fold).
     * Input columns: model, agg, fold, phase, est, ref.
+    *
+    * CORR and STDE come from decimal-accumulated power sums, not Spark's
+    * streaming `corr`/`stddev_samp`: the streaming co-moment merge is
+    * partition-order-dependent in its low bits, which makes the rounded
+    * score run-dependent right at a rounding boundary — power sums in
+    * DECIMAL are exact, so every run (and the DuckDB oracle mirror,
+    * m9_skill_scores) produces the identical bits. Degenerate groups keep
+    * the aggregate-function semantics: corr of a constant series is NULL
+    * (zero denominator), stde of a single row is NULL.
     */
   def skillScores(scored: DataFrame, minValid: Double = 0.1): DataFrame = {
     val keys = Seq("model", "agg", "phase", "fold").map(col)
     val est = col("est")
     val ref = col("ref")
+    val d = est - ref
+    // products need double the scale headroom of the linear sums
+    def dsum2(c: Column): Column = sum(c.cast("decimal(32,14)")).cast("double")
     val ed = udaf(new Aggregators.EnergyDistance())
+    val corrDenom = sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+      (col("__n") * col("__syy") - col("__sy") * col("__sy")))
     val base = scored.groupBy(keys: _*).agg(
-      count(lit(1)).as("n"),
-      round(corr(est, ref), 6).as("corr"),
-      round(stddev_samp(est - ref), 6).as("stde"),
-      round(avg(abs(est - ref)), 6).as("mae"),
-      round(log10(dsum(est) / dsum(ref)) * 10.0, 6).as("logbias_db"),
+      count(lit(1)).as("__n"),
+      dsum(est).as("__sx"), dsum(ref).as("__sy"),
+      dsum2(est * est).as("__sxx"), dsum2(ref * ref).as("__syy"),
+      dsum2(est * ref).as("__sxy"),
+      dsum(d).as("__sd"), dsum2(d * d).as("__sdd"), dsum(abs(d)).as("__sad"),
       round(ed(est, ref), 6).as("ed"))
+      .withColumn("n", col("__n"))
+      .withColumn("corr", round(when(corrDenom > 0.0,
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / corrDenom), 6))
+      .withColumn("stde", round(when(col("__n") > 1, sqrt(greatest(
+        (col("__sdd") - col("__sd") * col("__sd") / col("__n")) / (col("__n") - 1),
+        lit(0.0)))), 6))
+      .withColumn("mae", round(col("__sad") / col("__n"), 6))
+      .withColumn("logbias_db",
+        round(log10(col("__sx") / col("__sy")) * 10.0, 6))
+      .select(keys ++ Seq(col("n"), col("corr"), col("stde"), col("mae"),
+        col("logbias_db"), col("ed")): _*)
     // weighted scatter on the conditional rows (the perfscores construction)
     val cond = scored.filter(est > minValid && ref > minValid)
       .withColumn("ratio_db", log10(est / ref) * 10.0)
