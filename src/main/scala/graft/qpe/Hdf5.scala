@@ -468,6 +468,14 @@ object Hdf5 {
     * Follows addresses from the superblock; never assumes block order.
     */
   def read(path: String): Parsed = {
+    // the reader addresses the mapped file through Int buffer positions, so
+    // every followed address (object headers, heaps, B-trees, chunks) is
+    // exact iff the whole file fits in an Int — guard ONCE here, loudly,
+    // instead of failing with an obscure buffer-position exception deep in
+    // a parse (the writer has the same explicit 2 GiB cap)
+    val fileSize = Files.size(Paths.get(path))
+    require(fileSize < Int.MaxValue,
+      s"HDF5 files >= 2 GiB unsupported by this reader ($fileSize bytes)")
     val bytes = Files.readAllBytes(Paths.get(path))
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require((0 until 8).forall(i => bytes(i) == Signature(i)), "not an HDF5 file")
