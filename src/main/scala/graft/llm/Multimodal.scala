@@ -383,14 +383,26 @@ object Multimodal {
     * the whole batch (the Scala analogue of a pandas-batch UDF). Input stays
     * partitioned; no shuffle, no driver round-trip.
     */
-  def decodeFeatures(df: DataFrame, idCol: String): Dataset[MediaFeatures] = {
+  def decodeFeatures(df: DataFrame, idCol: String): Dataset[MediaFeatures] =
+    decodeFeaturesWith(df, idCol)(() => (id, payload) => Some(stubDecode(id, payload)))
+
+  /** The same plumbing with an INJECTABLE codec. `mkCodec` runs exactly once
+    * per partition — the decoder/context init that motivates mapPartitions
+    * over a per-row UDF — and a codec returning None drops that row without
+    * failing the job (the image/audio decoders' corrupt-payload rule). This
+    * is the seam a real video codec would plug into; the fake-codec spec in
+    * LlmSpec drives the whole path (per-partition init count, drop-the-row,
+    * batch shape) without one existing on the JVM.
+    */
+  def decodeFeaturesWith(df: DataFrame, idCol: String)
+      (mkCodec: () => (Long, Array[Byte]) => Option[MediaFeatures]): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     graft.Core.fanOut(df).select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // per-partition init of a real decoder context would happen here
-        batch.map { case (id, payload) => stubDecode(id, payload) }
+        val codec = mkCodec() // per-partition decoder/context init
+        batch.flatMap { case (id, payload) => codec(id, payload) }
       }
   }
 

@@ -551,6 +551,38 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((7L, 9L)))
   }
 
+  test("fake-codec video injection: one init per partition, corrupt rows drop") {
+    // seeded frame-generator "codec" standing in for the video decoder no
+    // JVM codec exists for: deterministic features from the payload bytes,
+    // refuses payloads without the magic header. Accumulators observe the
+    // plumbing: mkCodec fires once per PARTITION (init amortization), the
+    // decode fn once per ROW, and None rows vanish without killing the job.
+    val inits = spark.sparkContext.longAccumulator("codec_inits")
+    val calls = spark.sparkContext.longAccumulator("codec_calls")
+    val rows = (1L to 100L).map { i =>
+      val magic = if (i % 10 == 0) "BAD!" else "VID0"
+      R(i, (magic + "frame" * i.toInt).getBytes("UTF-8"), s"clip $i")
+    }
+    val d = df("doc_id BIGINT, payload BINARY, text STRING", rows)
+    val out = Multimodal.decodeFeaturesWith(d, "doc_id") { () =>
+      inits.add(1)
+      (id, payload) => {
+        calls.add(1)
+        if (payload.length >= 4 &&
+            new String(payload.take(4), "UTF-8") == "VID0")
+          Some(Multimodal.MediaFeatures(id, payload.length, "video/fake",
+            payload.foldLeft(0L)((a, b) => a + (b & 0xff)), payload.take(8)))
+        else None
+      }
+    }
+    val feats = out.collect()
+    assert(feats.map(_.id).toSet == (1L to 100L).filterNot(_ % 10 == 0).toSet)
+    assert(feats.forall(_.format == "video/fake"))
+    assert(calls.value == 100)                       // every row reached the codec
+    assert(inits.value == out.rdd.getNumPartitions)  // exactly one init per partition
+    assert(inits.value < calls.value)                // init amortizes across the batch
+  }
+
   test("multimodal decodeFeatures stub preserves batch plumbing") {
     val d = Multimodal.attachPayload(docs, "doc_id", "text")
     val feats = Multimodal.decodeFeatures(d, "doc_id").collect()

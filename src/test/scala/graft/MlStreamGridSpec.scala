@@ -217,6 +217,41 @@ class MlStreamGridSpec extends SparkSpec {
     assert(half(10)(9) == 10.0)
   }
 
+  test("advection fidelity: sub-block translation recovered field-wide; sub-pixel quantizes") {
+    // smooth field with texture in EVERY 16x16 block (no flat block can
+    // default its flow), rigidly translated by (3, 2) — well inside a block
+    def f(x: Double, y: Double): Double =
+      math.sin(x / 5.0) * math.cos(y / 7.0) + 0.3 * math.sin((x + y) / 11.0)
+    val n = 128
+    val prev = Array.tabulate(n, n)((x, y) => f(x, y))
+    val curr = Array.tabulate(n, n)((x, y) => f(x - 3.0, y - 2.0))
+    val (fx, fy) = Grid.blockFlow(prev, curr, block = 16, search = 4)
+    // every one of the 8x8 blocks recovers the displacement exactly
+    assert(fx.flatten.forall(_ == 3) && fy.flatten.forall(_ == 2),
+      s"fx=${fx.flatten.toSet} fy=${fy.flatten.toSet}")
+    // full-step advection reproduces the target wherever a source lands
+    val adv = Grid.advect(prev, fx, fy, block = 16, t = 1.0)
+    var maxErr = 0.0
+    for (x <- 3 until n; y <- 2 until n)
+      maxErr = math.max(maxErr, math.abs(adv(x)(y) - curr(x)(y)))
+    assert(maxErr < 1e-12, s"max abs err $maxErr")
+    // fractional step: t=0.5 of flow (3,2) rounds to a (2,1) shift
+    val half = Grid.advect(prev, fx, fy, block = 16, t = 0.5)
+    var halfErr = 0.0
+    for (x <- 2 until n; y <- 1 until n)
+      halfErr = math.max(halfErr, math.abs(half(x)(y) - f(x - 2.0, y - 1.0)))
+    assert(halfErr < 1e-12, s"half-step err $halfErr")
+    // DOCUMENTED DEVIATION vs the reference's pysteps Lucas-Kanade
+    // (qpe/qpe_utils.py:271-312): block flow is integer-valued, so a
+    // sub-PIXEL displacement quantizes to a neighbor integer instead of
+    // resolving fractionally — bounded by construction to ±1 pixel here,
+    // never a runaway estimate.
+    val subPix = Array.tabulate(n, n)((x, y) => f(x - 0.5, y))
+    val (sfx, sfy) = Grid.blockFlow(prev, subPix, block = 16, search = 4)
+    assert(sfx.flatten.forall(v => v == 0 || v == 1), s"sub-pixel fx=${sfx.flatten.toSet}")
+    assert(sfy.flatten.forall(v => math.abs(v) <= 1), s"sub-pixel fy=${sfy.flatten.toSet}")
+  }
+
   test("boxStats: 3x3 scatter join computes neighborhood moments") {
     import spark.implicits._
     val cells = Seq((5, 5, 10.0), (6, 5, 20.0)).toDF("chx", "chy", "value")
