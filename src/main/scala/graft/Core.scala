@@ -133,18 +133,29 @@ object Core {
   def fanOut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val slots = spark.sparkContext.defaultParallelism
-    // decide from OPTIMIZED-PLAN STATS, not df.rdd.getNumPartitions: the rdd
-    // conversion compiles and materializes a second physical plan (outside
-    // AQE) on every call just to read a count. Stats need only the optimizer.
-    // The threshold is exact on the big side: a file relation of size ≥
-    // slots·maxPartitionBytes always splits into ≥ slots scan partitions
-    // (maxSplitBytes ≤ maxPartitionBytes), so it never needed the exchange;
-    // below it the scan MAY arrive under-parallel — one cheap (by definition
-    // small) exchange. Unknown stats (defaultSizeInBytes = Long.Max) read as
-    // huge → untouched, the safe direction at 100 TB.
-    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    // decide from OPTIMIZED-PLAN STATS where possible, not
+    // df.rdd.getNumPartitions: the rdd conversion compiles and materializes
+    // a second physical plan (outside AQE) on every call just to read a
+    // count; stats need only the optimizer. The small-side threshold is
+    // tight for file relations: Spark packs splits at maxSplitBytes =
+    // min(maxPartitionBytes, max(openCost, size/slots)), so any relation of
+    // size ≥ slots·openCost self-partitions into ≥ slots scan tasks and
+    // never needed the exchange — below it the scan arrives under-parallel
+    // and the exchange is bounded by slots·openCost (~128 MB at local[32]).
+    // Relations with UNKNOWN stats (RDD-backed, e.g. localCheckpoint — they
+    // report defaultSizeInBytes) keep the old physical-count probe: they are
+    // already materialized, so their physical plan is a trivial RDD scan.
+    // Known limitation: a large NON-SPLITTABLE file (single .csv.gz) reads
+    // as one task yet reports a large size — decompress or split such
+    // inputs upstream; probing every large relation's physical plan to
+    // catch that shape is exactly the per-call cost this avoids.
+    val conf = spark.sessionState.conf
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (size < BigInt(slots) * maxPart) df.repartition(slots) else df
+    if (size >= BigInt(conf.defaultSizeInBytes)) {
+      if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    } else if (size < BigInt(slots) * conf.filesOpenCostInBytes) {
+      df.repartition(slots)
+    } else df
   }
 
   /** Loud integral-id contract check shared by the Long-keyed operators

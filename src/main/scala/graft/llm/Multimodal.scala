@@ -301,9 +301,14 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Image near-dup pairs by [[phash64]] (see [[nearDupByHash64]]). */
-  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
-    nearDupByHash64(hashes, "phash", maxHamming)
+  /** Image near-dup pairs by [[phash64]] (see [[nearDupByHash64]], including
+    * the `maxBucket` hot-bucket cap and its recall trade for degenerate /
+    * massively-duplicated hashes — exposed here so wrapper callers can
+    * raise it rather than silently losing the most-duplicated clusters).
+    */
+  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 1000): DataFrame =
+    nearDupByHash64(hashes, "phash", maxHamming, maxBucket = maxBucket)
 
   /** 64-bit audio fingerprint: the signal's RMS ENVELOPE over 64 equal
     * windows, bit i set iff window i's RMS exceeds the envelope median —
@@ -348,9 +353,12 @@ object Multimodal {
       })
   }
 
-  /** Audio near-dup pairs by [[audioFingerprint64]] (see [[nearDupByHash64]]). */
-  def nearDupAudio(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
-    nearDupByHash64(hashes, "afp", maxHamming)
+  /** Audio near-dup pairs by [[audioFingerprint64]] (see [[nearDupByHash64]];
+    * `maxBucket` exposed as in [[nearDupImages]]).
+    */
+  def nearDupAudio(hashes: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame =
+    nearDupByHash64(hashes, "afp", maxHamming, maxBucket = maxBucket)
 
   /** Attach a binary payload + typed metadata struct to a text corpus
     * (here the payload is the UTF-8 content itself; in production it is the

@@ -46,8 +46,14 @@ object Intercomparison {
     // products need double the scale headroom of the linear sums
     def dsum2(c: Column): Column = sum(c.cast("decimal(32,14)")).cast("double")
     val ed = udaf(new Aggregators.EnergyDistance())
-    val corrDenom = sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
-      (col("__n") * col("__syy") - col("__sy") * col("__sy")))
+    // GREATEST(...,0) before the sqrt: each factor is a variance times n²
+    // (≥ 0 mathematically) but the decimal-rounded sums can leave a tiny
+    // negative for a near-constant series — Spark's sqrt would give NaN
+    // (harmlessly NULLed below) while DuckDB ABORTS the query on a negative
+    // sqrt argument, so the clamp is load-bearing for the oracle mirror
+    val corrDenom = sqrt(greatest(
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+      (col("__n") * col("__syy") - col("__sy") * col("__sy")), lit(0.0)))
     val base = scored.groupBy(keys: _*).agg(
       count(lit(1)).as("__n"),
       dsum(est).as("__sx"), dsum(ref).as("__sy"),

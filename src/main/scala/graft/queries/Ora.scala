@@ -45,15 +45,33 @@ private[queries] object Ora {
 
   /** DuckDB mirrors of Similarity.dot / norm2 / cosine — same left-assoc
     * element order as the Spark-side fold, same zero-norm NULL guard.
+    * The *Arr forms take explicit array-expression strings; dotSql/normSql
+    * are the table-alias convenience over the `embedding` column. ONE
+    * definition for every IVF/cosine mirror, so a rounding or tie-break fix
+    * lands in all of them or none.
     */
+  def dotArrSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+  def normArrSql(a: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($a[$i] AS DOUBLE)")
+      .mkString(" + ")
   def dotSql(a: String, b: String, dim: Int): String =
-    (1 to dim).map(i =>
-      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
-      .mkString(" + ")
+    dotArrSql(s"$a.embedding", s"$b.embedding", dim)
   def normSql(a: String, dim: Int): String =
+    normArrSql(s"$a.embedding", dim)
+
+  /** DuckDB mirror of ivfTopK's decimal-mean centroid stage: the c1..c`dim`
+    * select list, and the query→centroid dot/norm over those columns.
+    */
+  def centMeanSql(vecExpr: String, dim: Int): String =
     (1 to dim).map(i =>
-      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
-      .mkString(" + ")
+      s"CAST(SUM(CAST(CAST($vecExpr[$i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c$i")
+      .mkString(", ")
+  def centDotSql(q: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($q[$i] AS DOUBLE) * c$i").mkString(" + ")
+  def centNormSql(dim: Int): String =
+    (1 to dim).map(i => s"c$i * c$i").mkString(" + ")
   def cosineSql(a: String, b: String, dim: Int): String =
     s"""CASE WHEN SQRT(${normSql(a, dim)}) * SQRT(${normSql(b, dim)}) > 0
         THEN (${dotSql(a, b, dim)})

@@ -23,13 +23,8 @@ object QueriesC {
     s"""SELECT DISTINCT doc_id, unnest([array_to_string(w[g : g + ${n - 1}], ' ')
         for g in generate_series(1, len(w) - ${n - 1})]) AS sh
         FROM (SELECT doc_id, $toksSql AS w FROM documents)"""
-  /** DuckDB mirror of Similarity.dot/norm2 (same left-assoc order). */
-  private def dotSql(a: String, b: String, dim: Int): String =
-    (1 to dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
-      .mkString(" + ")
-  private def normSql(a: String, dim: Int): String =
-    (1 to dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
-      .mkString(" + ")
+  // dot/norm mirrors come from Ora (dotSql/normSql/dotArrSql/normArrSql) —
+  // one definition shared with every other IVF/cosine oracle
 
   /** Exact dedup: hash-groupBy on content. */
   val dedupExact: QueryDef = QueryDef(
@@ -268,18 +263,12 @@ object QueriesC {
         .orderBy(col("qid"), col("rank"))
     },
     Some {
-      val centCols = (1 to 64).map(i =>
-        s"CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c$i")
-        .mkString(", ")
-      val qcDot = (1 to 64).map(i => s"CAST(qv[$i] AS DOUBLE) * c$i").mkString(" + ")
-      val cNorm = (1 to 64).map(i => s"c$i * c$i").mkString(" + ")
-      val qNorm = (1 to 64).map { i =>
-        s"CAST(qv[$i] AS DOUBLE) * CAST(qv[$i] AS DOUBLE)"
-      }.mkString(" + ")
-      val qeDot = (1 to 64).map(i =>
-        s"CAST(qv[$i] AS DOUBLE) * CAST(e.embedding[$i] AS DOUBLE)").mkString(" + ")
-      val eNorm = (1 to 64).map(i =>
-        s"CAST(e.embedding[$i] AS DOUBLE) * CAST(e.embedding[$i] AS DOUBLE)").mkString(" + ")
+      val centCols = centMeanSql("embedding", 64)
+      val qcDot = centDotSql("qv", 64)
+      val cNorm = centNormSql(64)
+      val qNorm = normArrSql("qv", 64)
+      val qeDot = dotArrSql("qv", "e.embedding", 64)
+      val eNorm = normArrSql("e.embedding", 64)
       s"""WITH cent AS (SELECT label, $centCols FROM embeddings GROUP BY label),
         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         probes AS (SELECT qid, qv, label FROM (

@@ -16,18 +16,10 @@ import graft.queries.Queries.QueryDef
   */
 object QueriesI {
 
+  import Ora.{centDotSql, centMeanSql, centNormSql, dotArrSql, normArrSql}
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Core.table(s, dir, name)
-
-  /** Element-wise dot/norm over explicit array expressions (same
-    * left-association order as [[Similarity.dot]]'s fold).
-    */
-  private def dotE(a: String, b: String, dim: Int): String =
-    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
-      .mkString(" + ")
-  private def normE(a: String, dim: Int): String =
-    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($a[$i] AS DOUBLE)")
-      .mkString(" + ")
 
   /** The IVF pipeline with a DETERMINISTIC coarse quantizer: fixed seed
     * centroids (the first 8 corpus vectors), [[Similarity.assignCells]]
@@ -53,22 +45,20 @@ object QueriesI {
         .orderBy(col("qid"), col("rank"))
     },
     Some {
-      val centCols = (1 to 64).map(i =>
-        s"CAST(SUM(CAST(CAST(e.embedding[$i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c$i")
-        .mkString(", ")
-      val qcDot = (1 to 64).map(i => s"CAST(qv[$i] AS DOUBLE) * c$i").mkString(" + ")
-      val cNorm = (1 to 64).map(i => s"c$i * c$i").mkString(" + ")
-      val qNorm = normE("qv", 64)
+      val centCols = centMeanSql("e.embedding", 64)
+      val qcDot = centDotSql("qv", 64)
+      val cNorm = centNormSql(64)
+      val qNorm = normArrSql("qv", 64)
       s"""WITH seeds AS (SELECT vec_id AS cell, embedding AS cv
             FROM embeddings WHERE vec_id < 8),
         asn AS (SELECT vec_id, cell AS ivf_cell FROM (
             SELECT e.vec_id, s.cell,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                (${dotE("e.embedding", "s.cv", 64)}) /
-                (SQRT(${normE("e.embedding", 64)}) * SQRT(${normE("s.cv", 64)})) DESC,
+                (${dotArrSql("e.embedding", "s.cv", 64)}) /
+                (SQRT(${normArrSql("e.embedding", 64)}) * SQRT(${normArrSql("s.cv", 64)})) DESC,
                 s.cell) AS rn
             FROM embeddings e CROSS JOIN seeds s
-            WHERE SQRT(${normE("e.embedding", 64)}) * SQRT(${normE("s.cv", 64)}) > 0)
+            WHERE SQRT(${normArrSql("e.embedding", 64)}) * SQRT(${normArrSql("s.cv", 64)}) > 0)
           WHERE rn = 1),
         cent AS (SELECT a.ivf_cell, $centCols
           FROM embeddings e JOIN asn a ON a.vec_id = e.vec_id
@@ -85,8 +75,8 @@ object QueriesI {
         scored AS (SELECT qid, vb, cos,
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS rank
           FROM (SELECT p.qid, e.vec_id AS vb,
-              ROUND((${dotE("p.qv", "e.embedding", 64)}) /
-                (SQRT(${normE("p.qv", 64)}) * SQRT(${normE("e.embedding", 64)})), 6) AS cos
+              ROUND((${dotArrSql("p.qv", "e.embedding", 64)}) /
+                (SQRT(${normArrSql("p.qv", 64)}) * SQRT(${normArrSql("e.embedding", 64)})), 6) AS cos
             FROM probes p
             JOIN asn a ON a.ivf_cell = p.ivf_cell
             JOIN embeddings e ON e.vec_id = a.vec_id
@@ -104,7 +94,14 @@ object QueriesI {
   val m9SkillScores: QueryDef = QueryDef(
     "m9_skill_scores",
     (s, dir) => {
-      val v = t(s, dir, "lineitem").select(
+      // deterministic 5% slice (the m9_intercomparison sampling key): keeps
+      // every (phase, fold) group far below the EnergyDistance aggregator's
+      // 2^20 exact-buffer bound at ANY driver sf — past it the aggregator
+      // degrades to a sample whose membership is merge-order-dependent,
+      // which would break the bit-exact mirror this query exists to prove
+      val v = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(
         lit("M1").as("model"), lit("10min").as("agg"),
         when(col("l_discount") * 100.0 - 5.0 < 2.0, lit("solid"))
           .otherwise(lit("liquid")).as("phase"),
@@ -119,7 +116,7 @@ object QueriesI {
         CAST(l_partkey % 2 AS INT) AS fold,
         CAST(l_extendedprice / 10000.0 AS DOUBLE) AS est,
         CAST(l_quantity / 10.0 AS DOUBLE) AS ref
-      FROM lineitem),
+      FROM lineitem WHERE l_orderkey % 20 = 0),
       base AS (SELECT phase, fold, COUNT(*) AS n,
         CAST(SUM(CAST(est AS DECIMAL(27,10))) AS DOUBLE) AS sx,
         CAST(SUM(CAST(ref AS DECIMAL(27,10))) AS DOUBLE) AS sy,
@@ -160,9 +157,9 @@ object QueriesI {
         MIN(CASE WHEN cumw >= totw * 0.84 THEN ratio_db END) AS q84
         FROM cum GROUP BY phase, fold)
       SELECT 'M1' AS model, '10min' AS agg, b.phase, b.fold, b.n,
-        ROUND(CASE WHEN SQRT((b.n * b.sxx - b.sx * b.sx) * (b.n * b.syy - b.sy * b.sy)) > 0
+        ROUND(CASE WHEN SQRT(GREATEST((b.n * b.sxx - b.sx * b.sx) * (b.n * b.syy - b.sy * b.sy), 0.0)) > 0
           THEN (b.n * b.sxy - b.sx * b.sy)
-               / SQRT((b.n * b.sxx - b.sx * b.sx) * (b.n * b.syy - b.sy * b.sy)) END, 6) AS corr,
+               / SQRT(GREATEST((b.n * b.sxx - b.sx * b.sx) * (b.n * b.syy - b.sy * b.sy), 0.0)) END, 6) AS corr,
         ROUND(CASE WHEN b.n > 1
           THEN SQRT(GREATEST((b.sdd - b.sd * b.sd / b.n) / (b.n - 1), 0.0)) END, 6) AS stde,
         ROUND(b.sad / b.n, 6) AS mae,
