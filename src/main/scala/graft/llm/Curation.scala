@@ -118,6 +118,44 @@ object Curation {
       .withColumn("off_in_bin", col("start_off") % maxTokens)
   }
 
+  /** Composite quality verdict — the Gopher/CCNet-style pipeline terminal
+    * that turns the individual quality signals into a keep/drop decision
+    * WITH per-rule flags, so a dropped document is attributable to the rule
+    * that dropped it (the audit trail every production curation run keeps).
+    * One codegen'd projection, shuffle-free except the conditional
+    * [[graft.Core.fanOut]] exchange on under-partitioned inputs; the flags
+    * reuse [[TextAnalysis.tokens]]/[[TextAnalysis.repetitionRatio]] so the
+    * thresholds here stay consistent with the standalone signal operators.
+    * Token-less documents flag as short and never divide by zero (the
+    * stopword ratio is defined as 0 for them).
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 10, maxTokens: Int = 100000,
+                    maxRepetition: Double = 0.2,
+                    minStopRatio: Double = 0.0): DataFrame = {
+    val text = col(textCol)
+    val toks = TextAnalysis.tokens(text)
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*)))
+    val stopRatio = when(nTok > 0,
+      nStop.cast("double") / nTok).otherwise(lit(0.0))
+    val rep = TextAnalysis.repetitionRatio(text, 2)
+    val flagShort = nTok < minTokens
+    val flagLong = nTok > maxTokens
+    val flagRep = rep > maxRepetition
+    val flagStop = stopRatio < minStopRatio
+    graft.Core.fanOut(df).select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      rep.as("rep_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      flagShort.as("flag_short"),
+      flagLong.as("flag_long"),
+      flagRep.as("flag_repetitive"),
+      flagStop.as("flag_no_stopwords"),
+      (!flagShort && !flagLong && !flagRep && !flagStop).as("keep"))
+  }
+
   /** Email / phone patterns chosen to behave identically under Java regex
     * (Spark) and RE2 (DuckDB): character classes + `\b` only, no lookaround.
     */

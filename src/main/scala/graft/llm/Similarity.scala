@@ -164,6 +164,26 @@ object Similarity {
     corpus.join(best, Seq(idCol))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one, per
+    * query: |approx ∩ exact| / |exact| over (qid, vb) pairs — the FAISS-bench
+    * ANN-quality measurement as a first-class operator, so an IVF layout's
+    * recall is a queryable number, not a one-off spec assertion. One semi
+    * join + two aggregations, everything keyed on qid; the result is |Q|
+    * rows however large the corpus. Queries absent from `approx` (e.g. all
+    * their probed cells were empty) surface with n_hit 0, recall 0.0.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("vb"))
+    val e = exact.select(col("qid"), col("vb"))
+    val hit = e.join(a, Seq("qid", "vb"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hit, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   /** Persist a trained IVF layout: cell assignments as bucketed parquet ON
     * THE CELL (so probe-time reads touch only the probed buckets — the
     * partition-pruning shape an ANN index needs at 100 TB) plus the KMeans

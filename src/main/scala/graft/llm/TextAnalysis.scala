@@ -177,6 +177,37 @@ object TextAnalysis {
            count(lit(1)).as("n_terms_hit"))
   }
 
+  /** Unigram-LM surprisal quality score: the mean per-token information
+    * content −log10 p(token) under the corpus's OWN unigram distribution —
+    * the cheap LM-perplexity proxy used to rank documents for quality
+    * filtering (a document of globally-rare tokens scores high; boilerplate
+    * made of the corpus's most common tokens scores low).
+    *
+    * Scale shape: the frequency table is one keyed aggregation over the
+    * exploded tokens; the total token count rides a broadcast 1-row
+    * relation (never a driver count); the token→frequency join shuffles on
+    * the token key (the same big-big shape as [[tfidf]]); the per-doc mean
+    * is one more keyed agg with decimal accumulation. All map-side
+    * combinable, linear at any corpus size. Token-less documents surface
+    * with n_tok 0, surprisal NULL.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = graft.Core.fanOut(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("tot"))
+    val perDoc = tok.join(freq, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        (-log10(col("cnt").cast("double") / col("tot").cast("double"))).as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+           round(sum(col("s").cast("decimal(27,10)")).cast("double") /
+             count(lit(1)), 6).as("surprisal"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tok"))
+  }
+
   /** Document fingerprint: min 60-bit hash over word 5-gram shingles —
     * a winnowing-style rolling fingerprint; identical/near-identical prefixes
     * of content produce identical fingerprints.

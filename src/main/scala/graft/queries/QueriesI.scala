@@ -7,12 +7,13 @@ import graft.Core
 import graft.llm.Similarity
 import graft.queries.Queries.QueryDef
 
-/** Round-6 oracle hardening: deterministic full-SQL mirrors for the two
-  * stages that were previously rows-only because an MLlib fit sat upstream —
-  * the IVF SEARCH stage (given fixed centroids, no KMeans) and M9's SCORING
-  * stage (given fixed predictions, no RF). The fits themselves stay
-  * rows-only by design (MLlib RNG has no cross-engine mirror); these queries
-  * pin the deterministic majority of each pipeline to the DuckDB hash gate.
+/** Round-6 batch: deterministic full-SQL mirrors for the two stages that
+  * were previously rows-only because an MLlib fit sat upstream — the IVF
+  * SEARCH stage (given fixed centroids, no KMeans) and M9's SCORING stage
+  * (given fixed predictions, no RF); the fits themselves stay rows-only by
+  * design (MLlib RNG has no cross-engine mirror). Plus three curation-side
+  * operators: ANN recall@k as a measured number, unigram-LM surprisal
+  * quality scoring, and the composite quality-filter verdict.
   */
 object QueriesI {
 
@@ -44,12 +45,20 @@ object QueriesI {
           "vec_id", "embedding", "ivf_cell", dim = 64, k = 5, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
     },
-    Some {
+    Some(s"""WITH $ivfFixedCtes
+        SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM scored
+        WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  /** The WITH-chain both IVF-fixed mirrors share (assignment → centroids →
+    * probes → scored ranking); ONE definition so the search mirror and the
+    * recall evaluator cannot drift apart.
+    */
+  private lazy val ivfFixedCtes: String = {
       val centCols = centMeanSql("e.embedding", 64)
       val qcDot = centDotSql("qv", 64)
       val cNorm = centNormSql(64)
       val qNorm = normArrSql("qv", 64)
-      s"""WITH seeds AS (SELECT vec_id AS cell, embedding AS cv
+      s"""seeds AS (SELECT vec_id AS cell, embedding AS cv
             FROM embeddings WHERE vec_id < 8),
         asn AS (SELECT vec_id, cell AS ivf_cell FROM (
             SELECT e.vec_id, s.cell,
@@ -80,10 +89,8 @@ object QueriesI {
             FROM probes p
             JOIN asn a ON a.ivf_cell = p.ivf_cell
             JOIN embeddings e ON e.vec_id = a.vec_id
-            WHERE e.vec_id <> p.qid))
-        SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM scored
-        WHERE rank <= 5 ORDER BY qid, rank"""
-    })
+            WHERE e.vec_id <> p.qid))"""
+  }
 
   /** M9's scoring stage on FIXED predictions: the same skillScores pass
     * `m9_intercomparison` applies to RF output, fed deterministic est/ref
@@ -171,5 +178,102 @@ object QueriesI {
       LEFT JOIN qs ON qs.phase = b.phase AND qs.fold = b.fold
       ORDER BY model, agg, b.phase, b.fold"""))
 
-  val all: Seq[QueryDef] = Seq(simsearchIvfFixed, m9SkillScores)
+  /** ANN recall@k as a first-class measured number: the deterministic IVF
+    * pipeline's top-5 vs the exact brute-force top-5 on the same queries —
+    * the FAISS-bench quality metric, fully oracle-mirrored (the recall math
+    * AND both result sets).
+    */
+  val simsearchRecall: QueryDef = QueryDef(
+    "simsearch_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      val cells = Similarity.assignCells(emb, "vec_id", "embedding",
+          seeds, "cell", "cv", dim = 64)
+        .localCheckpoint()
+      val approx = Similarity.ivfTopK(cells, cells.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "ivf_cell", dim = 64, k = 5, nprobe = 2)
+      val exact = Similarity.bruteForceTopKAgg(emb, queries,
+        "vec_id", "embedding", dim = 64, k = 5)
+      Similarity.recallAtK(approx, exact).orderBy(col("qid"))
+    },
+    Some(s"""WITH $ivfFixedCtes,
+      approx AS (SELECT qid, vb FROM scored WHERE rank <= 5),
+      exact AS (SELECT qid, vb FROM (
+          SELECT q2.vec_id AS qid, c2.vec_id AS vb,
+            ROW_NUMBER() OVER (PARTITION BY q2.vec_id ORDER BY
+              ROUND((${Ora.dotSql("q2", "c2", 64)}) /
+                (SQRT(${Ora.normSql("q2", 64)}) * SQRT(${Ora.normSql("c2", 64)})), 6) DESC,
+              c2.vec_id) AS rnk
+          FROM embeddings q2 JOIN embeddings c2
+            ON q2.vec_id < 10 AND c2.vec_id <> q2.vec_id)
+        WHERE rnk <= 5),
+      hit AS (SELECT e.qid, COUNT(*) AS n_hit
+        FROM exact e JOIN approx a ON a.qid = e.qid AND a.vb = e.vb
+        GROUP BY e.qid),
+      ex AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY qid)
+      SELECT ex.qid, ex.n_exact, COALESCE(hit.n_hit, 0) AS n_hit,
+        ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact, 6) AS recall
+      FROM ex LEFT JOIN hit ON hit.qid = ex.qid ORDER BY ex.qid"""))
+
+  /** Unigram-LM surprisal (mean −log10 p(token) under the corpus's own
+    * unigram distribution) — the cheap LM-perplexity quality proxy.
+    */
+  val textSurprisal: QueryDef = QueryDef(
+    "text_surprisal",
+    (s, dir) => graft.llm.TextAnalysis.unigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(${Ora.toksSql}) AS tok FROM documents),
+      freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+      tot AS (SELECT SUM(cnt) AS tot FROM freq),
+      sv AS (SELECT doc_id,
+          -LOG10(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS s
+        FROM tok JOIN freq USING (tok) CROSS JOIN tot),
+      agg AS (SELECT doc_id, COUNT(*) AS n_tok,
+          ROUND(CAST(SUM(CAST(s AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS surprisal
+        FROM sv GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(agg.n_tok, 0) AS n_tok, agg.surprisal
+      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""))
+
+  /** The composite quality verdict over the documents table: per-rule flags
+    * plus the keep decision, thresholds chosen to split the synthetic corpus
+    * both ways.
+    */
+  val curationQualityFilter: QueryDef = QueryDef(
+    "curation_quality_filter",
+    (s, dir) => graft.llm.Curation.qualityFilter(
+        t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 40, maxTokens = 80, maxRepetition = 0.1,
+        minStopRatio = 0.01)
+      .orderBy(col("doc_id")),
+    Some("""WITH b AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+          FROM documents),
+      g AS (SELECT doc_id, w,
+          [array_to_string(w[i : i + 1], ' ')
+           for i in generate_series(1, len(w) - 1)] AS grams
+        FROM b),
+      m AS (SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          CASE WHEN len(grams) > 0
+               THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+               ELSE 0.0 END AS rep_ratio,
+          CASE WHEN len(w) > 0
+               THEN CAST(len([t for t in w if t IN
+                 ('the','a','of','and','to','in','is','on','for','with')]) AS DOUBLE) / len(w)
+               ELSE 0.0 END AS stop_raw
+        FROM g)
+      SELECT doc_id, n_tokens, rep_ratio, ROUND(stop_raw, 6) AS stopword_ratio,
+        n_tokens < 40 AS flag_short,
+        n_tokens > 80 AS flag_long,
+        rep_ratio > 0.1 AS flag_repetitive,
+        stop_raw < 0.01 AS flag_no_stopwords,
+        (NOT n_tokens < 40 AND NOT n_tokens > 80 AND NOT rep_ratio > 0.1
+         AND NOT stop_raw < 0.01) AS keep
+      FROM m ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(simsearchIvfFixed, m9SkillScores,
+    simsearchRecall, textSurprisal, curationQualityFilter)
 }

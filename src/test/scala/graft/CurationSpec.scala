@@ -49,6 +49,29 @@ class CurationSpec extends SparkSpec {
     assert(n("de") > 50 && n("de") < 160, n)
   }
 
+  test("qualityFilter: flags attribute the drop; keep needs every rule green") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      R(2L, "tiny"),
+      R(3L, "spam spam spam spam spam spam spam spam"),
+      R(4L, "")))
+    val out = Curation.qualityFilter(d, "doc_id", "text",
+        minTokens = 5, maxTokens = 100, maxRepetition = 0.3,
+        minStopRatio = 0.05)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 13 tokens, stopwords the/a/the → ratio ≈ 0.23, no repetition
+    assert(out(1L).getAs[Boolean]("keep"))
+    // doc 2: one token → short
+    assert(out(2L).getAs[Boolean]("flag_short") && !out(2L).getAs[Boolean]("keep"))
+    // doc 3: "spam spam" ×7 grams, 1 distinct → rep ≈ 0.857; zero stopwords
+    assert(out(3L).getAs[Boolean]("flag_repetitive"))
+    assert(out(3L).getAs[Boolean]("flag_no_stopwords"))
+    assert(!out(3L).getAs[Boolean]("keep"))
+    // doc 4: zero tokens — short, stop ratio defined as 0 (no divide), flagged
+    assert(out(4L).getLong(1) == 0)
+    assert(out(4L).getAs[Boolean]("flag_short") && !out(4L).getAs[Boolean]("keep"))
+  }
+
   test("hashReservoir rejects a non-integral id column loudly") {
     // a string/uuid id would cast to null and silently return an EMPTY
     // sample — the documented integral contract must fail fast instead

@@ -551,6 +551,35 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((7L, 9L)))
   }
 
+  test("unigramSurprisal: rare tokens score higher; token-less docs surface NULL") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "common common common common"),
+      R(2L, "common rareword"),
+      R(3L, "")))
+    val out = TextAnalysis.unigramSurprisal(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // corpus unigrams: common ×5, rareword ×1, total 6
+    val sCommon = -math.log10(5.0 / 6.0)
+    val sRare = -math.log10(1.0 / 6.0)
+    assert(out(1L).getLong(1) == 4)
+    assert(math.abs(out(1L).getDouble(2) - sCommon) < 1e-6)
+    assert(math.abs(out(2L).getDouble(2) - (sCommon + sRare) / 2) < 1e-6)
+    assert(out(2L).getDouble(2) > out(1L).getDouble(2)) // rare doc ranks higher
+    assert(out(3L).getLong(1) == 0 && out(3L).isNullAt(2))
+  }
+
+  test("recallAtK: per-query intersection over exact; absent queries score 0") {
+    val exact = df("qid BIGINT, vb BIGINT", Seq(
+      R(1L, 10L), R(1L, 11L), R(2L, 20L), R(2L, 21L), R(3L, 30L)))
+    val approx = df("qid BIGINT, vb BIGINT", Seq(
+      R(1L, 10L), R(1L, 99L), R(2L, 20L), R(2L, 21L)))
+    val out = Similarity.recallAtK(approx, exact).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((1L, 0L, 0.0))) // query absent from approx entirely
+  }
+
   test("fake-codec video injection: one init per partition, corrupt rows drop") {
     // seeded frame-generator "codec" standing in for the video decoder no
     // JVM codec exists for: deterministic features from the payload bytes,
