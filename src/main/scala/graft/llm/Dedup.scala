@@ -58,6 +58,33 @@ object Dedup {
   def shingleSizes(sh: DataFrame, idCol: String): DataFrame =
     sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
 
+  /** Exact repeated-window duplication profile — the window-quantized form
+    * of substring-level exact dedup (spans repeated verbatim across the
+    * corpus are the strongest dedup signal; Jaccard/minhash see only
+    * whole-document similarity). Every distinct word n-gram window per
+    * document is flagged when the identical window text occurs in MORE than
+    * one document; per document: window count, cross-doc duplicated window
+    * count, duplicated fraction. The cross-doc flag is a count window
+    * PARTITIONED BY the shingle — the same exchange the inverted-index
+    * self-join rides in [[jaccardPairs]] — and the per-doc rollup is one
+    * keyed agg; documents shorter than n tokens surface with zero windows.
+    */
+  def windowDupStats(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("__docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+    val per = sh.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_windows", "n_dup_windows"))
+      .withColumn("dup_fraction",
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+        .otherwise(lit(0.0)))
+  }
+
   /** Per-doc distinct shingle counts as a zero-shuffle projection. Only for
     * SINGLE-consumer plans: each reference duplicates the whole gram
     * construction (no cache behind it), which measured slower than reading

@@ -164,6 +164,25 @@ object Similarity {
     corpus.join(best, Seq(idCol))
   }
 
+  /** Int8 symmetric quantization of an embedding column — the storage /
+    * transport compression every large vector corpus ships with (4× smaller
+    * than float32, standard for IVF cell files). Per-vector scale =
+    * max |x| / 127; codes by HALF-UP rounding written as floor(x/scale+0.5):
+    * floor is bit-exact in every engine while native round() tie-breaking
+    * is not, so the codes are engine-mirrorable. All-zero vectors keep
+    * scale 0 and all-zero codes (no division). Pure column expressions —
+    * no UDF, no shuffle; reconstruction error is bounded by scale/2 per
+    * element (spec'd).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = absMax / 127.0
+    df.select(col(idCol), scale.as("scale"),
+      transform(col(vecCol), x =>
+        when(scale > 0.0, floor(x.cast("double") / scale + 0.5))
+          .otherwise(lit(0L)).cast("int")).as("q"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one, per
     * query: |approx ∩ exact| / |exact| over (qid, vb) pairs — the FAISS-bench
     * ANN-quality measurement as a first-class operator, so an IVF layout's

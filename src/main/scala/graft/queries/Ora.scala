@@ -43,6 +43,14 @@ private[queries] object Ora {
   /** DuckDB mirror of TextAnalysis.tokens over the documents.text column. */
   val toksSql = "regexp_extract_all(lower(text), '\\S+')"
 
+  /** DuckDB mirror of Dedup.shingles over documents (distinct word n-grams,
+    * 1-based slices).
+    */
+  def shinglesSql(n: Int): String =
+    s"""SELECT DISTINCT doc_id, unnest([array_to_string(w[g : g + ${n - 1}], ' ')
+        for g in generate_series(1, len(w) - ${n - 1})]) AS sh
+        FROM (SELECT doc_id, $toksSql AS w FROM documents)"""
+
   /** DuckDB mirrors of Similarity.dot / norm2 / cosine — same left-assoc
     * element order as the Spark-side fold, same zero-norm NULL guard.
     * The *Arr forms take explicit array-expression strings; dotSql/normSql

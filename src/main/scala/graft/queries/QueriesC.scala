@@ -18,13 +18,8 @@ object QueriesC {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Core.table(s, dir, name)
 
-  /** DuckDB mirror of Dedup.shingles (distinct word n-grams, 1-based slices). */
-  private def shinglesSql(n: Int): String =
-    s"""SELECT DISTINCT doc_id, unnest([array_to_string(w[g : g + ${n - 1}], ' ')
-        for g in generate_series(1, len(w) - ${n - 1})]) AS sh
-        FROM (SELECT doc_id, $toksSql AS w FROM documents)"""
-  // dot/norm mirrors come from Ora (dotSql/normSql/dotArrSql/normArrSql) —
-  // one definition shared with every other IVF/cosine oracle
+  // shingle/dot/norm mirrors come from Ora (shinglesSql, dotSql/normSql,
+  // dotArrSql/normArrSql) — one definition shared across every oracle
 
   /** Exact dedup: hash-groupBy on content. */
   val dedupExact: QueryDef = QueryDef(

@@ -274,6 +274,51 @@ object QueriesI {
          AND NOT stop_raw < 0.01) AS keep
       FROM m ORDER BY doc_id"""))
 
+  /** Substring-class exact dedup signal: per-document profile of word
+    * 8-gram windows repeated verbatim in other documents.
+    */
+  val dedupWindowStats: QueryDef = QueryDef(
+    "dedup_window_stats",
+    (s, dir) => graft.llm.Dedup.windowDupStats(
+        t(s, dir, "documents"), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH sh AS (${Ora.shinglesSql(8)}),
+      c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS docs FROM sh),
+      per AS (SELECT doc_id, COUNT(*) AS n_windows,
+          CAST(SUM(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+        FROM c GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(per.n_windows, 0) AS n_windows,
+        COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+        CASE WHEN COALESCE(per.n_windows, 0) > 0
+             THEN ROUND(CAST(COALESCE(per.n_dup_windows, 0) AS DOUBLE) / per.n_windows, 6)
+             ELSE 0.0 END AS dup_fraction
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""))
+
+  /** Int8 embedding quantization, flattened to (vec_id, pos, qv, scale) rows
+    * so the element codes themselves sit under the hash gate.
+    */
+  val simsearchQuantize: QueryDef = QueryDef(
+    "simsearch_quantize_int8",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"), posexplode(col("q")).as(Seq("pos", "qv")))
+        .select(col("vec_id"), col("pos"), col("qv"), col("scale"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings WHERE vec_id < 100)
+      SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+        CASE WHEN scale > 0
+             THEN CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / scale + 0.5) AS INT)
+             ELSE 0 END AS qv,
+        scale
+      FROM e CROSS JOIN generate_series(1, 64) AS t(i)
+      ORDER BY vec_id, pos"""))
+
   val all: Seq[QueryDef] = Seq(simsearchIvfFixed, m9SkillScores,
-    simsearchRecall, textSurprisal, curationQualityFilter)
+    simsearchRecall, textSurprisal, curationQualityFilter,
+    dedupWindowStats, simsearchQuantize)
 }

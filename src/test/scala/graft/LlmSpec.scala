@@ -551,6 +551,39 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((7L, 9L)))
   }
 
+  test("windowDupStats: exact-dup docs fully flagged, unique docs untouched") {
+    // docs 1 and 4 are verbatim copies (every window cross-doc duplicated);
+    // doc 3 shares no 3-gram with anything; doc 2 differs from 1 only in
+    // the final token, so exactly the one window containing it is unique
+    val out = Dedup.windowDupStats(docs, "doc_id", "text", n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 11 && out(1L)._2 == 11 && out(1L)._3 == 1.0)
+    assert(out(4L) == out(1L))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    assert(out(2L)._1 == 11 && out(2L)._2 == 10)
+    // a doc shorter than n tokens has no windows
+    val short = df("doc_id BIGINT, text STRING", Seq(R(9L, "a b")))
+    val s = Dedup.windowDupStats(short, "doc_id", "text", n = 3).collect()(0)
+    assert(s.getLong(1) == 0 && s.getDouble(3) == 0.0)
+  }
+
+  test("quantizeInt8: exact codes, bounded reconstruction error, zero-vector guard") {
+    val d = df("id BIGINT, v ARRAY<FLOAT>", Seq(
+      R(1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      R(2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))))
+    val out = Similarity.quantizeInt8(d, "id", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    val (s1, q1) = out(1L)
+    assert(math.abs(s1 - 1.0 / 127.0) < 1e-15)
+    assert(q1 == Seq(127, -63, 32, 0)) // floor(x/s + .5): -63.5→-63, 31.75→32
+    // reconstruction error bounded by scale/2
+    val orig = Seq(1.0, -0.5, 0.25, 0.0)
+    q1.zip(orig).foreach { case (q, x) =>
+      assert(math.abs(q * s1 - x) <= s1 / 2 + 1e-12) }
+    val (s2, q2) = out(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0)) // no division on zero vectors
+  }
+
   test("unigramSurprisal: rare tokens score higher; token-less docs surface NULL") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       R(1L, "common common common common"),
