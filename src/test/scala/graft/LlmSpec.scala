@@ -584,6 +584,20 @@ class LlmSpec extends SparkSpec {
     assert(s2 == 0.0 && q2.forall(_ == 0)) // no division on zero vectors
   }
 
+  test("quantizeInt8 plan: filter pushes to the scan, projection is shuffle-free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    spark.range(0, 200).selectExpr("id AS vec_id",
+        "transform(sequence(1, 8), i -> CAST(id * i AS FLOAT)) AS embedding")
+      .write.mode("overwrite").parquet(dir)
+    val emb = spark.read.parquet(dir).filter(col("vec_id") < 100)
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val plan = q.queryExecution.executedPlan.toString
+    // the quantize projection must not block scan pruning or add an exchange
+    assert(plan.contains("LessThan(vec_id,100)"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(q.count() == 100)
+  }
+
   test("unigramSurprisal: rare tokens score higher; token-less docs surface NULL") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       R(1L, "common common common common"),
