@@ -495,7 +495,10 @@ object Hdf5 {
 
   private final case class ChunkedLayout(btree: Long, chunkRows: Int, chunkCols: Int)
 
-  private def readObject(b: ByteBuffer, addr: Long): Parsed = {
+  private def readObject(b: ByteBuffer, addr: Long, depth: Int = 0): Parsed = {
+    // a corrupt/crafted file can link an object back to an ancestor; without
+    // a depth bound that cycle recurses forever (real trees here are ~3 deep)
+    require(depth < 64, "object graph deeper than 64 levels — corrupt or cyclic")
     b.position(addr.toInt)
     require(b.get() == 1, "v1 object header expected")
     b.get()
@@ -531,7 +534,7 @@ object Hdf5 {
         case 0x0011 => // symbol table: walk the B-tree for children
           val btree = b.getLong
           val heap = b.getLong
-          children = readGroupChildren(b, btree, heap)
+          children = readGroupChildren(b, btree, heap, depth)
         case 0x000C =>
           val (n, a) = readAttr(b)
           attrs += (n -> a)
@@ -584,13 +587,23 @@ object Hdf5 {
       i += 1
     }
     val data = dims.map { case (rows, cols) =>
+      // dims come straight off the file: corrupt/crafted values must fail
+      // as a parse error here, not as a JVM-level NegativeArraySize/OOM
+      // from an attacker-sized allocation below. 2^28 floats (1 GiB) is
+      // far beyond any 2-D radar grid.
+      require(rows >= 0 && cols >= 0 && rows.toLong * cols <= (1L << 28),
+        s"corrupt dataspace dims ${rows}x$cols")
       chunked match {
         case Some(cl) =>
           readChunkedData(b, cl, rows, cols, elem, filters)
         case None =>
           require(dataAddr != Undef, "dataset without layout address")
           require(filters.isEmpty, "filters require chunked layout")
-          val raw = new Array[Byte](rows * cols * elem.size)
+          // contiguous data is stored verbatim, so its byte size is bounded
+          // by the file itself (Long math: rows*cols*size can overflow Int)
+          val nRaw = rows.toLong * cols * elem.size
+          require(nRaw <= b.limit(), s"contiguous data of $nRaw bytes exceeds the file")
+          val raw = new Array[Byte](nRaw.toInt)
           b.position(dataAddr.toInt)
           b.get(raw)
           val grid = Array.ofDim[Float](rows, cols)
@@ -692,7 +705,10 @@ object Hdf5 {
     val grid = Array.fill(rows, cols)(fill)
     val plainSize = cl.chunkRows.toLong * cl.chunkCols * e.size
     require(plainSize <= Int.MaxValue, s"chunk of $plainSize bytes unsupported")
-    def walk(nodeAddr: Long): Unit = {
+    def walk(nodeAddr: Long, depth: Int): Unit = {
+      // corrupt sibling/child links can form a cycle; real chunk trees for
+      // ≤2^16 chunks are ≤3 levels — fail loudly instead of recursing forever
+      require(depth < 64, "chunk B-tree deeper than 64 levels — corrupt or cyclic")
       b.position(nodeAddr.toInt)
       require((0 until 4).forall(i => b.get() == "TREE".charAt(i).toByte), "TREE expected")
       require(b.get() == 1, "chunk B-tree expected")
@@ -709,8 +725,11 @@ object Hdf5 {
         val c0 = b.getLong.toInt
         b.getLong // element-dim offset
         val child = b.getLong
-        if (level > 0) walk(child)
+        if (level > 0) walk(child, depth + 1)
         else {
+          // stored chunk bytes live in the file — bound the allocation by it
+          require(nBytes >= 0 && nBytes <= b.limit(),
+            s"corrupt chunk size $nBytes")
           val stored = new Array[Byte](nBytes)
           b.position(child.toInt)
           b.get(stored)
@@ -724,12 +743,12 @@ object Hdf5 {
         }
       }
     }
-    walk(cl.btree)
+    walk(cl.btree, 0)
     grid
   }
 
   private def readGroupChildren(b: ByteBuffer, btreeAddr: Long,
-                                heapAddr: Long): Map[String, Parsed] = {
+                                heapAddr: Long, depth: Int): Map[String, Parsed] = {
     b.position(heapAddr.toInt)
     require((0 until 4).forall(i => b.get() == "HEAP".charAt(i).toByte), "HEAP expected")
     b.position(heapAddr.toInt + 24)
@@ -755,7 +774,7 @@ object Hdf5 {
         val nameOff = b.getLong
         val ohAddr = b.getLong
         val name = readHeapString(b, heapData + nameOff)
-        name -> readObject(b, ohAddr)
+        name -> readObject(b, ohAddr, depth + 1)
       }
     }.toMap
   }
@@ -773,6 +792,11 @@ object Hdf5 {
     val nameSize = b.getShort.toInt
     val dtSize = b.getShort.toInt
     val dsSize = b.getShort.toInt
+    // signed-short reads: a corrupt high byte turns these negative, and an
+    // unguarded allocation dies with NegativeArraySizeException (found by
+    // the bit-flip fuzz spec) instead of a parse error
+    require(nameSize >= 1 && nameSize <= b.limit(),
+      s"corrupt attribute name size $nameSize")
     val nameBytes = new Array[Byte](nameSize - 1)
     b.get(nameBytes); b.get() // NUL
     val name = new String(nameBytes, "UTF-8")
@@ -786,6 +810,8 @@ object Hdf5 {
     b.position(dataStart)
     val attr = cls match {
       case 3 =>
+        require(elemSize >= 0 && elemSize <= b.remaining(),
+          s"corrupt string attribute size $elemSize")
         val raw = new Array[Byte](elemSize)
         b.get(raw)
         Str(new String(raw.takeWhile(_ != 0), "UTF-8"))
