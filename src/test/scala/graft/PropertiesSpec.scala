@@ -93,6 +93,37 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: quantizeInt8 codes bounded by ±127, reconstruction within scale/2") {
+    val vecs = Gen.listOfN(8, Gen.choose(-100.0f, 100.0f))
+    forAll(vecs, cases = 8) { xs =>
+      val d = df("id BIGINT, v ARRAY<FLOAT>", Seq(R(1L, xs)))
+      val r = graft.llm.Similarity.quantizeInt8(d, "id", "v").collect().head
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      assert(q.forall(c => c >= -127 && c <= 127), s"codes $q")
+      q.zip(xs).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
+          s"x=$x code=$c scale=$scale")
+      }
+    }
+  }
+
+  test("property: windowDupStats — fraction in [0,1], dups ≤ windows, copies fully flagged") {
+    val words = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e"))
+    forAll2(words, words) { (w1, w2) =>
+      // docs 1 and 3 are copies: every window of theirs must flag
+      val d = df("doc_id BIGINT, text STRING", Seq(
+        R(1L, w1.mkString(" ")), R(2L, w2.mkString(" ")), R(3L, w1.mkString(" "))))
+      val out = Dedup.windowDupStats(d, "doc_id", "text", n = 3).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      out.values.foreach { case (nw, nd, f) =>
+        assert(nd <= nw && f >= 0.0 && f <= 1.0, out)
+      }
+      assert(out(1L) == out(3L))
+      assert(out(1L)._1 == 0 || out(1L)._3 == 1.0, out) // verbatim copy ⇒ all dup
+    }
+  }
+
   test("property: simhash of a doc equals simhash of itself shuffled (order-free)") {
     val words = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(words) { ws =>
