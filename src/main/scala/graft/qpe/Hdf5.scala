@@ -551,6 +551,9 @@ object Hdf5 {
           val sz = b.getInt
           val cls = classVer & 0x0f
           require(cls == 0 || cls == 1, s"dataset datatype class $cls unsupported")
+          // decodeElem handles 1-8 byte elements; a corrupt size would
+          // otherwise poison every downstream size product (nRaw, plainSize)
+          require(sz >= 1 && sz <= 8, s"dataset element size $sz unsupported")
           elem = ElemType(cls, sz, littleEndian = (bits0 & 1) == 0,
             signed = cls == 1 || (bits0 & 0x08) != 0)
         case 0x000B => // filter pipeline: deflate and shuffle supported
@@ -576,7 +579,12 @@ object Hdf5 {
               val nd = b.get().toInt
               require(nd == 3, s"chunked layout with $nd dims unsupported")
               val btree = b.getLong
-              chunked = Some(ChunkedLayout(btree, b.getInt, b.getInt))
+              val cr = b.getInt
+              val cc = b.getInt
+              // raw file fields: validate before any size product uses them
+              require(cr >= 1 && cr <= (1 << 16) && cc >= 1 && cc <= (1 << 16),
+                s"corrupt chunk dims ${cr}x$cc")
+              chunked = Some(ChunkedLayout(btree, cr, cc))
             case c => throw new IllegalArgumentException(s"layout class $c unsupported")
           }
         case 0x0010 => // continuation: another message block elsewhere
@@ -589,9 +597,11 @@ object Hdf5 {
     val data = dims.map { case (rows, cols) =>
       // dims come straight off the file: corrupt/crafted values must fail
       // as a parse error here, not as a JVM-level NegativeArraySize/OOM
-      // from an attacker-sized allocation below. 2^28 floats (1 GiB) is
-      // far beyond any 2-D radar grid.
-      require(rows >= 0 && cols >= 0 && rows.toLong * cols <= (1L << 28),
+      // from an attacker-sized allocation below. Each factor is bounded
+      // (a (2^31, 0) claim has product 0 but still allocates 2^31 row
+      // references), and 2^28 floats (1 GiB) is far beyond any 2-D grid.
+      require(rows >= 0 && cols >= 0 && rows <= (1 << 16) && cols <= (1 << 16) &&
+          rows.toLong * cols <= (1L << 28),
         s"corrupt dataspace dims ${rows}x$cols")
       chunked match {
         case Some(cl) =>
@@ -602,7 +612,8 @@ object Hdf5 {
           // contiguous data is stored verbatim, so its byte size is bounded
           // by the file itself (Long math: rows*cols*size can overflow Int)
           val nRaw = rows.toLong * cols * elem.size
-          require(nRaw <= b.limit(), s"contiguous data of $nRaw bytes exceeds the file")
+          require(nRaw >= 0 && nRaw <= b.limit(),
+            s"contiguous data of $nRaw bytes exceeds the file")
           val raw = new Array[Byte](nRaw.toInt)
           b.position(dataAddr.toInt)
           b.get(raw)
@@ -704,7 +715,8 @@ object Hdf5 {
     val fill = if (e.cls == 1) Float.NaN else 0.0f
     val grid = Array.fill(rows, cols)(fill)
     val plainSize = cl.chunkRows.toLong * cl.chunkCols * e.size
-    require(plainSize <= Int.MaxValue, s"chunk of $plainSize bytes unsupported")
+    require(plainSize > 0 && plainSize <= Int.MaxValue,
+      s"chunk of $plainSize bytes unsupported")
     def walk(nodeAddr: Long, depth: Int): Unit = {
       // corrupt sibling/child links can form a cycle; real chunk trees for
       // ≤2^16 chunks are ≤3 levels — fail loudly instead of recursing forever

@@ -69,6 +69,25 @@ private[queries] object Ora {
   def normSql(a: String, dim: Int): String =
     normArrSql(s"$a.embedding", dim)
 
+  /** DuckDB mirror of the brute-force cosine top-k over embeddings
+    * (queries = vec_id < maxQid, self-pairs excluded, ranked by rounded
+    * cosine DESC then candidate id). Shared by the window/aggregator
+    * variants and the recall evaluator's exact side — three oracles, one
+    * ranking definition. No trailing ORDER BY: callers append their own.
+    */
+  def bruteForceTopKSql(maxQid: Int, k: Int, dim: Int): String =
+    s"""SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS vb,
+          ROUND((${dotSql("q", "c", dim)}) /
+            (SQRT(${normSql("q", dim)}) * SQRT(${normSql("c", dim)})), 6) AS cos,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND((${dotSql("q", "c", dim)}) /
+              (SQRT(${normSql("q", dim)}) * SQRT(${normSql("c", dim)})), 6) DESC,
+            c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < $maxQid AND c.vec_id <> q.vec_id)
+      WHERE rank <= $k"""
+
   /** DuckDB mirror of ivfTopK's decimal-mean centroid stage: the c1..c`dim`
     * select list, and the query→centroid dot/norm over those columns.
     */

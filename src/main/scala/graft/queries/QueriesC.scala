@@ -210,16 +210,7 @@ object QueriesC {
           "vec_id", "embedding", dim = 64, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
-    Some(s"""SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM (
-        SELECT q.vec_id AS qid, c.vec_id AS vb,
-          ROUND((${dotSql("q", "c", 64).replace("q.embedding", "q.embedding").replace("c.embedding", "c.embedding")}) /
-            (SQRT(${normSql("q", 64)}) * SQRT(${normSql("c", 64)})), 6) AS cos,
-          ROW_NUMBER() OVER (PARTITION BY q.vec_id
-            ORDER BY ROUND((${dotSql("q", "c", 64)}) /
-              (SQRT(${normSql("q", 64)}) * SQRT(${normSql("c", 64)})), 6) DESC,
-            c.vec_id) AS rank
-        FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
-      WHERE rank <= 5 ORDER BY qid, rank"""))
+    Some(s"${bruteForceTopKSql(10, 5, 64)} ORDER BY qid, rank"))
 
   /** Brute-force top-k through the bounded TopK aggregator — same oracle as
     * the window variant (results are identical); the plan shuffles |Q|×k
@@ -233,16 +224,7 @@ object QueriesC {
           "vec_id", "embedding", dim = 64, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
-    Some(s"""SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM (
-        SELECT q.vec_id AS qid, c.vec_id AS vb,
-          ROUND((${dotSql("q", "c", 64)}) /
-            (SQRT(${normSql("q", 64)}) * SQRT(${normSql("c", 64)})), 6) AS cos,
-          ROW_NUMBER() OVER (PARTITION BY q.vec_id
-            ORDER BY ROUND((${dotSql("q", "c", 64)}) /
-              (SQRT(${normSql("q", 64)}) * SQRT(${normSql("c", 64)})), 6) DESC,
-            c.vec_id) AS rank
-        FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
-      WHERE rank <= 5 ORDER BY qid, rank"""))
+    Some(s"${bruteForceTopKSql(10, 5, 64)} ORDER BY qid, rank"))
 
   /** IVF-style ANN (coarse quantizer = label centroids, nprobe=3). Fully
     * oracle-mirrored: centroids are decimal-accumulated elementwise means

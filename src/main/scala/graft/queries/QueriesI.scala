@@ -201,15 +201,7 @@ object QueriesI {
     },
     Some(s"""WITH $ivfFixedCtes,
       approx AS (SELECT qid, vb FROM scored WHERE rank <= 5),
-      exact AS (SELECT qid, vb FROM (
-          SELECT q2.vec_id AS qid, c2.vec_id AS vb,
-            ROW_NUMBER() OVER (PARTITION BY q2.vec_id ORDER BY
-              ROUND((${Ora.dotSql("q2", "c2", 64)}) /
-                (SQRT(${Ora.normSql("q2", 64)}) * SQRT(${Ora.normSql("c2", 64)})), 6) DESC,
-              c2.vec_id) AS rnk
-          FROM embeddings q2 JOIN embeddings c2
-            ON q2.vec_id < 10 AND c2.vec_id <> q2.vec_id)
-        WHERE rnk <= 5),
+      exact AS (SELECT qid, vb FROM (${Ora.bruteForceTopKSql(10, 5, 64)})),
       hit AS (SELECT e.qid, COUNT(*) AS n_hit
         FROM exact e JOIN approx a ON a.qid = e.qid AND a.vb = e.vb
         GROUP BY e.qid),

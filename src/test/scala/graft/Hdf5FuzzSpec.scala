@@ -23,12 +23,17 @@ class Hdf5FuzzSpec extends AnyFunSuite {
     try in.readAllBytes() finally in.close()
   }
 
-  /** Run the reader on `bytes`; None = parsed, Some(e) = threw e. */
+  /** Run the reader on `bytes`; None = parsed, Some(t) = threw t. Catches
+    * Throwable, NOT Try/NonFatal: OutOfMemoryError and StackOverflowError
+    * are exactly the fatal classes this spec exists to flag with position
+    * context — Try would let them escape unlabeled.
+    */
   private def attempt(bytes: Array[Byte]): Option[Throwable] = {
     val tmp = Files.createTempFile("graft-fuzz", ".h5")
     try {
       Files.write(tmp, bytes)
-      scala.util.Try(Hdf5.read(tmp.toString)).failed.toOption
+      try { Hdf5.read(tmp.toString); None }
+      catch { case t: Throwable => Some(t) }
     } finally Files.deleteIfExists(tmp)
   }
 
