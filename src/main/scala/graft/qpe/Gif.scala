@@ -93,6 +93,9 @@ object Gif {
   /** Read a palette GIF back to mm/h through the green-channel power law. */
   def readGif(path: String): Array[Array[Double]] = {
     val img = ImageIO.read(new File(path))
+    // ImageIO signals an undecodable payload with null, which would NPE on
+    // the first dimension read — fail as a parse error like Hdf5.read does
+    require(img != null, s"$path: not a decodable image")
     Array.tabulate(img.getHeight, img.getWidth) { (x, y) =>
       val g = (img.getRGB(y, x) >> 8) & 0xff
       decodeDn(255 - g)

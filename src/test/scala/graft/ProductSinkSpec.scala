@@ -93,6 +93,14 @@ class ProductSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF reader rejects an undecodable payload loudly, not with an NPE") {
+    val path = tmpFile(".gif")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "definitely not a gif".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] { Gif.readGif(path) }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
   test("GIF roundtrip quantization error is bounded by one scale step") {
     val vals = Seq(0.1, 0.5, 1.0, 2.5, 10.0, 42.0, 120.0)
     vals.foreach { v =>
