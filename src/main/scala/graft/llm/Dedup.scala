@@ -353,14 +353,14 @@ object Dedup {
     val nb = nBits / r
     def bit(j: Int): Column = {
       // fixed left-to-right double sum — mirrored exactly by the oracle SQL's
-      // list_sum. Array fold instead of a 64-term unrolled chain: 32 bits ×
-      // 64 dims as explicit expressions blew codegen past 7 MB task binaries
-      // (measured 11 s at sf0.1); the loop form is compact and equally exact
-      // (seeding with 0.0 cannot change any nonzero partial sum).
+      // list_sum. Native ArrayDot loop instead of a 64-term unrolled chain:
+      // 32 bits × 64 dims as explicit expressions blew codegen past 7 MB
+      // task binaries (measured 11 s at sf0.1); the compiled element loop
+      // is compact AND codegen'd (the earlier zip_with fold form evaluated
+      // its lambdas interpreted), and equally exact — same order, and IEEE
+      // multiplication is commutative bit-for-bit.
       val comps = lit((0 until dim).map(i => hyperplaneComp(j, i, dim)).toArray)
-      val dot = aggregate(
-        zip_with(comps, col(vecCol), (c, v) => c * v.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = graft.plans.ArrayDot.arrayDot(comps, col(vecCol))
       when(dot > 0, lit("1")).otherwise(lit("0"))
     }
     val bandCols = (0 until nb).map(bd =>

@@ -19,25 +19,23 @@ object Similarity {
   private def requireIntegral(df: DataFrame, c: String, op: String): Unit =
     graft.Core.requireIntegral(df, c, op)
 
-  /** Exact dot product with a fixed association order (left fold), so Spark
-    * and any SQL mirror produce bit-identical doubles (an unrolled `+` chain
-    * and `aggregate`'s left fold add in the same order; the 0.0 seed cannot
-    * change any sum). Array-fold form, NOT an unrolled 64-term chain: three
-    * unrolled cosines inside one join condition blow the generated method
-    * past Janino's 64 KB limit, killing whole-stage codegen for the entire
-    * stage — the fold keeps the expression tree tiny so the stage compiles,
-    * at the cost of interpreted per-element lambdas (measured net win).
-    * `dim` is the contract the caller asserts for both arrays.
+  /** Exact dot product with a fixed association order (left-to-right from a
+    * 0.0 seed), so Spark and any SQL mirror produce bit-identical doubles.
+    * Runs as the native [[graft.plans.ArrayDot]] codegen Expression — a
+    * compiled element loop inside whole-stage codegen. It replaced two
+    * earlier forms: an unrolled 64-term `+` chain (three cosines in one
+    * join condition blew the generated method past Janino's 64 KB limit)
+    * and an `aggregate(zip_with(...))` fold (compact, but higher-order
+    * lambdas evaluate INTERPRETED per element — the hot kernel of every
+    * similarity operator). Same order, same NULL semantics, same bits;
+    * ArrayDotSpec asserts equivalence against the HOF form on random
+    * vectors. `dim` is the contract the caller asserts for both arrays.
     */
   def dot(aCol: String, bCol: String, dim: Int): Column =
-    aggregate(
-      zip_with(col(aCol), col(bCol), (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.ArrayDot.arrayDot(col(aCol), col(bCol))
 
   def norm2(aCol: String, dim: Int): Column =
-    aggregate(
-      transform(col(aCol), a => { val v = a.cast("double"); v * v }),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.ArrayDot.arrayDot(col(aCol), col(aCol))
 
   /** Cosine with a zero-norm guard: ANSI mode (Spark 4's default) turns the
     * 0/0 of a degenerate all-zeros vector into a DIVIDE_BY_ZERO job failure,

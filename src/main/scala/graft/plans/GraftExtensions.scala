@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new UTMacroParser(delegate))
     e.injectFunction(SearchSorted.descriptor)
+    e.injectFunction(ArrayDot.descriptor)
     e.injectOptimizerRule(_ => PushdownUnixTimestamp)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

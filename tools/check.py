@@ -25,6 +25,12 @@ def norm(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # bounded memory + disk spill: co-resident JVMs (sbt/Spark just exited)
+    # leave the container memory-pressured, and DuckDB's default limit is
+    # sized from total system RAM — heavy oracles then die with a spurious
+    # "Out of Memory Error: failed to allocate" instead of spilling
+    con.sql("SET memory_limit='8GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
