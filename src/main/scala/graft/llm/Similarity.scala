@@ -42,8 +42,17 @@ object Similarity {
     * not a NaN — so the undefined similarity is an explicit NULL instead.
     * Null embeddings propagate to NULL the same way; every consumer treats
     * "unscoreable" uniformly (excluded from rankings / pair candidates).
+    * Runs as the fused single-pass [[graft.plans.ArrayCosine]] Expression
+    * (dot + both norms in one compiled loop, vs three array traversals per
+    * pair); bit-identical to the composed form — ArrayCosineSpec asserts it.
     */
-  def cosine(aCol: String, bCol: String, dim: Int): Column = {
+  def cosine(aCol: String, bCol: String, dim: Int): Column =
+    graft.plans.ArrayCosine.arrayCosine(col(aCol), col(bCol))
+
+  /** The composed-expression form of [[cosine]], kept as the reference
+    * semantics the fused expression is spec'd against.
+    */
+  private[graft] def cosineComposed(aCol: String, bCol: String, dim: Int): Column = {
     val denom = sqrt(norm2(aCol, dim)) * sqrt(norm2(bCol, dim))
     when(denom > 0.0, dot(aCol, bCol, dim) / denom)
   }

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((_, delegate) => new UTMacroParser(delegate))
     e.injectFunction(SearchSorted.descriptor)
     e.injectFunction(ArrayDot.descriptor)
+    e.injectFunction(ArrayCosine.descriptor)
     e.injectOptimizerRule(_ => PushdownUnixTimestamp)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
