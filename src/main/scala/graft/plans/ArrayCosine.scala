@@ -20,14 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `> 0` (zero-norm guard — ANSI-safe, no division).
   */
 case class ArrayCosine(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ArrayPairKernel {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_cosine"
+  override protected def kernelName: String = "array_cosine"
   override def nullable: Boolean = true
-
-  private def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -42,8 +40,8 @@ case class ArrayCosine(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv = evalGet(x, i, xf)
+      val yv = evalGet(y, i, yf)
       dot += xv * yv
       na += xv * xv
       nb += yv * yv
@@ -63,9 +61,7 @@ case class ArrayCosine(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
-      def get(arr: String, child: Expression) =
-        if (elemIsFloat(child)) s"(double) $arr.getFloat($i)"
-        else s"$arr.getDouble($i)"
+      def get(arr: String, child: Expression) = genGet(arr, i, child)
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -102,7 +98,7 @@ object ArrayCosine {
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("array_cosine"),
     new ExpressionInfo(classOf[ArrayCosine].getName, "array_cosine"),
-    (children: Seq[Expression]) => ArrayCosine(children.head, children(1)))
+    ArrayPairKernel.binaryBuilder("array_cosine", ArrayCosine(_, _)))
 
   /** Column-API entry point (ColumnBridge hops Spark 4's split Column API). */
   def arrayCosine(a: Column, b: Column): Column = {

@@ -21,15 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * norm2(a) is `ArrayDot(a, a)`.
   */
 case class ArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ArrayPairKernel {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
+  override protected def kernelName: String = "array_dot"
   // NULL can arise from non-null inputs (length mismatch / null element)
   override def nullable: Boolean = true
-
-  private def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -42,9 +40,7 @@ case class ArrayDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += evalGet(x, i, xf) * evalGet(y, i, yf)
       i += 1
     }
     acc
@@ -55,9 +51,7 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      def get(arr: String, child: Expression) =
-        if (elemIsFloat(child)) s"(double) $arr.getFloat($i)"
-        else s"$arr.getDouble($i)"
+      def get(arr: String, child: Expression) = genGet(arr, i, child)
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -86,7 +80,7 @@ object ArrayDot {
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("array_dot"),
     new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-    (children: Seq[Expression]) => ArrayDot(children.head, children(1)))
+    ArrayPairKernel.binaryBuilder("array_dot", ArrayDot(_, _)))
 
   /** Column-API entry point (ColumnBridge hops Spark 4's split Column API). */
   def arrayDot(a: Column, b: Column): Column = {

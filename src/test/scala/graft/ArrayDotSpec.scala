@@ -68,6 +68,17 @@ class ArrayDotSpec extends SparkSpec {
     assert(q.count() == 100)
   }
 
+  test("non-float/double element arrays are rejected at analysis time") {
+    // the kernels read via getFloat/getDouble; an int array through
+    // getDouble would read wrong strides SILENTLY — must fail in analysis
+    val d = df("a ARRAY<INT>, b ARRAY<INT>", Seq(R(Seq(1, 2), Seq(3, 4))))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(ArrayDot.arrayDot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("array_dot") ||
+           e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
+  }
+
   test("usable as a SQL function (the GraftExtensions registration shape)") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => plans.ArrayDot(exprs.head, exprs(1)), "scala_udf")

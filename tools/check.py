@@ -9,6 +9,7 @@ as a view), sorts columns by name and rows by all columns, and compares values
 exactly. Reports per-query PASS/FAIL with a diff preview.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -28,8 +29,11 @@ def main(sf_dir, out_dir):
     # bounded memory + disk spill: co-resident JVMs (sbt/Spark just exited)
     # leave the container memory-pressured, and DuckDB's default limit is
     # sized from total system RAM — heavy oracles then die with a spurious
-    # "Out of Memory Error: failed to allocate" instead of spilling
-    con.sql("SET memory_limit='8GB'")
+    # "Out of Memory Error: failed to allocate" instead of spilling. Sized
+    # from the host (never above half of physical RAM) so a small machine
+    # isn't handed a budget bigger than its memory.
+    total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+    con.sql(f"SET memory_limit='{max(1, min(8, int(total_gb / 2)))}GB'")
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
