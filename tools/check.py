@@ -35,6 +35,9 @@ def main(sf_dir, out_dir):
     total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
     con.sql(f"SET memory_limit='{max(1, min(8, int(total_gb / 2)))}GB'")
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    # fewer concurrent allocators: the flake happens in the first run after
+    # a big JVM exits, and high thread counts race DuckDB's budget accounting
+    con.sql("SET threads=8")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
