@@ -144,12 +144,14 @@ object Similarity {
     * centers, a fixed seed set, a previous epoch's layout) and fully
     * engine-mirrorable since there is no RNG anywhere.
     *
-    * Scale shape: centroids are small by definition (nlist entries) →
-    * broadcast; scoring is map-side on the corpus partitioning; the
-    * argmax runs through the bounded TopK(1) aggregator (the exchange
-    * carries one (cos, cell) pair per vector), and the winners join back
-    * keyed on the corpus id. Unscoreable vectors (zero-norm/NULL, no
-    * scoreable centroid) get no row — surfaced by the inner join as
+    * Scale shape: ZERO shuffles. Centroids are small by definition (nlist
+    * entries, like model coefficients) → collected once, size-guarded, and
+    * baked into a single map-side projection: one fused [[graft.plans.ArrayCosine]]
+    * per centroid, argmax via `array_max` over (cos, −cell) structs — the
+    * same shape KMeansModel.transform executes, where the earlier TopK(1)
+    * aggregation + join-back re-shuffled the whole corpus twice for an
+    * assignment that never needed to leave the scan. Unscoreable vectors
+    * (zero-norm/NULL embedding, or no scoreable centroid) are dropped —
     * "unassigned", never silently binned.
     */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
@@ -157,18 +159,28 @@ object Similarity {
                   dim: Int, outCol: String = "ivf_cell"): DataFrame = {
     requireIntegral(corpus, idCol, "assignCells")
     requireIntegral(centroids, cellCol, "assignCells")
-    val cent = centroids.select(col(cellCol).cast("long").as("__cell"),
-      col(cvecCol).as("__cv"))
-    val top1 = udaf(new graft.functions.Aggregators.TopK(1))
-    val best = graft.Core.fanOut(corpus)
-      .select(col(idCol), col(vecCol).as("__v"))
-      .crossJoin(broadcast(cent))
-      .select(col(idCol), cosine("__v", "__cv", dim).as("__ccos"), col("__cell"))
-      .filter(col("__ccos").isNotNull)
-      .groupBy(col(idCol))
-      .agg(top1(col("__ccos"), col("__cell")).as("__h"))
-      .select(col(idCol), element_at(col("__h"), 1).getField("id").as(outCol))
-    corpus.join(best, Seq(idCol))
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col(cellCol).cast("long"), col(cvecCol).cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(cents.nonEmpty && cents.length <= 65536,
+      s"assignCells expects a coarse-quantizer-sized centroid table, got ${cents.length}")
+    // (cos, −cell) structs compare lexicographically: array_max picks the
+    // highest cosine, then the LOWEST cell id on ties. A NULL cosine stays
+    // INSIDE its struct (no when() wrapper — that would evaluate the 64-wide
+    // fused loop twice, once for the predicate and once for the branch):
+    // struct ordering ranks a null first field below every non-null one, so
+    // an unscoreable centroid can only win when ALL centroids are
+    // unscoreable — exactly the rows the cos-null filter then drops.
+    val scored = array(cents.map { case (cell, cv) =>
+      struct(graft.plans.ArrayCosine.arrayCosine(col(vecCol), lit(cv)).as("cos"),
+        lit(-cell).as("negCell"))
+    }: _*)
+    corpus
+      .withColumn("__best", array_max(scored))
+      .filter(col("__best.cos").isNotNull)
+      .withColumn(outCol, -col("__best.negCell"))
+      .drop("__best")
   }
 
   /** Int8 symmetric quantization of an embedding column — the storage /

@@ -598,6 +598,27 @@ class LlmSpec extends SparkSpec {
     assert(q.count() == 100)
   }
 
+  test("assignCells: nearest-centroid by (cos desc, cell asc), zero shuffles") {
+    val corpus = spark.range(0, 50).selectExpr("id AS vec_id",
+      "array(CAST(id % 7 AS FLOAT), CAST(1 AS FLOAT)) AS embedding")
+    val cents = df("cell BIGINT, cv ARRAY<DOUBLE>", Seq(
+      R(0L, Seq(0.0, 1.0)),    // "vertical" centroid
+      R(1L, Seq(1.0, 0.0)),    // "horizontal" centroid
+      R(2L, Seq(0.0, 1.0))))   // duplicate of cell 0: ties must pick cell 0
+    val out = Similarity.assignCells(corpus, "vec_id", "embedding",
+      cents, "cell", "cv", dim = 2)
+    val cells = out.collect().map(r =>
+      r.getLong(0) -> r.getLong(r.fieldIndex("ivf_cell"))).toMap
+    // id % 7 == 0 → (0,1): exactly vertical, ties between cells 0 and 2 → 0
+    assert(cells(0L) == 0L && cells(7L) == 0L)
+    // large first component → nearer horizontal
+    assert(cells(6L) == 1L && cells(13L) == 1L)
+    assert(cells.size == 50) // every vector scoreable → none dropped
+    // the assignment itself is one map-side projection — no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("unigramSurprisal: rare tokens score higher; token-less docs surface NULL") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       R(1L, "common common common common"),
