@@ -159,7 +159,12 @@ object Similarity {
                   dim: Int, outCol: String = "ivf_cell"): DataFrame = {
     requireIntegral(corpus, idCol, "assignCells")
     requireIntegral(centroids, cellCol, "assignCells")
+    // null cell ids / vectors are dropped like the pre-collect path ignored
+    // them (an unscoreable centroid can never win): unguarded, a null id
+    // would silently read as cell 0 (Row.getLong on null) and a null vector
+    // would NPE the plan build
     val cents: Array[(Long, Array[Double])] = centroids
+      .filter(col(cellCol).isNotNull && col(cvecCol).isNotNull)
       .select(col(cellCol).cast("long"), col(cvecCol).cast("array<double>"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
