@@ -310,7 +310,83 @@ object QueriesI {
       FROM e CROSS JOIN generate_series(1, 64) AS t(i)
       ORDER BY vec_id, pos"""))
 
+  /** P4 under the hash gate: plant the reference's -9999 sentinel into a
+    * real column, normalize through `Relational.naReplace`, and prove the
+    * nulls land where the sentinels were (spec-only until now).
+    */
+  val p4NaReplace: QueryDef = QueryDef(
+    "p4_na_replace",
+    (s, dir) => {
+      val planted = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") < 3.0, lit(-9999.0))
+            .otherwise(col("l_quantity")).as("qty"),
+          when(col("l_discount") > 0.09, lit(-9999.0))
+            .otherwise(col("l_discount")).as("disc"))
+      graft.operators.Relational.naReplace(planted, -9999.0, Seq("qty", "disc"))
+        .groupBy(col("l_orderkey") % 100)
+        .agg(count(lit(1)).as("n"),
+             count(col("qty")).as("n_qty"),
+             count(col("disc")).as("n_disc"),
+             Ora.dsum6(col("qty")).as("sum_qty"))
+        .withColumnRenamed("(l_orderkey % 100)", "bucket")
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH planted AS (SELECT l_orderkey,
+        CASE WHEN l_quantity < 3.0 THEN -9999.0 ELSE l_quantity END AS qty,
+        CASE WHEN l_discount > 0.09 THEN -9999.0 ELSE l_discount END AS disc
+      FROM lineitem),
+      norm AS (SELECT l_orderkey,
+        CASE WHEN qty = -9999.0 THEN NULL ELSE qty END AS qty,
+        CASE WHEN disc = -9999.0 THEN NULL ELSE disc END AS disc
+      FROM planted)
+      SELECT l_orderkey % 100 AS bucket, COUNT(*) AS n,
+        COUNT(qty) AS n_qty, COUNT(disc) AS n_disc,
+        CAST(ROUND(SUM(CAST(qty AS DECIMAL(27,10))), 6) AS DOUBLE) AS sum_qty
+      FROM norm GROUP BY 1 ORDER BY 1"""))
+
+  /** F3/F4/F5 under the hash gate: the radar mask chain
+    * (noisedBZ range-dependent floor → snrMask → visibCorrect) on
+    * lineitem-derived proxies, previously spec-only — including the NULL
+    * floor at range ≤ 0 now masking the gate.
+    */
+  val f3MaskChain: QueryDef = QueryDef(
+    "f3_mask_chain",
+    (s, dir) => {
+      import graft.functions.Phys
+      val d = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 4000.0 - 10000.0).as("r_m"),     // some ≤ 0
+        (col("l_extendedprice") / 2000.0).as("zh"),
+        (col("l_discount") * 1000.0).as("visib"))             // 0..100
+      val noise = Phys.noisedBZ(col("r_m"), lit(-31.0))
+      val masked = Phys.snrMask(col("zh"), noise, 23.0)
+      // NO round(,6) on zh_vis: the chain is pure IEEE ops on identical
+      // inputs, so the raw doubles already match bit-for-bit — rounding
+      // would REINTRODUCE engine skew (Spark rounds the exact binary
+      // expansion, DuckDB the scaled multiply; 224 rows landed on ties)
+      d.select(col("l_orderkey"), col("l_linenumber"),
+          masked.as("zh_snr"),
+          Phys.visibCorrect(masked, col("visib"), 40.0, 1.5).as("zh_vis"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""WITH v AS (SELECT l_orderkey, l_linenumber,
+        l_quantity * 4000.0 - 10000.0 AS r_m,
+        l_extendedprice / 2000.0 AS zh,
+        l_discount * 1000.0 AS visib
+      FROM lineitem),
+      n AS (SELECT *, CASE WHEN r_m > 0.0
+          THEN -31.0 + LOG10(r_m / 1000.0 / 100.0) * 20.0 END AS noise
+        FROM v),
+      m AS (SELECT *, CASE WHEN noise IS NULL OR zh - noise < 23.0
+          THEN NULL ELSE zh END AS zh_snr
+        FROM n)
+      SELECT l_orderkey, l_linenumber, zh_snr,
+        CASE WHEN visib < 40.0 THEN NULL
+          ELSE zh_snr * LEAST(100.0 / visib, 1.5) END AS zh_vis
+      FROM m ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[QueryDef] = Seq(simsearchIvfFixed, m9SkillScores,
     simsearchRecall, textSurprisal, curationQualityFilter,
-    dedupWindowStats, simsearchQuantize)
+    dedupWindowStats, simsearchQuantize, p4NaReplace, f3MaskChain)
 }
