@@ -159,17 +159,27 @@ object Similarity {
                   dim: Int, outCol: String = "ivf_cell"): DataFrame = {
     requireIntegral(corpus, idCol, "assignCells")
     requireIntegral(centroids, cellCol, "assignCells")
-    // null cell ids / vectors are dropped like the pre-collect path ignored
-    // them (an unscoreable centroid can never win): unguarded, a null id
-    // would silently read as cell 0 (Row.getLong on null) and a null vector
-    // would NPE the plan build
+    // degenerate centroids are dropped EXACTLY like the pre-collect path
+    // scored them (a null anywhere made the cosine NULL → never won):
+    // unguarded, a null cell id reads as cell 0 (Row.getLong on null), a
+    // null vector NPEs the plan build, and a null ELEMENT unboxes to 0.0 —
+    // a silently-corrupted centroid that could WIN the argmax
     val cents: Array[(Long, Array[Double])] = centroids
-      .filter(col(cellCol).isNotNull && col(cvecCol).isNotNull)
+      .filter(col(cellCol).isNotNull && col(cvecCol).isNotNull &&
+        !exists(col(cvecCol), _.isNull))
       .select(col(cellCol).cast("long"), col(cvecCol).cast("array<double>"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    require(cents.nonEmpty && cents.length <= 65536,
-      s"assignCells expects a coarse-quantizer-sized centroid table, got ${cents.length}")
+    // 1024 is where this plan shape is comfortably compiled: each centroid
+    // is an inline fused-cosine + a dim-wide literal in ONE projection, and
+    // far past that codegen degrades toward Janino limits / interpreted
+    // fallback. Larger learned layouts should assign via
+    // [[kmeansPartitions]]/model.transform (same map-side shape, compiled
+    // model code instead of plan literals).
+    require(cents.nonEmpty && cents.length <= 1024,
+      s"assignCells inlines centroids into one projection — ${cents.length} " +
+        "cells is past the compiled-plan comfort zone (<= 1024); assign via " +
+        "a fitted quantizer model at that scale")
     // (cos, −cell) structs compare lexicographically: array_max picks the
     // highest cosine, then the LOWEST cell id on ties. A NULL cosine stays
     // INSIDE its struct (no when() wrapper — that would evaluate the 64-wide
@@ -181,7 +191,11 @@ object Similarity {
       struct(graft.plans.ArrayCosine.arrayCosine(col(vecCol), lit(cv)).as("cos"),
         lit(-cell).as("negCell"))
     }: _*)
-    corpus
+    // |C| fused cosines per row is exactly the per-row-dominant work
+    // Core.fanOut exists for: the conditional round-robin exchange fires
+    // only on under-partitioned (small) inputs; NO keyed shuffle exists in
+    // this plan at any size (the spec asserts no hashpartitioning exchange)
+    graft.Core.fanOut(corpus)
       .withColumn("__best", array_max(scored))
       .filter(col("__best.cos").isNotNull)
       .withColumn(outCol, -col("__best.negCell"))

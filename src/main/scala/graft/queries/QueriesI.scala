@@ -318,18 +318,17 @@ object QueriesI {
     "p4_na_replace",
     (s, dir) => {
       val planted = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
+        .select(col("l_orderkey"),
           when(col("l_quantity") < 3.0, lit(-9999.0))
             .otherwise(col("l_quantity")).as("qty"),
           when(col("l_discount") > 0.09, lit(-9999.0))
             .otherwise(col("l_discount")).as("disc"))
       graft.operators.Relational.naReplace(planted, -9999.0, Seq("qty", "disc"))
-        .groupBy(col("l_orderkey") % 100)
+        .groupBy((col("l_orderkey") % 100).as("bucket"))
         .agg(count(lit(1)).as("n"),
              count(col("qty")).as("n_qty"),
              count(col("disc")).as("n_disc"),
              Ora.dsum6(col("qty")).as("sum_qty"))
-        .withColumnRenamed("(l_orderkey % 100)", "bucket")
         .orderBy(col("bucket"))
     },
     Some("""WITH planted AS (SELECT l_orderkey,

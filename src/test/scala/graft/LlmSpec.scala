@@ -614,9 +614,18 @@ class LlmSpec extends SparkSpec {
     // large first component → nearer horizontal
     assert(cells(6L) == 1L && cells(13L) == 1L)
     assert(cells.size == 50) // every vector scoreable → none dropped
-    // the assignment itself is one map-side projection — no exchange
+    // the assignment is map-side: no KEYED shuffle at any size (the only
+    // permissible exchange is fanOut's conditional round-robin spread)
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    // a corrupted centroid (null element) is unscoreable, never binned:
+    // without the guard it would unbox to 0.0 and could WIN the argmax
+    val corrupt = df("cell BIGINT, cv ARRAY<DOUBLE>", Seq(
+      R(0L, Seq(null, 1.0)), R(1L, Seq(1.0, 0.0))))
+    val out2 = Similarity.assignCells(corpus, "vec_id", "embedding",
+        corrupt, "cell", "cv", dim = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(out2 == Set(1L)) // only the intact centroid ever wins
   }
 
   test("unigramSurprisal: rare tokens score higher; token-less docs surface NULL") {
