@@ -1,6 +1,103 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Deterministic short aliases for the stdout per-query map. The driver
+    * captures only the LAST ~2000 chars of the bench run's output, and the
+    * full-name queries map alone is ~2460 chars at 99 queries — full names
+    * can never fit at any float precision, which is why round 6's artifact
+    * carried only 60 timings. Scheme: the first `_`-segment (query id /
+    * family) abbreviated through a fixed family table, then the first w
+    * chars of each remaining segment, w growing per colliding group until
+    * globally unique. The full-name map is written to BENCH_full.json and
+    * the alias→name key is written to BENCH_KEYS.json on every run, so the
+    * stdout line is decodable without guessing.
+    */
+  private val familyAbbrev = Map(
+    "text" -> "tx", "dedup" -> "dd", "simsearch" -> "ss", "multimodal" -> "mm",
+    "curation" -> "cu", "sample" -> "sp", "corpus" -> "co", "hybrid" -> "hy",
+    "pack" -> "pk", "pii" -> "pi")
+
+  def aliases(names: Seq[String]): Map[String, String] = {
+    def mk(n: String, w: Int): String = {
+      val segs = n.split("_").toSeq
+      val head = familyAbbrev.getOrElse(segs.head, segs.head)
+      if (segs.tail.isEmpty) head else head + "_" + segs.tail.map(_.take(w)).mkString
+    }
+    var w = 1
+    var m = names.map(n => n -> mk(n, w)).toMap
+    while (m.values.toSet.size != names.size && w < 12) {
+      val collided = m.groupBy(_._2).filter(_._2.size > 1).flatMap(_._2.keys).toSet
+      w += 1
+      m = m.map { case (n, a) => n -> (if (collided(n)) mk(n, w) else a) }
+    }
+    require(m.values.toSet.size == names.size,
+      s"bench alias collision unresolved at w=$w: ${m.groupBy(_._2).filter(_._2.size > 1)}")
+    m
+  }
+
+  def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Time every selected query at `sfDir`. Noise control, two triggers for
+    * a median-of-3 re-run:
+    * (a) heavy tail: one cold/contended run mis-bills a multi-second query
+    *     by 2-3x (round 4: dedup_minhash billed 10.9 s in-suite vs 3.7 s
+    *     isolated — pure ordering/contention noise);
+    * (b) anchor drift: ANY query ≥1.5× off its committed anchor, so sub-2 s
+    *     phantoms (round 5's j2) get settled in-run instead of adjudicated
+    *     from a single noisy sample. Cheap stable queries stay single-run —
+    *     re-running all ~90 would triple wall clock (NOTES_r3 lesson 8).
+    */
+  def timeAll(spark: SparkSession, sfDir: String,
+              selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+              anchor: Map[String, Double]): Map[String, Double] =
+    selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once()
+      val drifted = anchor.get(name)
+        .exists(a => a > 0 && (first >= a * 1.5 || first <= a / 1.5))
+      val t = if (first > 2.0 || drifted) {
+        val three = Seq(first, once(), once()).sorted
+        three(1)
+      } else first
+      name -> t
+    }.toMap
+
+  /** Anchor times from the last committed local bench, parsed with a real
+    * JSON parser (json4s ships in the Spark jars): the old substring
+    * parser silently degraded to "no anchors" — disabling every
+    * drift-triggered re-run — on any format change. Accepts full names or
+    * aliases as keys. Loud when the file exists but yields nothing.
+    */
+  def readAnchor(path: String, aliasOf: Map[String, String]): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Map.empty
+    import org.json4s._
+    val m: Map[String, Double] = scala.util.Try {
+      val txt = scala.io.Source.fromFile(f).mkString
+      org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+    }.getOrElse(Map.empty)
+    // re-key alias-keyed anchors back to full names
+    val fromAlias = aliasOf.map(_.swap)
+    val full = m.map { case (k, v) => fromAlias.getOrElse(k, k) -> v }
+    if (full.isEmpty)
+      System.err.println(s"WARN: $path exists but no anchors parsed — " +
+        "drift-triggered re-runs are disabled; fix the file format")
+    full
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,47 +140,39 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    val aliasOf = aliases(SparkEntry.queries.keys.toSeq)
     // anchor times from the last committed local bench (same harness, same
     // sf): a single-run time that lands ≥1.5× away from its anchor in either
     // direction is suspect noise, not a finding — round 5's verdict chased a
     // j2 "regression" (0.51→1.02 s) on an implementation untouched since r2.
     // Missing/new queries (or a missing file) simply have no anchor.
-    val anchor: Map[String, Double] = scala.util.Try {
-      val txt = scala.io.Source.fromFile("BENCH_local.json").mkString
-      txt.split("\"queries\":\\{", 2)(1).split("\\}", 2)(0)
-        .split(",").toSeq.flatMap { kv =>
-          val p = kv.split(":")
-          scala.util.Try(p(0).replace("\"", "").trim -> p(1).trim.toDouble).toOption
-        }.toMap
-    }.getOrElse(Map.empty)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val first = once()
-      // noise control, two triggers for a median-of-3 re-run:
-      // (a) heavy tail: one cold/contended run mis-bills a multi-second
-      //     query by 2-3x (round 4: dedup_minhash billed 10.9 s in-suite vs
-      //     3.7 s isolated — pure ordering/contention noise);
-      // (b) anchor drift: ANY query ≥1.5× off its committed anchor, so
-      //     sub-2 s phantoms (round 5's j2) get settled in-run instead of
-      //     adjudicated from a single noisy sample. Cheap stable queries
-      //     stay single-run — re-running all ~90 would triple wall clock
-      //     (NOTES_r3 lesson 8).
-      val drifted = anchor.get(name)
-        .exists(a => a > 0 && (first >= a * 1.5 || first <= a / 1.5))
-      val t = if (first > 2.0 || drifted) {
-        val three = Seq(first, once(), once()).sorted
-        three(1)
-      } else first
-      name -> t
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val anchor = readAnchor("BENCH_local.json", aliasOf)
+    val results = timeAll(spark, sfDir, selected, anchor)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sortedResults = results.toSeq.sortBy(_._1)
+    // side files with the lossless full-name record (cwd = repo root under
+    // sbt): BENCH_full.json for humans/tools, BENCH_KEYS.json to decode the
+    // stdout aliases. Best-effort — a read-only cwd must not fail the bench.
+    val fullJson = sortedResults
+      .map { case (k, v) => s"\"$k\":${fmt3(v)}" }.mkString("{", ",", "}")
+    val keysJson = aliasOf.toSeq.sortBy(_._1)
+      .map { case (full, a) => s"\"$a\":\"$full\"" }.mkString("{", ",", "}")
+    scala.util.Try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+        s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_KEYS.json"),
+        (keysJson + "\n").getBytes("UTF-8"))
+    }
+    // stdout line (driver-captured): alias-keyed, 3-decimal, queries last so
+    // any truncation cuts the header, not the timings. Must stay under the
+    // driver's ~2000-char tail window — warn loudly if it ever outgrows it.
+    val qs = sortedResults
+      .map { case (k, v) => s"\"${aliasOf(k)}\":${fmt3(v)}" }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"$sfDir","keys":"BENCH_KEYS.json","queries":$qs}"""
+    if (line.length > 1850)
+      System.err.println(s"WARN: bench line ${line.length} chars — may exceed the driver tail window")
+    println(line)
     spark.stop()
   }
 }

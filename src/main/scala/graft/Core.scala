@@ -154,7 +154,17 @@ object Core {
     if (size >= BigInt(conf.defaultSizeInBytes)) {
       if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
     } else if (size < BigInt(slots) * conf.filesOpenCostInBytes) {
-      df.repartition(slots)
+      // a plan that already carries an adequate explicit repartition (e.g.
+      // an operator composing two fanOut-calling stages, or a caller's own
+      // .repartition) gains nothing from a second exchange — stats after
+      // aggregation/pruning can shrink below the threshold even though the
+      // data is already spread
+      val alreadySpread = df.queryExecution.optimizedPlan.exists {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+          r.numPartitions >= slots
+        case _ => false
+      }
+      if (alreadySpread) df else df.repartition(slots)
     } else df
   }
 

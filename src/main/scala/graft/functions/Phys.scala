@@ -26,6 +26,13 @@ object Phys {
     * [[noisedBZ]] at range ≤ 0, where no floor is defined) masks the gate:
     * a bare `when(zh - noise < thr)` would let the NULL comparison fall to
     * the otherwise branch and pass an un-SNR-checked gate through unmasked.
+    *
+    * Deliberate fidelity divergence from the reference at that degenerate
+    * edge: numpy's compute_noisedBZ yields -inf at range 0 (log10(0)), snr
+    * becomes +inf and the r=0 gate PASSES the reference's SNR check (only
+    * NaN noise masks there). We mask instead — conservative, and mirrored
+    * by the `f3_mask_chain` oracle — so an r≤0 gate never carries an
+    * un-checked reflectivity. Not a bug when a fidelity audit diffs the two.
     */
   def snrMask(zh: Column, noise: Column, snrThreshold: Double): Column =
     when(noise.isNull || zh - noise < snrThreshold, lit(null)).otherwise(zh)

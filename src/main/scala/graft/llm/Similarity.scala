@@ -228,10 +228,18 @@ object Similarity {
     * join + two aggregations, everything keyed on qid; the result is |Q|
     * rows however large the corpus. Queries absent from `approx` (e.g. all
     * their probed cells were empty) surface with n_hit 0, recall 0.0.
+    * Both inputs must carry `qidCol` and `vbCol` (the shape every topK
+    * variant in this file emits); checked loudly up front so a differently
+    * keyed frame fails naming the operator contract, not an internal alias.
     */
-  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val a = approx.select(col("qid"), col("vb"))
-    val e = exact.select(col("qid"), col("vb"))
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                qidCol: String = "qid", vbCol: String = "vb"): DataFrame = {
+    for ((df, side) <- Seq(approx -> "approx", exact -> "exact"); c <- Seq(qidCol, vbCol))
+      require(df.columns.contains(c),
+        s"recallAtK needs ($qidCol, $vbCol) columns on both sides; " +
+          s"$side has [${df.columns.mkString(", ")}]")
+    val a = approx.select(col(qidCol).as("qid"), col(vbCol).as("vb"))
+    val e = exact.select(col(qidCol).as("qid"), col(vbCol).as("vb"))
     val hit = e.join(a, Seq("qid", "vb"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
     e.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))

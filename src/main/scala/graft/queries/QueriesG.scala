@@ -254,8 +254,18 @@ object QueriesG {
       LIMIT 20"""))
 
   /** M3: monotone ('spline') bias correction via isotonic regression over the
-    * sorted quantile pairs — model output, rows-only check (the monotonicity
-    * invariant is spec'd in PhysMlSpec).
+    * sorted quantile pairs — now EXACT-oracle-gated (was rows-only): MLlib
+    * IsotonicRegression is deterministic PAV, no RNG, and on sortedPairs
+    * input the labels arrive already non-decreasing in feature order (both
+    * columns are independently sorted before the positional zip), so the fit
+    * reduces analytically to pooling duplicate features by mean — which a
+    * window + GROUP BY mirrors exactly, no PAV iteration needed. The pooled
+    * means stay monotone (each run's labels dominate every earlier label),
+    * and every transformed point hits a model boundary exactly, so no
+    * interpolation arithmetic is in play. Duplicate-pred runs are small and
+    * integer-labeled → pooled means are exact in double on both engines;
+    * the final mean goes through the decimal power-sum idiom (m9 precedent)
+    * so summation order can't flake the hash.
     */
   val m3Isotonic: QueryDef = QueryDef(
     "m3_isotonic_bias",
@@ -270,10 +280,23 @@ object QueriesG {
       model.transform(assembled)
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-             round(avg(col("prediction")), 4).as("mean_corrected"))
+             round(sum(col("prediction").cast("decimal(30,8)")).cast("double") /
+                   count(lit(1)), 4).as("mean_corrected"))
         .orderBy(col("l_linestatus"))
     },
-    None)
+    Some("""WITH src AS (SELECT l_extendedprice / 1000.0 AS pred, l_quantity AS obs,
+               l_linestatus
+             FROM lineitem WHERE l_returnflag = 'N'),
+      p AS (SELECT pred, ROW_NUMBER() OVER (ORDER BY pred) AS rn FROM src),
+      o AS (SELECT obs, ROW_NUMBER() OVER (ORDER BY obs) AS rn FROM src),
+      fit AS (SELECT pred, AVG(obs) AS fitted
+              FROM p JOIN o USING (rn) GROUP BY pred),
+      pr AS (SELECT s.l_linestatus, f.fitted AS prediction
+             FROM src s JOIN fit f ON s.pred = f.pred)
+      SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(CAST(SUM(CAST(prediction AS DECIMAL(30,8))) AS DOUBLE)
+              / COUNT(*), 4) AS mean_corrected
+      FROM pr GROUP BY l_linestatus ORDER BY l_linestatus"""))
 
   /** Similarity at scale: IVF with an MLlib KMeans coarse quantizer
     * (learned cells instead of labels), nprobe=2 of 8 — rows-only check,

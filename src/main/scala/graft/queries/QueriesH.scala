@@ -75,17 +75,29 @@ object QueriesH {
         .filter(col("rk") <= 3)
         .orderBy(col("doc_id"), col("rk"))
     },
+    // Mirror kept deliberately light for DuckDB: `tf` is MATERIALIZED (it
+    // feeds both dfreq and scored — inlining would unnest every token
+    // twice), and the top-3 comes from a grouped ordered-list agg sliced
+    // to 3 instead of a ROW_NUMBER window (which materializes + sorts the
+    // whole scored relation). Verified identical to the window form and
+    // alive at a 40 MB memory_limit where the window form OOMs — the
+    // container's oracle-side allocator flake killed exactly this query
+    // in round 6's gate.
     Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      tf AS MATERIALIZED (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
       dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
       n AS (SELECT COUNT(DISTINCT doc_id) AS n_corpus FROM documents),
       scored AS (SELECT doc_id, t.tok, t.tf, d.df,
           ROUND(t.tf * (LN((1.0 + n.n_corpus) / (1.0 + d.df)) + 1.0), 6) AS tfidf
         FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
-      rk AS (SELECT *, CAST(ROW_NUMBER() OVER
-          (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rk
-        FROM scored)
-      SELECT doc_id, tok, tf, df, tfidf, rk FROM rk WHERE rk <= 3
+      top3 AS (SELECT doc_id,
+          (list({'tok': tok, 'tf': tf, 'df': df, 'tfidf': tfidf}
+                ORDER BY tfidf DESC, tok))[1:3] AS tops
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, s.tok AS tok, s.tf AS tf, s.df AS df, s.tfidf AS tfidf,
+        CAST(rk AS INT) AS rk
+      FROM (SELECT doc_id, unnest(tops) AS s,
+              unnest(generate_series(1, len(tops))) AS rk FROM top3)
       ORDER BY doc_id, rk"""))
 
   /** BM25 top-20 documents for a fixed query-term bag. The global top-20

@@ -24,7 +24,7 @@ def norm(df):
     return df
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir, threads):
     con = duckdb.connect()
     # bounded memory + disk spill: co-resident JVMs (sbt/Spark just exited)
     # leave the container memory-pressured, and DuckDB's default limit is
@@ -37,14 +37,32 @@ def main(sf_dir, out_dir):
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     # fewer concurrent allocators: the flake happens in the first run after
     # a big JVM exits, and high thread counts race DuckDB's budget accounting
-    con.sql("SET threads=8")
+    con.sql(f"SET threads={threads}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir, threads=8)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            expected = con.sql(sql).df()
+            try:
+                expected = con.sql(sql).df()
+            except duckdb.OutOfMemoryException:
+                # documented container flake: DuckDB's first run after a big
+                # JVM exit can fail one arbitrary allocation despite ample
+                # free RAM. Self-heal with one fresh single-threaded retry so
+                # the artifact records a verified result, not the flake.
+                print(f"WARN {name}: DuckDB OOM — retrying on a fresh "
+                      "connection with threads=1")
+                rcon = connect(sf_dir, threads=1)
+                try:
+                    expected = rcon.sql(sql).df()
+                finally:
+                    rcon.close()
             actual = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             e, a = norm(expected), norm(actual)
