@@ -99,9 +99,13 @@ object Agg {
   def weightedAccumulate(parts: Seq[DataFrame], cellCols: Seq[String],
                          valueCol: String, weightCol: String): DataFrame = {
     val all = parts.reduce(_ unionByName _)
+    // decimal accumulators: merge order across sweeps/partitions must not
+    // leak into the estimate (same contract as the other exact aggs; also
+    // what lets a9_weighted_accumulate carry a hash-exact DuckDB oracle)
     all.groupBy(cellCols.map(col): _*)
-      .agg(sum(col(valueCol) * col(weightCol)).as("sum_vw"),
-           sum(col(weightCol)).as("sum_w"))
+      .agg(sum((col(valueCol) * col(weightCol)).cast("decimal(32,14)"))
+             .cast("double").as("sum_vw"),
+           sum(col(weightCol).cast("decimal(32,14)")).cast("double").as("sum_w"))
       .withColumn("estimate", col("sum_vw") / col("sum_w"))
   }
 

@@ -181,6 +181,45 @@ object Grid {
     pass(pass(grid, horizontal = true), horizontal = false)
   }
 
+  /** W5 distributed variant: separable NaN-aware Gaussian smoothing over a
+    * SPARSE cell relation — the scale path for [[gaussianSmooth]] when the
+    * grid does not fit one node. Per axis pass: every present cell scatters
+    * w(d)·v to the (2·radius+1) positions along the axis (one explode, one
+    * groupBy — the boxStats shuffle shape), the per-position weighted sums
+    * renormalize by the weights that actually arrived (absent/NaN
+    * neighbours contribute nothing — exactly the dense kernel's NaN-aware
+    * renormalization), and a semi join back to the input keeps values only
+    * at originally-present positions (NaN cells stay NaN, boundary clip is
+    * implicit). Cost per pass: (2·radius+1)·|cells| rows through one
+    * shuffle; no dense materialization at any size.
+    *
+    * Determinism contract (the oracle's hash gate): tap weights are Scala
+    * double literals embedded identically in the SQL mirror, products and
+    * weight sums accumulate in DECIMAL (order-independent), and the
+    * per-pass renormalization divides the two exact sums as doubles.
+    */
+  def gaussianSmoothCells(cells: DataFrame, sigma: Double = 0.5,
+                          xCol: String = "chx", yCol: String = "chy",
+                          vCol: String = "v"): DataFrame = {
+    val radius = math.max(1, math.ceil(3 * sigma).toInt)
+    val taps = (-radius to radius).map(d =>
+      d -> math.exp(-0.5 * math.pow(d / sigma, 2)))
+    val tapCol = explode(array(taps.map { case (d, w) =>
+      struct(lit(d).as("d"), lit(w).as("w")) }: _*)).as("t")
+    val positions = cells.select(col(xCol), col(yCol))
+    def pass(df: DataFrame, onX: Boolean): DataFrame =
+      df.select(col(xCol), col(yCol), col(vCol), tapCol)
+        .select(
+          (if (onX) col(xCol) + col("t.d") else col(xCol)).as(xCol),
+          (if (onX) col(yCol) else col(yCol) + col("t.d")).as(yCol),
+          (col(vCol) * col("t.w")).cast("decimal(32,14)").as("wv"),
+          col("t.w").cast("decimal(22,16)").as("w"))
+        .groupBy(col(xCol), col(yCol))
+        .agg((sum(col("wv")).cast("double") / sum(col("w")).cast("double")).as(vCol))
+        .join(positions, Seq(xCol, yCol), "left_semi")
+    pass(pass(cells, onX = true), onX = false)
+  }
+
   /** R7: block-matching optical flow between two consecutive grids — for
     * each block of `prev`, the (dx, dy) within ±search minimizing the sum of
     * squared differences against `curr` (the role pysteps Lucas-Kanade plays

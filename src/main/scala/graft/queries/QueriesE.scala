@@ -170,9 +170,81 @@ object QueriesE {
         COUNT(v) AS box_n
       FROM scattered GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** W5: distributed separable NaN-aware Gaussian smoothing over the same
+    * sparse cell grid as w4 — Grid.gaussianSmoothCells (scatter + semi-join
+    * per axis), previously spec-only. The tap weights are Scala double
+    * literals embedded verbatim in the mirror, and every accumulation is
+    * decimal, so the hash gate sees bit-identical values.
+    */
+  val w5Gauss: QueryDef = {
+    val sigma = 0.5
+    val radius = math.max(1, math.ceil(3 * sigma).toInt)
+    val taps = (-radius to radius).map(d =>
+      d -> math.exp(-0.5 * math.pow(d / sigma, 2)))
+    val tapValues = taps.map { case (d, w) => s"($d, $w)" }.mkString(", ")
+    def passSql(src: String, onX: Boolean): String = {
+      val (tx, ty) = if (onX) ("s.chx + t.d", "s.chy") else ("s.chx", "s.chy + t.d")
+      s"""SELECT $tx AS chx, $ty AS chy,
+             CAST(SUM(CAST(s.v * t.w AS DECIMAL(32,14))) AS DOUBLE)
+             / CAST(SUM(CAST(t.w AS DECIMAL(22,16))) AS DOUBLE) AS v
+           FROM $src s CROSS JOIN taps t GROUP BY 1, 2"""
+    }
+    QueryDef(
+      "w5_gauss_smooth",
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .groupBy(($"user_id" % 16).cast("int").as("chx"),
+                   ($"event_id" % 7).cast("int").as("chy"))
+          .agg(dsum6($"value").as("v"))
+        graft.qpe.Grid.gaussianSmoothCells(cells, sigma)
+          .select($"chx", $"chy", r6($"v").as("smoothed"))
+          .orderBy($"chx", $"chy")
+      },
+      Some(s"""WITH cells AS (
+          SELECT CAST(user_id % 16 AS INT) AS chx, CAST(event_id % 7 AS INT) AS chy,
+                 ${dsum6Sql("value")} AS v
+          FROM events GROUP BY 1, 2),
+        taps(d, w) AS (VALUES $tapValues),
+        p1 AS (${passSql("cells", onX = true)}),
+        p1k AS (SELECT p1.chx, p1.chy, p1.v FROM p1 SEMI JOIN cells USING (chx, chy)),
+        p2 AS (${passSql("p1k", onX = false)}),
+        p2k AS (SELECT p2.chx, p2.chy, p2.v FROM p2 SEMI JOIN cells USING (chx, chy))
+        SELECT chx, chy, ROUND(v, 6) AS smoothed FROM p2k ORDER BY chx, chy"""))
+  }
+
+  /** A9: weighted accumulation across sweeps — Agg.weightedAccumulate over
+    * three event-id-split parts (exercising the union path; the union of
+    * the parts is exactly the events table, which is what the mirror
+    * reads), previously spec-only. Weights are a deterministic per-row
+    * harmonic bucket; sums are decimal-exact end to end.
+    */
+  val a9Weighted: QueryDef = QueryDef(
+    "a9_weighted_accumulate",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        ($"user_id" % 16).cast("int").as("cx"),
+        ($"value" / 1000.0).as("v"),
+        (lit(1.0) / (lit(1L) + $"event_id" % 5)).as("w"),
+        ($"event_id" % 3).as("sweep"))
+      val parts = (0 until 3).map(i => ev.filter($"sweep" === i).drop("sweep"))
+      graft.operators.Agg.weightedAccumulate(parts, Seq("cx"), "v", "w")
+        .select($"cx", $"sum_vw", $"sum_w", r6($"estimate").as("estimate"))
+        .orderBy($"cx")
+    },
+    Some("""WITH src AS (
+        SELECT CAST(user_id % 16 AS INT) AS cx, value / 1000.0 AS v,
+               CAST(1.0 AS DOUBLE) / (1 + event_id % 5) AS w
+        FROM events)
+      SELECT cx,
+        CAST(SUM(CAST(v * w AS DECIMAL(32,14))) AS DOUBLE) AS sum_vw,
+        CAST(SUM(CAST(w AS DECIMAL(32,14))) AS DOUBLE) AS sum_w,
+        ROUND(CAST(SUM(CAST(v * w AS DECIMAL(32,14))) AS DOUBLE)
+              / CAST(SUM(CAST(w AS DECIMAL(32,14))) AS DOUBLE), 6) AS estimate
+      FROM src GROUP BY cx ORDER BY cx"""))
+
   val all: Seq[QueryDef] = Seq(
     j4HourlyJoin, a11First, o6Intersect, f9Derived, s8DnDecode, w2Count,
-    w4BoxStats)
+    w4BoxStats, w5Gauss, a9Weighted)
 
   import org.apache.spark.sql.ColumnName
   private implicit class Dollar(val sc: StringContext) {

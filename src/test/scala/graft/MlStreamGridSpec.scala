@@ -286,4 +286,28 @@ class MlStreamGridSpec extends SparkSpec {
     // round-trip to DataFrame
     assert(Grid.gridToDF(spark, grid).count() == 2)
   }
+
+  test("gaussianSmoothCells: distributed separable smoothing matches the dense driver kernel") {
+    import spark.implicits._
+    // random sparse grid with NaN holes — the dense kernel sees NaN where
+    // the sparse relation has no row, so agreement proves the scatter +
+    // semi-join formulation IS the NaN-aware renormalized kernel
+    val rnd = new scala.util.Random(7)
+    val nx = 12; val ny = 9
+    val dense = Array.tabulate(nx, ny)((_, _) =>
+      if (rnd.nextDouble() < 0.3) Double.NaN else rnd.nextDouble() * 50.0)
+    val sparse = (for (x <- 0 until nx; y <- 0 until ny if !dense(x)(y).isNaN)
+      yield (x, y, dense(x)(y))).toDF("chx", "chy", "v")
+    val expected = Grid.gaussianSmooth(dense, 0.5)
+    val got = Grid.gaussianSmoothCells(sparse, 0.5).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val present = (0 until nx).flatMap(x => (0 until ny).collect {
+      case y if !dense(x)(y).isNaN => (x, y)
+    })
+    assert(got.keySet == present.toSet, "sparse result must cover exactly the present cells")
+    present.foreach { case (x, y) =>
+      assert(math.abs(got((x, y)) - expected(x)(y)) < 1e-9,
+        s"cell ($x,$y): sparse ${got((x, y))} vs dense ${expected(x)(y)}")
+    }
+  }
 }
