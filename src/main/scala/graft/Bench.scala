@@ -95,23 +95,21 @@ object Bench {
     if (full.isEmpty)
       System.err.println(s"WARN: $path exists but no anchors parsed — " +
         "drift-triggered re-runs are disabled; fix the file format")
+    // a key that is neither a declared query nor a current alias is a STALE
+    // alias (adding queries can widen a colliding group's abbreviation) —
+    // drift re-runs are silently off for those queries unless this is loud
+    val unresolved = full.keys.filterNot(aliasOf.contains).toSeq.sorted
+    if (unresolved.nonEmpty)
+      System.err.println(s"WARN: $path has ${unresolved.size} anchor keys matching no " +
+        s"declared query or alias (stale aliases? ${unresolved.take(5).mkString(", ")}…) — " +
+        "re-anchor from BENCH_full.json")
     full
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (100L * 1024 * 1024).toString)
-      .config("spark.sql.caseSensitive", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Core.harnessSession(cpus)
     // warmup: JVM/codegen/scheduler startup must not bill the first query —
     // touch each cold path the query classes share (scan+agg, partitioned
     // window sort, broadcast join, explode+md5) on small slices. Best-effort:
@@ -152,12 +150,14 @@ object Bench {
     val sortedResults = results.toSeq.sortBy(_._1)
     // side files with the lossless full-name record (cwd = repo root under
     // sbt): BENCH_full.json for humans/tools, BENCH_KEYS.json to decode the
-    // stdout aliases. Best-effort — a read-only cwd must not fail the bench.
-    val fullJson = sortedResults
-      .map { case (k, v) => s"\"$k\":${fmt3(v)}" }.mkString("{", ",", "}")
-    val keysJson = aliasOf.toSeq.sortBy(_._1)
-      .map { case (full, a) => s"\"$a\":\"$full\"" }.mkString("{", ",", "}")
-    scala.util.Try {
+    // stdout aliases. FULL runs only — a SPARK_GRAFT_ONLY dev run must not
+    // clobber the full-run record the re-anchor workflow copies from.
+    // Best-effort — a read-only cwd must not fail the bench.
+    if (only.isEmpty) scala.util.Try {
+      val fullJson = sortedResults
+        .map { case (k, v) => s"\"$k\":${fmt3(v)}" }.mkString("{", ",", "}")
+      val keysJson = aliasOf.toSeq.sortBy(_._1)
+        .map { case (full, a) => s"\"$a\":\"$full\"" }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
         s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_KEYS.json"),

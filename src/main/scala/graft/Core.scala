@@ -21,18 +21,32 @@ object Core {
     * shuffle partitions sized for local[32]; on a real cluster these are
     * overridden by spark-submit).
     */
-  def session(appName: String = "graft", master: String = "local[*]"): SparkSession =
-    SparkSession.builder()
-      .master(master)
-      .appName(appName)
-      .config("spark.sql.autoBroadcastJoinThreshold", (100L * 1024 * 1024).toString)
+  private def withGraftConfs(b: SparkSession.Builder,
+                             shufflePartitions: String): SparkSession.Builder =
+    b.config("spark.sql.autoBroadcastJoinThreshold", (100L * 1024 * 1024).toString)
       .config("spark.sql.caseSensitive", "true")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+
+  def session(appName: String = "graft", master: String = "local[*]"): SparkSession =
+    withGraftConfs(SparkSession.builder().master(master).appName(appName), "32")
       .getOrCreate()
+
+  /** The session every runtime main (Verify/Bench/Scaling) builds — ONE
+    * definition so harness config can't drift between the graded surfaces
+    * (a flag added to one but not another would time/verify under a
+    * different planner than the driver runs).
+    */
+  def harnessSession(cpus: String): SparkSession = {
+    val s = withGraftConfs(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-harness"),
+      cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
   /** S1 `read_df`: multi-file scan with parquet-vs-csv dispatch on suffix
     * (reference: common/utils.py:536-583). CSV schema is inferred like the
@@ -154,17 +168,26 @@ object Core {
     if (size >= BigInt(conf.defaultSizeInBytes)) {
       if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
     } else if (size < BigInt(slots) * conf.filesOpenCostInBytes) {
-      // a plan that already carries an adequate explicit repartition (e.g.
-      // an operator composing two fanOut-calling stages, or a caller's own
-      // .repartition) gains nothing from a second exchange — stats after
-      // aggregation/pruning can shrink below the threshold even though the
-      // data is already spread
-      val alreadySpread = df.queryExecution.optimizedPlan.exists {
-        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
-          r.numPartitions >= slots
+      // a plan that already carries an adequate explicit repartition AT THE
+      // TOP (through partition-preserving Project/Filter only) gains
+      // nothing from a second exchange — stats after pruning can shrink
+      // below the threshold even though the data is already spread (e.g.
+      // two composed fanOut-calling stages). The walk deliberately stops at
+      // any other node: a Repartition BELOW an Aggregate/Join says nothing
+      // about the output partitioning (AQE coalesces the later exchange's
+      // tiny output to ~1 partition — exactly the case that still needs the
+      // respread), and coalesce (shuffle=false) never increased parallelism.
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project, Repartition, RepartitionByExpression}
+      @annotation.tailrec
+      def spreadAtTop(p: LogicalPlan): Boolean = p match {
+        case Repartition(n, shuffle, _) => shuffle && n >= slots
+        case r: RepartitionByExpression =>
+          r.optNumPartitions.getOrElse(conf.numShufflePartitions) >= slots
+        case pr: Project => spreadAtTop(pr.child)
+        case f: LFilter => spreadAtTop(f.child)
         case _ => false
       }
-      if (alreadySpread) df else df.repartition(slots)
+      if (spreadAtTop(df.queryExecution.optimizedPlan)) df else df.repartition(slots)
     } else df
   }
 

@@ -21,17 +21,7 @@ object Scaling {
     val hiSf = sys.env.getOrElse("SPARK_GRAFT_SCALING_HI", "/root/testdata/sf0.1")
     val bound = sys.env.getOrElse("SPARK_GRAFT_SCALING_BOUND", "15.0").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (100L * 1024 * 1024).toString)
-      .config("spark.sql.caseSensitive", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Core.harnessSession(cpus)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))

@@ -206,7 +206,14 @@ object Grid {
       d -> math.exp(-0.5 * math.pow(d / sigma, 2)))
     val tapCol = explode(array(taps.map { case (d, w) =>
       struct(lit(d).as("d"), lit(w).as("w")) }: _*)).as("t")
-    val positions = cells.select(col(xCol), col(yCol))
+    // a NULL/NaN-valued ROW means "absent" exactly like a missing row: it
+    // must contribute to neither sum AND stay NaN (= not appear) in the
+    // output. Without this filter a NaN row's tap weight would inflate its
+    // neighbours' denominators (the numerator product casts to NULL and is
+    // skipped, the weight is not) and the NaN position itself would come
+    // back finite through the semi join.
+    val present = cells.filter(col(vCol).isNotNull && !isnan(col(vCol)))
+    val positions = present.select(col(xCol), col(yCol))
     def pass(df: DataFrame, onX: Boolean): DataFrame =
       df.select(col(xCol), col(yCol), col(vCol), tapCol)
         .select(
@@ -217,7 +224,7 @@ object Grid {
         .groupBy(col(xCol), col(yCol))
         .agg((sum(col("wv")).cast("double") / sum(col("w")).cast("double")).as(vCol))
         .join(positions, Seq(xCol, yCol), "left_semi")
-    pass(pass(cells, onX = true), onX = false)
+    pass(pass(present, onX = true), onX = false)
   }
 
   /** R7: block-matching optical flow between two consecutive grids — for

@@ -296,7 +296,12 @@ class MlStreamGridSpec extends SparkSpec {
     val nx = 12; val ny = 9
     val dense = Array.tabulate(nx, ny)((_, _) =>
       if (rnd.nextDouble() < 0.3) Double.NaN else rnd.nextDouble() * 50.0)
-    val sparse = (for (x <- 0 until nx; y <- 0 until ny if !dense(x)(y).isNaN)
+    // half the NaN holes travel as EXPLICIT NaN rows: they must behave
+    // exactly like missing rows (no weight in any denominator, absent from
+    // the output) — the failure mode where a NaN row's tap weight inflates
+    // its neighbours' renormalization is only visible with them present
+    val sparse = (for (x <- 0 until nx; y <- 0 until ny
+                       if !dense(x)(y).isNaN || (x + y) % 2 == 0)
       yield (x, y, dense(x)(y))).toDF("chx", "chy", "v")
     val expected = Grid.gaussianSmooth(dense, 0.5)
     val got = Grid.gaussianSmoothCells(sparse, 0.5).collect()
