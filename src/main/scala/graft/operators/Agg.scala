@@ -40,9 +40,13 @@ object Agg {
     */
   def weightedMean(df: DataFrame, groupCols: Seq[String], weight: Column,
                    features: Seq[String]): DataFrame = {
+    // decimal accumulators: partition merge order must not move the mean
+    // (same exactness contract as accumulate/weightedAccumulate — it is
+    // what lets m11_prepare_input mirror this operator hash-exactly)
     val aggs = features.map { f =>
       val w = when(col(f).isNotNull, weight)
-      (sum(col(f) * w) / sum(w)).as(f)
+      (sum((col(f) * w).cast("decimal(32,14)")).cast("double") /
+       sum(w.cast("decimal(32,14)")).cast("double")).as(f)
     }
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -57,7 +61,7 @@ object Agg {
                           catCol: String, values: Seq[String]): DataFrame = {
     val pivoted = df.groupBy(groupCols.map(col): _*)
       .pivot(catCol, values)
-      .agg(sum(weight))
+      .agg(sum(weight.cast("decimal(32,14)")).cast("double"))
     val total = values.map(v => coalesce(col(v), lit(0.0))).reduce(_ + _)
     val withProps = values.foldLeft(pivoted)((d, v) =>
       d.withColumn(s"${catCol}_prop_$v", coalesce(col(v), lit(0.0)) / total))

@@ -29,7 +29,8 @@ object Grid {
     */
   def accumulate(contribs: DataFrame): DataFrame =
     contribs.groupBy(col("chx"), col("chy"))
-      .agg(sum(col("v") * col("w")).as("sum_vw"), sum(col("w")).as("sum_w"))
+      .agg(sum((col("v") * col("w")).cast("decimal(32,14)")).cast("double").as("sum_vw"),
+           sum(col("w").cast("decimal(32,14)")).cast("double").as("sum_w"))
       .withColumn("value", col("sum_vw") / col("sum_w"))
       .select("chx", "chy", "value")
 

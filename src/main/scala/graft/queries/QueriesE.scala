@@ -242,9 +242,156 @@ object QueriesE {
               / CAST(SUM(CAST(w AS DECIMAL(32,14))) AS DOUBLE), 6) AS estimate
       FROM src GROUP BY cx ORDER BY cx"""))
 
+  /** J5/J6/J9: the polar→Cartesian LUT broadcast join + grid gather,
+    * previously spec-only. The LUT here is integer-derived (the trig
+    * geometry is separately oracle-gated via f15_*; what J5/J6/J9 add is
+    * the JOIN mechanics: broadcast the coefficient-sized LUT, inner-join
+    * membership — gates outside the partial LUT drop, the J9 COSMO
+    * membership shape — then one keyed accumulation into cells). Mirror
+    * builds the identical LUT from generate_series; all sums decimal.
+    */
+  val j5LutGather: QueryDef = QueryDef(
+    "j5_lut_gather",
+    (s, dir) => {
+      // LUT: id → (sweep, az_idx, rng_idx) with rng_idx < 80 only (partial
+      // coverage: membership filter), cell + weight from integer arithmetic
+      val lut = s.range(3L * 360 * 100).selectExpr(
+        "CAST(id % 3 AS INT) AS sweep",
+        "CAST((id DIV 3) % 360 AS INT) AS az_idx",
+        "CAST(id DIV 1080 AS INT) AS rng_idx")
+        .filter($"rng_idx" < 80)
+        .selectExpr("sweep", "az_idx", "rng_idx",
+          "(az_idx * 7 + rng_idx * 3 + sweep * 11) % 64 AS chx",
+          "(az_idx * 5 + rng_idx * 13 + sweep * 3) % 48 AS chy",
+          "CAST(1.0 AS DOUBLE) / (1 + sweep) AS w")
+      val polar = t(s, dir, "events").selectExpr(
+        "CAST(event_id % 3 AS INT) AS sweep",
+        "CAST(user_id % 360 AS INT) AS az_idx",
+        "CAST((event_id DIV 3) % 100 AS INT) AS rng_idx",
+        "value / 100.0 AS v")
+      graft.qpe.Grid.accumulate(
+          graft.qpe.Grid.lutJoin(polar, lut).select($"chx", $"chy", $"v", $"w"))
+        .select($"chx", $"chy", r6($"value").as("value"))
+        .orderBy($"chx", $"chy")
+    },
+    Some("""WITH lut AS (
+        SELECT sweep, az_idx, rng_idx,
+               (az_idx * 7 + rng_idx * 3 + sweep * 11) % 64 AS chx,
+               (az_idx * 5 + rng_idx * 13 + sweep * 3) % 48 AS chy,
+               CAST(1.0 AS DOUBLE) / (1 + sweep) AS w
+        FROM (SELECT CAST(g.generate_series % 3 AS INT) AS sweep,
+                     CAST((g.generate_series // 3) % 360 AS INT) AS az_idx,
+                     CAST(g.generate_series // 1080 AS INT) AS rng_idx
+              FROM generate_series(0, 107999) g)
+        WHERE rng_idx < 80),
+      polar AS (
+        SELECT CAST(event_id % 3 AS INT) AS sweep,
+               CAST(user_id % 360 AS INT) AS az_idx,
+               CAST((event_id // 3) % 100 AS INT) AS rng_idx,
+               value / 100.0 AS v
+        FROM events)
+      SELECT chx, chy,
+        ROUND(CAST(SUM(CAST(v * w AS DECIMAL(32,14))) AS DOUBLE)
+              / CAST(SUM(CAST(w AS DECIMAL(32,14))) AS DOUBLE), 6) AS value
+      FROM polar JOIN lut USING (sweep, az_idx, rng_idx)
+      GROUP BY chx, chy ORDER BY chx, chy"""))
+
+  /** M11: the reference's prepare_input feature pipeline composed END TO END
+    * from library operators — dedupKeepFirst → naReplace → threeWaySemi →
+    * fullPeriodFilter → dB→linear → weightedMean + weightedProportions —
+    * previously proven only on fixtures (PrepareInputSpec). Every stage is
+    * individually oracle-gated elsewhere; this gates the COMPOSITION (the
+    * part the reference does in pandas and we keep as one Spark plan).
+    * Deterministic sentinel injection (event_id % 11) exercises the
+    * null-feature discipline: a null zh contributes neither value nor
+    * weight to the vertical aggregation.
+    */
+  val m11Prepare: QueryDef = QueryDef(
+    "m11_prepare_input",
+    (s, dir) => {
+      import graft.operators.{Agg, Relational}
+      val radar = t(s, dir, "events").selectExpr(
+        "event_id",
+        "CAST(user_id % 50 AS INT) AS station",
+        "ts",
+        "CAST(event_id % 2 AS INT) AS sweep",
+        "CASE WHEN event_id % 11 = 0 THEN -9999.0 ELSE value / 10.0 END AS zh",
+        "500.0 * (1 + event_id % 2) AS height",
+        "CAST(40 + user_id % 60 AS DOUBLE) AS visib")
+        .withColumn("hts", Phys.floorToCadence(epochS($"ts"), 3600L))
+      val dedup = Relational.dedupKeepFirst(radar,
+        Seq("station", "hts", "sweep"), "event_id")
+      val clean = Relational.naReplace(dedup, -9999.0, Seq("zh"))
+      val keys = Seq("station", "hts")
+      val gauge = radar.filter($"event_id" % 3 === 0).select(keys.map(col): _*)
+      val ref = radar.filter($"event_id" % 4 === 0).select(keys.map(col): _*)
+      val joined = Relational.threeWaySemi(clean, gauge, ref, keys)
+      val full = Relational.fullPeriodFilter(joined, "station", "ts", 2L)
+      val feat = full
+        .withColumn("zh_lin", Phys.dbToLin($"zh"))
+        .withColumn("w", $"visib" / 100.0 * pow(lit(10.0), -$"height" / 2000.0))
+        .withColumn("sweepc", $"sweep".cast("string"))
+      Agg.weightedMean(feat, keys, $"w", Seq("zh_lin"))
+        .join(Agg.weightedProportions(feat, keys, $"w", "sweepc", Seq("0", "1"))
+                .withColumnRenamed("sweepc_prop_0", "prop_lo")
+                .withColumnRenamed("sweepc_prop_1", "prop_hi"),
+              keys)
+        .select($"station", $"hts", r6($"zh_lin").as("zh_lin"),
+                r6($"prop_lo").as("prop_lo"), r6($"prop_hi").as("prop_hi"))
+        .orderBy($"station", $"hts")
+    },
+    Some(s"""WITH radar AS (
+        SELECT event_id, CAST(user_id % 50 AS INT) AS station,
+               (${epochSql("ts")} - ${epochSql("ts")} % 3600) AS hts,
+               ${epochSql("ts")} AS ets,
+               CAST(event_id % 2 AS INT) AS sweep,
+               CASE WHEN event_id % 11 = 0 THEN -9999.0 ELSE value / 10.0 END AS zh,
+               500.0 * (1 + event_id % 2) AS height,
+               CAST(40 + user_id % 60 AS DOUBLE) AS visib
+        FROM events),
+      dedup AS (
+        SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY station, hts, sweep ORDER BY event_id) AS rn FROM radar)
+        WHERE rn = 1),
+      clean AS (SELECT station, hts, ets, sweep,
+               CASE WHEN zh = -9999.0 THEN NULL ELSE zh END AS zh, height, visib
+        FROM dedup),
+      gauge AS (SELECT DISTINCT station, hts FROM radar WHERE event_id % 3 = 0),
+      ref AS (SELECT DISTINCT station, hts FROM radar WHERE event_id % 4 = 0),
+      joined AS (
+        SELECT c.* FROM clean c
+        SEMI JOIN gauge g USING (station, hts)
+        SEMI JOIN ref r USING (station, hts)),
+      fullh AS (
+        SELECT * FROM (SELECT *, COUNT(*) OVER
+            (PARTITION BY station, ets - ets % 3600) AS pc FROM joined)
+        WHERE pc = 2),
+      feat AS (
+        SELECT station, hts, sweep, POW(10.0, zh * 0.1) AS zh_lin,
+               visib / 100.0 * POW(10.0, -height / 2000.0) AS w
+        FROM fullh)
+      SELECT station, hts,
+        ROUND(CAST(SUM(CAST(CASE WHEN zh_lin IS NOT NULL THEN zh_lin * w END
+                  AS DECIMAL(32,14))) AS DOUBLE)
+              / CAST(SUM(CAST(CASE WHEN zh_lin IS NOT NULL THEN w END
+                  AS DECIMAL(32,14))) AS DOUBLE), 6) AS zh_lin,
+        ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 0 THEN w END
+                  AS DECIMAL(32,14))) AS DOUBLE), 0.0)
+              / (COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 0 THEN w END
+                  AS DECIMAL(32,14))) AS DOUBLE), 0.0)
+                 + COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 1 THEN w END
+                  AS DECIMAL(32,14))) AS DOUBLE), 0.0)), 6) AS prop_lo,
+        ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 1 THEN w END
+                  AS DECIMAL(32,14))) AS DOUBLE), 0.0)
+              / (COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 0 THEN w END
+                  AS DECIMAL(32,14))) AS DOUBLE), 0.0)
+                 + COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 1 THEN w END
+                  AS DECIMAL(32,14))) AS DOUBLE), 0.0)), 6) AS prop_hi
+      FROM feat GROUP BY station, hts ORDER BY station, hts"""))
+
   val all: Seq[QueryDef] = Seq(
     j4HourlyJoin, a11First, o6Intersect, f9Derived, s8DnDecode, w2Count,
-    w4BoxStats, w5Gauss, a9Weighted)
+    w4BoxStats, w5Gauss, a9Weighted, j5LutGather, m11Prepare)
 
   import org.apache.spark.sql.ColumnName
   private implicit class Dollar(val sc: StringContext) {
