@@ -212,19 +212,25 @@ object Grid {
     // output. Without this filter a NaN row's tap weight would inflate its
     // neighbours' denominators (the numerator product casts to NULL and is
     // skipped, the weight is not) and the NaN position itself would come
-    // back finite through the semi join.
+    // back finite.
     val present = cells.filter(col(vCol).isNotNull && !isnan(col(vCol)))
-    val positions = present.select(col(xCol), col(yCol))
+    // presence is decided INSIDE the same aggregation (a position is present
+    // iff it received its own d=0 contribution) instead of a semi join back
+    // to the input: the join formulation re-executed the whole upstream
+    // lineage once per pass for the positions branch — three scans of the
+    // cell source where this needs one, and two broadcast joins for free.
     def pass(df: DataFrame, onX: Boolean): DataFrame =
       df.select(col(xCol), col(yCol), col(vCol), tapCol)
         .select(
           (if (onX) col(xCol) + col("t.d") else col(xCol)).as(xCol),
           (if (onX) col(yCol) else col(yCol) + col("t.d")).as(yCol),
           (col(vCol) * col("t.w")).cast("decimal(32,14)").as("wv"),
-          col("t.w").cast("decimal(22,16)").as("w"))
+          col("t.w").cast("decimal(22,16)").as("w"),
+          (col("t.d") === 0).cast("int").as("orig"))
         .groupBy(col(xCol), col(yCol))
-        .agg((sum(col("wv")).cast("double") / sum(col("w")).cast("double")).as(vCol))
-        .join(positions, Seq(xCol, yCol), "left_semi")
+        .agg((sum(col("wv")).cast("double") / sum(col("w")).cast("double")).as(vCol),
+             max(col("orig")).as("__orig"))
+        .filter(col("__orig") === 1).drop("__orig")
     pass(pass(present, onX = true), onX = false)
   }
 

@@ -184,10 +184,13 @@ object QueriesE {
     val tapValues = taps.map { case (d, w) => s"($d, $w)" }.mkString(", ")
     def passSql(src: String, onX: Boolean): String = {
       val (tx, ty) = if (onX) ("s.chx + t.d", "s.chy") else ("s.chx", "s.chy + t.d")
-      s"""SELECT $tx AS chx, $ty AS chy,
+      s"""SELECT chx, chy, v FROM (
+           SELECT $tx AS chx, $ty AS chy,
              CAST(SUM(CAST(s.v * t.w AS DECIMAL(32,14))) AS DOUBLE)
-             / CAST(SUM(CAST(t.w AS DECIMAL(22,16))) AS DOUBLE) AS v
-           FROM $src s CROSS JOIN taps t GROUP BY 1, 2"""
+             / CAST(SUM(CAST(t.w AS DECIMAL(22,16))) AS DOUBLE) AS v,
+             MAX(CASE WHEN t.d = 0 THEN 1 ELSE 0 END) AS orig
+           FROM $src s CROSS JOIN taps t GROUP BY 1, 2)
+           WHERE orig = 1"""
     }
     QueryDef(
       "w5_gauss_smooth",
@@ -206,10 +209,8 @@ object QueriesE {
           FROM events GROUP BY 1, 2),
         taps(d, w) AS (VALUES $tapValues),
         p1 AS (${passSql("cells", onX = true)}),
-        p1k AS (SELECT p1.chx, p1.chy, p1.v FROM p1 SEMI JOIN cells USING (chx, chy)),
-        p2 AS (${passSql("p1k", onX = false)}),
-        p2k AS (SELECT p2.chx, p2.chy, p2.v FROM p2 SEMI JOIN cells USING (chx, chy))
-        SELECT chx, chy, ROUND(v, 6) AS smoothed FROM p2k ORDER BY chx, chy"""))
+        p2 AS (${passSql("p1", onX = false)})
+        SELECT chx, chy, ROUND(v, 6) AS smoothed FROM p2 ORDER BY chx, chy"""))
   }
 
   /** A9: weighted accumulation across sweeps — Agg.weightedAccumulate over
