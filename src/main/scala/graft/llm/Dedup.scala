@@ -380,6 +380,29 @@ object Dedup {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-prune, Abbas et al. 2023,
+    * arXiv:2303.09540): within each coarse-quantizer cell, drop every
+    * vector that has a ≥ minCos neighbour with a smaller id — one
+    * representative per within-cell near-dup set, this file's keep-smallest
+    * convention. The caller supplies the cell assignment (fixed seeds via
+    * [[Similarity.assignCells]] for a mirrorable pipeline, or KMeans for
+    * production), so the pair join is per-cell O(|cell|²): size nlist so
+    * cells stay ~10³ vectors at the target corpus. Cross-cell near-dups are
+    * deliberately never compared — the published method's recall tradeoff,
+    * not a bug. Returns the surviving (id, cell) rows.
+    */
+  def semanticDedup(cells: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String, dim: Int, minCos: Double): DataFrame = {
+    val a = cells.select(col(cellCol), col(idCol).as("va"), col(vecCol).as("ea"))
+    val b = cells.select(col(cellCol), col(idCol).as("vb"), col(vecCol).as("eb"))
+    val dropped = a.join(b, Seq(cellCol)).filter(col("va") < col("vb"))
+      .withColumn("cos", round(Similarity.cosine("ea", "eb", dim), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("vb").as(idCol)).distinct()
+    cells.select(col(idCol), col(cellCol))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup: same-label blocking (the coarse partitioner)
     * then an in-block pair join with an exact cosine. The explicit per-index
     * expansion keeps the whole computation inside whole-stage codegen.

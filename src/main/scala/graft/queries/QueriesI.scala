@@ -53,12 +53,12 @@ object QueriesI {
     * probes → scored ranking); ONE definition so the search mirror and the
     * recall evaluator cannot drift apart.
     */
-  private lazy val ivfFixedCtes: String = {
-      val centCols = centMeanSql("e.embedding", 64)
-      val qcDot = centDotSql("qv", 64)
-      val cNorm = centNormSql(64)
-      val qNorm = normArrSql("qv", 64)
-      s"""seeds AS (SELECT vec_id AS cell, embedding AS cv
+  /** The fixed-seed quantizer assignment (seeds → nearest-centroid asn) that
+    * every deterministic-quantizer mirror shares: the IVF-fixed search, the
+    * recall evaluator, and the SemDeDup pruning.
+    */
+  private lazy val fixedAsnCtes: String =
+    s"""seeds AS (SELECT vec_id AS cell, embedding AS cv
             FROM embeddings WHERE vec_id < 8),
         asn AS (SELECT vec_id, cell AS ivf_cell FROM (
             SELECT e.vec_id, s.cell,
@@ -68,7 +68,14 @@ object QueriesI {
                 s.cell) AS rn
             FROM embeddings e CROSS JOIN seeds s
             WHERE SQRT(${normArrSql("e.embedding", 64)}) * SQRT(${normArrSql("s.cv", 64)}) > 0)
-          WHERE rn = 1),
+          WHERE rn = 1)"""
+
+  private lazy val ivfFixedCtes: String = {
+      val centCols = centMeanSql("e.embedding", 64)
+      val qcDot = centDotSql("qv", 64)
+      val cNorm = centNormSql(64)
+      val qNorm = normArrSql("qv", 64)
+      s"""$fixedAsnCtes,
         cent AS (SELECT a.ivf_cell, $centCols
           FROM embeddings e JOIN asn a ON a.vec_id = e.vec_id
           GROUP BY a.ivf_cell),
@@ -91,6 +98,41 @@ object QueriesI {
             JOIN embeddings e ON e.vec_id = a.vec_id
             WHERE e.vec_id <> p.qid))"""
   }
+
+  /** SemDeDup (cluster-then-prune semantic dedup) under the deterministic
+    * fixed-seed quantizer: assignCells → within-cell pair cosine → drop
+    * non-smallest ids of each near-dup pair → survivors. The whole
+    * pipeline — assignment included — hash-matches the DuckDB mirror; with
+    * a KMeans quantizer only the fit would be unmirrorable (the
+    * simsearch_ivf_fixed precedent applied to curation).
+    */
+  val dedupSemantic: QueryDef = QueryDef(
+    "dedup_semantic",
+    (s, dir) => {
+      import graft.llm.Dedup
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      // materialized once: the pair join reads the assignment twice
+      val cells = Similarity.assignCells(emb, "vec_id", "embedding",
+          seeds, "cell", "cv", dim = 64)
+        .localCheckpoint()
+      Dedup.semanticDedup(cells, "vec_id", "embedding", "ivf_cell",
+          dim = 64, minCos = 0.4)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $fixedAsnCtes,
+        vec AS (SELECT a.ivf_cell, e.vec_id, e.embedding
+                FROM asn a JOIN embeddings e USING (vec_id)),
+        dropped AS (SELECT DISTINCT b.vec_id
+            FROM vec a JOIN vec b
+              ON a.ivf_cell = b.ivf_cell AND a.vec_id < b.vec_id
+            WHERE ROUND((${dotArrSql("a.embedding", "b.embedding", 64)}) /
+                (SQRT(${normArrSql("a.embedding", 64)}) *
+                 SQRT(${normArrSql("b.embedding", 64)})), 6) >= 0.4)
+        SELECT a.vec_id, a.ivf_cell FROM asn a
+        ANTI JOIN dropped d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id"""))
 
   /** M9's scoring stage on FIXED predictions: the same skillScores pass
     * `m9_intercomparison` applies to RF output, fed deterministic est/ref
@@ -387,5 +429,6 @@ object QueriesI {
 
   val all: Seq[QueryDef] = Seq(simsearchIvfFixed, m9SkillScores,
     simsearchRecall, textSurprisal, curationQualityFilter,
-    dedupWindowStats, simsearchQuantize, p4NaReplace, f3MaskChain)
+    dedupWindowStats, simsearchQuantize, p4NaReplace, f3MaskChain,
+    dedupSemantic)
 }

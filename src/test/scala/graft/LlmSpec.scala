@@ -157,6 +157,21 @@ class LlmSpec extends SparkSpec {
     assert(out == Set((1L, 2L))) // blocking excludes (1,4); threshold excludes (1,3)
   }
 
+  test("semanticDedup: drops within-cell near-dups keeping the smallest id; never compares across cells") {
+    val d = df("vec_id BIGINT, ivf_cell INT, embedding ARRAY<FLOAT>", Seq(
+      R(1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      R(2L, 0, Seq(0.99f, 0.1f, 0.0f)),   // near-dup of 1, same cell → dropped
+      R(3L, 0, Seq(0.0f, 1.0f, 0.0f)),    // orthogonal → survives
+      R(4L, 1, Seq(1.0f, 0.0f, 0.0f)),    // near-dup of 1 but OTHER cell → survives
+      R(5L, 1, Seq(0.995f, 0.05f, 0.0f)), // near-dup of 4, same cell → dropped
+      R(6L, 1, Seq(0.0f, 0.0f, 1.0f))))   // survives
+    val out = Dedup.semanticDedup(d, "vec_id", "embedding", "ivf_cell", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // one representative (the smallest id) per within-cell near-dup set;
+    // the cross-cell duplicate 4 survives — the method's documented tradeoff
+    assert(out == Set((1L, 0), (3L, 0), (4L, 1), (6L, 1)))
+  }
+
   test("embeddingNearDupLsh: high recall on planted near-dup clusters, no sub-threshold pairs") {
     // 20 clusters of 3 near-identical 16-dim vectors (cos > 0.99 within a
     // cluster) + deterministic pseudo-random noise vectors between clusters
