@@ -156,6 +156,59 @@ object Curation {
       (!flagShort && !flagLong && !flagRep && !flagStop).as("keep"))
   }
 
+  /** RAG/pretraining document chunking: fixed-size character windows with
+    * `overlap` carried between consecutive chunks, each with its 1-based
+    * start offset and index — the exploded (doc, chunk) relation retrieval
+    * pipelines index and packing pipelines consume. Pure map-side
+    * explode + substring (no shuffle beyond the [[graft.Core.fanOut]]
+    * parallelism floor), so it is linear in corpus bytes at any scale.
+    * Empty documents yield ONE empty chunk (a document never disappears
+    * from the chunk relation); the final chunk of a document is truncated,
+    * never padded. Contrast [[Multimodal.chunkWindows]], which aggregates
+    * to a per-doc window summary — this emits the full chunk relation.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"chunkDocuments needs 0 <= overlap < chunkSize, got size=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val starts = sequence(lit(1), greatest(length(col(textCol)), lit(1)),
+      lit(stride))
+    graft.Core.fanOut(df)
+      .select(col(idCol), col(textCol).as("__t"), posexplode(starts))
+      .select(col(idCol),
+        col("pos").cast("int").as("chunk_idx"),
+        col("col").cast("int").as("chunk_start"),
+        col("__t").substr(col("col"), lit(chunkSize)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("int"))
+  }
+
+  /** Temperature-smoothed corpus mixture weights (the multilingual /
+    * multi-source sampling scheme of XLM-R / mT5, arXiv:1911.02116 §3.1):
+    * source sampling probability ∝ p^alpha where p is the source's share of
+    * documents — alpha = 1 keeps natural proportions, alpha → 0 approaches
+    * uniform, upsampling low-resource sources in between. One tiny groupBy
+    * (|sources| rows) materialized once via localCheckpoint, then two
+    * broadcast scalar joins — the corpus is scanned exactly once however
+    * large it is, and the double sums run through the decimal accumulator
+    * so partial-aggregation order cannot perturb the published weights.
+    */
+  def mixtureWeights(df: DataFrame, srcCol: String,
+                     alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // tiny; one corpus scan feeds both scalar joins
+    val tot = counts.agg(sum(col("n_docs")).cast("double").as("__tot"))
+    val smoothed = counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs").cast("double") / col("__tot"))
+      .withColumn("__pw", pow(col("p"), lit(alpha)))
+    val ws = smoothed.agg(
+      sum(col("__pw").cast("decimal(27,10)")).cast("double").as("__ws"))
+    smoothed.crossJoin(broadcast(ws))
+      .select(col(srcCol), col("n_docs"),
+        round(col("p"), 6).as("p"),
+        round(col("__pw") / col("__ws"), 6).as("weight"))
+  }
+
   /** Email / phone patterns chosen to behave identically under Java regex
     * (Spark) and RE2 (DuckDB): character classes + `\b` only, no lookaround.
     */

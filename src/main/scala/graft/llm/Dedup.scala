@@ -109,7 +109,46 @@ object Dedup {
     * bounds the join blowup at maxDf² per shingle.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-                   minJaccard: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+                   minJaccard: Double = 0.5, maxDf: Int = 1000): DataFrame =
+    overlapPairs(df, idCol, textCol, n, maxDf) { scored =>
+      scored
+        .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
+        .filter(col("jac") >= minJaccard)
+        .select(col("da"), col("db"), col("jac"))
+    }
+
+  /** N-gram CONTAINMENT near-dup: for each candidate pair, the fraction of
+    * each document's distinct shingles that the other contains —
+    * cont_ab = |A∩B|/|A|, cont_ba = |A∩B|/|B|. Containment catches the
+    * asymmetric duplication Jaccard misses: a document quoted or embedded
+    * wholesale inside a much larger one has containment ≈ 1 for the smaller
+    * side while Jaccard ≈ |A|/|B| ≈ 0 (the D4/RefinedWeb-style
+    * subset-duplicate check). A pair surfaces when EITHER direction clears
+    * `minContainment`; both directions are emitted so the caller can tell
+    * subset from mutual near-dup. Same inverted-index + hot-shingle-cap
+    * mechanics (and scale shape) as [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minContainment: Double = 0.8,
+                       maxDf: Int = 1000): DataFrame =
+    overlapPairs(df, idCol, textCol, n, maxDf) { scored =>
+      scored
+        .withColumn("cont_ab", round(col("c") / col("sza"), 6))
+        .withColumn("cont_ba", round(col("c") / col("szb"), 6))
+        .filter(greatest(col("cont_ab"), col("cont_ba")) >= minContainment)
+        .select(col("da"), col("db"), col("cont_ab"), col("cont_ba"))
+    }
+
+  /** Shared inverted-index candidate machinery under [[jaccardPairs]] /
+    * [[containmentPairs]]: capped shingles → self-join → per-pair overlap
+    * counts joined to both documents' shingle-set sizes. `finish` turns the
+    * (da, db, c, sza, szb) relation into the operator's scored output; its
+    * result is eagerly materialized (small: only pairs over the threshold)
+    * so the big exploded shingle cache can be released before returning.
+    */
+  private def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, maxDf: Int)
+                          (finish: DataFrame => DataFrame): DataFrame = {
     // the shingle relation feeds three consumers (sizes + both join sides):
     // cache it instead of re-exploding the corpus three times. The df cap is
     // a count window PARTITIONED BY the shingle: its exchange is exactly the
@@ -127,14 +166,9 @@ object Dedup {
       val b = sh.select(col(idCol).as("db"), col("sh"))
       val common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
         .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-      common
+      finish(common
         .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
-        .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
-        .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
-        .filter(col("jac") >= minJaccard)
-        .select(col("da"), col("db"), col("jac"))
-        // eager materialization (small: only pairs over the threshold) so the
-        // big exploded shingle cache can be released before returning
+        .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db"))
         .localCheckpoint()
     } finally sh.unpersist()
   }

@@ -21,6 +21,25 @@ object TextAnalysis {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
+  /** Canonical text normalization — the pass every web-scale pipeline runs
+    * BEFORE dedup/shingling so byte-level variance (decomposed accents,
+    * case, ragged whitespace) can't split identical content across hash
+    * buckets: Unicode NFC (via the native codegen
+    * [[graft.plans.NfcNormalize]] expression), lowercase, collapse
+    * whitespace runs to one space, trim. The whitespace class is written
+    * explicitly (`[ \t\n\r\f]`) because Java's `\s` includes U+000B but
+    * RE2's (DuckDB's) does not — the explicit class behaves identically in
+    * both engines. Pure codegen projection; shuffle-free except the
+    * conditional [[graft.Core.fanOut]] parallelism floor.
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.Core.fanOut(df).select(
+      col(idCol),
+      trim(regexp_replace(
+        lower(graft.plans.NfcNormalize.nfcNormalize(col(textCol))),
+        "[ \\t\\n\\r\\f]+", " ")).as("normalized"))
+      .withColumn("n_chars_norm", length(col("normalized")).cast("int"))
+
   /** 60-bit stable content hash from md5 — deterministic across engines
     * (DuckDB mirror: CAST(CONCAT('0x', SUBSTRING(md5(s),1,15)) AS BIGINT)).
     */

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(SearchSorted.descriptor)
     e.injectFunction(ArrayDot.descriptor)
     e.injectFunction(ArrayCosine.descriptor)
+    e.injectFunction(NfcNormalize.descriptor)
     e.injectOptimizerRule(_ => PushdownUnixTimestamp)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

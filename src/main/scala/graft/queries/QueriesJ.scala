@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Core
+import graft.llm.{Curation, Dedup, TextAnalysis}
+
+/** Batch 10: corpus-preparation widening — RAG chunking, temperature-
+  * smoothed mixture weights, containment (subset-duplicate) dedup, and
+  * Unicode text normalization through the native NfcNormalize expression.
+  */
+object QueriesJ {
+  import Ora._
+  import Queries.QueryDef
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.table(s, dir, name)
+
+  /** Overlapping fixed-size character chunks with offsets — the exploded
+    * (doc, chunk) relation a retrieval index consumes. size=120 stride=80
+    * (overlap 40); empty docs keep one empty chunk.
+    */
+  val chunkDocuments: QueryDef = QueryDef(
+    "chunk_documents",
+    (s, dir) => Curation.chunkDocuments(t(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 120, overlap = 40)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH s AS (SELECT doc_id, text,
+          unnest(generate_series(1, GREATEST(LENGTH(text), 1), 80)) AS st
+        FROM documents)
+      SELECT doc_id, CAST((st - 1) // 80 AS INT) AS chunk_idx,
+        CAST(st AS INT) AS chunk_start,
+        substring(text, st, 120) AS chunk,
+        CAST(LENGTH(substring(text, st, 120)) AS INT) AS chunk_len
+      FROM s ORDER BY doc_id, chunk_idx"""))
+
+  /** XLM-R/mT5-style temperature-smoothed source sampling weights
+    * (alpha = 0.3): weight ∝ (source share)^alpha, decimal-accumulated so
+    * aggregation order can't perturb the published weights.
+    */
+  val mixtureWeights: QueryDef = QueryDef(
+    "mixture_weights",
+    (s, dir) => Curation.mixtureWeights(t(s, dir, "documents"),
+        "source", alpha = 0.3)
+      .orderBy(col("source")),
+    Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs
+             FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS tot FROM c),
+        u AS (SELECT source, n_docs, CAST(n_docs AS DOUBLE) / tot AS p
+              FROM c, t),
+        w AS (SELECT source, n_docs, p, POWER(p, 0.3) AS pw FROM u),
+        sm AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(27,10))) AS DOUBLE) AS ws
+               FROM w)
+      SELECT source, n_docs, ROUND(p, 6) AS p, ROUND(pw / ws, 6) AS weight
+      FROM w, sm ORDER BY source"""))
+
+  /** N-gram containment pairs — the subset-duplicate detector (a document
+    * quoted wholesale inside a larger one clears containment while Jaccard
+    * stays near zero). Same capped inverted-index mechanics as
+    * dedup_ngram_jaccard; both directions emitted.
+    */
+  val dedupContainment: QueryDef = QueryDef(
+    "dedup_containment",
+    (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, minContainment = 0.6, maxDf = 1000)
+      .orderBy(col("da"), col("db")),
+    Some(s"""WITH sh_all AS (${shinglesSql(3)}),
+      sh AS (SELECT sh_all.* FROM sh_all
+             JOIN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 1000)
+             USING (sh)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      ct AS (SELECT da, db, ROUND(c / sa.sz, 6) AS cont_ab,
+                    ROUND(c / sb.sz, 6) AS cont_ba
+             FROM pairs JOIN sizes sa ON da = sa.doc_id
+                        JOIN sizes sb ON db = sb.doc_id)
+      SELECT da, db, cont_ab, cont_ba FROM ct
+      WHERE GREATEST(cont_ab, cont_ba) >= 0.6 ORDER BY da, db"""))
+
+  /** Canonical normalization through the native NfcNormalize codegen
+    * expression. The query INJECTS a denormalized suffix (decomposed
+    * e + U+0301, doubled spaces, a tab, trailing space) so the oracle
+    * genuinely pins NFC recomposition + lowercasing + whitespace collapse
+    * on every row — the corpus text alone is ASCII-clean and would
+    * exercise only the identity fast path.
+    */
+  val textNormalize: QueryDef = QueryDef(
+    "text_normalize",
+    (s, dir) => TextAnalysis.normalizeText(
+        t(s, dir, "documents")
+          .withColumn("txt2", // the suffix's first e carries a combining acute (decomposed)
+            concat(col("text"), lit(" Cafe\u0301  du\tMonde "))),
+        "doc_id", "txt2")
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id,
+          text || ' Cafe' || chr(769) || '  du' || chr(9) || 'Monde ' AS txt2
+        FROM documents),
+      n AS (SELECT doc_id,
+          TRIM(regexp_replace(lower(nfc_normalize(txt2)),
+               '[ \t\n\r\f]+', ' ', 'g')) AS normalized
+        FROM d)
+      SELECT doc_id, normalized,
+        CAST(LENGTH(normalized) AS INT) AS n_chars_norm
+      FROM n ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(chunkDocuments, mixtureWeights,
+    dedupContainment, textNormalize)
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 class LlmSpec extends SparkSpec {
 
@@ -170,6 +170,69 @@ class LlmSpec extends SparkSpec {
     // one representative (the smallest id) per within-cell near-dup set;
     // the cross-cell duplicate 4 survives — the method's documented tradeoff
     assert(out == Set((1L, 0), (3L, 0), (4L, 1), (6L, 1)))
+  }
+
+  test("chunkDocuments: overlap windows, offsets, truncated tail, empty doc keeps one chunk") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "abcdefghij"),   // 10 chars, size 4 stride 3 -> starts 1,4,7,10
+      R(2L, "ab"),           // shorter than size -> one truncated chunk
+      R(3L, "")))            // empty -> one empty chunk
+    val out = Curation.chunkDocuments(d, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 1, "abcd", 4), (1L, 1, 4, "defg", 4),
+      (1L, 2, 7, "ghij", 4), (1L, 3, 10, "j", 1),
+      (2L, 0, 1, "ab", 2),
+      (3L, 0, 1, "", 0)))
+    // consecutive chunks overlap by exactly `overlap` characters
+    assert(out(1)._4.take(1) == out(0)._4.takeRight(1))
+  }
+
+  test("chunkDocuments plan: filter pushes to the scan; no shuffle beyond the fanOut respread") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    spark.range(0, 200).selectExpr("id AS doc_id", "repeat('x', 300) AS text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir).filter(col("doc_id") < 100)
+    val c = Curation.chunkDocuments(docs, "doc_id", "text", 120, 40)
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(doc_id,100)"), plan)
+    // at most the single fanOut round-robin respread — never a hash exchange
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(c.count() == 400) // 300 chars, stride 80 -> 4 chunks per doc
+  }
+
+  test("mixtureWeights: alpha=1 keeps natural shares, small alpha upsamples the tail, weights sum to 1") {
+    val d = df("doc_id BIGINT, source STRING",
+      (1L to 90L).map(i => R(i, "big")) ++ (91L to 100L).map(i => R(i, "small")))
+    def w(alpha: Double): Map[String, (Long, Double, Double)] =
+      Curation.mixtureWeights(d, "source", alpha).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val natural = w(1.0)
+    assert(natural("big") == ((90L, 0.9, 0.9)) && natural("small") == ((10L, 0.1, 0.1)))
+    val smoothed = w(0.3)
+    // alpha < 1 moves weight from the head to the tail, order preserved
+    assert(smoothed("small")._3 > 0.1 && smoothed("big")._3 < 0.9)
+    assert(smoothed("big")._3 > smoothed("small")._3)
+    assert(math.abs(smoothed("big")._3 + smoothed("small")._3 - 1.0) < 1e-6)
+  }
+
+  test("containmentPairs: subset doc clears containment where Jaccard misses; directions correct") {
+    val small = "alpha beta gamma delta epsilon zeta"   // 4 distinct 3-grams
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, small),                    // fully contained in 2
+      R(2L, small + " " + filler),     // superset
+      R(3L, "unrelated text entirely different words here")))
+    val cont = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      minContainment = 0.8, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // cont_ab = |A∩B|/|A| with A = doc 1 (da < db): the small side is fully contained
+    assert(cont.toSeq == Seq((1L, 2L, 1.0, 0.090909))) // 4/4 and 4/44
+    // the same pair is invisible to Jaccard at any usable threshold
+    val jac = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      minJaccard = 0.5, maxDf = 1000).collect()
+    assert(jac.isEmpty)
   }
 
   test("embeddingNearDupLsh: high recall on planted near-dup clusters, no sub-threshold pairs") {
