@@ -53,15 +53,24 @@ object Bench {
               selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
               anchor: Map[String, Double]): Map[String, Double] =
     selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a crashed query must record -1.0, not its time-to-failure: silently
+      // billing a fast crash as a fast run lets a broken query pass every
+      // downstream guard (Scaling's superlinearity ratio, anchor drift)
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"WARN: query $name FAILED after " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          -1.0
+        }
       }
       val first = once()
       val drifted = anchor.get(name)
-        .exists(a => a > 0 && (first >= a * 1.5 || first <= a / 1.5))
-      val t = if (first > 2.0 || drifted) {
+        .exists(a => a > 0 && first > 0 && (first >= a * 1.5 || first <= a / 1.5))
+      val t = if (first < 0) first
+      else if (first > 2.0 || drifted) {
         val three = Seq(first, once(), once()).sorted
         three(1)
       } else first

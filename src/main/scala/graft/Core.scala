@@ -177,12 +177,15 @@ object Core {
       // about the output partitioning (AQE coalesces the later exchange's
       // tiny output to ~1 partition — exactly the case that still needs the
       // respread), and coalesce (shuffle=false) never increased parallelism.
-      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project, Repartition, RepartitionByExpression}
+      // only ROUND-ROBIN repartitions count as spread: repartition(n, expr)
+      // by a low-cardinality key leaves most of its n partitions empty (3
+      // distinct sources → 3 non-empty partitions however large n is), so a
+      // RepartitionByExpression's partition COUNT says nothing about how
+      // the rows are spread — exactly what fanOut exists to guarantee
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project, Repartition}
       @annotation.tailrec
       def spreadAtTop(p: LogicalPlan): Boolean = p match {
         case Repartition(n, shuffle, _) => shuffle && n >= slots
-        case r: RepartitionByExpression =>
-          r.optNumPartitions.getOrElse(conf.numShufflePartitions) >= slots
         case pr: Project => spreadAtTop(pr.child)
         case f: LFilter => spreadAtTop(f.child)
         case _ => false

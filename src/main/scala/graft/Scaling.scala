@@ -43,7 +43,9 @@ object Scaling {
       val ratio = if (l <= 0 || h <= 0) -1.0 else h / math.max(l, 0.2)
       (name, l, h, ratio)
     }
-    val flagged = rows.filter { case (_, _, _, r) => r > bound }
+    // a failed run (negative timing from timeAll) is a flag, not a pass: a
+    // query that crashes in 0.1 s at hi sf would otherwise read as "fast"
+    val flagged = rows.filter { case (_, l, h, r) => r > bound || l < 0 || h < 0 }
     val json = rows.map { case (n, l, h, r) =>
       s"""\"$n\":{\"lo\":${Bench.fmt3(l)},\"hi\":${Bench.fmt3(h)},\"ratio\":${Bench.fmt3(r)}}"""
     }.mkString("{", ",", "}")
@@ -55,12 +57,13 @@ object Scaling {
     }
     println(f"${"query"}%-28s ${"lo_s"}%8s ${"hi_s"}%8s ${"ratio"}%7s")
     rows.foreach { case (n, l, h, r) =>
-      val flag = if (r > bound) "  <-- SUPERLINEAR" else ""
+      val flag = if (l < 0 || h < 0) "  <-- FAILED"
+        else if (r > bound) "  <-- SUPERLINEAR" else ""
       println(f"$n%-28s ${Bench.fmt3(l)}%8s ${Bench.fmt3(h)}%8s ${Bench.fmt3(r)}%7s$flag")
     }
     if (flagged.nonEmpty) {
       System.err.println(s"SCALING FLAG: ${flagged.map(_._1).mkString(", ")} " +
-        s"exceed ${bound}x from $loSf to $hiSf — investigate for superlinear plans")
+        s"failed or exceed ${bound}x from $loSf to $hiSf")
     }
     spark.stop()
     if (flagged.nonEmpty) sys.exit(1)

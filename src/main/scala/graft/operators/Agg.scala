@@ -44,7 +44,11 @@ object Agg {
     // (same exactness contract as accumulate/weightedAccumulate — it is
     // what lets m11_prepare_input mirror this operator hash-exactly)
     val aggs = features.map { f =>
-      val w = when(col(f).isNotNull, weight)
+      // NaN features must be excluded like NULLs: the decimal accumulator
+      // turns a NaN numerator term into NULL (skipped), so an isNotNull-only
+      // guard would still count the row's weight in the denominator — a
+      // silent low bias instead of a dropped row
+      val w = when(col(f).isNotNull && !isnan(col(f).cast("double")), weight)
       (sum((col(f) * w).cast("decimal(32,14)")).cast("double") /
        sum(w.cast("decimal(32,14)")).cast("double")).as(f)
     }
@@ -59,9 +63,12 @@ object Agg {
     */
   def weightedProportions(df: DataFrame, groupCols: Seq[String], weight: Column,
                           catCol: String, values: Seq[String]): DataFrame = {
+    // a NaN weight drops its row from numerator AND total (explicit, not an
+    // accident of the decimal cast): proportions stay a partition of 1.0
+    val w = when(!isnan(weight.cast("double")), weight)
     val pivoted = df.groupBy(groupCols.map(col): _*)
       .pivot(catCol, values)
-      .agg(sum(weight.cast("decimal(32,14)")).cast("double"))
+      .agg(sum(w.cast("decimal(32,14)")).cast("double"))
     val total = values.map(v => coalesce(col(v), lit(0.0))).reduce(_ + _)
     val withProps = values.foldLeft(pivoted)((d, v) =>
       d.withColumn(s"${catCol}_prop_$v", coalesce(col(v), lit(0.0)) / total))
@@ -105,8 +112,13 @@ object Agg {
     val all = parts.reduce(_ unionByName _)
     // decimal accumulators: merge order across sweeps/partitions must not
     // leak into the estimate (same contract as the other exact aggs; also
-    // what lets a9_weighted_accumulate carry a hash-exact DuckDB oracle)
-    all.groupBy(cellCols.map(col): _*)
+    // what lets a9_weighted_accumulate carry a hash-exact DuckDB oracle).
+    // NULL/NaN contributions drop from BOTH sums — without the filter the
+    // decimal cast silently skips only the numerator term, biasing the
+    // estimate low instead of masking the contribution
+    val valid = col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")) &&
+      col(weightCol).isNotNull && !isnan(col(weightCol).cast("double"))
+    all.filter(valid).groupBy(cellCols.map(col): _*)
       .agg(sum((col(valueCol) * col(weightCol)).cast("decimal(32,14)"))
              .cast("double").as("sum_vw"),
            sum(col(weightCol).cast("decimal(32,14)")).cast("double").as("sum_w"))

@@ -45,15 +45,20 @@ object NfcNormalize {
   import org.apache.spark.sql.Column
 
   /** The kernel, static so generated code can call it directly (Scala 2.13
-    * emits a static forwarder on the companion class). `isNormalized` is a
-    * cheap scan with an ASCII fast path — the transcode + recompose only
-    * runs on strings that actually contain denormalized sequences.
+    * emits a static forwarder on the companion class). Pure-ASCII input —
+    * the dominant case in a web corpus — returns the input UTF8String off a
+    * byte scan with NO UTF-16 transcode or allocation; only strings with
+    * non-ASCII bytes pay the toString + `isNormalized` check, and only
+    * actually-denormalized ones pay the recompose.
     */
   def nfc(s: UTF8String): UTF8String = {
-    val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    if (s.isFullAscii) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
   }
 
   /** Function descriptor for SparkSessionExtensions.injectFunction. */

@@ -27,20 +27,32 @@ object Grid {
     * grid cells, then the final Σ(v·w)/Σw (reference: qpe/qpe.py:613-656,
     * 670-676). One shuffle on the cell key.
     */
-  def accumulate(contribs: DataFrame): DataFrame =
-    contribs.groupBy(col("chx"), col("chy"))
+  def accumulate(contribs: DataFrame): DataFrame = {
+    // invalid (NULL/NaN) contributions are dropped from BOTH sums up front:
+    // the decimal accumulator turns NaN into NULL, so without this filter a
+    // NaN gate would vanish from the numerator while its weight still
+    // inflated the denominator — a silent low bias instead of the
+    // reference's masked-gate semantics (masked gates contribute nothing;
+    // a cell with no valid contribution disappears, = NaN in collectGrid)
+    val valid = col("v").isNotNull && !isnan(col("v").cast("double")) &&
+      col("w").isNotNull && !isnan(col("w").cast("double"))
+    contribs.filter(valid).groupBy(col("chx"), col("chy"))
       .agg(sum((col("v") * col("w")).cast("decimal(32,14)")).cast("double").as("sum_vw"),
            sum(col("w").cast("decimal(32,14)")).cast("double").as("sum_w"))
       .withColumn("value", col("sum_vw") / col("sum_w"))
       .select("chx", "chy", "value")
+  }
 
   /** Collect a (chx, chy, value) cell DataFrame into a dense driver-side
     * grid. Missing cells are NaN (the reference's masked cells).
     */
   def collectGrid(cells: DataFrame, nx: Int = NX, ny: Int = NY): Array[Array[Double]] = {
     val grid = Array.fill(nx, ny)(Double.NaN)
+    // degenerate NULL values (decimal-sum overflow) stay NaN cells instead
+    // of crashing the row match
     cells.select(col("chx").cast("int"), col("chy").cast("int"),
         col("value").cast("double"))
+      .filter(col("value").isNotNull)
       .collect().foreach { case Row(x: Int, y: Int, v: Double) =>
         if (x >= 0 && x < nx && y >= 0 && y < ny) grid(x)(y) = v
       }

@@ -204,9 +204,13 @@ object QueriesE {
           .orderBy($"chx", $"chy")
       },
       Some(s"""WITH cells AS (
-          SELECT CAST(user_id % 16 AS INT) AS chx, CAST(event_id % 7 AS INT) AS chy,
-                 ${dsum6Sql("value")} AS v
-          FROM events GROUP BY 1, 2),
+          SELECT * FROM (
+            SELECT CAST(user_id % 16 AS INT) AS chx, CAST(event_id % 7 AS INT) AS chy,
+                   ${dsum6Sql("value")} AS v
+            FROM events GROUP BY 1, 2)
+          -- mirror of gaussianSmoothCells' NULL/NaN-cell pre-filter: an
+          -- invalid cell must not scatter tap weight into neighbours
+          WHERE v IS NOT NULL AND NOT isnan(v)),
         taps(d, w) AS (VALUES $tapValues),
         p1 AS (${passSql("cells", onX = true)}),
         p2 AS (${passSql("p1", onX = false)})
@@ -233,9 +237,12 @@ object QueriesE {
         .orderBy($"cx")
     },
     Some("""WITH src AS (
-        SELECT CAST(user_id % 16 AS INT) AS cx, value / 1000.0 AS v,
-               CAST(1.0 AS DOUBLE) / (1 + event_id % 5) AS w
-        FROM events)
+        SELECT * FROM (
+          SELECT CAST(user_id % 16 AS INT) AS cx, value / 1000.0 AS v,
+                 CAST(1.0 AS DOUBLE) / (1 + event_id % 5) AS w
+          FROM events)
+        -- mirror of weightedAccumulate's valid-contribution filter
+        WHERE v IS NOT NULL AND NOT isnan(v) AND w IS NOT NULL AND NOT isnan(w))
       SELECT cx,
         CAST(SUM(CAST(v * w AS DECIMAL(32,14))) AS DOUBLE) AS sum_vw,
         CAST(SUM(CAST(w AS DECIMAL(32,14))) AS DOUBLE) AS sum_w,
@@ -286,11 +293,15 @@ object QueriesE {
               FROM generate_series(0, 107999) g)
         WHERE rng_idx < 80),
       polar AS (
-        SELECT CAST(event_id % 3 AS INT) AS sweep,
-               CAST(user_id % 360 AS INT) AS az_idx,
-               CAST((event_id // 3) % 100 AS INT) AS rng_idx,
-               value / 100.0 AS v
-        FROM events)
+        SELECT * FROM (
+          SELECT CAST(event_id % 3 AS INT) AS sweep,
+                 CAST(user_id % 360 AS INT) AS az_idx,
+                 CAST((event_id // 3) % 100 AS INT) AS rng_idx,
+                 value / 100.0 AS v
+          FROM events)
+        -- mirror of Grid.accumulate's valid-contribution filter (w is a
+        -- LUT constant, never NULL/NaN)
+        WHERE v IS NOT NULL AND NOT isnan(v))
       SELECT chx, chy,
         ROUND(CAST(SUM(CAST(v * w AS DECIMAL(32,14))) AS DOUBLE)
               / CAST(SUM(CAST(w AS DECIMAL(32,14))) AS DOUBLE), 6) AS value
@@ -372,21 +383,21 @@ object QueriesE {
                visib / 100.0 * POW(10.0, -height / 2000.0) AS w
         FROM fullh)
       SELECT station, hts,
-        ROUND(CAST(SUM(CAST(CASE WHEN zh_lin IS NOT NULL THEN zh_lin * w END
+        ROUND(CAST(SUM(CAST(CASE WHEN zh_lin IS NOT NULL AND NOT isnan(zh_lin) THEN zh_lin * w END
                   AS DECIMAL(32,14))) AS DOUBLE)
-              / CAST(SUM(CAST(CASE WHEN zh_lin IS NOT NULL THEN w END
+              / CAST(SUM(CAST(CASE WHEN zh_lin IS NOT NULL AND NOT isnan(zh_lin) THEN w END
                   AS DECIMAL(32,14))) AS DOUBLE), 6) AS zh_lin,
-        ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 0 THEN w END
+        ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 0 AND NOT isnan(w) THEN w END
                   AS DECIMAL(32,14))) AS DOUBLE), 0.0)
-              / (COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 0 THEN w END
+              / (COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 0 AND NOT isnan(w) THEN w END
                   AS DECIMAL(32,14))) AS DOUBLE), 0.0)
-                 + COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 1 THEN w END
+                 + COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 1 AND NOT isnan(w) THEN w END
                   AS DECIMAL(32,14))) AS DOUBLE), 0.0)), 6) AS prop_lo,
-        ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 1 THEN w END
+        ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 1 AND NOT isnan(w) THEN w END
                   AS DECIMAL(32,14))) AS DOUBLE), 0.0)
-              / (COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 0 THEN w END
+              / (COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 0 AND NOT isnan(w) THEN w END
                   AS DECIMAL(32,14))) AS DOUBLE), 0.0)
-                 + COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 1 THEN w END
+                 + COALESCE(CAST(SUM(CAST(CASE WHEN sweep = 1 AND NOT isnan(w) THEN w END
                   AS DECIMAL(32,14))) AS DOUBLE), 0.0)), 6) AS prop_hi
       FROM feat GROUP BY station, hts ORDER BY station, hts"""))
 

@@ -287,6 +287,30 @@ class MlStreamGridSpec extends SparkSpec {
     assert(Grid.gridToDF(spark, grid).count() == 2)
   }
 
+  test("accumulate: NaN/NULL contributions drop value AND weight; all-invalid cell vanishes") {
+    import spark.implicits._
+    val contribs = Seq(
+      (5, 5, 10.0, 1.0), (5, 5, Double.NaN, 3.0),       // NaN must not count its 3.0 weight
+      (6, 5, Double.NaN, 1.0), (6, 5, Double.NaN, 2.0), // all-NaN cell: no output row
+      (7, 5, 4.0, 1.0)).toDF("chx", "chy", "v", "w")
+    val cells = Grid.accumulate(contribs)
+    val out = cells.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(out.keySet == Set((5, 5), (7, 5)))      // the all-NaN cell is masked
+    assert(math.abs(out((5, 5)) - 10.0) < 1e-12)   // NOT (10*1)/(1+3) = 2.5
+    // collectGrid stays total even on degenerate cells
+    val grid = Grid.collectGrid(cells, 10, 10)
+    assert(grid(6)(5).isNaN && grid(5)(5) == 10.0)
+
+    // weightedAccumulate shares the same valid-contribution contract
+    val parts = Seq(
+      Seq((1, 10.0, 1.0), (1, Double.NaN, 9.0)).toDF("cx", "v", "w"),
+      Seq((1, 20.0, 1.0)).toDF("cx", "v", "w"))
+    val acc = graft.operators.Agg.weightedAccumulate(parts, Seq("cx"), "v", "w")
+      .collect().head
+    assert(math.abs(acc.getDouble(acc.fieldIndex("estimate")) - 15.0) < 1e-12)
+    assert(acc.getDouble(acc.fieldIndex("sum_w")) == 2.0) // the 9.0 never lands
+  }
+
   test("gaussianSmoothCells: distributed separable smoothing matches the dense driver kernel") {
     import spark.implicits._
     // random sparse grid with NaN holes — the dense kernel sees NaN where

@@ -76,6 +76,17 @@ class PrepareInputSpec extends SparkSpec {
     val v = first.getDouble(first.fieldIndex("zh_lin"))
     assert(v > lo && v < hi)
 
+    // NaN feature rows are excluded from numerator AND denominator — a NaN
+    // zh_lin with a huge weight must not deflate the mean via the decimal
+    // cast's silent NaN→NULL skip
+    val withNaN = withFeatures.withColumn("zh_lin",
+      when(col("SWEEP") === 2, lit(Double.NaN)).otherwise(col("zh_lin")))
+    val vertNaN = Agg.weightedMean(withNaN, keys, col("w"), Seq("zh_lin"))
+    val fNaN = vertNaN.orderBy("TIMESTAMP").collect().head
+    val vOnlyLow = fNaN.getDouble(fNaN.fieldIndex("zh_lin"))
+    // only sweep-1 gates survive: the mean equals their (single) value
+    assert(math.abs(vOnlyLow - lo) < 1e-6)
+
     // A3 categorical: weighted one-hot proportions of the RADAR column
     val props = Agg.weightedProportions(withFeatures, keys, col("w"), "RADAR", Seq("A", "D"))
     val p0 = props.orderBy("TIMESTAMP").collect().head
