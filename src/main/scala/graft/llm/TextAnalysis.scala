@@ -227,6 +227,59 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_tok"))
   }
 
+  /** CCNet-style bigram-LM perplexity filter: train an add-one-smoothed
+    * bigram language model on the `isTrain` slice of the corpus, score
+    * EVERY document by mean −log10 P(w_i | w_{i−1}) and the derived
+    * perplexity 10^mean — the classic quality signal (high perplexity
+    * under a clean-reference LM = unnatural text). Differs from
+    * [[unigramSurprisal]] in both model order (conditional bigrams, not
+    * marginals) and the train/score split (the reference-LM pattern:
+    * held-out documents are scored by a model that never saw them).
+    * Smoothing: P = (c(w1,w2)+1) / (c(w1·)+V), V = train vocabulary size.
+    *
+    * Scale shape: bigram construction is MAP-SIDE (adjacent array slots
+    * via transform/sequence — no per-token window, no extra shuffle);
+    * model counts are two keyed aggregations over train bigrams; V rides
+    * a broadcast 1-row relation; scoring is a shuffle join on the bigram
+    * key then one per-doc agg with decimal accumulation. Everything
+    * map-side combinable, linear in corpus bytes. Documents with <2
+    * tokens surface with n_bigrams 0 and NULL scores. The perplexity is
+    * derived from the ALREADY-ROUNDED mean so both engines exponentiate
+    * identical inputs (pow is not correctly-rounded across libms).
+    */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                       isTrain: Column): DataFrame = {
+    val base = graft.Core.fanOut(df)
+      .select(col(idCol), isTrain.as("is_train"), tokens(col(textCol)).as("toks"))
+    val bi = base.select(col(idCol), col("is_train"),
+        explode(when(size(col("toks")) >= 2,
+            transform(sequence(lit(2), size(col("toks"))),
+              i => struct(element_at(col("toks"), i - 1).as("w1"),
+                          element_at(col("toks"), i).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col(idCol), col("is_train"), col("bg.w1"), col("bg.w2"))
+    val trainBi = bi.filter(col("is_train"))
+    val bigramCnt = trainBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val prefixCnt = trainBi.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val vocab = base.filter(col("is_train"))
+      .select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val perDoc = bi
+      .join(bigramCnt, Seq("w1", "w2"), "left")
+      .join(prefixCnt, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log10((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+                (coalesce(col("cw"), lit(0L)) + col("v")).cast("double"))).as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(sum(col("s").cast("decimal(27,10)")).cast("double") /
+             count(lit(1)), 6).as("neg_logp10"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+      .withColumn("ppl", round(pow(lit(10.0), col("neg_logp10")), 6))
+  }
+
   /** Document fingerprint: min 60-bit hash over word 5-gram shingles —
     * a winnowing-style rolling fingerprint; identical/near-identical prefixes
     * of content produce identical fingerprints.

@@ -106,6 +106,41 @@ object QueriesJ {
         CAST(LENGTH(normalized) AS INT) AS n_chars_norm
       FROM n ORDER BY doc_id"""))
 
+  /** CCNet-style bigram-LM perplexity: add-one-smoothed bigram model
+    * trained on the doc_id % 5 != 0 slice, every document scored by mean
+    * −log10 P(w2|w1) and the derived perplexity — the reference-LM
+    * quality-filter pattern (held-out docs scored by a model that never
+    * saw them).
+    */
+  val textPerplexity: QueryDef = QueryDef(
+    "text_perplexity",
+    (s, dir) => TextAnalysis.bigramPerplexity(
+        t(s, dir, "documents"), "doc_id", "text",
+        isTrain = col("doc_id") % 5 =!= 0)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH base AS (SELECT doc_id, doc_id % 5 <> 0 AS is_train,
+          ${Ora.toksSql} AS w
+        FROM documents),
+      g AS (SELECT doc_id, is_train,
+          [{'w1': w[i], 'w2': w[i + 1]} for i in generate_series(1, len(w) - 1)] AS bgs
+        FROM base),
+      bi AS (SELECT doc_id, is_train, unnest(bgs, recursive := true) FROM g),
+      bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi WHERE is_train GROUP BY 1, 2),
+      pc AS (SELECT w1, COUNT(*) AS cw FROM bi WHERE is_train GROUP BY 1),
+      voc AS (SELECT COUNT(DISTINCT tok) AS v
+              FROM (SELECT unnest(w) AS tok FROM base WHERE is_train)),
+      sv AS (SELECT doc_id,
+          -LOG10(CAST(COALESCE(cb, 0) + 1 AS DOUBLE)
+                 / CAST(COALESCE(cw, 0) + v AS DOUBLE)) AS s
+        FROM bi LEFT JOIN bc USING (w1, w2) LEFT JOIN pc USING (w1) CROSS JOIN voc),
+      agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+          ROUND(CAST(SUM(CAST(s AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6)
+            AS neg_logp10
+        FROM sv GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.neg_logp10,
+        ROUND(POWER(10, agg.neg_logp10), 6) AS ppl
+      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(chunkDocuments, mixtureWeights,
-    dedupContainment, textNormalize)
+    dedupContainment, textNormalize, textPerplexity)
 }

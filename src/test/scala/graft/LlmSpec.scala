@@ -235,6 +235,29 @@ class LlmSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("bigramPerplexity: add-one smoothing, held-out scoring, short docs surface NULL") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "a b a b"),  // train: bigrams (a,b)x2, (b,a)
+      R(2L, "a b"),      // train: (a,b)  => cb(a,b)=3, cb(b,a)=1; cw(a)=3, cw(b)=1; V=2
+      R(5L, "a b c"),    // held out: (a,b) seen, (b,c) unseen
+      R(10L, "x")))      // held out, 1 token: no bigrams
+    val out = TextAnalysis.bigramPerplexity(d, "doc_id", "text",
+        isTrain = col("doc_id") % 5 =!= 0)
+      .orderBy(col("doc_id")).collect()
+    def row(i: Int) = (out(i).getLong(0), out(i).getLong(1))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L, 10L))
+    // P(b|a) = (3+1)/(3+2), P(a|b) = (1+1)/(1+2), P(c|b) = (0+1)/(1+2)
+    val sAB = -math.log10(4.0 / 5); val sBA = -math.log10(2.0 / 3)
+    val sBC = -math.log10(1.0 / 3)
+    def r6d(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row(0) == ((1L, 3L)) && out(0).getDouble(2) == r6d((2 * sAB + sBA) / 3))
+    assert(row(1) == ((2L, 1L)) && out(1).getDouble(2) == r6d(sAB))
+    assert(row(2) == ((5L, 2L)) && out(2).getDouble(2) == r6d((sAB + sBC) / 2))
+    // perplexity derives from the already-rounded mean
+    assert(math.abs(out(2).getDouble(3) - math.pow(10, out(2).getDouble(2))) < 1e-6)
+    assert(row(3) == ((10L, 0L)) && out(3).isNullAt(2) && out(3).isNullAt(3))
+  }
+
   test("embeddingNearDupLsh: high recall on planted near-dup clusters, no sub-threshold pairs") {
     // 20 clusters of 3 near-identical 16-dim vectors (cos > 0.99 within a
     // cluster) + deterministic pseudo-random noise vectors between clusters
