@@ -141,6 +141,84 @@ object QueriesJ {
         ROUND(POWER(10, agg.neg_logp10), 6) AS ppl
       FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""))
 
+  /** BPE tokenizer training (Sennrich 2015): k merge steps over the corpus
+    * word-frequency table, each step = weighted overlapping-pair count →
+    * (freq DESC, lexicographic) argmax → literal left-to-right merge. The
+    * mirror unrolls the k steps as MATERIALIZED CTEs (each s_i feeds both
+    * the next pair count and the next rewrite — without MATERIALIZED the
+    * inlining re-executes the whole prefix per reference, 2^k blowup).
+    */
+  val bpeTrain: QueryDef = {
+    val k = 4
+    val stepCtes = (1 to k).map { i =>
+      s"""p$i AS (
+        SELECT l, r, SUM(cnt) AS freq FROM (
+          SELECT cnt, unnest([{'l': a[j], 'r': a[j + 1]}
+                              for j in generate_series(1, len(a) - 1)],
+                             recursive := true)
+          FROM (SELECT cnt, string_split(sym, ' ') AS a FROM s${i - 1}))
+        GROUP BY l, r),
+      b$i AS (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+      s$i AS MATERIALIZED (
+        SELECT s.cnt, trim(replace(' ' || s.sym || ' ',
+            ' ' || b.l || ' ' || b.r || ' ',
+            ' ' || b.l || b.r || ' ')) AS sym
+        FROM s${i - 1} s CROSS JOIN b$i b)"""
+    }.mkString(",\n      ")
+    val unionSteps = (1 to k).map(i =>
+      s"SELECT $i AS step, l AS l_sym, r AS r_sym, l || r AS merged, freq FROM b$i")
+      .mkString("\n        UNION ALL ")
+    QueryDef(
+      "bpe_train",
+      (s, dir) => graft.llm.Bpe.train(t(s, dir, "documents"), "text", numMerges = k)
+        .orderBy(col("step")),
+      Some(s"""WITH s0 AS MATERIALIZED (
+          SELECT cnt,
+            array_to_string([w[j] for j in generate_series(1, len(w))], ' ')
+              || ' </w>' AS sym
+          FROM (SELECT w, COUNT(*) AS cnt
+                FROM (SELECT unnest(${Ora.toksSql}) AS w FROM documents)
+                GROUP BY w)),
+      $stepCtes
+      SELECT * FROM ($unionSteps) ORDER BY step"""))
+  }
+
+  /** BPE encode with a FIXED merge table (the fixed-quantizer precedent:
+    * the train step's RNG-free output is gated by bpe_train above; this
+    * gates the REPLAY mechanics — ordered literal merges over symbolized
+    * tokens — end to end on a corpus slice).
+    */
+  val bpeEncode: QueryDef = {
+    val merges = Seq(("e", "r"), ("t", "h"), ("th", "e"))
+    val replayed = merges.foldLeft("' ' || sym0 || ' '") { case (s, (l, r)) =>
+      s"replace($s, ' $l $r ', ' $l$r ')"
+    }
+    QueryDef(
+      "bpe_encode",
+      (s, dir) => graft.llm.Bpe.encode(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", merges)
+        .select(col("doc_id"), col("tok_idx"), col("w"),
+          array_join(col("pieces"), "|").as("pieces_str"), col("n_pieces"))
+        .orderBy(col("doc_id"), col("tok_idx")),
+      Some(s"""WITH tok AS (
+          SELECT doc_id, unnest([{'tok_idx': CAST(j - 1 AS INT), 'w': t[j]}
+                                 for j in generate_series(1, len(t))],
+                                recursive := true)
+          FROM (SELECT doc_id, ${Ora.toksSql} AS t FROM documents
+                WHERE doc_id < 100)),
+        sym AS (SELECT doc_id, tok_idx, w,
+            array_to_string([w[j] for j in generate_series(1, len(w))], ' ')
+              || ' </w>' AS sym0
+          FROM tok),
+        enc AS (SELECT doc_id, tok_idx, w,
+            string_split(trim($replayed), ' ') AS pieces
+          FROM sym)
+        SELECT doc_id, tok_idx, w, array_to_string(pieces, '|') AS pieces_str,
+          CAST(len(pieces) AS INT) AS n_pieces
+        FROM enc ORDER BY doc_id, tok_idx"""))
+  }
+
   val all: Seq[QueryDef] = Seq(chunkDocuments, mixtureWeights,
-    dedupContainment, textNormalize, textPerplexity)
+    dedupContainment, textNormalize, textPerplexity, bpeTrain, bpeEncode)
 }

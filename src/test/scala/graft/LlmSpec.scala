@@ -258,6 +258,34 @@ class LlmSpec extends SparkSpec {
     assert(row(3) == ((10L, 0L)) && out(3).isNullAt(2) && out(3).isNullAt(3))
   }
 
+  test("bpeTrain: merge order, lexicographic ties, overlap scan; encode replays merges") {
+    import graft.llm.Bpe
+    val d = df("doc_id BIGINT, text STRING", Seq(R(1L, "low lower lowest")))
+    val merges = Bpe.train(d, "text", numMerges = 3).orderBy(col("step"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // (l,o) and (o,w) tie at 3 -> lexicographic left wins; then (lo,w); then (low,e)
+    assert(merges.toSeq == Seq(
+      (1, "l", "o", "lo", 3L), (2, "lo", "w", "low", 3L), (3, "low", "e", "lowe", 2L)))
+
+    // overlapping pairs count both, merge applies left-to-right: "a a a" -> "aa a"
+    val aaa = df("doc_id BIGINT, text STRING", Seq(R(1L, "aaa")))
+    val m2 = Bpe.train(aaa, "text", numMerges = 2).orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m2(0) == (("a", "a", 2L)))
+    // after "aa a </w>": ties at 1 -> lexicographic smallest left "a" beats "aa"
+    assert(m2(1) == (("a", "</w>", 1L)))
+
+    // encode replays the learned merges in order, map-side
+    val enc = Bpe.encode(d, "doc_id", "text",
+        merges.map(m => (m._2, m._3)).toSeq)
+      .orderBy(col("tok_idx")).collect()
+      .map(r => (r.getString(2), r.getSeq[String](3).toList))
+    assert(enc.toSeq == Seq(
+      ("low", List("low", "</w>")),
+      ("lower", List("lowe", "r", "</w>")),
+      ("lowest", List("lowe", "s", "t", "</w>"))))
+  }
+
   test("embeddingNearDupLsh: high recall on planted near-dup clusters, no sub-threshold pairs") {
     // 20 clusters of 3 near-identical 16-dim vectors (cos > 0.99 within a
     // cluster) + deterministic pseudo-random noise vectors between clusters
