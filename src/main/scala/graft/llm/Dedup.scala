@@ -342,6 +342,53 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Cross-corpus (incremental-snapshot) near-dedup: flag each NEW document
+    * that near-duplicates the EXISTING reference corpus — the dedup shape
+    * of a refreshed crawl, where the new slice must be checked against
+    * everything already accepted without re-deduplicating the old corpus
+    * against itself. Same MinHash+LSH mechanics as [[minhashDedup]], but
+    * candidates come from a new-bands × ref-bands join (never new×new or
+    * ref×ref), so the verify cost scales with the NEW slice's collision
+    * count, not the full corpus pair space. Returns every new id with
+    * `keep` (no verified match), `dup_of` (smallest matching ref id) and
+    * `best_jac` (highest verified Jaccard — possibly from a different
+    * matching pair than dup_of; both aggregates are deterministic).
+    */
+  def crossCorpusDedup(newDf: DataFrame, refDf: DataFrame, idCol: String,
+                       textCol: String, n: Int = 3, k: Int = 16, r: Int = 4,
+                       minJaccard: Double = 0.5,
+                       hash: Column => Column = TextAnalysis.md5Long): DataFrame = {
+    val shNew = shingles(newDf, idCol, textCol, n).cache()
+    val shRef = shingles(refDf, idCol, textCol, n).cache()
+    try {
+      val bNew = lshBands(minhashSignature(shNew, idCol, k, hash), idCol, k, r)
+        .select(col(idCol).as("da"), col("band"), col("sig"))
+      val bRef = lshBands(minhashSignature(shRef, idCol, k, hash), idCol, k, r)
+        .select(col(idCol).as("db"), col("band"), col("sig"))
+      val cand = bNew.join(bRef, Seq("band", "sig"))
+        .select("da", "db").distinct().localCheckpoint()
+      val a = shNew.join(maybeBroadcast(cand.select(col("da").as(idCol)).distinct()),
+          Seq(idCol), "left_semi")
+        .select(col(idCol).as("da"), col("sh"))
+      val b = shRef.join(maybeBroadcast(cand.select(col("db").as(idCol)).distinct()),
+          Seq(idCol), "left_semi")
+        .select(col(idCol).as("db"), col("sh"))
+      val common = cand.join(a, "da").join(b, Seq("db", "sh"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      val matches = common
+        .join(shingleSizes(shNew, idCol).select(col(idCol).as("da"), col("sz").as("sza")), "da")
+        .join(shingleSizes(shRef, idCol).select(col(idCol).as("db"), col("sz").as("szb")), "db")
+        .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
+        .filter(col("jac") >= minJaccard)
+      val perNew = matches.groupBy(col("da"))
+        .agg(min(col("db")).as("dup_of"), max(col("jac")).as("best_jac"))
+        .localCheckpoint() // eager: release both shingle caches on return
+      newDf.select(col(idCol))
+        .join(perNew.withColumnRenamed("da", idCol), Seq(idCol), "left")
+        .withColumn("keep", col("dup_of").isNull)
+    } finally { shNew.unpersist(); shRef.unpersist() }
+  }
+
   /** 16-bit SimHash over the token multiset: per bit, sum ±1 across token
     * hashes; bit set where the sum is positive. No explosion beyond the token
     * list — 16 conditional sums in one aggregation.

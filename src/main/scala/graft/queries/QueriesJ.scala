@@ -219,6 +219,50 @@ object QueriesJ {
         FROM enc ORDER BY doc_id, tok_idx"""))
   }
 
+  /** Cross-corpus incremental dedup: the doc_id % 4 = 0 slice plays the
+    * refreshed-crawl "new" snapshot, checked against the rest as the
+    * accepted reference corpus. Candidates only from new-bands × ref-bands
+    * (never new×new / ref×ref); verified by exact Jaccard.
+    */
+  val dedupCross: QueryDef = QueryDef(
+    "dedup_cross_corpus",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusDedup(
+          docs.filter(col("doc_id") % 4 === 0),
+          docs.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", n = 3, k = 16, r = 4, minJaccard = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sh AS (${shinglesSql(3)}),
+      hm AS (SELECT doc_id, sh, ${md5LongSql("sh")} % 1000000007 AS hm FROM sh),
+      params AS (SELECT g AS i, (654435747 * (g + 1)) % 1000000007 AS a,
+                        (654602297 * (g + 1)) % 1000000007 AS b
+                 FROM generate_series(0, 15) t(g)),
+      mh AS (SELECT doc_id, i, MIN((a * hm + b) % 1000000007) AS mh
+             FROM hm CROSS JOIN params GROUP BY 1, 2),
+      sig AS (SELECT doc_id, i // 4 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+              FROM mh GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+               WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      common AS (SELECT c.da, c.db, COUNT(*) AS c
+                 FROM cand c JOIN sh a ON a.doc_id = c.da
+                             JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
+                 GROUP BY 1, 2),
+      j AS (SELECT da, db, ROUND(c / (sa.sz + sb.sz - c), 6) AS jac
+            FROM common JOIN sizes sa ON da = sa.doc_id
+                        JOIN sizes sb ON db = sb.doc_id),
+      per AS (SELECT da, MIN(db) AS dup_of, MAX(jac) AS best_jac
+              FROM j WHERE jac >= 0.5 GROUP BY da)
+      SELECT d.doc_id, per.dup_of, per.best_jac, per.dup_of IS NULL AS keep
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      LEFT JOIN per ON d.doc_id = per.da
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(chunkDocuments, mixtureWeights,
-    dedupContainment, textNormalize, textPerplexity, bpeTrain, bpeEncode)
+    dedupContainment, textNormalize, textPerplexity, bpeTrain, bpeEncode,
+    dedupCross)
 }

@@ -286,6 +286,26 @@ class LlmSpec extends SparkSpec {
       ("lowest", List("lowe", "s", "t", "</w>"))))
   }
 
+  test("crossCorpusDedup: new near-dup of ref drops, unique keeps, ref never self-pairs") {
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val ref = df("doc_id BIGINT, text STRING", Seq(
+      R(10L, base),
+      R(11L, base + " extra"),             // ref-internal near-dups must NOT pair
+      R(12L, "completely different reference content about spark shuffles and joins here")))
+    val fresh = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, base + " again"),              // near-dup of refs 10/11
+      R(2L, "entirely novel new-snapshot document with its own unique vocabulary set")))
+    val out = graft.llm.Dedup.crossCorpusDedup(fresh, ref, "doc_id", "text",
+        n = 3, k = 16, r = 4, minJaccard = 0.5)
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(!out(0).getBoolean(out(0).fieldIndex("keep")))
+    assert(out(0).getLong(out(0).fieldIndex("dup_of")) == 10L) // smallest matching ref id
+    assert(out(0).getDouble(out(0).fieldIndex("best_jac")) >= 0.5)
+    assert(out(1).getBoolean(out(1).fieldIndex("keep")))
+    assert(out(1).isNullAt(out(1).fieldIndex("dup_of")))
+  }
+
   test("embeddingNearDupLsh: high recall on planted near-dup clusters, no sub-threshold pairs") {
     // 20 clusters of 3 near-identical 16-dim vectors (cos > 0.99 within a
     // cluster) + deterministic pseudo-random noise vectors between clusters
