@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, IntegerType, StructField, StructType}
 
@@ -21,13 +21,39 @@ import org.apache.spark.sql.types.{LongType, StringType, IntegerType, StructFiel
   * iterations.
   *
   * Determinism: ties on pair frequency break lexicographically (left then
-  * right symbol), and the merge application is non-regex LITERAL
-  * replacement on space-padded symbol strings — left-to-right
-  * non-overlapping in both Spark and DuckDB (`" a a a "` merging `(a,a)`
-  * yields `"aa a"`, the Sennrich scan order), so the whole training loop
-  * can hash-match a SQL mirror with k unrolled steps.
+  * right symbol); [[applyMerge]] implements the exact greedy left-to-right
+  * scan with pure LITERAL string ops, so the whole training loop
+  * hash-matches a SQL mirror with k unrolled steps.
   */
 object Bpe {
+
+  /** "cat" → "c a t </w>": space-joined characters plus the end-of-word
+    * marker (keeps word-final merges distinct from word-internal ones).
+    * Shared by train and encode — the two MUST stay identical or encode
+    * replays a table over different symbols than train learned it on.
+    */
+  private def symbolize(w: Column): Column =
+    concat(array_join(transform(sequence(lit(1), length(w)),
+      i => w.substr(i, lit(1))), " "), lit(" </w>"))
+
+  /** One greedy left-to-right merge pass of (l, r) over a space-joined
+    * symbol string — EXACT Sennrich semantics via the double-spacing
+    * trick: after every gap is widened to two spaces, consecutive
+    * occurrences of the pair no longer share a boundary space ("a a a a"
+    * → " a  a  a  a " matches " a  a " twice), so plain non-overlapping
+    * literal replace merges runs correctly where single-space padding
+    * under-merges (" a a a a " would match " a a " only once). Literal
+    * (non-regex) ops only: safe for any symbol content (quotes,
+    * backslashes) and portable to the DuckDB mirror, whose RE2 has no
+    * lookarounds to express the reference's `(?<!\S)l r(?!\S)` sub.
+    */
+  private def applyMerge(sym: Column, l: String, r: String): Column = {
+    val doubled = concat(lit(" "),
+      call_function("replace", sym, lit(" "), lit("  ")), lit(" "))
+    val replaced = call_function("replace", doubled,
+      lit(s" $l  $r "), lit(s" $l$r "))
+    trim(call_function("replace", replaced, lit("  "), lit(" ")))
+  }
 
   /** Train `numMerges` BPE merges over the corpus' token stream. Returns
     * the merge table: (step, l_sym, r_sym, merged, freq) — one row per
@@ -43,18 +69,15 @@ object Bpe {
     val words = graft.Core.fanOut(df)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // compact per-word symbol strings: "c a t </w>"
-    var syms = words.select(col("cnt"),
-        concat(array_join(transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))), " "), lit(" </w>")).as("sym"))
+    var syms = words.select(col("cnt"), symbolize(col("w")).as("sym"))
       .localCheckpoint()
     val picks = scala.collection.mutable.ArrayBuffer.empty[Row]
     var step = 1
     var exhausted = false
     while (step <= numMerges && !exhausted) {
       // overlapping adjacent pairs weighted by word count (BPE counts both
-      // (a,a) pairs of "a a a"; the merge below still applies left-to-right
-      // non-overlapping — both choices match the reference algorithm)
+      // (a,a) pairs of "a a a"; the merge application is the greedy
+      // left-to-right scan — both choices match the reference algorithm)
       val toks = split(col("sym"), " ")
       val best = syms
         .select(col("cnt"), explode(when(size(toks) >= 2,
@@ -69,11 +92,7 @@ object Bpe {
       else {
         val (l, r, freq) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         picks += Row(step, l, r, l + r, freq)
-        // literal (non-regex) replace on the space-padded string: safe for
-        // any symbol content, identical left-to-right semantics in DuckDB
-        syms = syms.select(col("cnt"),
-            expr(s"trim(replace(' ' || sym || ' ', ${sq(s" $l $r ")}, ${sq(s" $l$r ")}))")
-              .as("sym"))
+        syms = syms.select(col("cnt"), applyMerge(col("sym"), l, r).as("sym"))
           .localCheckpoint()
         step += 1
       }
@@ -91,29 +110,24 @@ object Bpe {
   /** Apply a learned merge table to tokenize text: each token is symbolized
     * then the merges replay IN ORDER (the BPE encode step). Pure map-side
     * projection — merges arrive as a local Seq (coefficient-sized, like a
-    * broadcast LUT); the corpus is never shuffled.
+    * broadcast LUT); the corpus is never shuffled. Bounded at 64 merges:
+    * the fold builds a nested expression tree (3 replace nodes per merge),
+    * and a production-scale table (30k merges) belongs in a mapPartitions
+    * tokenizer, not a Catalyst expression.
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+      s"bpeEncode: merge table must have 1..64 entries for the expression " +
+        s"fold, got ${merges.size} — use a mapPartitions tokenizer beyond that")
     val tok = graft.Core.fanOut(df)
       .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol))))
       .select(col(idCol), col("pos").as("tok_idx"), col("col").as("w"))
-    // symbolize ("cat" → "c a t </w>" — the end-of-word marker keeps
-    // word-final merges distinct from word-internal ones), pad, then
-    // literal-replace per merge IN ORDER, trim once at the end
-    val sym0 = concat(array_join(transform(sequence(lit(1), length(col("w"))),
-      i => col("w").substr(i, lit(1))), " "), lit(" </w>"))
-    val padded = concat(lit(" "), sym0, lit(" "))
-    val applied = merges.foldLeft(padded) { case (s, (l, r)) =>
-      call_function("replace", s, lit(s" $l $r "), lit(s" $l$r "))
+    val applied = merges.foldLeft(symbolize(col("w"))) {
+      case (s, (l, r)) => applyMerge(s, l, r)
     }
     tok.select(col(idCol), col("tok_idx"), col("w"),
-      split(trim(applied), " ").as("pieces"))
+      split(applied, " ").as("pieces"))
       .withColumn("n_pieces", size(col("pieces")).cast("int"))
   }
-
-  /** Single-quote a SQL string literal (symbols can't contain quotes — they
-    * come from \S+ tokens — but escape anyway for safety).
-    */
-  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 }

@@ -297,6 +297,31 @@ object Dedup {
         expr(s"stack($nb, ${(0 until nb).map(b => s"$b, sig$b").mkString(", ")}) as (band, sig)"))
   }
 
+  /** Exact-Jaccard verification of LSH candidate pairs — the one shared
+    * definition under [[minhashDedup]] and [[crossCorpusDedup]]: semi-join
+    * each side's shingle relation down to its candidate documents BEFORE
+    * the (id, sh) shuffle (so the verify join carries |candidate docs| ×
+    * shingles, not the whole corpus; the id sets are small by LSH
+    * construction → broadcast, with the shuffled-semi-join fallback for
+    * high-duplication corpora), count common shingles per pair, join both
+    * sizes, keep pairs at or above `minJaccard`.
+    */
+  private def jaccardVerify(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+                            idCol: String, minJaccard: Double): DataFrame = {
+    val a = shA.join(maybeBroadcast(cand.select(col("da").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("da"), col("sh"))
+    val b = shB.join(maybeBroadcast(cand.select(col("db").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("db"), col("sh"))
+    cand.join(a, "da").join(b, Seq("db", "sh"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      .join(shingleSizes(shA, idCol).select(col(idCol).as("da"), col("sz").as("sza")), "da")
+      .join(shingleSizes(shB, idCol).select(col(idCol).as("db"), col("sz").as("szb")), "db")
+      .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
+      .filter(col("jac") >= minJaccard)
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → signature → band buckets →
     * candidate pairs (bucket self-join, NOT all-pairs) → exact Jaccard verify.
     */
@@ -315,28 +340,7 @@ object Dedup {
       // re-evaluated by every consumer below (measured +50 %)
       val cand = ba.join(bb, Seq("band", "sig")).filter(col("da") < col("db"))
         .select("da", "db").distinct().localCheckpoint()
-      val sizes = shingleSizes(sh, idCol)
-      // exact-Jaccard verify only touches candidate documents: semi-join the
-      // shingle relation down to them BEFORE the (db, sh) shuffle — the
-      // verify join then carries |candidate docs| × shingles, not the whole
-      // corpus (candidate id set is small by LSH construction → broadcast)
-      val candIds = cand.select(col("da").as(idCol))
-        .union(cand.select(col("db").as(idCol))).distinct()
-      // candidate id set is small by LSH construction → broadcast, but on a
-      // high-duplication corpus it can approach the corpus size → fall back
-      // to a shuffled semi-join (cand is checkpointed, the count is cheap)
-      val shCand = sh.join(maybeBroadcast(candIds), Seq(idCol), "left_semi")
-      val a = shCand.select(col(idCol).as("da"), col("sh"))
-      val b = shCand.select(col(idCol).as("db"), col("sh"))
-      val commonCnt = cand
-        .join(a, "da")
-        .join(b, Seq("db", "sh"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-      commonCnt
-        .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
-        .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
-        .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
-        .filter(col("jac") >= minJaccard)
+      jaccardVerify(cand, sh, sh, idCol, minJaccard)
         .select(col("da"), col("db"), col("jac"))
         .localCheckpoint() // eager: release the shingle cache on return
     } finally sh.unpersist()
@@ -367,20 +371,8 @@ object Dedup {
         .select(col(idCol).as("db"), col("band"), col("sig"))
       val cand = bNew.join(bRef, Seq("band", "sig"))
         .select("da", "db").distinct().localCheckpoint()
-      val a = shNew.join(maybeBroadcast(cand.select(col("da").as(idCol)).distinct()),
-          Seq(idCol), "left_semi")
-        .select(col(idCol).as("da"), col("sh"))
-      val b = shRef.join(maybeBroadcast(cand.select(col("db").as(idCol)).distinct()),
-          Seq(idCol), "left_semi")
-        .select(col(idCol).as("db"), col("sh"))
-      val common = cand.join(a, "da").join(b, Seq("db", "sh"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-      val matches = common
-        .join(shingleSizes(shNew, idCol).select(col(idCol).as("da"), col("sz").as("sza")), "da")
-        .join(shingleSizes(shRef, idCol).select(col(idCol).as("db"), col("sz").as("szb")), "db")
-        .withColumn("jac", round(col("c") / (col("sza") + col("szb") - col("c")), 6))
-        .filter(col("jac") >= minJaccard)
-      val perNew = matches.groupBy(col("da"))
+      val perNew = jaccardVerify(cand, shNew, shRef, idCol, minJaccard)
+        .groupBy(col("da"))
         .agg(min(col("db")).as("dup_of"), max(col("jac")).as("best_jac"))
         .localCheckpoint() // eager: release both shingle caches on return
       newDf.select(col(idCol))

@@ -160,9 +160,14 @@ object QueriesJ {
         GROUP BY l, r),
       b$i AS (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
       s$i AS MATERIALIZED (
-        SELECT s.cnt, trim(replace(' ' || s.sym || ' ',
-            ' ' || b.l || ' ' || b.r || ' ',
-            ' ' || b.l || b.r || ' ')) AS sym
+        -- double-spacing trick = exact greedy left-to-right merge (see
+        -- Bpe.applyMerge): widen gaps to two spaces so consecutive pair
+        -- occurrences stop sharing a boundary space, literal-replace,
+        -- collapse back
+        SELECT s.cnt, trim(replace(replace(
+            ' ' || replace(s.sym, ' ', '  ') || ' ',
+            ' ' || b.l || '  ' || b.r || ' ',
+            ' ' || b.l || b.r || ' '), '  ', ' ')) AS sym
         FROM s${i - 1} s CROSS JOIN b$i b)"""
     }.mkString(",\n      ")
     val unionSteps = (1 to k).map(i =>
@@ -190,8 +195,10 @@ object QueriesJ {
     */
   val bpeEncode: QueryDef = {
     val merges = Seq(("e", "r"), ("t", "h"), ("th", "e"))
-    val replayed = merges.foldLeft("' ' || sym0 || ' '") { case (s, (l, r)) =>
-      s"replace($s, ' $l $r ', ' $l$r ')"
+    // same double-spacing greedy merge as Bpe.applyMerge, folded per merge
+    val replayed = merges.foldLeft("sym0") { case (s, (l, r)) =>
+      s"trim(replace(replace(' ' || replace($s, ' ', '  ') || ' ', " +
+        s"' $l  $r ', ' $l$r '), '  ', ' '))"
     }
     QueryDef(
       "bpe_encode",

@@ -275,6 +275,19 @@ class LlmSpec extends SparkSpec {
     // after "aa a </w>": ties at 1 -> lexicographic smallest left "a" beats "aa"
     assert(m2(1) == (("a", "</w>", 1L)))
 
+    // exact greedy scan on runs: BOTH (a,a) occurrences of "aaaa" merge in
+    // one pass ("aa aa", the Sennrich order) — single-space literal replace
+    // would under-merge to "aa a a" because the occurrences share a space
+    val run = df("doc_id BIGINT, text STRING", Seq(R(1L, "aaaa")))
+    val encRun = Bpe.encode(run, "doc_id", "text", Seq(("a", "a")))
+      .collect().map(_.getSeq[String](3).toList)
+    assert(encRun.toSeq == Seq(List("aa", "aa", "</w>")))
+    // and train's second step sees the merged runs: pairs of "aa aa </w>"
+    val mRun = Bpe.train(run, "text", numMerges = 2).orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(mRun(0) == (("a", "a", 3L)))
+    assert(mRun(1) == (("aa", "</w>", 1L))) // lex tie-break: '<' sorts before 'a'
+
     // encode replays the learned merges in order, map-side
     val enc = Bpe.encode(d, "doc_id", "text",
         merges.map(m => (m._2, m._3)).toSeq)
