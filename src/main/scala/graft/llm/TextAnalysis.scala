@@ -259,13 +259,14 @@ object TextAnalysis {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
       .select(col(idCol), col("is_train"), col("bg.w1"), col("bg.w2"))
     val trainBi = bi.filter(col("is_train"))
-    // the model tables are compact (|observed bigrams| rows): materialize
-    // once so the scoring join doesn't re-explode the train corpus, and
     // derive the prefix totals FROM the bigram counts (c(w1·) = Σ_w2
-    // c(w1,w2)) instead of a second corpus-scale aggregation — one less
-    // full pass over the corpus
+    // c(w1,w2)) instead of a second corpus-scale aggregation: both model
+    // tables then sit on the SAME (w1,w2) exchange, which ReuseExchange
+    // dedupes — the train corpus explodes once per plan, with no eager
+    // materialization cost (a localCheckpoint here measured 3.6× slower
+    // at sf0.1: the checkpoint write dwarfs the saved recompute)
     val bigramCnt = trainBi.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cb")).localCheckpoint()
+      .agg(count(lit(1)).as("cb"))
     val prefixCnt = bigramCnt.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
     val vocab = base.filter(col("is_train"))
       .select(explode(col("toks")).as("tok"))
