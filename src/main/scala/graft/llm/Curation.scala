@@ -209,6 +209,26 @@ object Curation {
         round(col("__pw") / col("__ws"), 6).as("weight"))
   }
 
+  /** Deterministic global shuffle into training shards — the fixed,
+    * reproducible document order a training run consumes (and the step
+    * before [[packSequences]]): shard = salted-hash mod numShards, position
+    * within shard = rank by (hash, id) — a new salt is a fresh epoch
+    * permutation, the same salt replays bit-identically. One shuffle on the
+    * shard key; the per-shard rank window is partitioned (never global), so
+    * the sort is |corpus|/numShards rows per task at any scale.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    salt: String = ""): DataFrame = {
+    require(numShards > 0, s"shuffleShards: numShards must be > 0, got $numShards")
+    val h = TextAnalysis.md5Long(concat(col(idCol).cast("string"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    df.select(col(idCol), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("int"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Email / phone patterns chosen to behave identically under Java regex
     * (Spark) and RE2 (DuckDB): character classes + `\b` only, no lookaround.
     */

@@ -40,6 +40,27 @@ object TextAnalysis {
         "[ \\t\\n\\r\\f]+", " ")).as("normalized"))
       .withColumn("n_chars_norm", length(col("normalized")).cast("int"))
 
+  /** Markup stripping — the boilerplate-removal pass of web-corpus
+    * pipelines: drop tags (`<[^>]*>` — no lookarounds, identical under
+    * Java regex and RE2), THEN decode the five XML entities (after tag
+    * removal, so a decoded `&lt;b&gt;` stays literal text instead of
+    * becoming a strippable tag; `&amp;` decodes LAST so `&amp;lt;` yields
+    * `&lt;`, the standard order), then collapse whitespace with the
+    * engine-portable explicit class. Pure codegen projection.
+    */
+  def stripMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+    val stripped = regexp_replace(col(textCol), "<[^>]*>", " ")
+    val decoded = entities.foldLeft(stripped) { case (c, (e, v)) =>
+      call_function("replace", c, lit(e), lit(v))
+    }
+    graft.Core.fanOut(df).select(
+      col(idCol),
+      trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " ")).as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")).cast("int"))
+  }
+
   /** 60-bit stable content hash from md5 — deterministic across engines
     * (DuckDB mirror: CAST(CONCAT('0x', SUBSTRING(md5(s),1,15)) AS BIGINT)).
     */

@@ -269,7 +269,52 @@ object QueriesJ {
       LEFT JOIN per ON d.doc_id = per.da
       ORDER BY d.doc_id"""))
 
+  /** Markup stripping with INJECTED markup (the text_normalize precedent:
+    * corpus text is markup-free, so the query wraps every row in tags +
+    * entities to genuinely pin the strip → decode → collapse order on
+    * every row).
+    */
+  val textHtmlStrip: QueryDef = QueryDef(
+    "text_html_strip",
+    (s, dir) => TextAnalysis.stripMarkup(
+        t(s, dir, "documents").withColumn("txt2",
+          concat(lit("<div id=\"x\"><p>"), col("text"),
+            lit(" &amp; <b>bold</b> &lt;i&gt;</p></div>"))),
+        "doc_id", "txt2")
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id,
+          '<div id="x"><p>' || text || ' &amp; <b>bold</b> &lt;i&gt;</p></div>' AS txt2
+        FROM documents),
+      n AS (SELECT doc_id,
+          TRIM(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(txt2, '<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', chr(39)), '&amp;', '&'),
+            '[ \t\n\r\f]+', ' ', 'g')) AS clean
+        FROM d)
+      SELECT doc_id, clean, CAST(LENGTH(clean) AS INT) AS n_chars_clean
+      FROM n ORDER BY doc_id"""))
+
+  /** Deterministic epoch shuffle into 8 training shards: shard = hash mod
+    * 8, pos = rank by (hash, id) within the shard — same salt replays
+    * bit-identically, per-shard rank window never sorts globally.
+    */
+  val corpusShuffle: QueryDef = QueryDef(
+    "corpus_shuffle",
+    (s, dir) => Curation.shuffleShards(t(s, dir, "documents"),
+        "doc_id", numShards = 8)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH h AS (SELECT doc_id,
+          ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents),
+      s AS (SELECT doc_id, h, CAST(h % 8 AS INT) AS shard FROM h)
+      SELECT doc_id, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+          AS INT) AS pos
+      FROM s ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(chunkDocuments, mixtureWeights,
     dedupContainment, textNormalize, textPerplexity, bpeTrain, bpeEncode,
-    dedupCross)
+    dedupCross, textHtmlStrip, corpusShuffle)
 }

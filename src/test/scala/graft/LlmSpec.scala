@@ -319,6 +319,39 @@ class LlmSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("dup_of")))
   }
 
+  test("stripMarkup: tags drop, entities decode AFTER stripping, &amp; decodes last") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, """<div id="a"><p>hello <b>world</b></p></div>"""),
+      R(2L, "a &lt;b&gt; c &amp;lt; d &#39;q&#39;"), // decoded tags stay literal text
+      R(3L, "plain"),
+      R(4L, "<br/>")))
+    val out = TextAnalysis.stripMarkup(d, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(out(0) == (("hello world", 11)))
+    // &lt;b&gt; -> <b> literally (not stripped); &amp;lt; -> &lt; (amp last)
+    assert(out(1) == (("a <b> c &lt; d 'q'", 18)))
+    assert(out(2) == (("plain", 5)))
+    assert(out(3) == (("", 0)))
+  }
+
+  test("shuffleShards: deterministic replay, full coverage, dense per-shard positions") {
+    val d = df("doc_id BIGINT, text STRING", (1L to 200L).map(i => R(i, "x")))
+    val a = Curation.shuffleShards(d, "doc_id", numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val b = Curation.shuffleShards(d, "doc_id", numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq) // same salt = same epoch
+    assert(a.map(_._1).toSet == (1L to 200L).toSet)      // every doc exactly once
+    // positions are dense 0..n-1 within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.size).toSeq)
+    }
+    // a different salt is a different permutation (some assignment moves)
+    val c = Curation.shuffleShards(d, "doc_id", numShards = 8, salt = "epoch2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(c.sortBy(_._1).toSeq != a.sortBy(_._1).toSeq)
+  }
+
   test("embeddingNearDupLsh: high recall on planted near-dup clusters, no sub-threshold pairs") {
     // 20 clusters of 3 near-identical 16-dim vectors (cos > 0.99 within a
     // cluster) + deterministic pseudo-random noise vectors between clusters
