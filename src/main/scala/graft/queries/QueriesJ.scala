@@ -314,7 +314,39 @@ object QueriesJ {
           AS INT) AS pos
       FROM s ORDER BY doc_id"""))
 
+  /** Matryoshka-embedding retrieval (arXiv:2205.13147): search on the
+    * first-16 prefix of the 64-dim embedding (cosine needs no
+    * renormalization — it normalizes by the prefix norms), measure
+    * recall@5 against full-dim exact search. The dimension-truncation
+    * quality/cost tradeoff as a measured, oracle-mirrored number;
+    * composes slice → bruteForceTopKAgg (bounded TopK aggregator) →
+    * recallAtK, all individually gated.
+    */
+  val simsearchMatryoshka: QueryDef = QueryDef(
+    "simsearch_matryoshka_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("emb16"))
+      val approx = graft.llm.Similarity.bruteForceTopKAgg(
+        sliced, sliced.filter(col("vec_id") < 10), "vec_id", "emb16",
+        dim = 16, k = 5)
+      val exact = graft.llm.Similarity.bruteForceTopKAgg(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5)
+      graft.llm.Similarity.recallAtK(approx, exact).orderBy(col("qid"))
+    },
+    Some(s"""WITH approx AS (SELECT qid, vb FROM (${Ora.bruteForceTopKSql(10, 5, 16)})),
+      exact AS (SELECT qid, vb FROM (${Ora.bruteForceTopKSql(10, 5, 64)})),
+      hit AS (SELECT e.qid, COUNT(*) AS n_hit
+        FROM exact e JOIN approx a ON a.qid = e.qid AND a.vb = e.vb
+        GROUP BY e.qid),
+      ex AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY qid)
+      SELECT ex.qid, ex.n_exact, COALESCE(hit.n_hit, 0) AS n_hit,
+        ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact, 6) AS recall
+      FROM ex LEFT JOIN hit ON hit.qid = ex.qid ORDER BY ex.qid"""))
+
   val all: Seq[QueryDef] = Seq(chunkDocuments, mixtureWeights,
     dedupContainment, textNormalize, textPerplexity, bpeTrain, bpeEncode,
-    dedupCross, textHtmlStrip, corpusShuffle)
+    dedupCross, textHtmlStrip, corpusShuffle, simsearchMatryoshka)
 }
