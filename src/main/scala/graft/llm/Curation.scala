@@ -229,6 +229,38 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Per-domain document cap — the domain-balancing step web-corpus
+    * pipelines run so no single crawl domain dominates the training mix
+    * (Gopher §A.2 caps docs/domain; C4/RefinedWeb do the same): keep the
+    * `cap` best documents per `domainCol` ranked by (`scoreCol` DESC, id
+    * ASC), emit every document with its in-domain rank (NULL past the cap)
+    * and the keep verdict. Ranking runs through the bounded
+    * [[graft.functions.Aggregators.TopK]] aggregator, NOT a window: a
+    * window would sort every hot domain's full row set in one task
+    * (crawl-domain frequencies are maximally skewed — that is the reason
+    * this operator exists), while the aggregator admits at most `cap`
+    * candidates per partial buffer, so the exchange carries
+    * |domains|·cap rows however hot the domain. Winners broadcast-join
+    * back to the corpus. Rows with a NULL score never rank (they surface
+    * with NULL rank, keep = false) — the aggregator's (Double, Long)
+    * encoder is non-nullable, and an unscored document should not displace
+    * a scored one.
+    */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+                scoreCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"domainCap: cap must be > 0, got $cap")
+    val topk = udaf(new graft.functions.Aggregators.TopK(cap))
+    val winners = graft.Core.fanOut(df)
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(domainCol))
+      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("hits"))
+      .select(posexplode(col("hits")))
+      .select(col("col.id").as(idCol), (col("pos") + 1).cast("int").as("rank"))
+    df.select(col(idCol), col(domainCol))
+      .join(Dedup.maybeBroadcast(winners), Seq(idCol), "left")
+      .withColumn("keep", col("rank").isNotNull)
+  }
+
   /** Email / phone patterns chosen to behave identically under Java regex
     * (Spark) and RE2 (DuckDB): character classes + `\b` only, no lookaround.
     */

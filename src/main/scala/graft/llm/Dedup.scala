@@ -244,8 +244,8 @@ object Dedup {
     * an unconditional broadcast would blow the driver; the fallback is a
     * plain shuffled join.
     */
-  private def maybeBroadcast(small: DataFrame,
-                             limit: Long = BroadcastRowLimit): DataFrame =
+  private[llm] def maybeBroadcast(small: DataFrame,
+                                  limit: Long = BroadcastRowLimit): DataFrame =
     if (small.limit((limit + 1).toInt).count() <= limit) broadcast(small)
     else small
 

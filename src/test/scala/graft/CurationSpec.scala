@@ -114,6 +114,48 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("domainCap: keeps top-cap per domain by (score DESC, id ASC); NULL never ranks") {
+    val d = df("doc_id BIGINT, source STRING, score DOUBLE", Seq(
+      R(1L, "hot", 9.0), R(2L, "hot", 7.0), R(3L, "hot", 8.0),
+      R(4L, "hot", 7.0),               // ties doc 2 on score → loses on id
+      R(5L, "hot", null),              // unscored: must not displace a scored doc
+      R(6L, "cold", 1.0)))             // under-cap domain keeps everything
+    val out = Curation.domainCap(d, "doc_id", "source", "score", cap = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Int]), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((Some(1), true)))   // 9.0 ranks first
+    assert(out(3L) == ((Some(2), true)))   // 8.0 second
+    assert(out(2L) == ((None, false)))     // 7.0 past the cap
+    assert(out(4L) == ((None, false)))
+    assert(out(5L) == ((None, false)))     // NULL score: surfaces, never ranks
+    assert(out(6L) == ((Some(1), true)))
+    assert(out.size == 6)                  // every input doc surfaces
+  }
+
+  test("domainCap: order-independent under skew; bounded agg, no window sort") {
+    // one maximally hot domain (the scenario the operator exists for)
+    val many = spark.range(0, 500).selectExpr("id AS doc_id",
+      "CASE WHEN id < 490 THEN 'hot' ELSE concat('d', id) END AS source",
+      "CAST(id % 7 AS DOUBLE) AS score")
+    val out = Curation.domainCap(many, "doc_id", "source", "score", cap = 3)
+    val kept = out.filter(col("keep")).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(0))).toSet
+    assert(kept.count(_._1 == "hot") == 3)
+    // hot winners: score 6 (ids 6, 13, 20 after DESC-score, ASC-id ranking)
+    assert(kept.filter(_._1 == "hot").map(x => (x._2, x._3)) ==
+      Set((1, 6L), (2, 13L), (3, 20L)))
+    val kept2 = Curation.domainCap(
+        many.orderBy(col("doc_id").desc), "doc_id", "source", "score", cap = 3)
+      .filter(col("keep")).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(0))).toSet
+    assert(kept == kept2)
+    // scale shape: ranking is a bounded partial aggregation (|domains|·cap
+    // exchange rows), never a per-domain window sort of the hot domain
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("redactPii: counts and masks email/phone spans; clean text untouched") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       R(1L, "reach me at alice.smith@mail.example.org or 555-0199 thanks"),
