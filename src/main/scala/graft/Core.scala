@@ -29,6 +29,10 @@ object Core {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are tz-less parquet µs; read them as
+      // TimestampType under the UTC session (matching DuckDB's naive-epoch
+      // arithmetic) instead of TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def session(appName: String = "graft", master: String = "local[*]"): SparkSession =

@@ -476,6 +476,51 @@ object Dedup {
       .join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-duplicated span REMOVAL — the cleanup counterpart of
+    * [[windowDupStats]] (which only measures): the C4/"deduplicating
+    * training data" curation step that deletes spans repeated verbatim
+    * across documents and rebuilds the cleaned corpus. Each document's
+    * token stream is segmented into consecutive NON-overlapping n-token
+    * segments (last segment may be shorter); a segment whose exact text
+    * occurs in more than `maxDocs` distinct documents is boilerplate and is
+    * dropped; the survivors are re-joined in original order as the cleaned
+    * text.
+    *
+    * Scale shape: one explode (map-side segmentation), one keyed agg for
+    * the per-segment document frequency (map-side combinable — the
+    * segment-text exchange carries distinct (seg, doc) pairs at most), one
+    * shuffle join back on the segment key, and one per-doc rollup whose
+    * ordered rebuild runs on sort_array over (pos, seg) structs — bounded
+    * by the document's own segment count, never a window over the corpus.
+    * Linear in corpus bytes; no driver participation.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, maxDocs: Int = 1): DataFrame = {
+    require(n > 0, s"removeDupSpans needs a positive segment size; got $n")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // non-overlapping segment starts 1, n+1, 2n+1, … (1-based slice);
+    // sequence() needs the empty-doc guard (see shingles)
+    val starts = when(size(toks) >= 1, sequence(lit(1), size(toks), lit(n)))
+      .otherwise(array().cast("array<int>"))
+    val seg = graft.Core.fanOut(df).select(col(idCol),
+        posexplode(transform(starts, st => concat_ws(" ", slice(toks, st, lit(n))))))
+      .select(col(idCol), col("pos"), col("col").as("seg"))
+    val freq = seg.groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+    val kept = seg.join(freq, Seq("seg"))
+      .withColumn("__dup", col("__docs") > maxDocs)
+    val per = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_segments"),
+      sum(when(col("__dup"), 1L).otherwise(0L)).as("n_removed"),
+      concat_ws(" ", transform(
+        sort_array(collect_list(when(!col("__dup"),
+          struct(col("pos"), col("seg"))))),
+        s => s.getField("seg"))).as("clean_text"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_segments", "n_removed"))
+      .na.fill("", Seq("clean_text"))
+  }
+
   /** Embedding cosine near-dup: same-label blocking (the coarse partitioner)
     * then an in-block pair join with an exact cosine. The explicit per-index
     * expansion keeps the whole computation inside whole-stage codegen.

@@ -66,8 +66,8 @@ class CadenceSpec extends SparkSpec {
       stageDir.resolve("part-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(stageDir.toString).schema
     // the SAME windowAgg the 10-min path uses — only the window string moves
-    val stream = RT.fileStream(spark, stageDir.toString, schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // nanos-long → ts
+    val stream = Core.normalizeNanosTs( // nanos-long → ts (no-op on µs data)
+      RT.fileStream(spark, stageDir.toString, schema))
     val q = RT.windowAgg(stream, "event_type", "ts", "value",
         window_ = "5 minutes", watermark = "10 minutes")
       .writeStream.format("memory").queryName("cadence5")

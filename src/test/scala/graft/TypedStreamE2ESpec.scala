@@ -34,8 +34,8 @@ class TypedStreamE2ESpec extends SparkSpec {
 
     val batchDf = spark.read.parquet(stageDir.toString)
     val schema = batchDf.schema
-    val stream = RT.fileStream(spark, stageDir.toString, schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // nanos-long → ts
+    val stream = Core.normalizeNanosTs( // nanos-long → ts (no-op on µs data)
+      RT.fileStream(spark, stageDir.toString, schema))
     val counted = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
