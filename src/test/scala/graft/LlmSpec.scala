@@ -762,6 +762,23 @@ class LlmSpec extends SparkSpec {
     assert(s.getLong(1) == 0 && s.getDouble(3) == 0.0)
   }
 
+  test("removeDupSpans: shared segments deleted, order kept, edges surface") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "a b c x y z p q r"),  // segs: "a b c" "x y z" "p q r"
+      R(2L, "x y z u v w"),        // shares "x y z" with 1
+      R(3L, "a b c"),              // single segment, shared with 1
+      R(4L, "m n"),                // one short unique segment
+      R(5L, "")))                  // token-less
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", n = 3, maxDocs = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((3L, 2L, "p q r")))   // both shared segs removed
+    assert(out(2L) == ((2L, 1L, "u v w")))
+    assert(out(3L) == ((1L, 1L, "")))        // fully boilerplate
+    assert(out(4L) == ((1L, 0L, "m n")))     // short tail segment kept
+    assert(out(5L) == ((0L, 0L, "")))        // no tokens, no segments
+  }
+
   test("quantizeInt8: exact codes, bounded reconstruction error, zero-vector guard") {
     val d = df("id BIGINT, v ARRAY<FLOAT>", Seq(
       R(1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
