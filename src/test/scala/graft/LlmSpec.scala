@@ -779,6 +779,25 @@ class LlmSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, "")))        // no tokens, no segments
   }
 
+  test("nbTrainScore: separable vocab classified, OOV docs fall to the prior") {
+    val d = df("doc_id BIGINT, text STRING, lang STRING", Seq(
+      R(1L, "apfel birne kirsche apfel", "de"),
+      R(2L, "apfel birne birne apfel kirsche", "de"),
+      R(3L, "apple pear cherry apple", "en"),
+      R(10L, "birne apfel apfel", "de"),     // held out, de vocab
+      R(15L, "pear apple cherry", "en"),     // held out, en vocab
+      R(20L, "zzz qqq www", "de")))          // held out, fully OOV
+    val out = graft.llm.Classify.nbTrainScore(d, "doc_id", "text", "lang",
+        col("doc_id") < 10).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(5), r.getLong(4))).toMap
+    assert(out(10L) == (("de", true, 3L)))
+    assert(out(15L) == (("en", true, 3L)))
+    // OOV doc: no token evidence — argmax is the prior-heaviest class (de,
+    // 2 of 3 train docs), n_used 0
+    assert(out(20L) == (("de", true, 0L)))
+    assert(out.keySet == Set(10L, 15L, 20L))
+  }
+
   test("quantizeInt8: exact codes, bounded reconstruction error, zero-vector guard") {
     val d = df("id BIGINT, v ARRAY<FLOAT>", Seq(
       R(1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
