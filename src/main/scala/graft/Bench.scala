@@ -39,6 +39,14 @@ object Bench {
   def fmt3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** stdout-line precision: 2 dp keeps the alias-keyed line ~120 chars
+    * shorter than 3 dp at the current query count — headroom against the
+    * driver's ~2000-char tail capture. BENCH_full.json stays 3 dp (the
+    * lossless record anchors and verdicts read).
+    */
+  def fmt2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   /** Time every selected query at `sfDir`. Noise control, two triggers for
     * a median-of-3 re-run:
     * (a) heavy tail: one cold/contended run mis-bills a multi-second query
@@ -176,7 +184,7 @@ object Bench {
     // any truncation cuts the header, not the timings. Must stay under the
     // driver's ~2000-char tail window — warn loudly if it ever outgrows it.
     val qs = sortedResults
-      .map { case (k, v) => s"\"${aliasOf(k)}\":${fmt3(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"\"${aliasOf(k)}\":${fmt2(v)}" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"$sfDir","keys":"BENCH_KEYS.json","queries":$qs}"""
     if (line.length > 1850)

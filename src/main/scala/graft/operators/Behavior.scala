@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream behavioral analytics: funnel conversion, cohort retention,
+  * and exponentially-weighted smoothing — the classic product-analytics
+  * operators over an (id, ts, user, type, value) event relation.
+  */
+object Behavior {
+
+  /** Ordered funnel conversion with first-occurrence semantics: a user
+    * clears step k at the EARLIEST step-k event strictly after their
+    * step-(k−1) clear time. Returns one row per step with the surviving
+    * user count and the conversion rate vs step 1.
+    *
+    * Scale shape: one filtered keyed agg per step (map-side combinable
+    * min) plus a join against the previous step's |users|-row result —
+    * never a per-user event sort or window. Step results are small
+    * (≤ |users| rows) so the per-step joins broadcast under AQE at any
+    * realistic fan-in.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepTimes = steps.zipWithIndex.foldLeft(List.empty[(Int, String, DataFrame)]) {
+      case (acc, (step, i)) =>
+        val mine = events.filter(col(typeCol) === step)
+          .select(col(userCol), col(tsCol))
+        val cleared = acc.headOption match {
+          case None => mine
+          case Some((_, _, prev)) =>
+            mine.join(prev.select(col(userCol), col("__t").as("__pt")), Seq(userCol))
+              .filter(col(tsCol) > col("__pt"))
+              .select(col(userCol), col(tsCol))
+        }
+        val t = cleared.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        (i, step, t) :: acc
+    }.reverse
+    val counts = stepTimes.map { case (i, step, t) =>
+      t.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"), col("n_users"))
+    }.reduceLeft(_ unionAll _)
+    val base = counts.filter(col("step") === 1)
+      .select(col("n_users").as("__base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("__base") > 0,
+          round(col("n_users").cast("double") / col("__base"), 6))
+          .otherwise(lit(0.0)).as("conversion"))
+  }
+
+  /** Cohort retention matrix: users are cohorted by the calendar day of
+    * their first event; a cohort's day-k retention is the fraction of its
+    * users active (any event) k days after the cohort day. One keyed agg
+    * for cohorts, one distinct over (user, day), one matrix agg — the
+    * (cohort, offset) result is |days|² rows however large the corpus.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    val cohort = events.groupBy(col(userCol)).agg(min(day).as("cohort"))
+    val active = events.select(col(userCol), day.as("day")).distinct()
+    val sizes = cohort.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    active.join(cohort, Seq(userCol))
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("day_offset").cast("int").as("day_offset"),
+        col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+  }
+
+  /** L-lag truncated exponentially-weighted moving average per key
+    * (pandas `ewm(adjust=True)` semantics, window-bounded): over each
+    * key's events in (ts, id) order,
+    *   ewma_n = Σ_{j<L} (1−α)^j · x_{n−j} / Σ_{j<L, n−j ≥ 0} (1−α)^j.
+    * The truncation makes the operator exactly defined (and exactly
+    * mirrorable) instead of recursive: with α = 1/2 the dropped tail is
+    * below 2⁻⁸ of the weight mass at L = 8, and the lag window keeps the
+    * shuffle bounded at one per-key sort — no unbounded running state.
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valCol: String, alpha: Double = 0.5, lags: Int = 8): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"ewma needs 0 < alpha < 1; got $alpha")
+    require(lags > 0, s"ewma needs a positive lag window; got $lags")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    def wj(j: Int): Double = math.pow(1.0 - alpha, j)
+    val terms = (0 until lags).map { j =>
+      val x = if (j == 0) col(valCol) else lag(col(valCol), j).over(w)
+      (x, lit(wj(j)))
+    }
+    val num = terms.map { case (x, c) => when(x.isNotNull, x * c).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    val den = terms.map { case (x, c) => when(x.isNotNull, c).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    events.select(col(idCol), col(keyCol), col(tsCol), col(valCol),
+      round(num / den, 6).as("ewma"))
+  }
+}
