@@ -266,31 +266,120 @@ object Similarity {
       s"pqTopK inlines the codebook into one projection — ${cw.length} " +
         "codewords is past the compiled-plan comfort zone (<= 1024); use a " +
         "fitted quantizer model at that scale")
-    val ks = cw.length
-    def l2j(vc: Column, c: Int, j: Int): Column =
-      (0 until sub).map { d =>
-        val x = element_at(vc, j * sub + d + 1).cast("double") -
-          lit(cw(c)(j * sub + d))
-        x * x
-      }.reduceLeft(_ + _)
-    // encode: per subspace the (dist, code) struct-min — lowest code wins
-    // distance ties, a null element poisons the struct's first field and
-    // the row drops at the dist-null filter below
-    def codeJ(vc: Column, j: Int): Column =
-      array_min(array((0 until ks).map(c =>
-        struct(l2j(vc, c, j).as("d"), lit(c + 1).as("cw"))): _*)).getField("cw")
     val enc = graft.Core.fanOut(corpus).select(col(idCol).as("vb"),
-      array((0 until m).map(j => codeJ(col(vecCol), j)): _*).as("codes"))
+      pqCodes(col(vecCol), cw, m, sub).as("codes"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .select(col("qid"), array((0 until m).map(j =>
-        array((0 until ks).map(c => l2j(col("qv"), c, j)): _*)): _*).as("lut"))
+      .select(col("qid"), pqLut(col("qv"), cw, m, sub).as("lut"))
+    pqRank(broadcast(q).join(enc, col("qid") =!= col("vb")), m, k)
+  }
+
+  /** IVF-PQ — the flagship FAISS index shape, composed from the engine's
+    * existing pieces: coarse-quantize every vector to its nearest seed cell
+    * ([[assignCells]], map-side), PQ-encode the RESIDUAL v − seed(cell)
+    * (encoding residuals instead of raw vectors is what makes PQ accurate
+    * inside a coarse cell), then at query time probe the `nprobe` best
+    * cells, build per-(query, cell) ADC tables over the query's OWN
+    * residual against that cell's seed, and rank only the probed cells'
+    * candidates through the bounded TopK aggregator.
+    *
+    * Scale shape: assignment, residuals and encode are one map-side pass
+    * (seeds broadcast, codebook inlined); probing touches |Q|·|cells| rows;
+    * candidate scoring joins the (small, broadcast) probe relation to the
+    * cell-keyed code table and does m array lookups per candidate; ranking
+    * exchanges |Q|·k rows. Nothing re-shuffles the corpus after the encode.
+    *
+    * The codebook is training-free (`isCodeword` selects corpus rows whose
+    * residuals become codewords — the simsearch_ivf_fixed precedent), so
+    * the ENTIRE index build + search is exactly mirrorable; a learned
+    * k-means codebook slots into the same plan.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, m: Int, seeds: DataFrame,
+                cellCol: String, cvecCol: String, isCodeword: Column,
+                k: Int, nprobe: Int): DataFrame = {
+    requireIntegral(corpus, idCol, "ivfPqTopK")
+    require(m > 0 && dim % m == 0,
+      s"ivfPqTopK needs m dividing dim; got dim=$dim m=$m")
+    require(nprobe > 0, s"ivfPqTopK needs a positive nprobe; got $nprobe")
+    val sub = dim / m
+    val asn = assignCells(corpus, idCol, vecCol, seeds, cellCol, cvecCol, dim)
+    val sd = seeds.select(col(cellCol).as("__cell"),
+      col(cvecCol).cast("array<double>").as("__cv"))
+    val res = asn.join(broadcast(sd), col("ivf_cell") === col("__cell"))
+      .select(col(idCol), col("ivf_cell").as("cell"),
+        zip_with(col(vecCol), col("__cv"), (a, b) => a.cast("double") - b).as("r"))
+    val cw: Array[Array[Double]] = res.filter(isCodeword)
+      .filter(col("r").isNotNull && !exists(col("r"), _.isNull))
+      .select(col(idCol).cast("long"), col("r"))
+      .collect()
+      .map(row => row.getLong(0) -> row.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(cw.nonEmpty && cw.length <= 1024,
+      s"ivfPqTopK inlines the codebook into one projection — ${cw.length} " +
+        "codewords is past the compiled-plan comfort zone (<= 1024)")
+    val enc = res.select(col(idCol).as("vb"), col("cell"),
+      pqCodes(col("r"), cw, m, sub).as("codes"))
+    // coarse probe: top-nprobe cells per query by cosine against the seeds
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probeK = udaf(new graft.functions.Aggregators.TopK(nprobe))
+    val probes = qv.crossJoin(broadcast(
+        seeds.select(col(cellCol).as("pcell"), col(cvecCol).as("pcv"))))
+      .withColumn("cos", cosine("qv", "pcv", dim))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("qid"))
+      .agg(probeK(col("cos"), col("pcell").cast("long")).as("h"))
+      .select(col("qid"), explode(col("h")).as("hit"))
+      .select(col("qid"), col("hit.id").as("cell"))
+    // per-(query, probed cell) residual → ADC lookup tables
+    val qres = probes.join(qv, Seq("qid"))
+      .join(broadcast(sd), col("cell") === col("__cell"))
+      .select(col("qid"), col("cell"),
+        pqLut(zip_with(col("qv"), col("__cv"), (a, b) => a.cast("double") - b),
+          cw, m, sub).as("lut"))
+    pqRank(broadcast(qres).join(enc, Seq("cell"))
+      .filter(col("qid") =!= col("vb")), m, k)
+  }
+
+  /** Left-associated squared L2 between subspace j of an array column and
+    * codeword c of the collected codebook — the fused kernel under both the
+    * PQ encode and the ADC lookup tables.
+    */
+  private def pqL2j(vc: Column, cw: Array[Array[Double]], c: Int, j: Int,
+                    sub: Int): Column =
+    (0 until sub).map { d =>
+      val x = element_at(vc, j * sub + d + 1).cast("double") -
+        lit(cw(c)(j * sub + d))
+      x * x
+    }.reduceLeft(_ + _)
+
+  /** PQ codes (array of m 1-based codeword positions) for a vector column.
+    * Per subspace the (dist, code) struct-min — lowest code wins distance
+    * ties; a null element poisons the struct's first field and the row
+    * drops at the consumer's dist-null filter.
+    */
+  private def pqCodes(vc: Column, cw: Array[Array[Double]], m: Int,
+                      sub: Int): Column =
+    array((0 until m).map(j =>
+      array_min(array(cw.indices.map(c =>
+        struct(pqL2j(vc, cw, c, j, sub).as("d"), lit(c + 1).as("cw"))): _*))
+        .getField("cw")): _*)
+
+  /** ADC lookup tables (m × ks subspace distances) for a query column. */
+  private def pqLut(qv: Column, cw: Array[Array[Double]], m: Int,
+                    sub: Int): Column =
+    array((0 until m).map(j =>
+      array(cw.indices.map(c => pqL2j(qv, cw, c, j, sub)): _*)): _*)
+
+  /** Rank a (qid, lut, codes, vb) pair relation by the decimal-accumulated
+    * rounded ADC distance through the bounded TopK aggregator.
+    */
+  private def pqRank(pairs: DataFrame, m: Int, k: Int): DataFrame = {
     val distDec = (0 until m).map(j =>
         element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1))
           .cast("decimal(27,10)"))
       .reduceLeft(_ + _)
     val topk = udaf(new graft.functions.Aggregators.TopK(k))
-    broadcast(q).join(enc, col("qid") =!= col("vb"))
-      .withColumn("dist", round(distDec, 6).cast("double"))
+    pairs.withColumn("dist", round(distDec, 6).cast("double"))
       .filter(col("dist").isNotNull)
       .groupBy(col("qid"))
       .agg(topk(-col("dist"), col("vb")).as("hits"))

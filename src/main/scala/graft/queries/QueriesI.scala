@@ -57,7 +57,7 @@ object QueriesI {
     * every deterministic-quantizer mirror shares: the IVF-fixed search, the
     * recall evaluator, and the SemDeDup pruning.
     */
-  private lazy val fixedAsnCtes: String =
+  private[queries] lazy val fixedAsnCtes: String =
     s"""seeds AS (SELECT vec_id AS cell, embedding AS cv
             FROM embeddings WHERE vec_id < 8),
         asn AS (SELECT vec_id, cell AS ivf_cell FROM (

@@ -151,5 +151,77 @@ object QueriesL {
         FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
   }
 
-  val all: Seq[QueryDef] = Seq(dedupSpanRemoval, textNbLangid, simsearchPqAdc)
+  /** IVF-PQ (the flagship FAISS composition): fixed-seed coarse cells,
+    * PQ over RESIDUALS v − seed(cell) with a training-free codebook (the
+    * residuals of vec_ids 8..23 — non-seed rows, so no zero-vector
+    * codewords), nprobe = 2 probed cells per query, ADC ranking. The
+    * entire index build + search hash-matches the mirror.
+    */
+  val simsearchIvfPq: QueryDef = {
+    val m = 4; val sub = 16
+    val resList =
+      "[CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE) " +
+        "for i in generate_series(1, 64)]"
+    val codesSql = (0 until m).map { j =>
+      s"""SELECT vec_id, cell, $j AS j, cw FROM (
+          SELECT r0.vec_id, r0.cell, c.cw, ROW_NUMBER() OVER (
+              PARTITION BY r0.vec_id
+              ORDER BY (${l2SubSql("r0.r", "c.cv", j, sub)}) ASC, c.cw) AS rn
+          FROM res r0 CROSS JOIN cb c) WHERE rn = 1"""
+    }.mkString("\n        UNION ALL\n        ")
+    val djSql = (0 until m).map { j =>
+      s"WHEN $j THEN (${l2SubSql("qr.r", "c.cv", j, sub)})"
+    }.mkString(" ")
+    QueryDef(
+      "simsearch_ivfpq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val seeds = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+        graft.llm.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", dim = 64, m = m,
+            seeds = seeds, cellCol = "cell", cvecCol = "cv",
+            isCodeword = col("vec_id") >= 8 && col("vec_id") < 24,
+            k = 10, nprobe = 2)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH ${QueriesI.fixedAsnCtes},
+        res AS (SELECT a.vec_id, a.ivf_cell AS cell, $resList AS r
+          FROM embeddings e JOIN asn a USING (vec_id)
+          JOIN seeds s ON s.cell = a.ivf_cell),
+        cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cw, r AS cv
+          FROM res WHERE vec_id >= 8 AND vec_id < 24),
+        codes AS (
+        $codesSql),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < 5),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.qid, s.cell, ROW_NUMBER() OVER (PARTITION BY q.qid
+              ORDER BY (${Ora.dotArrSql("q.qv", "s.cv", 64)}) /
+                (SQRT(${Ora.normArrSql("q.qv", 64)}) *
+                 SQRT(${Ora.normArrSql("s.cv", 64)})) DESC, s.cell) AS rn
+            FROM q CROSS JOIN seeds s
+            WHERE SQRT(${Ora.normArrSql("q.qv", 64)}) *
+                  SQRT(${Ora.normArrSql("s.cv", 64)}) > 0)
+          WHERE rn <= 2),
+        qr AS (SELECT p.qid, p.cell,
+            [CAST(q.qv[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE)
+             for i in generate_series(1, 64)] AS r
+          FROM probes p JOIN q USING (qid)
+          JOIN seeds s ON s.cell = p.cell),
+        pd AS (SELECT qr.qid, cd.vec_id AS vb, CASE cd.j $djSql END AS dj
+          FROM qr JOIN codes cd ON cd.cell = qr.cell
+          JOIN cb c ON c.cw = cd.cw
+          WHERE cd.vec_id <> qr.qid),
+        dist AS (SELECT qid, vb,
+            CAST(ROUND(SUM(CAST(dj AS DECIMAL(27,10))), 6) AS DOUBLE) AS dist
+          FROM pd GROUP BY qid, vb),
+        r AS (SELECT qid, vb, dist, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY dist ASC, vb) AS rank FROM dist)
+        SELECT qid, CAST(rank AS INT) AS rank, vb, dist
+        FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(dedupSpanRemoval, textNbLangid, simsearchPqAdc, simsearchIvfPq)
 }
