@@ -15,6 +15,7 @@ object Explain {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (100L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -282,4 +282,53 @@ object Curation {
         .cast("long").as("n_phones"),
       regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
                      PhonePattern, "<PHONE>").as("redacted"))
+
+  /** Wordlist screening (the toxicity/deny-list gate of RefinedWeb/Gopher
+    * curation): per-document hit counts and hit fraction against a term
+    * list, flagged above `maxFraction`. The list rides the plan as an
+    * inlined literal array (real lists are 10²–10⁴ terms — far under any
+    * broadcast concern), so the whole screen is a ZERO-shuffle map-side
+    * projection: token counting and membership run inside one
+    * whole-stage-codegen'd filter over the token array — no explode, no
+    * join, linear in corpus bytes.
+    */
+  def wordlistScreen(df: DataFrame, idCol: String, textCol: String,
+                     words: Seq[String], maxFraction: Double): DataFrame = {
+    require(words.nonEmpty, "wordlistScreen needs a non-empty wordlist")
+    val wl = array(words.sorted.map(lit): _*)
+    val toks = TextAnalysis.tokens(col(textCol))
+    graft.Core.fanOut(df).select(col(idCol), toks.as("__t"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(filter(col("__t"), t => array_contains(wl, t)))
+          .cast("long").as("n_hits"),
+        size(filter(array_distinct(col("__t")), t => array_contains(wl, t)))
+          .cast("long").as("n_distinct_hits"))
+      .withColumn("hit_fraction",
+        when(col("n_tokens") > 0,
+          round(col("n_hits").cast("double") / col("n_tokens"), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("flagged", col("hit_fraction") > maxFraction)
+  }
+
+  /** Deterministic train/val/test split assignment: the salted hash bucket
+    * of the id picks the split by cumulative weight — a pure projection
+    * (the sampling-filter idiom of [[stratifiedSample]] extended to a
+    * partition), reproducible across runs, engines, partitionings, and
+    * input order; re-running with a grown corpus never moves an existing
+    * row between splits.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  weights: Seq[(String, Double)],
+                  salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"splitAssign needs weights summing to 1; got $weights")
+    val b = sampleBucket(col(idCol), salt).cast("double")
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    val split = weights.zip(cum).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, ((name, _), hi)) =>
+        when(b < hi * 1e6, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
 }

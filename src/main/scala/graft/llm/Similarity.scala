@@ -352,21 +352,33 @@ object Similarity {
       x * x
     }.reduceLeft(_ + _)
 
-  /** PQ codes (array of m 1-based codeword positions) for a vector column.
-    * Per subspace the (dist, code) struct-min — lowest code wins distance
-    * ties; a null element poisons the struct's first field and the row
-    * drops at the consumer's dist-null filter.
+  /** PQ codes (array of m 1-based codeword positions) for a vector column —
+    * the compact [[graft.plans.PqEncode]] kernel (the composed struct-min
+    * expression tree is bit-identical but megabytes of plan; see
+    * PqKernels). NULL on any null element — the row drops at the
+    * consumer's dist-null filter.
     */
   private def pqCodes(vc: Column, cw: Array[Array[Double]], m: Int,
                       sub: Int): Column =
+    graft.plans.PqEncode.pqEncode(vc, cw, m)
+
+  /** ADC lookup tables (m × ks subspace distances) for a query column. */
+  private def pqLut(qv: Column, cw: Array[Array[Double]], m: Int,
+                    sub: Int): Column =
+    graft.plans.PqEncode.pqAdcLut(qv, cw, m)
+
+  /** The composed-expression forms of [[pqCodes]]/[[pqLut]], kept as the
+    * reference semantics the fused kernels are spec'd bit-identical to.
+    */
+  private[graft] def pqCodesComposed(vc: Column, cw: Array[Array[Double]],
+                                     m: Int, sub: Int): Column =
     array((0 until m).map(j =>
       array_min(array(cw.indices.map(c =>
         struct(pqL2j(vc, cw, c, j, sub).as("d"), lit(c + 1).as("cw"))): _*))
         .getField("cw")): _*)
 
-  /** ADC lookup tables (m × ks subspace distances) for a query column. */
-  private def pqLut(qv: Column, cw: Array[Array[Double]], m: Int,
-                    sub: Int): Column =
+  private[graft] def pqLutComposed(qv: Column, cw: Array[Array[Double]],
+                                   m: Int, sub: Int): Column =
     array((0 until m).map(j =>
       array(cw.indices.map(c => pqL2j(qv, cw, c, j, sub)): _*)): _*)
 

@@ -239,4 +239,61 @@ class CurationSpec extends SparkSpec {
       .filter(col("rk") <= 3).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("wordlistScreen: counts, fraction, flag; zero-shuffle plan") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "bad bad word fine ok"),      // 2/5 hits, one distinct
+      R(2L, "all clean tokens here"),
+      R(3L, "")))
+    val out = Curation.wordlistScreen(d, "doc_id", "text",
+      Seq("bad", "worse"), maxFraction = 0.2)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(rows(1L) == ((5L, 2L, 1L, 0.4, true)))
+    assert(rows(2L) == ((4L, 0L, 0L, 0.0, false)))
+    assert(rows(3L) == ((0L, 0L, 0L, 0.0, false)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan) // pure projection
+  }
+
+  test("splitAssign: partition is total, deterministic, ~weights at volume") {
+    val d = spark.range(0, 2000).selectExpr("id AS doc_id")
+    val out = Curation.splitAssign(d, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("val") > 120 && counts("val") < 280)
+    assert(counts("test") > 120 && counts("test") < 280)
+    // same salt, same rows → identical assignment
+    val again = Curation.splitAssign(d, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+    // bad weights refuse loudly
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("zorderKey: exact interleave, locality, range-partitioned layout") {
+    import graft.functions.Layout
+    val d = df("x BIGINT, y BIGINT", Seq(
+      R(1L, 0L), R(0L, 1L), R(3L, 3L), R(2L, 1L)))
+    val z = d.select(col("x"), col("y"),
+        Layout.zorderKey(Seq(col("x"), col("y")), 2).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // bit b of col i at position b*2+i: z(1,0)=1, z(0,1)=2, z(3,3)=15,
+    // z(2,1)=x bit1<<2 | y bit0<<1 = 4+2 = 6
+    assert(z == Map((1L, 0L) -> 1L, (0L, 1L) -> 2L, (3L, 3L) -> 15L,
+      (2L, 1L) -> 6L))
+    val laid = Layout.repartitionZOrdered(
+      spark.range(0, 1000).selectExpr("id % 32 AS a", "(id / 32) AS bqt")
+        .selectExpr("a", "CAST(bqt AS BIGINT) AS b"),
+      Seq(col("a"), col("b")), bits = 5, partitions = 4)
+    val plan = laid.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+  }
 }
