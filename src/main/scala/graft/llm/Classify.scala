@@ -47,8 +47,12 @@ object Classify {
     val cls = train.groupBy(col("label")).agg(count(lit(1)).as("nd"))
     val tot = train.agg(count(lit(1)).as("td"))
     val cnt = trainTok.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("cnt"))
+    // clsTot AND vocab derive from cnt, not the token stream: the model
+    // build tokenizes the train slice ONCE — the compact (label, tok)
+    // relation feeds everything downstream (the text_perplexity
+    // ReuseExchange lesson)
     val clsTot = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("ct"))
-    val vocab = trainTok.select(col("tok")).distinct()
+    val vocab = cnt.select(col("tok")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
 
     val scoreDocs = base.filter(!col("is_train"))
