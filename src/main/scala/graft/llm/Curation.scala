@@ -323,11 +323,16 @@ object Curation {
                   salt: String = "graft"): DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"splitAssign needs weights summing to 1; got $weights")
-    val b = sampleBucket(col(idCol), salt).cast("double")
-    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    // cutoffs as EXACT integers: a double cumsum (0.8 + 0.1 =
+    // 0.9000000000000001) would put the boundary bucket on different
+    // sides in Spark and an integer-threshold mirror
+    val b = sampleBucket(col(idCol), salt)
+    val cum = weights.scanLeft(BigDecimal(0)) { case (acc, (_, w)) =>
+      acc + BigDecimal(w)
+    }.tail.map(c => (c * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
     val split = weights.zip(cum).reverse
       .foldLeft(lit(weights.last._1)) { case (acc, ((name, _), hi)) =>
-        when(b < hi * 1e6, lit(name)).otherwise(acc)
+        when(b < hi, lit(name)).otherwise(acc)
       }
     df.withColumn("split", split)
   }

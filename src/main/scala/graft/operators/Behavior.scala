@@ -35,7 +35,12 @@ object Behavior {
               .filter(col(tsCol) > col("__pt"))
               .select(col(userCol), col(tsCol))
         }
+        // each step's clear table is consumed up to three times (the next
+        // step's join, its own count, the step-1 conversion base) — a
+        // |users|-row localCheckpoint beats re-running the corpus filter
+        // chain per consumer
         val t = cleared.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+          .localCheckpoint()
         (i, step, t) :: acc
     }.reverse
     val counts = stepTimes.map { case (i, step, t) =>

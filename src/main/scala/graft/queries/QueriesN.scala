@@ -56,10 +56,10 @@ object QueriesN {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"), col("lang")),
     Some(s"""WITH a AS (SELECT lang,
-          CASE WHEN CAST(${Ora.md5LongSql("CONCAT(CAST(doc_id AS VARCHAR), 'graft')")}
-                 % 1000000 AS DOUBLE) < 800000.0 THEN 'train'
-               WHEN CAST(${Ora.md5LongSql("CONCAT(CAST(doc_id AS VARCHAR), 'graft')")}
-                 % 1000000 AS DOUBLE) < 900000.0 THEN 'val'
+          CASE WHEN ${Ora.md5LongSql("CONCAT(CAST(doc_id AS VARCHAR), 'graft')")}
+                 % 1000000 < 800000 THEN 'train'
+               WHEN ${Ora.md5LongSql("CONCAT(CAST(doc_id AS VARCHAR), 'graft')")}
+                 % 1000000 < 900000 THEN 'val'
                ELSE 'test' END AS split
         FROM documents)
       SELECT split, lang, COUNT(*) AS n_docs
