@@ -163,4 +163,48 @@ object RT {
       process(batch, lastGood, id)
     }
   }
+
+  // ---- streaming funnel ----------------------------------------------------
+
+  final case class FunnelEvent(user_id: Long, tsUs: Long, event_type: String)
+  /** Per-user funnel state: first-clear event-time (µs) per step, -1 = not yet. */
+  final case class FunnelState(clears: Seq[Long])
+  final case class FunnelProgress(user_id: Long, step_reached: Int)
+
+  /** Streaming funnel progress: per user, the deepest step cleared so far
+    * under the batch operator's strict first-occurrence semantics
+    * ([[graft.operators.Behavior.funnel]] — step k clears at the earliest
+    * step-k event strictly after the step-(k−1) clear). State per user is
+    * the |steps|-long clear-time vector — O(steps), bounded forever.
+    * Events are folded in (ts-sorted within each micro-batch); clear times
+    * only ever move FORWARD, so the stream is exact under in-order
+    * per-user delivery (and single-batch replays) and conservative —
+    * never overcounting — when an event arrives after a later-ts event
+    * already cleared its step. One Update-mode row per user per batch.
+    * FunnelParitySpec proves the AvailableNow replay agrees with the
+    * batch operator user-for-user.
+    */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   steps: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnelStream needs at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val clears = state.getOption
+            .map(_.clears.toArray)
+            .getOrElse(Array.fill(steps.length)(-1L))
+          rows.toSeq.sortBy(_.tsUs).foreach { e =>
+            stepIdx.get(e.event_type).foreach { k =>
+              val prevCleared = k == 0 || clears(k - 1) >= 0
+              val afterPrev = k == 0 || e.tsUs > clears(k - 1)
+              if (clears(k) < 0 && prevCleared && afterPrev)
+                clears(k) = e.tsUs
+            }
+          }
+          state.update(FunnelState(clears.toSeq))
+          FunnelProgress(user, clears.lastIndexWhere(_ >= 0) + 1)
+      }
+  }
 }
