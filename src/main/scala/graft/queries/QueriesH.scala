@@ -23,7 +23,7 @@ object QueriesH {
   /** DuckDB mirror of Curation.sampleBucket. */
   private def bucketSql(idExpr: String, salt: String): String =
     s"${md5LongSql(s"CAST($idExpr AS VARCHAR) || '$salt'")} % 1000000"
-  private def shinglesFromSql(src: String, n: Int): String =
+  private[queries] def shinglesFromSql(src: String, n: Int): String =
     s"""SELECT DISTINCT doc_id, unnest([array_to_string(w[g : g + ${n - 1}], ' ')
         for g in generate_series(1, len(w) - ${n - 1})]) AS sh
         FROM (SELECT doc_id, $toksSql AS w FROM $src)"""

@@ -91,6 +91,86 @@ object QueriesN {
         FROM b ORDER BY o_orderkey"""))
   }
 
+  /** The full corpus-curation pipeline as ONE composed oracle (the
+    * m11_prepare_input precedent for the LLM domain): quality gate →
+    * exact-dedup canonicalization → benchmark decontamination →
+    * deterministic split assignment → per-(split, lang) doc/token
+    * accounting. Every stage is an already-gated operator; this query
+    * proves they compose in one plan with the hash gate over the end
+    * result.
+    */
+  val curationPipelineE2e: QueryDef = QueryDef(
+    "curation_pipeline_e2e",
+    (s, dir) => {
+      import graft.llm.{Curation => Cur, Dedup, TextAnalysis}
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val keepQ = Cur.qualityFilter(corpus, "doc_id", "text",
+          minTokens = 40, maxTokens = 80, maxRepetition = 0.1,
+          minStopRatio = 0.01)
+        .filter(col("keep")).select(col("doc_id"))
+      val keepers = Dedup.exact(corpus, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val clean = Cur.contaminationScore(corpus, bench, "doc_id", "text",
+          n = 3, threshold = 0.2)
+        .filter(!col("contaminated")).select(col("doc_id"))
+      val kept = corpus.join(keepQ, Seq("doc_id"))
+        .join(keepers, Seq("doc_id"))
+        .join(clean, Seq("doc_id"))
+      Cur.splitAssign(kept, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+      bench AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+      b AS (SELECT doc_id, ${Ora.toksSql} AS w FROM corpus),
+      g AS (SELECT doc_id, w,
+          [array_to_string(w[i : i + 1], ' ')
+           for i in generate_series(1, len(w) - 1)] AS grams
+        FROM b),
+      m AS (SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          CASE WHEN len(grams) > 0
+               THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+               ELSE 0.0 END AS rep_ratio,
+          CASE WHEN len(w) > 0
+               THEN CAST(len([t for t in w if t IN
+                 ('the','a','of','and','to','in','is','on','for','with')]) AS DOUBLE) / len(w)
+               ELSE 0.0 END AS stop_raw
+        FROM g),
+      q AS (SELECT doc_id FROM m
+        WHERE NOT n_tokens < 40 AND NOT n_tokens > 80
+          AND NOT rep_ratio > 0.1 AND NOT stop_raw < 0.01),
+      keepers AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text),
+      csh AS (${QueriesH.shinglesFromSql("corpus", 3)}),
+      bsh AS (SELECT DISTINCT sh FROM (${QueriesH.shinglesFromSql("bench", 3)})),
+      agg AS (SELECT doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bsh)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM csh GROUP BY doc_id),
+      clean AS (SELECT c.doc_id FROM corpus c LEFT JOIN agg a USING (doc_id)
+        WHERE NOT ((CASE WHEN COALESCE(a.n_grams, 0) > 0
+                    THEN ROUND(CAST(a.n_hit AS DOUBLE) / a.n_grams, 6)
+                    ELSE 0.0 END) >= 0.2)),
+      kept AS (SELECT c.* FROM corpus c
+        JOIN q USING (doc_id) JOIN keepers USING (doc_id)
+        JOIN clean USING (doc_id)),
+      sp AS (SELECT lang, ${Ora.toksSql} AS w,
+          CASE WHEN ${Ora.md5LongSql("CONCAT(CAST(doc_id AS VARCHAR), 'graft')")}
+                 % 1000000 < 800000 THEN 'train'
+               WHEN ${Ora.md5LongSql("CONCAT(CAST(doc_id AS VARCHAR), 'graft')")}
+                 % 1000000 < 900000 THEN 'val'
+               ELSE 'test' END AS split
+        FROM kept)
+      SELECT split, lang, COUNT(*) AS n_docs,
+        CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+      FROM sp GROUP BY split, lang ORDER BY split, lang"""))
+
   val all: Seq[QueryDef] =
-    Seq(curationWordlistScreen, sampleSplitAssign, layoutZorder)
+    Seq(curationWordlistScreen, sampleSplitAssign, layoutZorder,
+      curationPipelineE2e)
 }
