@@ -157,7 +157,11 @@ object QueriesL {
     * codewords), nprobe = 2 probed cells per query, ADC ranking. The
     * entire index build + search hash-matches the mirror.
     */
-  val simsearchIvfPq: QueryDef = {
+  /** The WITH-chain of the IVF-PQ mirror up through the ranked `r`
+    * relation — shared by the search query and the rerank composition so
+    * the index-build mirror cannot drift between them.
+    */
+  private lazy val ivfPqCtes: String = {
     val m = 4; val sub = 16
     val resList =
       "[CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE) " +
@@ -172,20 +176,7 @@ object QueriesL {
     val djSql = (0 until m).map { j =>
       s"WHEN $j THEN (${l2SubSql("qr.r", "c.cv", j, sub)})"
     }.mkString(" ")
-    QueryDef(
-      "simsearch_ivfpq",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val seeds = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-        graft.llm.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
-            "vec_id", "embedding", dim = 64, m = m,
-            seeds = seeds, cellCol = "cell", cvecCol = "cv",
-            isCodeword = col("vec_id") >= 8 && col("vec_id") < 24,
-            k = 10, nprobe = 2)
-          .orderBy(col("qid"), col("rank"))
-      },
-      Some(s"""WITH ${QueriesI.fixedAsnCtes},
+    s"""${QueriesI.fixedAsnCtes},
         res AS (SELECT a.vec_id, a.ivf_cell AS cell, $resList AS r
           FROM embeddings e JOIN asn a USING (vec_id)
           JOIN seeds s ON s.cell = a.ivf_cell),
@@ -217,11 +208,73 @@ object QueriesL {
             CAST(ROUND(SUM(CAST(dj AS DECIMAL(27,10))), 6) AS DOUBLE) AS dist
           FROM pd GROUP BY qid, vb),
         r AS (SELECT qid, vb, dist, ROW_NUMBER() OVER (PARTITION BY qid
-            ORDER BY dist ASC, vb) AS rank FROM dist)
-        SELECT qid, CAST(rank AS INT) AS rank, vb, dist
-        FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
+            ORDER BY dist ASC, vb) AS rank FROM dist)"""
   }
 
+  private def ivfPqSpark(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    graft.llm.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", dim = 64, m = 4,
+      seeds = seeds, cellCol = "cell", cvecCol = "cv",
+      isCodeword = col("vec_id") >= 8 && col("vec_id") < 24,
+      k = k, nprobe = 2)
+  }
+
+  val simsearchIvfPq: QueryDef = QueryDef(
+    "simsearch_ivfpq",
+    (s, dir) => ivfPqSpark(s, dir, k = 10).orderBy(col("qid"), col("rank")),
+    Some(s"""WITH $ivfPqCtes
+        SELECT qid, CAST(rank AS INT) AS rank, vb, dist
+        FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** The production retrieval stack's final stage: the PQ shortlist
+    * (cheap, approximate, k' = 50) re-ranked by EXACT cosine on the
+    * shortlisted candidates only — the corpus is touched at full precision
+    * for |Q|·k' rows however large it is (the hybrid_rerank precedent with
+    * an ANN first stage instead of BM25).
+    */
+  val simsearchIvfPqRerank: QueryDef = QueryDef(
+    "simsearch_ivfpq_rerank",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val shortlist = ivfPqSpark(s, dir, k = 50)
+        .select(col("qid"), col("vb"))
+      val withVecs = shortlist
+        .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
+        .join(broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))), Seq("qid"))
+      val topk = udaf(new graft.functions.Aggregators.TopK(10))
+      withVecs
+        .select(col("qid"),
+          round(graft.llm.Similarity.cosine("qv", "eb", 64), 6).as("cos"),
+          col("vb"))
+        .filter(col("cos").isNotNull)
+        .groupBy(col("qid"))
+        .agg(topk(col("cos"), col("vb")).as("hits"))
+        .select(col("qid"), posexplode(col("hits")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("vb"), col("col.score").as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH $ivfPqCtes,
+        short AS (SELECT qid, vb FROM r WHERE rank <= 50),
+        rer AS (SELECT s.qid, s.vb,
+            ROUND((${Ora.dotArrSql("qe.embedding", "ce.embedding", 64)}) /
+              (SQRT(${Ora.normArrSql("qe.embedding", 64)}) *
+               SQRT(${Ora.normArrSql("ce.embedding", 64)})), 6) AS cos
+          FROM short s
+          JOIN embeddings qe ON qe.vec_id = s.qid
+          JOIN embeddings ce ON ce.vec_id = s.vb
+          WHERE SQRT(${Ora.normArrSql("qe.embedding", 64)}) *
+                SQRT(${Ora.normArrSql("ce.embedding", 64)}) > 0),
+        rr AS (SELECT qid, vb, cos, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cos DESC, vb) AS rank FROM rer)
+        SELECT qid, CAST(rank AS INT) AS rank, vb, cos
+        FROM rr WHERE rank <= 10 ORDER BY qid, rank"""))
+
   val all: Seq[QueryDef] =
-    Seq(dedupSpanRemoval, textNbLangid, simsearchPqAdc, simsearchIvfPq)
+    Seq(dedupSpanRemoval, textNbLangid, simsearchPqAdc, simsearchIvfPq,
+      simsearchIvfPqRerank)
 }
