@@ -491,4 +491,30 @@ object Agg {
       min(col(valueCol)).as("min"),
       max(col(valueCol)).as("max"),
       count(col(valueCol)).as("n"))
+
+  /** Adaptive equi-width histogram of a numeric column: exact min/max fix
+    * the bounds (one cheap agg pass), then every row maps to
+    * floor((v − lo)/width) clamped into [0, nbins−1] and the bucket
+    * counts roll up in one keyed agg — the classic two-pass profiling
+    * histogram, nbins output rows at any input size. A constant column
+    * (width 0) lands entirely in bucket 0.
+    */
+  def histogram(df: DataFrame, valueCol: String, nbins: Int): DataFrame = {
+    require(nbins > 0, s"histogram needs positive nbins; got $nbins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("lo"), max(v).as("hi"))
+    val width = (col("hi") - col("lo")) / nbins.toDouble
+    val bucket = when(col("__w") > 0.0,
+        least(greatest(floor((v - col("lo")) / col("__w")), lit(0.0)),
+          lit((nbins - 1).toDouble)))
+      .otherwise(lit(0.0)).cast("int")
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(bounds.select(col("lo"), width.as("__w"))))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("__lo"), min(col("__w")).as("__wv"))
+      .select(col("bucket"),
+        round(col("__lo") + col("bucket") * col("__wv"), 6).as("bucket_lo"),
+        col("n"))
+  }
 }

@@ -108,4 +108,30 @@ object Windows {
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn(as, sum(valueCol).over(w))
   }
+
+  /** Rolling z-score anomaly signal: each value scored against the mean
+    * and sample stddev of its own trailing window (the current row
+    * EXCLUDED — a self-inclusive baseline dampens exactly the spikes it
+    * should flag). Windows shorter than `minN` score NULL rather than a
+    * garbage early-stream z. Sums accumulate in DECIMAL so the score is
+    * partitioning-independent; one per-key window sort, no second
+    * exchange.
+    */
+  def rollingZScore(df: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, valCol: String, lags: Int = 8,
+                    minN: Int = 3): DataFrame = {
+    require(lags >= 2 && minN >= 2,
+      s"rollingZScore needs lags, minN >= 2; got lags=$lags minN=$minN")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lags, -1)
+    val v = col(valCol).cast("double")
+    val n = count(v).over(w).cast("double")
+    val s = sum(v.cast("decimal(27,10)")).over(w).cast("double")
+    val sq = sum((v * v).cast("decimal(27,10)")).over(w).cast("double")
+    val mean = s / n
+    val varS = (sq - s * s / n) / (n - lit(1.0))
+    val z = when(n >= minN && varS > 0.0,
+      round((v - mean) / sqrt(varS), 6))
+    df.select(col(idCol), col(keyCol), col(tsCol), col(valCol), z.as("zscore"))
+  }
 }

@@ -89,5 +89,46 @@ object QueriesM {
       FROM l ORDER BY event_id"""))
   }
 
-  val all: Seq[QueryDef] = Seq(funnelConversion, cohortRetention, ewmaSmooth)
+  /** Rolling z-score anomaly signal per user (current row scored against
+    * its trailing 8-event window, self excluded; windows under 3
+    * observations abstain with NULL).
+    */
+  val rollingZScore: QueryDef = QueryDef(
+    "w9_rolling_zscore",
+    (s, dir) => graft.operators.Windows.rollingZScore(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", lags = 8, minN = 3)
+      .orderBy(col("event_id")),
+    Some("""WITH l AS (SELECT event_id, user_id, ts, value,
+          COUNT(value) OVER w AS n,
+          CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER w AS DOUBLE) AS s,
+          CAST(SUM(CAST(value * value AS DECIMAL(27,10))) OVER w AS DOUBLE) AS sq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, ts, value,
+        CASE WHEN n >= 3 AND ((sq - s*s/n) / (n - 1.0)) > 0.0
+             THEN ROUND((value - s/n) / SQRT((sq - s*s/n) / (n - 1.0)), 6)
+             END AS zscore
+      FROM l ORDER BY event_id"""))
+
+  /** Adaptive 20-bin equi-width value histogram — the two-pass profiling
+    * rollup (exact bounds, then one keyed bucket agg).
+    */
+  val valueHistogram: QueryDef = QueryDef(
+    "a15_histogram",
+    (s, dir) => graft.operators.Agg.histogram(t(s, dir, "events"),
+        "value", nbins = 20)
+      .orderBy(col("bucket")),
+    Some("""WITH b AS (SELECT MIN(CAST(value AS DOUBLE)) AS lo,
+            MAX(CAST(value AS DOUBLE)) AS hi FROM events),
+      w AS (SELECT lo, (hi - lo) / 20.0 AS wv FROM b),
+      k AS (SELECT CAST(CASE WHEN wv > 0.0
+              THEN LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - lo) / wv), 0.0), 19.0)
+              ELSE 0.0 END AS INT) AS bucket, lo, wv
+        FROM events, w WHERE value IS NOT NULL)
+      SELECT bucket, ROUND(lo + bucket * wv, 6) AS bucket_lo, COUNT(*) AS n
+      FROM k GROUP BY bucket, lo, wv ORDER BY bucket"""))
+
+  val all: Seq[QueryDef] = Seq(funnelConversion, cohortRetention, ewmaSmooth,
+    rollingZScore, valueHistogram)
 }
