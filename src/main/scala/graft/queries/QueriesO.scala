@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Core
+
+/** Batch 15: OLAP surface widening — grouping sets (CUBE) and time-range
+  * window frames, the two classic warehouse shapes not yet under the gate.
+  */
+object QueriesO {
+  import Queries.QueryDef
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.table(s, dir, name)
+
+  /** CUBE over (lang, source): all four grouping sets in one pass with
+    * grouping_id disambiguating the NULL-as-total rows from genuine NULL
+    * keys — the warehouse subtotal/total rollup as Catalyst plans it
+    * (one Expand + one aggregate, not four scans).
+    */
+  val cubeAccounting: QueryDef = QueryDef(
+    "a16_cube",
+    (s, dir) => t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Ora.dsum6(col("n_chars")).as("sum_chars"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("lang"), col("source")),
+    Some(s"""SELECT lang, source, COUNT(*) AS n_docs,
+        ${Ora.dsum6Sql("n_chars")} AS sum_chars,
+        CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid
+      FROM documents GROUP BY CUBE (lang, source)
+      ORDER BY gid, lang, source"""))
+
+  /** Trailing one-hour RANGE window per user: the event-TIME frame (every
+    * event within 3600 s, however many rows that is) — the frame family
+    * the ROWS-based windows (W6, w8, w9) can't express. Ordered by epoch
+    * seconds so both engines bound the identical frame.
+    */
+  val rangeFrame: QueryDef = QueryDef(
+    "w10_range_frame",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val sec = Ora.epochS(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(sec)
+        .rangeBetween(-3600L, 0L)
+      ev.select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value").cast("decimal(27,10)")).over(w)
+            .cast("double"), 6).as("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""SELECT event_id, user_id, ts, value,
+        COUNT(*) OVER w AS n_1h,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER w AS DOUBLE), 6) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ${Ora.epochSql("ts")}
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  val all: Seq[QueryDef] = Seq(cubeAccounting, rangeFrame)
+}
