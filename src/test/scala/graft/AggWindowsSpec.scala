@@ -218,4 +218,40 @@ class AggWindowsSpec extends SparkSpec {
       .collect().head
     assert(math.abs(out.getDouble(out.fieldIndex("v_interp")) - 15.0) < 1e-9)
   }
+
+  test("histogram: adaptive bounds, max in last bucket, constant column safe") {
+    val d = df("v DOUBLE", (0 until 100).map(i => R(i.toDouble)))
+    val out = Agg.histogram(d, "v", nbins = 10).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet == (0 until 10).toSet)
+    assert(out.values.map(_._2).sum == 100L)
+    assert(out(0)._1 == 0.0)            // first bucket starts at the min
+    // v = 99 (the max) must land in bucket 9, not a phantom bucket 10
+    assert(out(9)._2 >= 10L)
+    val const = Agg.histogram(df("v DOUBLE", Seq(R(5.0), R(5.0))), "v", 10)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(const.toSeq == Seq((0, 2L)))  // width 0 → everything in bucket 0
+  }
+
+  test("rollingZScore: abstains under minN and on zero variance, flags spikes") {
+    val rows = Seq(1.0, 1.0, 1.0, 1.0, 100.0).zipWithIndex.map { case (v, i) =>
+      R(i.toLong, 1L, new java.sql.Timestamp(i * 1000L), "t", v)
+    }
+    val d = df("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE", rows)
+    val out = graft.operators.Windows.rollingZScore(d, "user_id", "ts",
+        "event_id", "value", lags = 8, minN = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(out(0L).isEmpty && out(1L).isEmpty && out(2L).isEmpty) // n < minN
+    assert(out(3L).isEmpty)   // window all-1.0 → zero variance → abstain
+    assert(out(4L).isEmpty)   // still constant baseline before the spike
+    val rows2 = Seq(1.0, 2.0, 3.0, 100.0).zipWithIndex.map { case (v, i) =>
+      R(i.toLong, 1L, new java.sql.Timestamp(i * 1000L), "t", v)
+    }
+    val out2 = graft.operators.Windows.rollingZScore(
+        df("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE", rows2),
+        "user_id", "ts", "event_id", "value", lags = 8, minN = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    // baseline 1,2,3: mean 2, std 1 → z(100) = 98
+    assert(out2(3L).contains(98.0))
+  }
 }
