@@ -60,5 +60,53 @@ object QueriesO {
         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
-  val all: Seq[QueryDef] = Seq(cubeAccounting, rangeFrame)
+  /** Dynamic pivot: per user-decile event-type counts as columns. The
+    * pivot value list is passed EXPLICITLY (sorted) — Catalyst then plans
+    * a single aggregate with one conditional count per column instead of
+    * the values-discovery extra job, and the output schema is stable for
+    * the mirror.
+    */
+  val pivotCounts: QueryDef = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    QueryDef(
+      "a17_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("ub"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .orderBy(col("ub")),
+      Some(s"""SELECT user_id % 10 AS ub,
+          ${types.map(tp => s"COUNT(*) FILTER (event_type = '$tp') AS $tp")
+            .mkString(",\n          ")}
+        FROM events GROUP BY 1 ORDER BY ub"""))
+  }
+
+  /** Unpivot (melt) to long format — the inverse reshape, one map-side
+    * Expand node, no shuffle before the final sort.
+    */
+  val unpivotMeasures: QueryDef = QueryDef(
+    "o9_unpivot",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+          CAST(l_quantity AS DOUBLE) AS value
+        FROM lineitem WHERE l_orderkey % 50 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+          CAST(l_extendedprice AS DOUBLE)
+        FROM lineitem WHERE l_orderkey % 50 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+          CAST(l_discount AS DOUBLE)
+        FROM lineitem WHERE l_orderkey % 50 = 0)
+      ORDER BY l_orderkey, l_linenumber, metric"""))
+
+  val all: Seq[QueryDef] =
+    Seq(cubeAccounting, rangeFrame, pivotCounts, unpivotMeasures)
 }
