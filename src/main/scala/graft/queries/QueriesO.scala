@@ -107,6 +107,49 @@ object QueriesO {
         FROM lineitem WHERE l_orderkey % 50 = 0)
       ORDER BY l_orderkey, l_linenumber, metric"""))
 
+  /** JSON property extraction + downstream aggregation: the semi-
+    * structured scalar family (events.props is a JSON document) —
+    * get_json_object stays inside codegen, and the extracted value feeds
+    * a decimal-accumulated rollup like any native column.
+    */
+  val jsonExtract: QueryDef = QueryDef(
+    "f21_json_extract",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+        COUNT(CAST(props->>'$.k' AS INT)) AS n,
+        CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+        MAX(CAST(props->>'$.k' AS INT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** NTILE quartiles per event type over a (value, id) total order — the
+    * ranked-bucketing window (both engines split remainder rows into the
+    * leading tiles over the identical order, so the assignment is
+    * deterministic and mirrorable).
+    */
+  val ntileQuartiles: QueryDef = QueryDef(
+    "a18_ntile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type, value,
+        CAST(NTILE(4) OVER (PARTITION BY event_type
+          ORDER BY value, event_id) AS INT) AS quartile
+      FROM events ORDER BY event_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(cubeAccounting, rangeFrame, pivotCounts, unpivotMeasures)
+    Seq(cubeAccounting, rangeFrame, pivotCounts, unpivotMeasures,
+      jsonExtract, ntileQuartiles)
 }
