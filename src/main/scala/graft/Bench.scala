@@ -183,10 +183,23 @@ object Bench {
     // stdout line (driver-captured): alias-keyed, 3-decimal, queries last so
     // any truncation cuts the header, not the timings. Must stay under the
     // driver's ~2000-char tail window — warn loudly if it ever outgrows it.
-    val qs = sortedResults
-      .map { case (k, v) => s"\"${aliasOf(k)}\":${fmt2(v)}" }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"$sfDir","keys":"BENCH_KEYS.json","queries":$qs}"""
+    // alias decode key: committed BENCH_KEYS.json (header field dropped at
+    // 136 queries — the ~1928-char driver tail capture would truncate the
+    // line's FRONT, destroying the JSON header, so every header byte
+    // matters more than self-description)
+    def lineAt(fmt: Double => String): String = {
+      val qs = sortedResults
+        .map { case (k, v) => s"\"${aliasOf(k)}\":${fmt(v)}" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"${new java.io.File(sfDir).getName}","queries":$qs}"""
+    }
+    // precision ladder: 2 dp normally; at 1 dp the line shrinks by ~1 char
+    // per query if growth ever pushes past the capture window
+    val line2 = lineAt(fmt2)
+    val line = if (line2.length <= 1850) line2 else {
+      val l1 = lineAt(v => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
+      System.err.println(s"NOTE: bench line dropped to 1 dp (2 dp was ${line2.length} chars)")
+      l1
+    }
     if (line.length > 1850)
       System.err.println(s"WARN: bench line ${line.length} chars — may exceed the driver tail window")
     println(line)
