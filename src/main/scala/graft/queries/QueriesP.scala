@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Core
+import graft.llm.Unigram
+
+/** Batch 16: the unigram-LM (SentencePiece-style) tokenizer family —
+  * Viterbi max-likelihood segmentation with relational DP, mirrored by an
+  * unrolled-step DuckDB WITH chain (the bpe_train precedent applied to
+  * dynamic programming).
+  */
+object QueriesP {
+  import Queries.QueryDef
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.table(s, dir, name)
+
+  private val MaxPiece = 4
+  private val MaxLen = 8
+
+  /** One Viterbi DP chain: CTEs `${p}s1..${p}s$MaxLen` over word relation
+    * `wf` and piece-score relation `scoresCte`, plus the collected
+    * `${p}res` at each word's full length.
+    */
+  private def viterbiCtes(p: String, scoresCte: String): String = {
+    val steps = (1 to MaxLen).map { i =>
+      val branches = (1 to math.min(MaxPiece, i)).map { l =>
+        val prev = if (i - l == 0) s"${p}s0" else s"${p}s${i - l}"
+        s"""SELECT pv.word, pv.freq,
+            CAST(pv.sc + ps.pscore AS DECIMAL(27,10)) AS sc,
+            CASE WHEN pv.seg = '' THEN ps.piece
+                 ELSE pv.seg || '|' || ps.piece END AS seg,
+            $l AS plen
+          FROM $prev pv JOIN $scoresCte ps
+            ON ps.piece = substr(pv.word, ${i - l + 1}, $l)
+          WHERE LENGTH(pv.word) >= $i"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""${p}s$i AS MATERIALIZED (SELECT word, freq, sc, seg FROM (
+          SELECT word, freq, sc, seg, ROW_NUMBER() OVER (PARTITION BY word
+            ORDER BY sc DESC, plen DESC, seg DESC) AS rn FROM (
+          $branches))
+        WHERE rn = 1)"""
+    }
+    val all = (1 to MaxLen)
+      .map(i => s"SELECT word, freq, sc, seg, $i AS i FROM ${p}s$i")
+      .mkString("\n          UNION ALL\n          ")
+    s"""${p}s0 AS (SELECT word, freq, CAST(0 AS DECIMAL(27,10)) AS sc,
+          '' AS seg FROM wf),
+        ${steps.mkString(",\n        ")},
+        ${p}res AS (SELECT word, freq, sc, seg FROM (
+          $all) WHERE i = LENGTH(word))"""
+  }
+
+  private val initCtes: String =
+    s"""wf AS (SELECT w AS word, COUNT(*) AS freq
+          FROM (SELECT unnest(${Ora.toksSql}) AS w FROM documents)
+          WHERE LENGTH(w) <= $MaxLen GROUP BY 1),
+        p1 AS (SELECT word, freq,
+            unnest(generate_series(1, LENGTH(word))) AS s FROM wf),
+        p2 AS (SELECT word, freq, s,
+            unnest(generate_series(1, $MaxPiece)) AS l FROM p1),
+        pieces AS (SELECT substr(word, s, l) AS piece,
+            CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM p2 WHERE s + l - 1 <= LENGTH(word) GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM pieces),
+        ps0 AS (SELECT piece,
+            CAST(ROUND(LOG10(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+              AS DECIMAL(27,10)) AS pscore
+          FROM pieces, tot)"""
+
+  private val emCtes: String =
+    s"""em AS (SELECT unnest(string_split(seg, '|')) AS piece, freq
+          FROM vres),
+        pieces1 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM em GROUP BY 1),
+        tot1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM pieces1),
+        ps1 AS (SELECT piece,
+            CAST(ROUND(LOG10(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+              AS DECIMAL(27,10)) AS pscore
+          FROM pieces1, tot1)"""
+
+  /** Unigram tokenizer train + segment with one hard-EM (Viterbi-EM)
+    * refinement: frequency-initialized piece scores, Viterbi segmentation,
+    * re-count from the chosen pieces, re-score, re-segment.
+    */
+  val unigramSegment: QueryDef = QueryDef(
+    "unigram_segment",
+    (s, dir) => Unigram.trainSegment(t(s, dir, "documents"), "text",
+        maxPiece = MaxPiece, maxLen = MaxLen, emRounds = 1)
+      .orderBy(col("word")),
+    Some(s"""WITH $initCtes,
+        ${viterbiCtes("v", "ps0")},
+        $emCtes,
+        ${viterbiCtes("e", "ps1")}
+      SELECT word, freq,
+        CAST(len(string_split(seg, '|')) AS INT) AS n_pieces,
+        CAST(sc AS DOUBLE) AS score, seg
+      FROM eres ORDER BY word"""))
+
+  val all: Seq[QueryDef] = Seq(unigramSegment)
+}

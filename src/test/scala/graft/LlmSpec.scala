@@ -967,6 +967,29 @@ class LlmSpec extends SparkSpec {
     assert(rec >= 0.1, s"mean recall@10 $rec")
   }
 
+  test("unigram trainSegment: frequent pieces win Viterbi; words reconstruct") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "ab ab ab abab")))
+    val out = graft.llm.Unigram.trainSegment(d, "text",
+        maxPiece = 4, maxLen = 8, emRounds = 0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getString(4))).toMap
+    // hand-computed init model: cnt(ab)=5, cnt(abab)=1, total=20 →
+    // [ab|ab] scores 25/400 > [abab] 1/20 — the frequent piece wins
+    assert(out("abab") == ((1L, 2, "ab|ab")))
+    assert(out("ab") == ((3L, 1, "ab")))
+    // segmentation is a partition of the word
+    out.foreach { case (w, (_, _, seg)) =>
+      assert(seg.split("\\|").mkString == w)
+    }
+    // EM refinement keeps reconstructing and never widens the piece count
+    val em = graft.llm.Unigram.trainSegment(d, "text",
+        maxPiece = 4, maxLen = 8, emRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    em.foreach { case (w, seg) => assert(seg.split("\\|").mkString == w) }
+    assert(em("abab") == "ab|ab") // EM reinforces the chosen pieces
+  }
+
   test("unigramSurprisal: rare tokens score higher; token-less docs surface NULL") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       R(1L, "common common common common"),
