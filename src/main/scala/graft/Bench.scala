@@ -192,13 +192,25 @@ object Bench {
         .map { case (k, v) => s"\"${aliasOf(k)}\":${fmt(v)}" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"${new java.io.File(sfDir).getName}","queries":$qs}"""
     }
-    // precision ladder: 2 dp normally; at 1 dp the line shrinks by ~1 char
-    // per query if growth ever pushes past the capture window
+    // precision ladder: plain 2 dp → 2 dp with trailing zeros stripped
+    // (LOSSLESS: "0.60"→"0.6", "1.00"→"1") → 1 dp as the last resort
+    def strip(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
     val line2 = lineAt(fmt2)
     val line = if (line2.length <= 1850) line2 else {
-      val l1 = lineAt(v => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
-      System.err.println(s"NOTE: bench line dropped to 1 dp (2 dp was ${line2.length} chars)")
-      l1
+      // the stripped form may run to ~1900: the measured capture window is
+      // ~1928 chars (2000 tail − 72 sbt trailer, NOTES_r7), so accept it
+      // with a 28-char margin before surrendering resolution
+      val lt = lineAt(v => strip(fmt2(v)))
+      if (lt.length <= 1900) {
+        System.err.println(s"NOTE: bench line trailing-zero-stripped (plain 2 dp was ${line2.length} chars)")
+        lt
+      } else {
+        val l1 = lineAt(v => strip(String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))))
+        System.err.println(s"NOTE: bench line dropped to 1 dp (2 dp was ${line2.length} chars)")
+        l1
+      }
     }
     if (line.length > 1850)
       System.err.println(s"WARN: bench line ${line.length} chars — may exceed the driver tail window")
