@@ -101,21 +101,47 @@ object Unigram {
     seg.select(col("freq"), explode(split(col("seg"), "\\|")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
 
+  /** The trained piece-score model: frequency init plus `emRounds`
+    * hard-EM refinements over the given word relation.
+    */
+  def trainScores(wf: DataFrame, maxPiece: Int, maxLen: Int,
+                  emRounds: Int): DataFrame = {
+    require(emRounds >= 0, s"emRounds must be >= 0; got $emRounds")
+    var ps = scores(pieceCounts(wf, maxPiece))
+    (1 to emRounds).foreach { _ =>
+      ps = scores(emCounts(viterbi(wf, ps, maxPiece, maxLen)))
+    }
+    ps
+  }
+
+  private def out(seg: DataFrame): DataFrame =
+    seg.select(col("word"), col("freq"),
+      size(split(col("seg"), "\\|")).cast("int").as("n_pieces"),
+      col("sc").cast("double").as("score"), col("seg"))
+
   /** Full train+segment: frequency init, `emRounds` hard-EM refinements,
     * final segmentation table (word, freq, n_pieces, score, seg).
     */
   def trainSegment(df: DataFrame, textCol: String, maxPiece: Int = 4,
                    maxLen: Int = 8, emRounds: Int = 1): DataFrame = {
-    require(emRounds >= 0, s"emRounds must be >= 0; got $emRounds")
     val wf = wordFreq(df, textCol, maxLen).localCheckpoint()
-    var pc = pieceCounts(wf, maxPiece)
-    var seg = viterbi(wf, scores(pc), maxPiece, maxLen)
-    (1 to emRounds).foreach { _ =>
-      pc = emCounts(seg)
-      seg = viterbi(wf, scores(pc), maxPiece, maxLen)
-    }
-    seg.select(col("word"), col("freq"),
-      size(split(col("seg"), "\\|")).cast("int").as("n_pieces"),
-      col("sc").cast("double").as("score"), col("seg"))
+    out(viterbi(wf, trainScores(wf, maxPiece, maxLen, emRounds),
+      maxPiece, maxLen))
+  }
+
+  /** Train on the `isTrain` slice, FREEZE the model, segment the held-out
+    * slice's words under it (the bpe_encode precedent: fixed-model replay
+    * on unseen data). A held-out word whose every full-cover path needs a
+    * piece the train slice never produced has no DP solution and drops
+    * from the output — the honest OOV behavior of an inner-join DP (a
+    * char-fallback vocabulary would be the production mitigation).
+    */
+  def trainEncode(df: DataFrame, textCol: String, isTrain: Column,
+                  maxPiece: Int = 4, maxLen: Int = 8,
+                  emRounds: Int = 1): DataFrame = {
+    val wfTrain = wordFreq(df.filter(isTrain), textCol, maxLen).localCheckpoint()
+    val ps = trainScores(wfTrain, maxPiece, maxLen, emRounds)
+    val wfHeld = wordFreq(df.filter(!isTrain), textCol, maxLen)
+    out(viterbi(wfHeld, ps, maxPiece, maxLen))
   }
 }

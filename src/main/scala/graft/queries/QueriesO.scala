@@ -149,7 +149,32 @@ object QueriesO {
           ORDER BY value, event_id) AS INT) AS quartile
       FROM events ORDER BY event_id"""))
 
+  /** Batch hopping-window aggregation (10-min windows, 5-min hop): the
+    * overlapping-window family — each event lands in TWO windows via
+    * Spark's `window()` generator (one Expand, map-side), mirrored by a
+    * two-offset union. Tumbling is the hop == width special case (P3).
+    */
+  val hoppingWindow: QueryDef = QueryDef(
+    "w11_hopping_window",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Ora.dsum6(col("value")).as("sum_v"))
+      .select(Ora.epochS(col("w.start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_v"))
+      .orderBy(col("w_start"), col("event_type")),
+    Some(s"""WITH e AS (SELECT event_type, value,
+          ${Ora.epochSql("ts")} AS sec FROM events),
+      x AS (SELECT event_type, value, sec - (sec % 300) AS w_start FROM e
+        UNION ALL
+        SELECT event_type, value,
+          sec - (sec % 300) - 300 AS w_start FROM e)
+      SELECT w_start, event_type, COUNT(*) AS n,
+        ${Ora.dsum6Sql("value")} AS sum_v
+      FROM x GROUP BY w_start, event_type ORDER BY w_start, event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(cubeAccounting, rangeFrame, pivotCounts, unpivotMeasures,
-      jsonExtract, ntileQuartiles)
+      jsonExtract, ntileQuartiles, hoppingWindow)
 }

@@ -24,7 +24,11 @@ object QueriesP {
     * `wf` and piece-score relation `scoresCte`, plus the collected
     * `${p}res` at each word's full length.
     */
-  private def viterbiCtes(p: String, scoresCte: String): String = {
+  private def viterbiCtes(p: String, scoresCte: String): String =
+    viterbiCtesOver(p, scoresCte, "wf")
+
+  private def viterbiCtesOver(p: String, scoresCte: String,
+                              wordsCte: String): String = {
     val steps = (1 to MaxLen).map { i =>
       val branches = (1 to math.min(MaxPiece, i)).map { l =>
         val prev = if (i - l == 0) s"${p}s0" else s"${p}s${i - l}"
@@ -47,11 +51,18 @@ object QueriesP {
       .map(i => s"SELECT word, freq, sc, seg, $i AS i FROM ${p}s$i")
       .mkString("\n          UNION ALL\n          ")
     s"""${p}s0 AS (SELECT word, freq, CAST(0 AS DECIMAL(27,10)) AS sc,
-          '' AS seg FROM wf),
+          '' AS seg FROM $wordsCte),
         ${steps.mkString(",\n        ")},
         ${p}res AS (SELECT word, freq, sc, seg FROM (
           $all) WHERE i = LENGTH(word))"""
   }
+
+  /** (word, freq) CTE over a filtered documents slice. */
+  private def wordsCte(name: String, where: String): String =
+    s"""$name AS (SELECT w AS word, COUNT(*) AS freq
+          FROM (SELECT unnest(${Ora.toksSql}) AS w FROM documents
+                WHERE $where)
+          WHERE LENGTH(w) <= $MaxLen GROUP BY 1)"""
 
   private val initCtes: String =
     s"""wf AS (SELECT w AS word, COUNT(*) AS freq
@@ -99,5 +110,42 @@ object QueriesP {
         CAST(sc AS DOUBLE) AS score, seg
       FROM eres ORDER BY word"""))
 
-  val all: Seq[QueryDef] = Seq(unigramSegment)
+  /** Piece-candidate counting + frequency scores over an existing word CTE. */
+  private def modelCtes(wfName: String): String =
+    s"""p1 AS (SELECT word, freq,
+            unnest(generate_series(1, LENGTH(word))) AS s FROM $wfName),
+        p2 AS (SELECT word, freq, s,
+            unnest(generate_series(1, $MaxPiece)) AS l FROM p1),
+        pieces AS (SELECT substr(word, s, l) AS piece,
+            CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM p2 WHERE s + l - 1 <= LENGTH(word) GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM pieces),
+        ps0 AS (SELECT piece,
+            CAST(ROUND(LOG10(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+              AS DECIMAL(27,10)) AS pscore
+          FROM pieces, tot)"""
+
+  /** Fixed-model replay (the bpe_encode precedent): train on the
+    * doc_id % 5 != 0 slice (init + one hard-EM round), freeze the piece
+    * scores, Viterbi-segment the held-out fifth's words. Held-out words
+    * with no full-cover path under the trained pieces drop (honest OOV).
+    */
+  val unigramEncode: QueryDef = QueryDef(
+    "unigram_encode",
+    (s, dir) => Unigram.trainEncode(t(s, dir, "documents"), "text",
+        isTrain = col("doc_id") % 5 =!= 0,
+        maxPiece = MaxPiece, maxLen = MaxLen, emRounds = 1)
+      .orderBy(col("word")),
+    Some(s"""WITH ${wordsCte("wf", "doc_id % 5 != 0")},
+        ${modelCtes("wf")},
+        ${viterbiCtes("v", "ps0")},
+        $emCtes,
+        ${wordsCte("hf", "doc_id % 5 = 0")},
+        ${viterbiCtesOver("h", "ps1", "hf")}
+      SELECT word, freq,
+        CAST(len(string_split(seg, '|')) AS INT) AS n_pieces,
+        CAST(sc AS DOUBLE) AS score, seg
+      FROM hres ORDER BY word"""))
+
+  val all: Seq[QueryDef] = Seq(unigramSegment, unigramEncode)
 }
