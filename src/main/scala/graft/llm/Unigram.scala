@@ -59,41 +59,84 @@ object Unigram {
           .cast(Dec).as("pscore"))
   }
 
+  /** Per-word Viterbi state: the exact-decimal path score and the chosen
+    * segmentation.
+    */
+  final case class Seg(word: String, freq: Long,
+                       sc: java.math.BigDecimal, seg: String)
+
   /** One Viterbi pass: per word the max-likelihood segmentation under the
-    * given piece scores. Returns (word, freq, score DECIMAL, seg).
+    * given piece scores. Returns (word, freq, sc DECIMAL, seg); a word
+    * with no full-cover path under the scored pieces emits nothing.
+    *
+    * Execution: the piece-score table is collected ONCE (vocabulary-
+    * bounded, size-guarded) and broadcast; the DP then runs per word
+    * inside mapPartitions — one distributed pass over the compact word
+    * relation, no shuffle, no per-step anything. (A first cut unrolled
+    * the DP as maxLen relational steps: correct, but each step needed an
+    * eager localCheckpoint — without one the ≤maxPiece-consumer recursion
+    * nests the plan exponentially at ANALYSIS time, and with one the
+    * 2 chains × maxLen fixed job latencies dominated the query at 12 s.
+    * Per-row dynamic programming belongs in a kernel, not in the plan.)
+    *
+    * Determinism: path scores accumulate in java BigDecimal at the same
+    * scale the mirror's DECIMAL(27,10) sums use (exact, associative);
+    * the per-position argmax compares (score, last-piece length,
+    * segmentation string) exactly like the mirror's ROW_NUMBER ordering.
+    * The string tie-break assumes ASCII-ordered piece text (UTF-16 vs
+    * UTF-8 collation diverges beyond the BMP basics) — true of the
+    * whitespace-tokenized lowercase corpus.
     */
   def viterbi(wf: DataFrame, pieceScores: DataFrame, maxPiece: Int,
               maxLen: Int): DataFrame = {
-    val ps = broadcast(pieceScores)
-    val s0 = wf.select(col("word"), col("freq"),
-      lit(0).cast(Dec).as("sc"), lit("").as("seg"), lit(0).as("i"))
-    val states = (1 to maxLen).foldLeft(List(s0)) { case (acc, i) =>
-      val cands = (1 to math.min(maxPiece, i)).map { l =>
-        val prev = acc(i - l) // best states at position i − l (acc(0) = s0)
-        prev.filter(length(col("word")) >= i)
-          .withColumn("piece", expr(s"substring(word, ${i - l + 1}, $l)"))
-          .join(ps, Seq("piece"))
-          // the re-cast keeps every union branch (and every DP depth) at
-          // one decimal width — lossless at these magnitudes, and the
-          // mirror casts identically
-          .select(col("word"), col("freq"),
-            (col("sc") + col("pscore")).cast(Dec).as("sc"),
-            when(col("seg") === "", col("piece"))
-              .otherwise(concat(col("seg"), lit("|"), col("piece"))).as("seg"),
-            lit(l).as("plen"))
-      }.reduceLeft(_ unionAll _)
-      val best = cands
-        .groupBy(col("word"))
-        .agg(first(col("freq")).as("freq"),
-          max(struct(col("sc"), col("plen"), col("seg"))).as("b"))
-        .select(col("word"), col("freq"), col("b.sc").as("sc"),
-          col("b.seg").as("seg"), lit(i).as("i"))
-        .localCheckpoint() // keep the unrolled-DP lineage flat (bpe_train precedent)
-      acc :+ best
-    }
-    states.tail.reduceLeft(_ unionAll _)
-      .filter(col("i") === length(col("word")))
-      .select(col("word"), col("freq"), col("sc"), col("seg"))
+    val spark = wf.sparkSession
+    import spark.implicits._
+    val scoreRows = pieceScores.select(col("piece"), col("pscore").cast(Dec))
+      .collect()
+    require(scoreRows.length <= 5000000,
+      s"viterbi broadcasts the piece-score table — ${scoreRows.length} " +
+        "pieces is past the broadcast comfort zone")
+    val scoreMap: Map[String, java.math.BigDecimal] =
+      scoreRows.map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val bc = spark.sparkContext.broadcast(scoreMap)
+    wf.select(col("word"), col("freq").cast("long")).as[(String, Long)]
+      .mapPartitions { rows =>
+        val ps = bc.value
+        rows.flatMap { case (word, freq) =>
+          val n = word.length
+          if (n == 0 || n > maxLen) Iterator.empty
+          else {
+            // best(i) = (score, lastPieceLen, seg) reachable at position i
+            val best = new Array[(java.math.BigDecimal, Int, String)](n + 1)
+            best(0) = (java.math.BigDecimal.ZERO, 0, "")
+            var i = 1
+            while (i <= n) {
+              var l = 1
+              while (l <= math.min(maxPiece, i)) {
+                val prev = best(i - l)
+                if (prev != null) {
+                  val piece = word.substring(i - l, i)
+                  ps.get(piece).foreach { sc =>
+                    val cand = (prev._1.add(sc), l,
+                      if (prev._3.isEmpty) piece else prev._3 + "|" + piece)
+                    val cur = best(i)
+                    val wins = cur == null || {
+                      val c = cand._1.compareTo(cur._1)
+                      c > 0 || (c == 0 && (cand._2 > cur._2 ||
+                        (cand._2 == cur._2 && cand._3.compareTo(cur._3) > 0)))
+                    }
+                    if (wins) best(i) = cand
+                  }
+                }
+                l += 1
+              }
+              i += 1
+            }
+            Option(best(n)).map(b => Seg(word, freq, b._1, b._3)).iterator
+          }
+        }
+      }
+      .toDF("word", "freq", "sc", "seg")
   }
 
   /** Piece counts implied by a Viterbi segmentation (the hard-EM count). */

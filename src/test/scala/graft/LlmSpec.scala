@@ -990,6 +990,18 @@ class LlmSpec extends SparkSpec {
     assert(em("abab") == "ab|ab") // EM reinforces the chosen pieces
   }
 
+  test("unigram trainEncode: held-out words segment under the frozen model; OOV drops") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "ab ab abab"),   // train
+      R(2L, "ab ab"),        // train
+      R(5L, "abab xy")))     // held out: abab segmentable, xy has unseen chars
+    val out = graft.llm.Unigram.trainEncode(d, "text",
+        isTrain = col("doc_id") < 5, maxPiece = 4, maxLen = 8, emRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(out.keySet == Set("abab")) // xy is OOV under the trained pieces
+    assert(out("abab").split("\\|").mkString == "abab")
+  }
+
   test("unigramSurprisal: rare tokens score higher; token-less docs surface NULL") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       R(1L, "common common common common"),
