@@ -212,7 +212,7 @@ object Bench {
         l1
       }
     }
-    if (line.length > 1850)
+    if (line.length > 1900)
       System.err.println(s"WARN: bench line ${line.length} chars — may exceed the driver tail window")
     println(line)
     spark.stop()
