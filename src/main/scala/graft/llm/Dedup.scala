@@ -521,6 +521,35 @@ object Dedup {
       .na.fill("", Seq("clean_text"))
   }
 
+  /** Vocabulary typo pairs — SymSpell-style deletion-neighborhood
+    * blocking: two words within Levenshtein distance 1 (substitution,
+    * insertion or deletion) ALWAYS share a length-1-deletion variant (the
+    * word itself counts as its 0-deletion variant), so candidates come
+    * from an inverted index on the variants — |vocab|·(len+1) index rows,
+    * never an all-pairs vocabulary join — and the exact `levenshtein`
+    * verify runs on candidates only. The spelling-variant dedup primitive
+    * for token normalization maps.
+    */
+  def typoPairs(df: DataFrame, textCol: String,
+                maxWordLen: Int = 24): DataFrame = {
+    val vocab = graft.Core.fanOut(df)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val dels = transform(sequence(lit(1), length(col("word"))), i =>
+      concat(col("word").substr(lit(1), i - lit(1)),
+        col("word").substr(i + lit(1), length(col("word")) - i)))
+    val variants = vocab.select(col("word"), col("freq"),
+      explode(array_distinct(concat(array(col("word")), dels))).as("v"))
+    val a = variants.select(col("v"), col("word").as("wa"), col("freq").as("freq_a"))
+    val b = variants.select(col("v"), col("word").as("wb"), col("freq").as("freq_b"))
+    a.join(b, Seq("v")).filter(col("wa") < col("wb"))
+      .select(col("wa"), col("wb"), col("freq_a"), col("freq_b")).distinct()
+      .withColumn("dist", levenshtein(col("wa"), col("wb")).cast("int"))
+      .filter(col("dist") <= 1)
+      .select(col("wa"), col("wb"), col("dist"), col("freq_a"), col("freq_b"))
+  }
+
   /** Embedding cosine near-dup: same-label blocking (the coarse partitioner)
     * then an in-block pair join with an exact cosine. The explicit per-index
     * expansion keeps the whole computation inside whole-stage codegen.

@@ -170,7 +170,41 @@ object QueriesN {
         CAST(SUM(len(w)) AS BIGINT) AS n_tokens
       FROM sp GROUP BY split, lang ORDER BY split, lang"""))
 
+  /** SymSpell-style vocabulary typo pairs: deletion-neighborhood blocking
+    * (a word is its own 0-deletion variant) + exact Levenshtein verify on
+    * candidates only — never an all-pairs vocabulary join.
+    */
+  val textTypoPairs: QueryDef = QueryDef(
+    "text_typo_pairs",
+    (s, dir) => {
+      // the synthetic vocabulary has no natural lev-1 neighbors, so the
+      // corpus is augmented with a deterministic typo slice (first char of
+      // each document dropped → a deletion typo of its first word),
+      // mirrored identically
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("text"))
+        .unionAll(docs.select(expr("substring(text, 2)").as("text")))
+      graft.llm.Dedup.typoPairs(aug, "text")
+        .orderBy(col("wa"), col("wb"))
+    },
+    Some(s"""WITH corpus AS (SELECT text FROM documents
+          UNION ALL SELECT substr(text, 2) AS text FROM documents),
+      vocab AS (SELECT w AS word, COUNT(*) AS freq
+          FROM (SELECT unnest(${Ora.toksSql}) AS w FROM corpus)
+          WHERE LENGTH(w) <= 24 GROUP BY 1),
+      vr AS (SELECT word, freq, unnest(list_distinct(list_append(
+            [substr(word, 1, i - 1) || substr(word, i + 1, LENGTH(word) - i)
+             for i in generate_series(1, LENGTH(word))],
+            word))) AS v
+        FROM vocab),
+      cand AS (SELECT DISTINCT a.word AS wa, b.word AS wb,
+          a.freq AS freq_a, b.freq AS freq_b
+        FROM vr a JOIN vr b ON a.v = b.v AND a.word < b.word)
+      SELECT wa, wb, CAST(levenshtein(wa, wb) AS INT) AS dist,
+        freq_a, freq_b
+      FROM cand WHERE levenshtein(wa, wb) <= 1 ORDER BY wa, wb"""))
+
   val all: Seq[QueryDef] =
     Seq(curationWordlistScreen, sampleSplitAssign, layoutZorder,
-      curationPipelineE2e)
+      curationPipelineE2e, textTypoPairs)
 }

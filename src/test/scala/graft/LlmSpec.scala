@@ -1002,6 +1002,20 @@ class LlmSpec extends SparkSpec {
     assert(out("abab").split("\\|").mkString == "abab")
   }
 
+  test("typoPairs: deletion blocking finds sub/ins/del neighbors, nothing else") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "cat car cart scat chat dog")))
+    val pairs = Dedup.typoPairs(d, "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // cat↔car substitution, cat↔cart insertion, cat↔scat / cat↔chat
+    // insertions; dog is isolated; car↔cart also lev 1
+    assert(pairs.contains(("car", "cat", 1)))
+    assert(pairs.contains(("cat", "cart", 1)) || pairs.contains(("cart", "cat", 1)))
+    assert(pairs.contains(("cat", "scat", 1)) || pairs.contains(("scat", "cat", 1)))
+    assert(!pairs.exists(p => p._1 == "dog" || p._2 == "dog"))
+    assert(pairs.forall(_._3 <= 1))
+  }
+
   test("unigramSurprisal: rare tokens score higher; token-less docs surface NULL") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       R(1L, "common common common common"),
