@@ -174,7 +174,23 @@ object QueriesO {
         ${Ora.dsum6Sql("value")} AS sum_v
       FROM x GROUP BY w_start, event_type ORDER BY w_start, event_type"""))
 
+  /** ROLLUP over (lang, source): the hierarchical-subtotal grouping-set
+    * shape (per-lang subtotals + grand total, no source-only sets) —
+    * cube's ordered sibling, same one-Expand plan.
+    */
+  val rollupAccounting: QueryDef = QueryDef(
+    "a19_rollup",
+    (s, dir) => t(s, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("lang"), col("source")),
+    Some("""SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid
+      FROM documents GROUP BY ROLLUP (lang, source)
+      ORDER BY gid, lang, source"""))
+
   val all: Seq[QueryDef] =
     Seq(cubeAccounting, rangeFrame, pivotCounts, unpivotMeasures,
-      jsonExtract, ntileQuartiles, hoppingWindow)
+      jsonExtract, ntileQuartiles, hoppingWindow, rollupAccounting)
 }
