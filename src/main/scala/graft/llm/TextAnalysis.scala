@@ -231,6 +231,32 @@ object TextAnalysis {
     * combinable, linear at any corpus size. Token-less documents surface
     * with n_tok 0, surprisal NULL.
     */
+  /** Corpus n-gram diversity (the distinct-over-total ratio reported by
+    * data-quality papers; low diversity = templated/duplicated text): per
+    * n, total n-gram instances vs globally-distinct n-grams. The distinct
+    * side rides [[Dedup.shingles]] (per-doc distinct explode → one global
+    * distinct agg — union of per-doc distinct sets IS the global set);
+    * the total side is a pure map-side length sum. |ns| passes over the
+    * token arrays, each one aggregation, 1-row output per n.
+    */
+  def ngramDiversity(df: DataFrame, idCol: String, textCol: String,
+                     ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0), s"ngramDiversity needs positive ns; got $ns")
+    ns.map { n =>
+      val toks = tokens(col(textCol))
+      val total = graft.Core.fanOut(df)
+        .select(greatest(size(toks) - (n - 1), lit(0)).cast("long").as("c"))
+        .agg(sum(col("c")).as("total_ngrams"))
+      val dist = Dedup.shingles(df, idCol, textCol, n)
+        .select(col("sh")).distinct().agg(count(lit(1)).as("distinct_ngrams"))
+      total.crossJoin(dist).select(lit(n).as("n"),
+        col("total_ngrams"), col("distinct_ngrams"),
+        when(col("total_ngrams") > 0,
+          round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6))
+          .otherwise(lit(0.0)).as("diversity"))
+    }.reduceLeft(_ unionAll _)
+  }
+
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = graft.Core.fanOut(df)
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))

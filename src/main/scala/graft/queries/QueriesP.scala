@@ -147,5 +147,24 @@ object QueriesP {
         CAST(sc AS DOUBLE) AS score, seg
       FROM hres ORDER BY word"""))
 
-  val all: Seq[QueryDef] = Seq(unigramSegment, unigramEncode)
+  /** Corpus n-gram diversity for n = 1..3 — the templated-text signal. */
+  val textNgramDiversity: QueryDef = QueryDef(
+    "text_ngram_diversity",
+    (s, dir) => graft.llm.TextAnalysis.ngramDiversity(
+        t(s, dir, "documents"), "doc_id", "text", ns = Seq(1, 2, 3))
+      .orderBy(col("n")),
+    Some((1 to 3).map { n =>
+      s"""SELECT $n AS n,
+          (SELECT CAST(SUM(GREATEST(len(${Ora.toksSql}) - ${n - 1}, 0)) AS BIGINT)
+           FROM documents) AS total_ngrams,
+          (SELECT COUNT(*) FROM (SELECT DISTINCT sh
+             FROM (${Ora.shinglesSql(n)}))) AS distinct_ngrams,
+          ROUND(CAST((SELECT COUNT(*) FROM (SELECT DISTINCT sh
+              FROM (${Ora.shinglesSql(n)}))) AS DOUBLE) /
+            (SELECT SUM(GREATEST(len(${Ora.toksSql}) - ${n - 1}, 0))
+             FROM documents), 6) AS diversity"""
+    }.mkString("\n      UNION ALL\n      ") + "\n      ORDER BY n"))
+
+  val all: Seq[QueryDef] =
+    Seq(unigramSegment, unigramEncode, textNgramDiversity)
 }

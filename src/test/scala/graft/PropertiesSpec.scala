@@ -134,4 +134,44 @@ class PropertiesSpec extends SparkSpec {
       assert(out(1L) == out(2L))
     }
   }
+
+  test("property: zorderKey is a decodable bijection on the bucket grid") {
+    val pairs = Gen.listOfN(40, for {
+      x <- Gen.choose(0L, 31L); y <- Gen.choose(0L, 31L)
+    } yield (x, y))
+    forAll(pairs) { ps =>
+      val uniq = ps.distinct
+      val d = df("x BIGINT, y BIGINT", uniq.map { case (x, y) => R(x, y) })
+      val rows = d.select(col("x"), col("y"),
+          graft.functions.Layout.zorderKey(Seq(col("x"), col("y")), 5).as("z"))
+        .collect()
+      assert(rows.map(_.getLong(2)).distinct.length == uniq.length)
+      rows.foreach { r =>
+        val z = r.getLong(2)
+        def de(off: Int): Long =
+          (0 until 5).map(b => ((z >> (2 * b + off)) & 1L) << b).sum
+        assert(de(0) == r.getLong(0) && de(1) == r.getLong(1))
+      }
+    }
+  }
+
+  test("property: ewma stays inside its trailing window's value range") {
+    val vals = Gen.listOfN(12, Gen.choose(-50.0, 50.0))
+    forAll(vals) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        R(i.toLong, 1L, new java.sql.Timestamp(i * 1000L), "t", v)
+      }
+      val d = df(
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+        rows)
+      val out = graft.operators.Behavior
+        .ewma(d, "user_id", "ts", "event_id", "value", alpha = 0.5, lags = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      vs.indices.foreach { i =>
+        val win = vs.slice(math.max(0, i - 7), i + 1)
+        assert(out(i.toLong) >= win.min - 1e-6 && out(i.toLong) <= win.max + 1e-6,
+          s"row $i: ${out(i.toLong)} outside [${win.min}, ${win.max}]")
+      }
+    }
+  }
 }
