@@ -152,7 +152,10 @@ object QueriesJ {
     val k = 4
     val stepCtes = (1 to k).map { i =>
       s"""p$i AS (
-        SELECT l, r, SUM(cnt) AS freq FROM (
+        -- CAST: DuckDB SUM(BIGINT) is HUGEINT; the driver's hash is
+        -- type-tagged, so an uncast freq hash-mismatches Spark's long
+        -- even when values compare equal
+        SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
           SELECT cnt, unnest([{'l': a[j], 'r': a[j + 1]}
                               for j in generate_series(1, len(a) - 1)],
                              recursive := true)
