@@ -58,9 +58,9 @@ object QueriesI {
     * recall evaluator, and the SemDeDup pruning.
     */
   private[queries] lazy val fixedAsnCtes: String =
-    s"""seeds AS (SELECT vec_id AS cell, embedding AS cv
+    s"""seeds AS MATERIALIZED (SELECT vec_id AS cell, embedding AS cv
             FROM embeddings WHERE vec_id < 8),
-        asn AS (SELECT vec_id, cell AS ivf_cell FROM (
+        asn AS MATERIALIZED (SELECT vec_id, cell AS ivf_cell FROM (
             SELECT e.vec_id, s.cell,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                 (${dotArrSql("e.embedding", "s.cv", 64)}) /

@@ -131,9 +131,9 @@ object QueriesL {
             codewords = emb.filter(col("vec_id") < 16), k = 10)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cw,
+      Some(s"""WITH cb AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cw,
             embedding AS cv FROM embeddings WHERE vec_id < 16),
-        codes AS (
+        codes AS MATERIALIZED (
         $codesSql),
         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
           WHERE vec_id < 5),
@@ -177,12 +177,12 @@ object QueriesL {
       s"WHEN $j THEN (${l2SubSql("qr.r", "c.cv", j, sub)})"
     }.mkString(" ")
     s"""${QueriesI.fixedAsnCtes},
-        res AS (SELECT a.vec_id, a.ivf_cell AS cell, $resList AS r
+        res AS MATERIALIZED (SELECT a.vec_id, a.ivf_cell AS cell, $resList AS r
           FROM embeddings e JOIN asn a USING (vec_id)
           JOIN seeds s ON s.cell = a.ivf_cell),
-        cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cw, r AS cv
+        cb AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cw, r AS cv
           FROM res WHERE vec_id >= 8 AND vec_id < 24),
-        codes AS (
+        codes AS MATERIALIZED (
         $codesSql),
         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
           WHERE vec_id < 5),

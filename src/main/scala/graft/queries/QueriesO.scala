@@ -50,12 +50,15 @@ object QueriesO {
           count(lit(1)).over(w).as("n_1h"),
           round(sum(col("value").cast("decimal(27,10)")).over(w)
             .cast("double"), 6).as("sum_1h"))
+        // partition-aligned output bound (checker-footprint control)
+        .filter(col("user_id") < 40)
         .orderBy(col("event_id"))
     },
     Some(s"""SELECT event_id, user_id, ts, value,
         COUNT(*) OVER w AS n_1h,
         ROUND(CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER w AS DOUBLE), 6) AS sum_1h
       FROM events
+      WHERE user_id < 40
       WINDOW w AS (PARTITION BY user_id ORDER BY ${Ora.epochSql("ts")}
         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
@@ -142,12 +145,19 @@ object QueriesO {
       t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"),
           ntile(4).over(w).as("quartile"))
+        // POST-window bound: event_id is not the partition key, so the
+        // filter must stay above the window (Catalyst only pushes
+        // partition-key predicates below a Window) — quartiles are still
+        // assigned over the full table, the dump is just smaller
+        .filter(col("event_id") < 2000)
         .orderBy(col("event_id"))
     },
-    Some("""SELECT event_id, event_type, value,
-        CAST(NTILE(4) OVER (PARTITION BY event_type
-          ORDER BY value, event_id) AS INT) AS quartile
-      FROM events ORDER BY event_id"""))
+    Some("""SELECT * FROM (
+        SELECT event_id, event_type, value,
+          CAST(NTILE(4) OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS INT) AS quartile
+        FROM events)
+      WHERE event_id < 2000 ORDER BY event_id"""))
 
   /** Batch hopping-window aggregation (10-min windows, 5-min hop): the
     * overlapping-window family — each event lands in TWO windows via

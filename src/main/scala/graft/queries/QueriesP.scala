@@ -59,24 +59,24 @@ object QueriesP {
 
   /** (word, freq) CTE over a filtered documents slice. */
   private def wordsCte(name: String, where: String): String =
-    s"""$name AS (SELECT w AS word, COUNT(*) AS freq
+    s"""$name AS MATERIALIZED (SELECT w AS word, COUNT(*) AS freq
           FROM (SELECT unnest(${Ora.toksSql}) AS w FROM documents
                 WHERE $where)
           WHERE LENGTH(w) <= $MaxLen GROUP BY 1)"""
 
   private val initCtes: String =
-    s"""wf AS (SELECT w AS word, COUNT(*) AS freq
+    s"""wf AS MATERIALIZED (SELECT w AS word, COUNT(*) AS freq
           FROM (SELECT unnest(${Ora.toksSql}) AS w FROM documents)
           WHERE LENGTH(w) <= $MaxLen GROUP BY 1),
         p1 AS (SELECT word, freq,
             unnest(generate_series(1, LENGTH(word))) AS s FROM wf),
         p2 AS (SELECT word, freq, s,
             unnest(generate_series(1, $MaxPiece)) AS l FROM p1),
-        pieces AS (SELECT substr(word, s, l) AS piece,
+        pieces AS MATERIALIZED (SELECT substr(word, s, l) AS piece,
             CAST(SUM(freq) AS BIGINT) AS cnt
           FROM p2 WHERE s + l - 1 <= LENGTH(word) GROUP BY 1),
         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM pieces),
-        ps0 AS (SELECT piece,
+        ps0 AS MATERIALIZED (SELECT piece,
             CAST(ROUND(LOG10(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
               AS DECIMAL(27,10)) AS pscore
           FROM pieces, tot)"""
@@ -84,10 +84,10 @@ object QueriesP {
   private val emCtes: String =
     s"""em AS (SELECT unnest(string_split(seg, '|')) AS piece, freq
           FROM vres),
-        pieces1 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+        pieces1 AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
           FROM em GROUP BY 1),
         tot1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM pieces1),
-        ps1 AS (SELECT piece,
+        ps1 AS MATERIALIZED (SELECT piece,
             CAST(ROUND(LOG10(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
               AS DECIMAL(27,10)) AS pscore
           FROM pieces1, tot1)"""
@@ -116,11 +116,11 @@ object QueriesP {
             unnest(generate_series(1, LENGTH(word))) AS s FROM $wfName),
         p2 AS (SELECT word, freq, s,
             unnest(generate_series(1, $MaxPiece)) AS l FROM p1),
-        pieces AS (SELECT substr(word, s, l) AS piece,
+        pieces AS MATERIALIZED (SELECT substr(word, s, l) AS piece,
             CAST(SUM(freq) AS BIGINT) AS cnt
           FROM p2 WHERE s + l - 1 <= LENGTH(word) GROUP BY 1),
         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM pieces),
-        ps0 AS (SELECT piece,
+        ps0 AS MATERIALIZED (SELECT piece,
             CAST(ROUND(LOG10(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
               AS DECIMAL(27,10)) AS pscore
           FROM pieces, tot)"""
