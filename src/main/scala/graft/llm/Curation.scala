@@ -249,6 +249,7 @@ object Curation {
   def domainCap(df: DataFrame, idCol: String, domainCol: String,
                 scoreCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"domainCap: cap must be > 0, got $cap")
+    graft.Core.requireIntegral(df, idCol, "domainCap")
     val topk = udaf(new graft.functions.Aggregators.TopK(cap))
     val winners = graft.Core.fanOut(df)
       .filter(col(scoreCol).isNotNull)

@@ -254,6 +254,12 @@ object Dedup {
     * deduplicated corpus. An anti-join against the non-canonical member set
     * (broadcast when small, shuffled otherwise); the corpus itself is never
     * shuffled in the broadcast case.
+    *
+    * Input contract: `clusters` should be MATERIALIZED (checkpointed or
+    * otherwise cheap to re-evaluate) — [[maybeBroadcast]]'s size probe
+    * executes the drop set's subtree once beyond the join itself, so an
+    * expensive unmaterialized cluster-resolution pipeline would run twice.
+    * Every in-repo producer ([[resolveClusters]]) already checkpoints.
     */
   def canonicalize(df: DataFrame, clusters: DataFrame, idCol: String): DataFrame = {
     val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))

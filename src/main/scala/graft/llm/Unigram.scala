@@ -91,11 +91,20 @@ object Unigram {
               maxLen: Int): DataFrame = {
     val spark = wf.sparkSession
     import spark.implicits._
+    // byte-budget guard BEFORE collecting: the model is vocabulary-bounded,
+    // but a runaway piece table must fail loudly, not OOM the driver. The
+    // estimate (2 bytes/char + ~150 bytes/entry of String/BigDecimal/Map
+    // overhead) is checked against a 256 MB driver-side budget — a
+    // row-count cap alone admits multi-hundred-MB tables (ADVICE r7).
+    val budgetBytes = 256L << 20
+    val sz = pieceScores.agg(
+      count(lit(1)), coalesce(sum(length(col("piece"))), lit(0L))).head()
+    val estBytes = sz.getLong(1) * 2 + sz.getLong(0) * 150
+    require(estBytes <= budgetBytes,
+      s"viterbi broadcasts the piece-score table — ~${estBytes >> 20} MB " +
+        s"estimated (${sz.getLong(0)} pieces) exceeds the ${budgetBytes >> 20} MB budget")
     val scoreRows = pieceScores.select(col("piece"), col("pscore").cast(Dec))
       .collect()
-    require(scoreRows.length <= 5000000,
-      s"viterbi broadcasts the piece-score table — ${scoreRows.length} " +
-        "pieces is past the broadcast comfort zone")
     val scoreMap: Map[String, java.math.BigDecimal] =
       scoreRows.map(r => r.getString(0) -> r.getDecimal(1)).toMap
     val bc = spark.sparkContext.broadcast(scoreMap)

@@ -20,6 +20,12 @@ object Behavior {
     * never a per-user event sort or window. Step results are small
     * (≤ |users| rows) so the per-step joins broadcast under AQE at any
     * realistic fan-in.
+    *
+    * NOTE: construction is EAGER — each step localCheckpoints its
+    * |users|-row clear table, so building the returned DataFrame (even
+    * just to explain it) runs |steps| Spark jobs. The repo's
+    * materialize-small-intermediates pattern, traded deliberately: the
+    * checkpoint is consumed up to three times per step.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
