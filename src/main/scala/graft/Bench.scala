@@ -13,28 +13,16 @@ object Bench {
     * the alias→name key is written to BENCH_KEYS.json on every run, so the
     * stdout line is decodable without guessing.
     */
-  private val familyAbbrev = Map(
-    "text" -> "tx", "dedup" -> "dd", "simsearch" -> "ss", "multimodal" -> "mm",
-    "curation" -> "cu", "sample" -> "sp", "corpus" -> "co", "hybrid" -> "hy",
-    "pack" -> "pk", "pii" -> "pi")
-
-  def aliases(names: Seq[String]): Map[String, String] = {
-    def mk(n: String, w: Int): String = {
-      val segs = n.split("_").toSeq
-      val head = familyAbbrev.getOrElse(segs.head, segs.head)
-      if (segs.tail.isEmpty) head else head + "_" + segs.tail.map(_.take(w)).mkString
-    }
-    var w = 1
-    var m = names.map(n => n -> mk(n, w)).toMap
-    while (m.values.toSet.size != names.size && w < 12) {
-      val collided = m.groupBy(_._2).filter(_._2.size > 1).flatMap(_._2.keys).toSet
-      w += 1
-      m = m.map { case (n, a) => n -> (if (collided(n)) mk(n, w) else a) }
-    }
-    require(m.values.toSet.size == names.size,
-      s"bench alias collision unresolved at w=$w: ${m.groupBy(_._2).filter(_._2.size > 1)}")
-    m
-  }
+  /** Round 8: the family-abbreviation scheme (r7) averaged ~7 chars/alias
+    * and saturated the capture window at ~145 queries even on the 1 dp
+    * ladder step. Sequential aliases over the SORTED name list ("q0".."qN",
+    * ≤4 chars at any plausible query count) buy ~400 chars of headroom and
+    * stay deterministic for a fixed declared set; adding a query shifts
+    * every alias after it alphabetically, which is why readAnchor re-keys
+    * through BENCH_KEYS and warns on stale keys.
+    */
+  def aliases(names: Seq[String]): Map[String, String] =
+    names.sorted.zipWithIndex.map { case (n, i) => n -> s"q$i" }.toMap
 
   def fmt3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

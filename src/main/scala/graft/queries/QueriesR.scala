@@ -56,5 +56,137 @@ object QueriesR {
         ${Ora.dsum6Sql("value")} AS sum_v
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(s3SinkRoundtrip)
+  /** Count-min sketch heavy hitters: the d×w cell build AND the min-over-
+    * rows probe both under the hash gate; exact counts ride along to pin
+    * the overestimate bound (est ≥ exact by construction).
+    */
+  val sketchCmsTopk: QueryDef = {
+    val d = 3; val w = 256; val k = 20
+    val js = (0 until d).mkString("[", ", ", "]")
+    def bSql(tokExpr: String): String =
+      s"${Ora.md5LongSql(s"'cms' || CAST(j AS VARCHAR) || ':' || $tokExpr")} % $w"
+    QueryDef(
+      "sketch_cms_topk",
+      (s, dir) => graft.operators.Sketch.cmsTopK(
+          t(s, dir, "documents"), "text", d = d, width = w, k = k)
+        .orderBy(col("rank")),
+      Some(s"""WITH tok AS (SELECT unnest(${Ora.toksSql}) AS tok FROM documents),
+        js AS (SELECT unnest($js) AS j),
+        pe AS (SELECT tok, j, ${bSql("tok")} AS b FROM tok CROSS JOIN js),
+        cells AS MATERIALIZED (SELECT j, b, COUNT(*) AS cnt
+          FROM pe GROUP BY 1, 2),
+        cand AS MATERIALIZED (SELECT tok, COUNT(*) AS exact_cnt
+          FROM tok GROUP BY tok),
+        pr AS (SELECT tok, exact_cnt, j, ${bSql("tok")} AS b
+          FROM cand CROSS JOIN js),
+        est AS (SELECT p.tok, ANY_VALUE(p.exact_cnt) AS exact_cnt,
+            MIN(c.cnt) AS est_cnt
+          FROM pr p JOIN cells c USING (j, b) GROUP BY p.tok),
+        r AS (SELECT tok, est_cnt, exact_cnt,
+            ROW_NUMBER() OVER (ORDER BY est_cnt DESC, tok) AS rank FROM est)
+      SELECT CAST(rank AS INT) AS rank, tok, est_cnt, exact_cnt
+      FROM r WHERE rank <= $k ORDER BY rank"""))
+  }
+
+  /** TextRank keyword scores: 3 damped iterations over the symmetrized
+    * adjacent-token graph, mirrored as unrolled MATERIALIZED steps (the
+    * bpe_train precedent for iterative algorithms — each step feeds
+    * exactly one next step). The (1−d) constant is interpolated from the
+    * ENGINE's double arithmetic (1.0 − 0.85 ≠ the literal 0.15 in the
+    * last bit) so both engines iterate on identical bits.
+    */
+  val graphTextrank: QueryDef = {
+    val iters = 3; val k = 20; val damping = 0.85
+    val dSql = s"CAST(${damping.toString} AS DOUBLE)"
+    val omdSql = s"CAST(${(1.0 - damping).toString} AS DOUBLE)"
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+        SELECT n.tok, ROUND($omdSql + $dSql * CAST(COALESCE(s.s, 0) AS DOUBLE), 10)
+            AS rank_v
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS tok,
+            SUM(CAST(ROUND(r.rank_v * (CAST(e.w AS DOUBLE) / CAST(e.outw AS DOUBLE)), 10)
+                AS DECIMAL(27,10))) AS s
+          FROM ed e JOIN r${i - 1} r ON r.tok = e.src GROUP BY e.dst) s
+          USING (tok))"""
+    }.mkString(",\n        ")
+    QueryDef(
+      "graph_textrank",
+      (s, dir) => graft.llm.Graph.textRank(
+          t(s, dir, "documents"), "text", iters = iters,
+          damping = damping, k = k)
+        .orderBy(col("rank")),
+      Some(s"""WITH tk AS (SELECT ${Ora.toksSql} AS w FROM documents),
+        ap AS (SELECT [{'src': w[i], 'dst': w[i + 1]}
+                       for i in generate_series(1, len(w) - 1)] AS ps FROM tk),
+        e0 AS (SELECT unnest(ps, recursive := true) FROM ap),
+        eu AS (SELECT src, dst FROM e0
+               UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        eg AS (SELECT src, dst, COUNT(*) AS w FROM eu GROUP BY 1, 2),
+        ed AS MATERIALIZED (SELECT src, dst, w,
+            CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS outw FROM eg),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS tok FROM ed),
+        r0 AS (SELECT tok, CAST(1.0 AS DOUBLE) AS rank_v FROM nodes),
+        $steps,
+        fin AS (SELECT tok, rank_v, ROW_NUMBER() OVER
+            (ORDER BY rank_v DESC, tok) AS rank FROM r$iters)
+      SELECT CAST(rank AS INT) AS rank, tok, ROUND(rank_v, 6) AS score
+      FROM fin WHERE rank <= $k ORDER BY rank"""))
+  }
+
+  /** WordPiece greedy encode (third tokenizer family): position-aware
+    * vocabulary + longest-match-first scan, mirrored as maxLen unrolled
+    * greedy steps — state is ONE row per word (position + segmentation so
+    * far), done rows carried through, unmatchable words fall out of the
+    * chain and surface as [UNK] via the final left join.
+    */
+  val wordpieceEncode: QueryDef = {
+    val maxPiece = 4; val maxLen = 8; val minCount = 3
+    val steps = (1 to maxLen).map { i =>
+      s"""g$i AS MATERIALIZED (
+        SELECT word, freq, pos, seg FROM (
+          SELECT g.word, g.freq, g.pos + LENGTH(v.piece) AS pos,
+            CASE WHEN g.pos = 0 THEN v.piece
+                 ELSE g.seg || '|' || '##' || v.piece END AS seg,
+            ROW_NUMBER() OVER (PARTITION BY g.word
+              ORDER BY LENGTH(v.piece) DESC, v.piece) AS rn
+          FROM g${i - 1} g JOIN voc v
+            ON v.is_start = (g.pos = 0)
+           AND v.piece = substr(g.word, g.pos + 1, LENGTH(v.piece))
+          WHERE g.pos < LENGTH(g.word))
+        WHERE rn = 1
+        UNION ALL
+        SELECT word, freq, pos, seg FROM g${i - 1}
+        WHERE pos >= LENGTH(word))"""
+    }.mkString(",\n        ")
+    QueryDef(
+      "wordpiece_encode",
+      (s, dir) => graft.llm.WordPiece.encode(
+          t(s, dir, "documents"), "text", maxPiece = maxPiece,
+          maxLen = maxLen, minCount = minCount.toLong)
+        .orderBy(col("word")),
+      Some(s"""WITH wf AS MATERIALIZED (SELECT w AS word, COUNT(*) AS freq
+          FROM (SELECT unnest(${Ora.toksSql}) AS w FROM documents)
+          WHERE LENGTH(w) <= $maxLen GROUP BY 1),
+        pc AS (SELECT word, freq,
+            unnest(generate_series(1, LENGTH(word))) AS s FROM wf),
+        pc2 AS (SELECT word, freq, s,
+            unnest(generate_series(1, LEAST($maxPiece, LENGTH(word) - s + 1)))
+              AS l FROM pc),
+        voc AS MATERIALIZED (SELECT substr(word, s, l) AS piece,
+            s = 1 AS is_start, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM pc2 GROUP BY 1, 2 HAVING SUM(freq) >= $minCount),
+        g0 AS (SELECT word, freq, 0 AS pos, '' AS seg FROM wf),
+        $steps,
+        done AS (SELECT word, freq, seg FROM g$maxLen
+          WHERE pos >= LENGTH(word))
+      SELECT w.word, w.freq, (d.word IS NULL) AS is_unk,
+        CAST(CASE WHEN d.word IS NOT NULL
+             THEN len(string_split(d.seg, '|')) END AS INT) AS n_pieces,
+        d.seg
+      FROM wf w LEFT JOIN done d USING (word) ORDER BY w.word"""))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(s3SinkRoundtrip, sketchCmsTopk, graphTextrank, wordpieceEncode)
 }

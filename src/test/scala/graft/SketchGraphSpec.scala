@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Graph, WordPiece}
+import graft.operators.Sketch
+
+/** Round-8 widening: count-min sketch, TextRank, WordPiece greedy encode. */
+class SketchGraphSpec extends SparkSpec {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.toDF("text")
+  }
+
+  test("cmsTopK: estimate is an upper bound on the exact count, top-k ordered") {
+    val corpus = docs(
+      "alpha alpha alpha beta beta gamma",
+      "alpha beta delta epsilon",
+      "zeta eta theta iota kappa")
+    val out = Sketch.cmsTopK(corpus, "text", d = 3, width = 256, k = 10).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"),
+        s"CMS must never underestimate: $r")
+    }
+    // exact counts are small and the stream is tiny: with width 256 the
+    // heavy hitter is recovered exactly at rank 1
+    val first = out.head
+    assert(first.getAs[Int]("rank") == 1)
+    assert(first.getAs[String]("tok") == "alpha")
+    assert(first.getAs[Long]("exact_cnt") == 4L)
+    // ranks are contiguous and est-descending
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+    val ests = out.map(_.getAs[Long]("est_cnt")).toSeq
+    assert(ests == ests.sorted.reverse)
+  }
+
+  test("cmsTopK: tiny width forces collisions but never drops below exact") {
+    val corpus = docs("a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    val out = Sketch.cmsTopK(corpus, "text", d = 2, width = 4, k = 26).collect()
+    assert(out.length == 26)
+    // 26 singletons into 2×4 cells: pigeonhole guarantees inflated cells
+    assert(out.exists(r => r.getAs[Long]("est_cnt") > r.getAs[Long]("exact_cnt")))
+    out.foreach(r => assert(r.getAs[Long]("est_cnt") >= 1L))
+  }
+
+  test("textRank: hub token outranks leaves; rank mass is conserved") {
+    // star graph: hub adjacent to every leaf -> hub collects the leaves'
+    // full contribution each iteration and must rank first
+    val corpus = docs("hub l1", "hub l2", "hub l3", "hub l4", "l5 hub")
+    val out = Graph.textRank(corpus, "text", iters = 3, k = 10).collect()
+    assert(out.head.getAs[String]("tok") == "hub")
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.head > scores.tail.max * 2,
+      s"hub should dominate the leaves: ${scores.mkString(",")}")
+    // fixed point conservation: with row-normalized out-weights the total
+    // rank stays at |V| (up to the per-step rounding)
+    assert(math.abs(scores.sum - 6.0) < 1e-3, s"sum ${scores.sum}")
+  }
+
+  test("textRank: path-graph stationary ordering and symmetry") {
+    // path graph a-b-c-d-e. The endpoint neighbors b/d receive the
+    // endpoints' FULL contribution (a and e have out-degree 1) plus half
+    // of c's, while c receives only halves — so b = d > c > a = e is the
+    // correct ordering, NOT a center peak.
+    val corpus = docs("a b c d e")
+    val out = Graph.textRank(corpus, "text", iters = 3, k = 5)
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Double]("score")).toMap
+    assert(out("b") > out("c") && out("d") > out("c"))
+    assert(out("c") > out("a") && out("c") > out("e"))
+    // symmetry of the path graph: b/d and a/e are automorphic pairs
+    assert(math.abs(out("b") - out("d")) < 1e-9)
+    assert(math.abs(out("a") - out("e")) < 1e-9)
+  }
+
+  test("wordpiece encode: greedy longest-match-first with ## continuations") {
+    // 'under' and 'stand' both frequent enough to enter the vocabulary as
+    // start pieces isn't possible for 'stand' mid-word: continuation
+    // pieces are tracked separately (here 4-char max pieces)
+    val corpus = docs(
+      Seq.fill(5)("unde rsta nd").mkString(" "),
+      Seq.fill(5)("understa").mkString(" "))
+    val out = WordPiece.encode(corpus, "text", maxPiece = 4, maxLen = 8,
+      minCount = 3L).collect()
+      .map(r => r.getAs[String]("word") -> r).toMap
+    val u = out("understa")
+    assert(!u.getAs[Boolean]("is_unk"))
+    // greedy takes the longest start piece first: "unde" (seen 5× as a
+    // word => its prefixes/substrings counted), then continuations
+    val seg = u.getAs[String]("seg")
+    assert(seg.startsWith("unde"), seg)
+    assert(seg.split('|').tail.forall(_.startsWith("##")), seg)
+    assert(u.getAs[Int]("n_pieces") == seg.split('|').length)
+  }
+
+  test("wordpiece encode: unmatchable words surface as UNK, not dropped") {
+    // 'qqq' appears twice < minCount 3, and no other word shares its
+    // characters, so no piece of it enters the vocabulary
+    val corpus = docs(
+      Seq.fill(4)("solid").mkString(" ") + " qqq qqq")
+    val out = WordPiece.encode(corpus, "text", maxPiece = 4, maxLen = 8,
+      minCount = 3L).collect()
+      .map(r => r.getAs[String]("word") -> r).toMap
+    assert(out.contains("qqq"), "UNK words must still be output rows")
+    val q = out("qqq")
+    assert(q.getAs[Boolean]("is_unk"))
+    assert(q.isNullAt(q.fieldIndex("seg")))
+    assert(q.isNullAt(q.fieldIndex("n_pieces")))
+    assert(!out("solid").getAs[Boolean]("is_unk"))
+    assert(out("solid").getAs[Long]("freq") == 4L)
+  }
+}
