@@ -54,4 +54,105 @@ object Sketch {
       .filter(col("rank") <= k)
       .select(col("rank"), col("tok"), col("est_cnt"), col("exact_cnt"))
   }
+
+  /** Bloom-filter membership pruning (Bloom 1970), the join-pruning
+    * structure: the build side's keys set d bit positions each; a probe
+    * key is "maybe present" iff ALL d of its positions are set — no false
+    * negatives ever, false positives at the usual 1-bit-density rate.
+    *
+    * Relational form with deterministic md5 positions: the bit set is a
+    * ≤ `mBits`-row relation however large the build side (the distinct
+    * aggregation collapses it), broadcast into the probe's match count.
+    * At cluster scale you'd pack the bits into a long[] inside a custom
+    * Expression and skip the join; the SEMANTICS gated here are identical,
+    * and the bounded bit relation is already the scale-safe shape.
+    *
+    * Output: one row per distinct probe key with `maybe_member` (bloom
+    * verdict) and `is_member` (exact semi-join truth riding along to pin
+    * the no-false-negative contract).
+    */
+  def bloomPrune(build: DataFrame, buildKey: String,
+                 probe: DataFrame, probeKey: String,
+                 mBits: Int = 1024, d: Int = 3): DataFrame = {
+    require(mBits > 0 && d > 0, s"bloomPrune: bad shape m=$mBits d=$d")
+    def positions(key: Column): Column =
+      array((0 until d).map(j =>
+        TextAnalysis.md5Long(concat(lit(s"bloom$j:"), key)) % mBits): _*)
+    val bits = build
+      .select(explode(positions(col(buildKey))).as("bit")).distinct()
+    val probeKeys = probe.select(col(probeKey).as("k")).distinct()
+    val matched = probeKeys
+      .select(col("k"), explode(positions(col("k"))).as("bit"))
+      .join(broadcast(bits), Seq("bit"))
+      .groupBy(col("k")).agg(countDistinct(col("bit")).as("hits"))
+    val exact = build.select(col(buildKey).as("k")).distinct()
+      .withColumn("is_member", lit(true))
+    probeKeys
+      .join(matched, Seq("k"), "left")
+      .join(exact, Seq("k"), "left")
+      .select(col("k").as(probeKey),
+        (coalesce(col("hits"), lit(0L)) === d).as("maybe_member"),
+        coalesce(col("is_member"), lit(false)).as("is_member"))
+  }
+
+  /** HyperLogLog distinct estimation (Flajolet et al. 2007) per group,
+    * with the md5 hash so both engines see identical register values:
+    * bucket = h mod m, rank = leading-zero count of the remaining 54-bit
+    * suffix + 1 (via the length of the minimal binary string — a pure
+    * string op, no float log), registers = per-bucket max rank.
+    *
+    * The harmonic denominator Σ 2^(−M_b) is accumulated as SCALED
+    * INTEGERS — Σ 2^(55−M_b) via bit shifts, exact and order-free in
+    * 64-bit (≤ m·2^55 = 2^61) — because a double-sum of tiny powers mixes
+    * magnitudes across 55 binades and becomes partition-order-dependent
+    * in the last bit. Empty buckets contribute rank 0 (the generate-
+    * series left join). Exact COUNT(DISTINCT) rides along for comparison.
+    *
+    * Scale shape: one map-side hash projection + one (group, bucket) agg
+    * bounded at |groups|·m rows + one |groups|-row rollup — the entire
+    * point of HLL at 100 TB; the exact column is the thing you'd DROP at
+    * scale, kept here to exhibit the estimate against truth.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valCol: String,
+                  m: Int = 64): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"hllDistinct: m must be a power of two, got $m")
+    // alpha_m for m = 64 per the HLL paper; the two smaller constants
+    // cover the spec's tiny-m cases
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    // h is 60-bit; the suffix must come off via a SHIFT, not double
+    // division (h exceeds double's 53-bit mantissa, so h/m-then-cast
+    // silently corrupts low bits)
+    val shiftBits = java.lang.Integer.numberOfTrailingZeros(m)
+    val h = TextAnalysis.md5Long(concat(lit("hll:"), col(valCol).cast("string")))
+    val regs = df
+      .select(col(groupCol).as("g"), (h % m).as("b"),
+        shiftright(h, shiftBits).as("suffix"))
+      .withColumn("rho",
+        when(col("suffix") > 0, lit(55) - length(bin(col("suffix"))))
+          .otherwise(lit(55)))
+      .groupBy(col("g"), col("b")).agg(max(col("rho")).as("mb"))
+    val groups = df.select(col(groupCol).as("g")).distinct()
+    val full = groups
+      .crossJoin(bucketDomain(df, m))
+      .join(regs, Seq("g", "b"), "left")
+      .withColumn("mb", coalesce(col("mb"), lit(0)))
+    val scale = math.pow(2.0, 55) * alpha * m * m
+    val est = full
+      .groupBy(col("g"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mb)")).as("s"))
+      .select(col("g"),
+        round(lit(scale) / col("s").cast("double"), 6).as("est_distinct"))
+    val exact = df.groupBy(col(groupCol).as("g"))
+      .agg(countDistinct(col(valCol)).as("exact_distinct"))
+    est.join(exact, Seq("g")).withColumnRenamed("g", groupCol)
+  }
+
+  /** 0..m−1 as a one-column relation (bucket domain for the empty-bucket
+    * join). */
+  private def bucketDomain(df: DataFrame, m: Int): DataFrame =
+    df.sparkSession.range(0, m).select(col("id").cast("long").as("b"))
 }

@@ -187,6 +187,87 @@ object QueriesR {
       FROM wf w LEFT JOIN done d USING (word) ORDER BY w.word"""))
   }
 
+  /** Bloom-filter pruning: blocklist slice (doc_id % 7 = 0) builds the
+    * bit set; every other document's vocabulary probes it. The exact
+    * membership column rides along, pinning the no-false-negative
+    * contract under the hash gate (and the false positives that DO occur
+    * at 1024 bits are pinned too — same hashes, same collisions).
+    */
+  val sketchBloomPrune: QueryDef = {
+    val mBits = 1024; val d = 3
+    val js = (0 until d).mkString("[", ", ", "]")
+    def bitSql(tokExpr: String): String =
+      s"${Ora.md5LongSql(s"'bloom' || CAST(j AS VARCHAR) || ':' || $tokExpr")} % $mBits"
+    QueryDef(
+      "sketch_bloom_prune",
+      (s, dir) => {
+        val dd = t(s, dir, "documents")
+        def toks(p: DataFrame) =
+          p.select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+        graft.operators.Sketch.bloomPrune(
+            toks(dd.filter(col("doc_id") % 7 === 0)), "tok",
+            toks(dd.filter(col("doc_id") % 7 =!= 0)), "tok",
+            mBits = mBits, d = d)
+          .orderBy(col("tok"))
+      },
+      Some(s"""WITH bt AS (SELECT unnest(${Ora.toksSql}) AS tok
+          FROM documents WHERE doc_id % 7 = 0),
+        pt AS MATERIALIZED (SELECT DISTINCT tok FROM
+          (SELECT unnest(${Ora.toksSql}) AS tok
+           FROM documents WHERE doc_id % 7 <> 0)),
+        js AS (SELECT unnest($js) AS j),
+        bits AS MATERIALIZED (SELECT DISTINCT ${bitSql("tok")} AS bit
+          FROM bt CROSS JOIN js),
+        pm AS (SELECT tok, ${bitSql("tok")} AS bit FROM pt CROSS JOIN js),
+        hits AS (SELECT tok, COUNT(DISTINCT bit) AS nh
+          FROM pm JOIN bits USING (bit) GROUP BY tok),
+        ex AS MATERIALIZED (SELECT DISTINCT tok FROM bt)
+      SELECT p.tok, COALESCE(h.nh, 0) = $d AS maybe_member,
+        (e.tok IS NOT NULL) AS is_member
+      FROM pt p LEFT JOIN hits h USING (tok)
+      LEFT JOIN ex e ON e.tok = p.tok ORDER BY p.tok"""))
+  }
+
+  /** HyperLogLog per-group distinct estimate (m = 64 registers) with the
+    * exact count alongside; the register ranks come from the md5 hash's
+    * minimal binary string (identical on both engines) and the harmonic
+    * sum accumulates as exact shifted integers.
+    */
+  val sketchHllDistinct: QueryDef = {
+    val m = 64
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val scale = math.pow(2.0, 55) * alpha * m * m
+    val hSql = Ora.md5LongSql("'hll:' || CAST(user_id AS VARCHAR)")
+    QueryDef(
+      "sketch_hll_distinct",
+      (s, dir) => graft.operators.Sketch.hllDistinct(
+          t(s, dir, "events"), "event_type", "user_id", m = m)
+        .orderBy(col("event_type")),
+      Some(s"""WITH h AS (SELECT event_type, $hSql AS h FROM events),
+        regs AS (SELECT event_type, h % $m AS b,
+            CASE WHEN (h >> 6) > 0 THEN 55 - LENGTH(bin(h >> 6))
+                 ELSE 55 END AS rho
+          FROM h),
+        mx AS MATERIALIZED (SELECT event_type, b, MAX(rho) AS mb
+          FROM regs GROUP BY 1, 2),
+        dom AS (SELECT unnest(generate_series(0, ${m - 1})) AS b),
+        gs AS (SELECT DISTINCT event_type FROM events),
+        filled AS (SELECT g.event_type, d.b, COALESCE(mx.mb, 0) AS mb
+          FROM gs g CROSS JOIN dom d
+          LEFT JOIN mx ON mx.event_type = g.event_type AND mx.b = d.b),
+        sm AS (SELECT event_type,
+            CAST(SUM(CAST(1 AS BIGINT) << (55 - mb)) AS BIGINT) AS s
+          FROM filled GROUP BY 1),
+        ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1)
+      SELECT sm.event_type,
+        ROUND(CAST(${scale.toString} AS DOUBLE) / CAST(sm.s AS DOUBLE), 6)
+          AS est_distinct,
+        ex.exact_distinct
+      FROM sm JOIN ex USING (event_type) ORDER BY event_type"""))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(s3SinkRoundtrip, sketchCmsTopk, graphTextrank, wordpieceEncode)
+    Seq(s3SinkRoundtrip, sketchCmsTopk, graphTextrank, wordpieceEncode,
+      sketchBloomPrune, sketchHllDistinct)
 }

@@ -74,6 +74,48 @@ class SketchGraphSpec extends SparkSpec {
     assert(math.abs(out("a") - out("e")) < 1e-9)
   }
 
+  test("bloomPrune: no false negatives ever; tiny filters do false-positive") {
+    import spark.implicits._
+    val build = (1 to 40).map(i => s"key$i").toDF("k")
+    val probe = (21 to 80).map(i => s"key$i").toDF("k")
+    val out = Sketch.bloomPrune(build, "k", probe, "k", mBits = 16, d = 2)
+      .collect()
+    assert(out.length == 60)
+    out.foreach { r =>
+      if (r.getAs[Boolean]("is_member"))
+        assert(r.getAs[Boolean]("maybe_member"),
+          s"false negative is a contract violation: $r")
+    }
+    // 40 keys × 2 bits into 16 cells: the filter is saturated, so some
+    // non-member must collide into a false positive
+    assert(out.exists(r =>
+      r.getAs[Boolean]("maybe_member") && !r.getAs[Boolean]("is_member")))
+    // a roomy filter keeps the same members and sheds the false positives
+    val roomy = Sketch.bloomPrune(build, "k", probe, "k", mBits = 65536, d = 3)
+      .collect()
+    roomy.foreach { r =>
+      assert(r.getAs[Boolean]("maybe_member") == r.getAs[Boolean]("is_member"), r.toString)
+    }
+  }
+
+  test("hllDistinct: estimate lands near truth and never needs the exact pass") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"v${i % (250 * (i % 3 + 1))}"))
+      .toDF("g", "v")
+    val out = Sketch.hllDistinct(df, "g", "v", m = 64).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct")
+      // m = 64 → theoretical std error 1.04/√64 ≈ 13 %; allow 3σ
+      assert(math.abs(est - exact) <= 0.4 * exact + 10,
+        s"HLL estimate $est too far from exact $exact: $r")
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.hllDistinct(df, "g", "v", m = 48)
+    }
+  }
+
   test("wordpiece encode: greedy longest-match-first with ## continuations") {
     // 'under' and 'stand' both frequent enough to enter the vocabulary as
     // start pieces isn't possible for 'stand' mid-word: continuation
