@@ -78,4 +78,61 @@ object Graph {
       .filter(col("rank") <= k)
       .select(col("rank"), col("tok"), round(col("rank_v"), 6).as("score"))
   }
+
+  /** Undirected co-purchase edge relation from a (basket, item) fact
+    * table: distinct item pairs sharing a basket, canonicalized a < b.
+    * The self-join is keyed on the basket id, so its fan-out is bounded
+    * by the square of the largest basket — baskets are small and the
+    * join shuffles on the basket key, never all-pairs.
+    */
+  def coPurchaseEdges(df: DataFrame, basketCol: String,
+                      itemCol: String): DataFrame = {
+    val b = df.select(col(basketCol).as("ok"), col(itemCol).as("item")).distinct()
+    b.select(col("ok"), col("item").as("a"))
+      .join(b.select(col("ok"), col("item").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Triangle counting by DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii,
+    * WWW 2011 — the MapReduce-scale formulation): orient each undirected
+    * edge from its lower-(degree, id) endpoint to the higher, so every
+    * vertex's out-degree is O(√|E|) however skewed the raw degree
+    * distribution; each triangle then has exactly ONE wedge at its
+    * lowest-ordered vertex, and the wedge-close join (e1.dst = e2.src,
+    * then probe (e1.src, e2.dst) against the oriented edge set) counts
+    * every triangle once with the hub-vertex quadratic blow-up capped.
+    * Pure integer counting — exact on both engines by construction.
+    *
+    * Output: top-`k` vertices by the number of triangles they participate
+    * in (each triangle credits all three corners), ties broken by id.
+    */
+  def triangleCount(edges: DataFrame, k: Int = 20): DataFrame = {
+    require(k > 0, s"triangleCount: k must be > 0, got $k")
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val e = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint() // consumed three times by the wedge-close join
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_triangles").desc, col("part"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("part"), col("n_triangles"))
+  }
 }

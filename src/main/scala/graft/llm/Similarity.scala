@@ -520,4 +520,73 @@ object Similarity {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
               col("col.id").as("vb"), col("col.score").as("cos"))
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) — the retrieval-diversification pass a RAG/curation pipeline
+    * runs AFTER top-k: greedily pick `k` of the `nCand` most relevant
+    * candidates, each step maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so near-duplicates of
+    * an already-selected hit are pushed down in favor of novel results.
+    *
+    * The greedy recurrence is inherently sequential in k, so the shape is
+    * hybrid: the RELEVANCE stage is the distributed corpus-scale part
+    * (cosine scan + per-partition top-nCand, the bruteForceTopK physics —
+    * at 100 TB swap in [[ivfTopK]] unchanged); everything after operates
+    * on the nCand-row candidate relation (nCand ≤ 256 enforced), k
+    * bounded relational steps each checkpointed so the plan stays linear
+    * in k (the textRank/funnel precedent).
+    *
+    * Determinism: rel and pairwise sims are the rounded(6) fused-kernel
+    * cosines; each step's score rounds to 10 dp after one IEEE
+    * multiply-subtract on identical inputs, ties broken by id — identical
+    * picks on both engines. (1−λ) is the ENGINE's double arithmetic, not
+    * the decimal literal (the textRank lesson).
+    */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+                queryId: Long, nCand: Int = 32, k: Int = 8,
+                lambda: Double = 0.7): DataFrame = {
+    require(nCand > 0 && nCand <= 256, s"mmrRerank: nCand must be in (0, 256], got $nCand")
+    require(k > 0 && k <= nCand, s"mmrRerank: k must be in (0, nCand], got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmrRerank: lambda ∉ [0,1]: $lambda")
+    requireIntegral(corpus, idCol, "mmrRerank")
+    val oml = 1.0 - lambda
+    val q = corpus.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"))
+    val rel = graft.Core.fanOut(corpus)
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).as("cid"), round(cosine(vecCol, "qv", dim), 6).as("rel"),
+        col(vecCol).as("cv"))
+      .filter(col("rel").isNotNull)
+    val cand = rel.orderBy(col("rel").desc, col("cid")).limit(nCand)
+      .localCheckpoint() // nCand rows; consumed every greedy step
+    val sims = cand.select(col("cid").as("ai"), col("cv").as("av"))
+      .join(cand.select(col("cid").as("bi"), col("cv").as("bv")),
+        col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"), round(cosine("av", "bv", dim), 6).as("s"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint() // ≤ nCand² rows
+    var picked = cand.sparkSession.emptyDataFrame
+    var pickedIds: DataFrame = null
+    for (i <- 1 to k) {
+      val remaining =
+        if (i == 1) cand
+        else cand.join(pickedIds, col("cid") === col("pid"), "left_anti")
+      val ms =
+        if (i == 1) remaining.select(col("cid"), lit(null).cast("double").as("ms"))
+        else sims.join(pickedIds, col("bi") === col("pid"))
+          .groupBy(col("ai")).agg(max(col("s")).as("ms"))
+          .select(col("ai").as("cid"), col("ms"))
+      val pick = remaining.join(ms, Seq("cid"), "left")
+        .select(col("cid"), col("rel"),
+          round(lit(lambda) * col("rel") -
+            lit(oml) * coalesce(col("ms"), lit(0.0)), 10).as("score"))
+        .orderBy(col("score").desc, col("cid")).limit(1)
+        .select(lit(i).cast("int").as("rank"), col("cid"), col("rel"), col("score"))
+        .localCheckpoint()
+      picked = if (i == 1) pick else picked.unionAll(pick)
+      pickedIds = picked.select(col("cid").as("pid")).localCheckpoint()
+    }
+    picked.select(col("rank"), col("cid").as("vec_id"), col("rel"), col("score"))
+  }
 }

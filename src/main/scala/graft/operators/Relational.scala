@@ -145,4 +145,30 @@ object Relational {
       .filter(col("__pcount") === n)
       .drop("__pcount")
   }
+
+  /** Slowly-changing-dimension Type 2 build (Kimball): collapse an event
+    * stream into versioned attribute rows with validity intervals — one
+    * row per (key, attribute run), `valid_from` = the run's first
+    * observation, `valid_to` = the next run's start (NULL ⇒ current).
+    * Change points come from a null-safe lag compare; `ordCol` breaks
+    * equal-timestamp ties so versions are total-ordered and deterministic.
+    *
+    * Scale shape: two windows over the SAME (key × ts, ord) partitioning —
+    * one exchange + one sort feed both (the change-point lag and the
+    * version/lead pass), nothing else shuffles. Keys partition
+    * independently, so a 100 TB history with billions of keys spreads
+    * evenly; a single key's history must fit one partition's sort, the
+    * standard SCD contract.
+    */
+  def scd2(df: DataFrame, keyCol: String, attrCol: String, tsCol: String,
+           ordCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    df.withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(!(col("__prev") <=> col(attrCol)))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col("version"), col(attrCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -155,4 +155,79 @@ object Sketch {
     * join). */
   private def bucketDomain(df: DataFrame, m: Int): DataFrame =
     df.sparkSession.range(0, m).select(col("id").cast("long").as("b"))
+
+  /** KMV (k-minimum-values) distinct sketch with SET OPERATIONS (Beyer et
+    * al., "On synopses for distinct-value estimation under multiset
+    * operations", SIGMOD 2007) — the piece CMS/Bloom/HLL don't give you:
+    * two sketches built independently can be MERGED, so union and
+    * intersection cardinalities come from the k-row synopses alone.
+    *
+    * A side's sketch is the k smallest 60-bit md5 hashes of its distinct
+    * keys. With U(k) the k-th smallest hash, est = (k−1)·2⁶⁰ / U(k); a
+    * sketch holding fewer than k hashes saw the whole domain, so its
+    * estimate is its exact size. The union sketch is the k smallest of the
+    * merged hash sets; the intersection estimate scales the union estimate
+    * by the fraction of the union synopsis present in BOTH sides
+    * (Jaccard-via-KMV).
+    *
+    * Determinism: hashes are the shared md5Long; the estimate divides two
+    * exactly-representable doubles ((k−1)·2⁶⁰ needs 8+60 < 64 mantissa
+    * bits only after the cast rounds, identically on both engines) in one
+    * IEEE op, then rounds to 6 dp — identical bits on both engines.
+    *
+    * Scale shape: per side, one distinct-hash projection then a k-row
+    * TakeOrdered (per-partition top-k, merged on the driver — never a full
+    * sort); every later step joins k-row relations. The exact
+    * COUNT(DISTINCT)s ride along to exhibit estimate-vs-truth; at 100 TB
+    * they are the columns you'd drop while the sketch path is unchanged.
+    *
+    * Output: 4 rows (left / right / union / intersect) × (n_sketch,
+    * est_distinct, exact_distinct).
+    */
+  def kmvSetOps(left: DataFrame, right: DataFrame, keyCol: String,
+                k: Int = 256): DataFrame = {
+    require(k > 1, s"kmvSetOps: k must be > 1, got $k")
+    val spark = left.sparkSession
+    val numer = (k - 1).toDouble * math.pow(2.0, 60)
+    def hashes(df: DataFrame): DataFrame = df
+      .select(TextAnalysis.md5Long(
+        concat(lit("kmv:"), col(keyCol).cast("string"))).as("h"))
+      .distinct()
+    // TakeOrderedAndProject: per-partition top-k + driver merge, k rows out
+    def kmin(h: DataFrame): DataFrame = h.orderBy(col("h")).limit(k)
+    val lh = hashes(left).localCheckpoint()   // consumed: own kmin + 2 probes
+    val rh = hashes(right).localCheckpoint()
+    val lk = kmin(lh)
+    val rk = kmin(rh)
+    val uk = kmin(lh.unionAll(rh).distinct()).localCheckpoint()
+    def est(sk: DataFrame): DataFrame = sk.agg(
+      count(lit(1)).as("n_sketch"),
+      when(count(lit(1)) < k, count(lit(1)).cast("double"))
+        .otherwise(round(lit(numer) / max(col("h")).cast("double"), 6))
+        .as("est_distinct"))
+    // union-synopsis rows present in BOTH sides (semi-joins against the
+    // full distinct-hash sets — at scale these are shuffle joins on h)
+    val both = uk.join(lh, Seq("h"), "left_semi").join(rh, Seq("h"), "left_semi")
+    val interEst = uk.agg(
+      count(lit(1)).as("n_u"),
+      max(col("h")).cast("double").as("uk"))
+      .crossJoin(both.agg(count(lit(1)).as("n_b")))
+      .select(col("n_b").as("n_sketch"),
+        when(col("n_u") < k, col("n_b").cast("double"))
+          .otherwise(round((col("n_b").cast("double") / k) *
+            (lit(numer) / col("uk")), 6))
+          .as("est_distinct"))
+    def exact(df: DataFrame): DataFrame =
+      df.agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    val keys = (d: DataFrame) => d.select(col(keyCol)).distinct()
+    val exInter = keys(left).join(keys(right), Seq(keyCol), "left_semi")
+      .agg(count(lit(1)).as("exact_distinct"))
+    def row(side: String, e: DataFrame, x: DataFrame): DataFrame =
+      e.crossJoin(x).select(lit(side).as("side"), col("n_sketch").cast("long"),
+        col("est_distinct"), col("exact_distinct").cast("long"))
+    row("left", est(lk), exact(left))
+      .unionAll(row("right", est(rk), exact(right)))
+      .unionAll(row("union", est(uk), exact(left.unionAll(right))))
+      .unionAll(row("intersect", interEst, exInter))
+  }
 }

@@ -1086,4 +1086,40 @@ class LlmSpec extends SparkSpec {
     assert(feats(1L).checksum == feats(4L).checksum) // same content
     assert(feats(1L).head.length == 8)
   }
+
+  test("mmrRerank: demotes the near-duplicate of an already-selected hit") {
+    // c1 and c2 are identical (sim = 1.0); c3 is less relevant but novel.
+    // Pure relevance (λ = 1) orders [c1, c2, c3]; at λ = 0.5 the duplicate's
+    // redundancy penalty pushes the novel c3 ahead of it.
+    val emb = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      R(0L, Seq(1.0f, 0.0f, 0.0f)),          // query
+      R(1L, Seq(0.9f, 0.1f, 0.0f)),
+      R(2L, Seq(0.9f, 0.1f, 0.0f)),          // exact duplicate of 1
+      R(3L, Seq(0.8f, 0.0f, 0.3f))))
+    def order(lambda: Double): Seq[Long] =
+      Similarity.mmrRerank(emb, "vec_id", "embedding", dim = 3, queryId = 0L,
+          nCand = 3, k = 3, lambda = lambda)
+        .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(order(1.0) == Seq(1L, 2L, 3L), "λ=1 is pure relevance order")
+    assert(order(0.5) == Seq(1L, 3L, 2L), "λ=0.5 must interleave the novel hit")
+  }
+
+  test("mmrRerank: scores are the rounded greedy recurrence; ranks contiguous") {
+    val emb = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      R(0L, Seq(1.0f, 0.0f)), R(1L, Seq(0.6f, 0.8f)),
+      R(2L, Seq(0.8f, 0.6f)), R(3L, Seq(0.0f, 1.0f))))
+    val out = Similarity.mmrRerank(emb, "vec_id", "embedding", dim = 2,
+        queryId = 0L, nCand = 3, k = 3, lambda = 0.7)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    // step 1 is λ·rel with an empty penalty term
+    val first = out.head
+    assert(first.getAs[Long]("vec_id") == 2L)
+    assert(math.abs(first.getAs[Double]("score")
+      - 0.7 * first.getAs[Double]("rel")) < 1e-9)
+    // every later score carries a strictly positive redundancy penalty here
+    out.tail.foreach { r =>
+      assert(r.getAs[Double]("score") < 0.7 * r.getAs[Double]("rel"))
+    }
+  }
 }

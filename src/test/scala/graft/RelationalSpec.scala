@@ -64,4 +64,38 @@ class RelationalSpec extends SparkSpec {
     val out = Relational.threeWaySemi(m, o1, o2, Seq("k")).collect().map(_.getInt(0))
     assert(out.toSeq == Seq(2))
   }
+
+  test("scd2 collapses runs into versioned validity intervals") {
+    val rows = Seq(
+      R(1L, "bronze", Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      R(1L, "bronze", Timestamp.valueOf("2024-01-02 00:00:00"), 2L), // same run
+      R(1L, "silver", Timestamp.valueOf("2024-01-03 00:00:00"), 3L),
+      R(1L, "bronze", Timestamp.valueOf("2024-01-04 00:00:00"), 4L), // back again = NEW version
+      R(2L, "gold", Timestamp.valueOf("2024-01-01 00:00:00"), 5L))
+    val d = df("uid BIGINT, tier STRING, ts TIMESTAMP, eid BIGINT", rows)
+    val out = Relational.scd2(d, "uid", "tier", "ts", "eid")
+      .orderBy("uid", "version").collect()
+    assert(out.length == 4)
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getAs[String]("tier")).toSeq == Seq("bronze", "silver", "bronze"),
+      "a reverted attribute opens a new version, not a merge with the old run")
+    assert(u1.map(_.getAs[Int]("version")).toSeq == Seq(1, 2, 3))
+    // intervals chain: each valid_to equals the next version's valid_from
+    assert(u1(0).getAs[Timestamp]("valid_to") == u1(1).getAs[Timestamp]("valid_from"))
+    assert(u1(1).getAs[Timestamp]("valid_to") == u1(2).getAs[Timestamp]("valid_from"))
+    assert(u1(2).getAs[Timestamp]("valid_to") == null && u1(2).getAs[Boolean]("is_current"))
+    assert(u1.count(_.getAs[Boolean]("is_current")) == 1)
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).getAs[Boolean]("is_current"))
+  }
+
+  test("scd2 breaks equal-timestamp ties by the order column") {
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val d = df("uid BIGINT, tier STRING, ts TIMESTAMP, eid BIGINT",
+      Seq(R(1L, "b", ts, 2L), R(1L, "a", ts, 1L)))
+    val out = Relational.scd2(d, "uid", "tier", "ts", "eid")
+      .orderBy("version").collect()
+    assert(out.map(_.getAs[String]("tier")).toSeq == Seq("a", "b"),
+      "event_id must order equal timestamps deterministically")
+  }
 }

@@ -152,4 +152,66 @@ class SketchGraphSpec extends SparkSpec {
     assert(!out("solid").getAs[Boolean]("is_unk"))
     assert(out("solid").getAs[Long]("freq") == 4L)
   }
+
+  test("kmvSetOps: sketches smaller than k degrade to exact counts") {
+    import spark.implicits._
+    // 30 distinct keys per side, overlap 10 — with k = 256 every sketch
+    // holds its whole domain, so all four estimates must equal truth
+    val l = (0 until 30).toDF("id")
+    val r = (20 until 50).toDF("id")
+    val out = Sketch.kmvSetOps(l, r, "id", k = 256).collect()
+      .map(row => row.getAs[String]("side") -> row).toMap
+    assert(out.keySet == Set("left", "right", "union", "intersect"))
+    assert(out("left").getAs[Double]("est_distinct") == 30.0)
+    assert(out("left").getAs[Long]("exact_distinct") == 30L)
+    assert(out("right").getAs[Double]("est_distinct") == 30.0)
+    assert(out("union").getAs[Double]("est_distinct") == 50.0)
+    assert(out("union").getAs[Long]("exact_distinct") == 50L)
+    assert(out("intersect").getAs[Double]("est_distinct") == 10.0)
+    assert(out("intersect").getAs[Long]("exact_distinct") == 10L)
+  }
+
+  test("kmvSetOps: k-bounded sketches estimate within the 3/sqrt(k) band") {
+    import spark.implicits._
+    val k = 64
+    val l = (0 until 3000).toDF("id")
+    val r = (1000 until 4000).toDF("id")
+    val out = Sketch.kmvSetOps(l, r, "id", k = k).collect()
+      .map(row => row.getAs[String]("side") -> row).toMap
+    for (side <- Seq("left", "right", "union")) {
+      val row = out(side)
+      assert(row.getAs[Long]("n_sketch") == k.toLong, s"$side sketch not full")
+      val est = row.getAs[Double]("est_distinct")
+      val exact = row.getAs[Long]("exact_distinct").toDouble
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr <= 3.0 / math.sqrt(k),
+        s"$side: est $est vs exact $exact (relErr $relErr)")
+    }
+    // the intersection estimate inherits union noise; allow a wider band
+    val i = out("intersect")
+    val relErr = math.abs(i.getAs[Double]("est_distinct") - 2000.0) / 2000.0
+    assert(relErr <= 6.0 / math.sqrt(k), s"intersect off: $i")
+  }
+
+  test("triangleCount: counts a known graph exactly") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, every vertex in 3) plus a pendant
+    // edge 4-5 (vertex 5 in no triangle)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Graph.triangleCount(edges, k = 10).collect()
+    val byNode = out.map(r => r.getAs[Long]("part") -> r.getAs[Long]("n_triangles")).toMap
+    assert(byNode == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 credits each corner 3 triangles, pendant none: $byNode")
+    // total triangle count: each triangle credits 3 corners
+    assert(byNode.values.sum == 3 * 4)
+  }
+
+  test("triangleCount: triangle-free bipartite graph yields no rows") {
+    import spark.implicits._
+    // K2,3: plenty of wedges, zero triangles
+    val edges = (for (a <- Seq(1L, 2L); b <- Seq(10L, 11L, 12L))
+      yield (a, b)).toDF("a", "b")
+    assert(Graph.triangleCount(edges, k = 10).collect().isEmpty)
+  }
 }
