@@ -97,6 +97,43 @@ object Curation {
     df.join(broadcast(picked), col(idCol) === col("__id")).drop("__id")
   }
 
+  /** Deterministic WEIGHTED sample without replacement (Efraimidis &
+    * Spirakis 2006, A-ES): each row draws u ∈ (0, 1] from its id hash and
+    * scores key = ln(u) / w — a monotone transform of the classic u^(1/w),
+    * avoiding pow's extra rounding step — and the k largest keys win, so
+    * selection probability is proportional to weight, exactly the
+    * quality-weighted corpus subsample an LLM data pipeline draws.
+    * Same determinism contract as [[hashReservoir]]: md5 coin, no RNG
+    * state, reproducible across runs/engines/input order; the key rounds
+    * to 10 dp before the order-sensitive selection (the one ln() call is
+    * correctly-rounded-to-1-ulp on both engines — the tfidf/bm25
+    * precedent) with the id as tie-break.
+    *
+    * Scale shape: one map-side projection, then a k-row TakeOrdered
+    * (per-partition top-k + driver merge — never a global sort).
+    * Non-positive / NULL weights never sample (a zero-weight row has
+    * key −∞; excluding it explicitly keeps the contract loud).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     salt: String = "graft"): DataFrame = {
+    require(k > 0, s"weightedSample: k must be > 0, got $k")
+    graft.Core.requireIntegral(df, idCol, "weightedSample")
+    val u = (TextAnalysis.md5Long(concat(lit(s"wrs$salt:"),
+      col(idCol).cast("string"))).cast("double") + lit(1.0)) /
+      lit(math.pow(2.0, 60))
+    val picked = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol),
+        col(weightCol).cast("double").as("weight"),
+        round(log(u) / col(weightCol).cast("double"), 10).as("wkey"))
+      .orderBy(col("wkey").desc, col(idCol))
+      .limit(k)
+    picked.withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("wkey").desc, col(idCol))).cast("int"))
+      .select(col("sample_rank"), col(idCol), col("weight"), col("wkey"))
+  }
+
   /** GPT-style sequence packing layout: documents are (logically)
     * concatenated per shard in deterministic id order and sliced into
     * fixed `maxTokens` training windows; each document gets its start

@@ -67,6 +67,15 @@ object TextAnalysis {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side scalar twin of [[md5Long]] — same 60-bit value for the
+    * same string, for specs and coefficient-sized driver logic.
+    */
+  def md5LongOf(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
   /** Production-speed 63-bit content hash: xxhash64 (whole-stage-codegen'd,
     * measured ~10× cheaper than the md5 path) masked non-negative so every
     * downstream `% P` / bit-test keeps its semantics. Spark-only — the

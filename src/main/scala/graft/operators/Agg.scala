@@ -517,4 +517,68 @@ object Agg {
         round(col("__lo") + col("bucket") * col("__wv"), 6).as("bucket_lo"),
         col("n"))
   }
+
+  /** Per-group exact median by rank selection: one partitioned window sort,
+    * keep the middle one (odd n) or two (even n) ranks, average them —
+    * quantile_cont(0.5) semantics without engine-specific interpolation
+    * (both engines compute AVG of the same one or two doubles). Tie order
+    * among equal values is irrelevant: interchangeable ranks hold
+    * identical values. Groups sort independently, so the window
+    * parallelizes across groups; a single group's values must fit one
+    * partition's sort — same contract as every partitioned window here.
+    */
+  private def groupMedian(df: DataFrame, groupCol: String, valCol: String,
+                          out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valCol))
+    val nw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valCol).cast("double").as(valCol))
+      .filter(col(valCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(nw))
+      // floor, not `/`: Spark (and DuckDB) divide integers to DOUBLE, so
+      // (n+1)/2 at even n is x.5 and would match no rank at all
+      .filter(col("__rn") === floor((col("__n") + lit(1)) / lit(2)) ||
+              col("__rn") === floor(col("__n") / lit(2)) + lit(1))
+      .groupBy(col(groupCol)).agg(avg(col(valCol)).as(out))
+  }
+
+  /** Robust outlier detection via the modified z-score (Iglewicz & Hoaglin
+    * 1993): z = 0.6745·(x − median) / MAD, flagging |z| > `zThresh`
+    * (their recommended 3.5). Median/MAD instead of mean/stddev so the
+    * outliers being hunted cannot mask themselves by inflating the scale —
+    * the robust complement to the rolling mean/σ z-score operator.
+    *
+    * Exact and engine-portable: two [[groupMedian]] passes (value, then
+    * absolute deviation), one join back, one IEEE multiply-divide rounded
+    * to 6 dp. A zero-MAD group (>50% identical values) has no defined
+    * scale — its rows flag only when x ≠ median, reported with NULL z.
+    *
+    * Output: one row per group — n, median, MAD, outlier count, max |z| —
+    * the monitoring-dashboard shape; the flagged row set is the same
+    * relation pre-aggregation.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  zThresh: Double = 3.5): DataFrame = {
+    val base = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = groupMedian(base, groupCol, "__v", "med")
+    val dev = base.join(med, Seq(groupCol))
+      .withColumn("__d", abs(col("__v") - col("med")))
+    val mad = groupMedian(dev.select(col(groupCol), col("__d")),
+      groupCol, "__d", "mad")
+    dev.join(mad, Seq(groupCol))
+      .withColumn("__z",
+        when(col("mad") > 0,
+          round(lit(0.6745) * (col("__v") - col("med")) / col("mad"), 6)))
+      .withColumn("__flag",
+        when(col("mad") > 0, abs(col("__z")) > zThresh)
+          .otherwise(col("__v") =!= col("med")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        sum(when(col("__flag"), 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("__z"))), 6).as("max_abs_z"))
+  }
 }

@@ -254,4 +254,35 @@ class AggWindowsSpec extends SparkSpec {
     // baseline 1,2,3: mean 2, std 1 → z(100) = 98
     assert(out2(3L).contains(98.0))
   }
+
+  test("madOutliers: flags the planted spike; zero-MAD group degrades honestly") {
+    import spark.implicits._
+    // group a: 1..9 (median 5, deviations 0..4 → MAD 2) plus a spike 1000:
+    // with the spike, n=10, median 5.5, MAD 2.5 — z(1000) = 0.6745*994.5/2.5
+    // group b: nine 5s and one 7 — >50% identical, MAD 0, no defined scale
+    val rows = (1 to 9).map(v => ("a", v.toDouble)) ++ Seq(("a", 1000.0)) ++
+      Seq.fill(9)(("b", 5.0)) ++ Seq(("b", 7.0))
+    val d = rows.toDF("g", "v")
+    val out = graft.operators.Agg.madOutliers(d, "g", "v", zThresh = 3.5)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") == 10L)
+    assert(a.getAs[Double]("med") == 5.5)
+    assert(a.getAs[Double]("mad") == 2.5)
+    assert(a.getAs[Long]("n_outliers") == 1L, "only the spike crosses 3.5")
+    assert(math.abs(a.getAs[Double]("max_abs_z") - 0.6745 * 994.5 / 2.5) < 1e-6)
+    val b = out("b")
+    assert(b.getAs[Double]("mad") == 0.0)
+    assert(b.isNullAt(b.fieldIndex("max_abs_z")), "zero MAD has no z-score")
+    assert(b.getAs[Long]("n_outliers") == 1L, "the lone v != median row flags")
+  }
+
+  test("madOutliers: even-count median averages the two middle values") {
+    import spark.implicits._
+    val d = Seq(("g", 1.0), ("g", 2.0), ("g", 10.0), ("g", 20.0)).toDF("g", "v")
+    val out = graft.operators.Agg.madOutliers(d, "g", "v").collect().head
+    assert(out.getAs[Double]("med") == 6.0) // (2+10)/2
+    // deviations: 5, 4, 4, 14 → sorted 4,4,5,14 → MAD (4+5)/2
+    assert(out.getAs[Double]("mad") == 4.5)
+  }
 }

@@ -296,4 +296,38 @@ class CurationSpec extends SparkSpec {
     val plan = laid.queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), plan)
   }
+
+  test("weightedSample: heavy weights dominate; non-positive weights never sample") {
+    import spark.implicits._
+    // 50 heavy (w=1000) + 450 light (w=1) + 10 invalid (w=0 / negative):
+    // with total heavy mass 50000 vs light 450, a k=40 A-ES draw should be
+    // nearly all heavy items under ANY uniform coin
+    val rows = (0 until 50).map(i => (i.toLong, 1000.0)) ++
+      (50 until 500).map(i => (i.toLong, 1.0)) ++
+      (500 until 510).map(i => (i.toLong, if (i % 2 == 0) 0.0 else -3.0))
+    val d = rows.toDF("doc_id", "w")
+    val out = Curation.weightedSample(d, "doc_id", "w", k = 40).collect()
+    assert(out.length == 40)
+    assert(out.map(_.getAs[Int]("sample_rank")).toSeq == (1 to 40))
+    val heavy = out.count(_.getAs[Long]("doc_id") < 50)
+    assert(heavy >= 35, s"expected a heavy-dominated draw, got $heavy/40")
+    assert(out.forall(_.getAs[Long]("doc_id") < 500), "w<=0 must never sample")
+    // deterministic: the same call draws the same sample in the same order
+    val again = Curation.weightedSample(d, "doc_id", "w", k = 40).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("weightedSample: equal weights reduce to the uniform hash reservoir order") {
+    import spark.implicits._
+    val d = (0 until 200).map(i => (i.toLong, 7.5)).toDF("doc_id", "w")
+    val out = Curation.weightedSample(d, "doc_id", "w", k = 20).collect()
+    // with equal w, key order is u order — i.e. the ids with the LARGEST
+    // hash-u win, independent of the weight's value
+    val expected = (0 until 200)
+      .map(i => i.toLong -> graft.llm.TextAnalysis
+        .md5LongOf(s"wrsgraft:$i"))
+      .sortBy { case (id, h) => (-h, id) }.take(20).map(_._1)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == expected)
+  }
 }
