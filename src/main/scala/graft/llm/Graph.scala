@@ -95,6 +95,48 @@ object Graph {
       .distinct()
   }
 
+  /** Market-basket association rules over a (basket, item) fact table
+    * (Agrawal & Srikant 1994's measures on pair itemsets): for each
+    * directed pair a→b with pair support ≥ `minCount` baskets,
+    * support = n_ab/N, confidence = n_ab/n_a, lift = n_ab·N/(n_a·n_b),
+    * top-`k` rules by (lift DESC, antecedent, consequent).
+    *
+    * Scale shape: the pair counts ride the same basket-keyed self-join as
+    * [[coPurchaseEdges]] (fan-out bounded by basket size squared, never
+    * all-pairs), item counts are one keyed agg, and the scalar basket
+    * count broadcasts into the final projection. All counting is exact
+    * integers; the three measures are single IEEE divisions of
+    * exactly-representable products (≤2⁵³), rounded to 6 dp.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minCount: Long = 2L, k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k > 0, s"associationRules: bad minCount=$minCount k=$k")
+    val b = df.select(col(basketCol).as("ok"), col(itemCol).as("item"))
+      .distinct().localCheckpoint() // consumed by pairs, item counts, N
+    val nBaskets = b.select(col("ok")).distinct().count()
+    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val pairs = b.select(col("ok"), col("item").as("ante"))
+      .join(b.select(col("ok"), col("item").as("cons")), Seq("ok"))
+      .filter(col("ante") =!= col("cons"))
+      .groupBy(col("ante"), col("cons")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(itemN.select(col("item").as("ante"), col("n_i").as("n_a")), Seq("ante"))
+      .join(itemN.select(col("item").as("cons"), col("n_i").as("n_b")), Seq("cons"))
+      .select(col("ante"), col("cons"), col("n_ab"),
+        round(col("n_ab").cast("double") / nBaskets, 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_ab").cast("double") * nBaskets) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lift").desc, col("ante"), col("cons"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("ante"), col("cons"), col("n_ab"),
+        col("support"), col("confidence"), col("lift"))
+  }
+
   /** Triangle counting by DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii,
     * WWW 2011 — the MapReduce-scale formulation): orient each undirected
     * edge from its lower-(degree, id) endpoint to the higher, so every

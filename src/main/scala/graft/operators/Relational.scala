@@ -160,6 +160,22 @@ object Relational {
     * evenly; a single key's history must fit one partition's sort, the
     * standard SCD contract.
     */
+  /** CDC log application (the lakehouse MERGE-from-changelog): collapse an
+    * insert/update/delete operation log to the current snapshot — per key,
+    * the latest op by (ts, ord) wins; a winning delete removes the key
+    * entirely. One partitioned window (the same single-exchange shape as
+    * [[scd2]]); at 100 TB the log partitions by key and each key's history
+    * sorts locally. `opCol` values: 'I'/'U' upsert, 'D' delete.
+    */
+  def cdcApply(ops: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+               opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(ordCol).desc)
+    ops.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn")
+  }
+
   def scd2(df: DataFrame, keyCol: String, attrCol: String, tsCol: String,
            ordCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))

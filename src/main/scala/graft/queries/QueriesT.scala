@@ -80,5 +80,106 @@ object QueriesT {
       FROM z GROUP BY event_type ORDER BY event_type"""))
   }
 
-  val all: Seq[QueryDef] = Seq(sampleWeighted, madOutliers)
+  /** Association rules on the lineitem co-purchase baskets: top-20 directed
+    * pairs by lift with support/confidence, pair support ≥ 3 baskets. The
+    * rule ORDER (lift DESC, ante, cons) is gated along with all three
+    * measures.
+    */
+  val assocRules: QueryDef = {
+    val minCount = 3; val k = 20
+    QueryDef(
+      "assoc_rules",
+      (s, dir) => graft.llm.Graph.associationRules(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minCount = minCount, k = k)
+        .orderBy(col("rank")),
+      Some(s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+          l_partkey AS item FROM lineitem),
+        nb AS (SELECT COUNT(DISTINCT ok) AS n FROM b),
+        itn AS MATERIALIZED (SELECT item, COUNT(*) AS n_i FROM b GROUP BY item),
+        pr AS (SELECT l.item AS ante, r.item AS cons, COUNT(*) AS n_ab
+          FROM b l JOIN b r USING (ok) WHERE l.item <> r.item
+          GROUP BY 1, 2 HAVING COUNT(*) >= $minCount),
+        m AS (SELECT p.ante, p.cons, p.n_ab,
+            ROUND(CAST(p.n_ab AS DOUBLE) / nb.n, 6) AS support,
+            ROUND(CAST(p.n_ab AS DOUBLE) / CAST(a.n_i AS DOUBLE), 6)
+              AS confidence,
+            ROUND((CAST(p.n_ab AS DOUBLE) * nb.n) /
+              (CAST(a.n_i AS DOUBLE) * CAST(c.n_i AS DOUBLE)), 6) AS lift
+          FROM pr p JOIN itn a ON a.item = p.ante
+          JOIN itn c ON c.item = p.cons CROSS JOIN nb),
+        r AS (SELECT m.*, ROW_NUMBER() OVER
+          (ORDER BY lift DESC, ante, cons) AS rank FROM m)
+      SELECT CAST(rank AS INT) AS rank, ante, cons, n_ab, support,
+        confidence, lift
+      FROM r WHERE rank <= $k ORDER BY rank"""))
+  }
+
+  /** CDC changelog application: events mapped to I/U/D ops on the user key
+    * (signup inserts, errors delete, the rest update) collapsed to the
+    * current snapshot — latest op per user wins, a winning delete removes
+    * the user. The window tie-break (ts, then event_id) is part of the
+    * gate.
+    */
+  val cdcApply: QueryDef = QueryDef(
+    "s16_cdc_apply",
+    (s, dir) => {
+      val ops = t(s, dir, "events").withColumn("op",
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")))
+      graft.operators.Relational.cdcApply(ops, "user_id", "ts", "event_id", "op")
+        .select(col("user_id"), col("op"), col("ts").as("last_ts"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ops AS (SELECT user_id, event_id, ts, value,
+          CASE WHEN event_type = 'signup' THEN 'I'
+               WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events),
+      latest AS (SELECT user_id, op, ts, value, ROW_NUMBER() OVER
+          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ops)
+      SELECT user_id, op, ts AS last_ts, value AS last_value
+      FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""))
+
+  /** DAU/WAU stickiness per ISO week (date_trunc week = Monday on both
+    * engines): average daily actives over weekly actives, the engagement
+    * ratio every behavioral dashboard carries.
+    */
+  val stickiness: QueryDef = QueryDef(
+    "b5_stickiness",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(to_date(date_trunc("WEEK", col("ts"))).as("wk"),
+          to_date(col("ts")).as("d"), col("user_id"))
+      val daily = ev.groupBy(col("wk"), col("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val weekly = ev.groupBy(col("wk"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      daily.groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("dau")).as("sum_dau"))
+        .join(weekly, Seq("wk"))
+        .select(col("wk"), col("n_days"), col("wau"),
+          round((col("sum_dau").cast("double") / col("n_days")) /
+            col("wau").cast("double"), 6).as("stickiness"))
+        .orderBy(col("wk"))
+    },
+    Some("""WITH ev AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+          CAST(ts AS DATE) AS d, user_id FROM events),
+      daily AS (SELECT wk, d, COUNT(DISTINCT user_id) AS dau
+        FROM ev GROUP BY 1, 2),
+      weekly AS (SELECT wk, COUNT(DISTINCT user_id) AS wau
+        FROM ev GROUP BY 1)
+      SELECT dy.wk, CAST(dy.n_days AS BIGINT) AS n_days,
+        CAST(w.wau AS BIGINT) AS wau,
+        ROUND((CAST(dy.sum_dau AS DOUBLE) / dy.n_days) /
+          CAST(w.wau AS DOUBLE), 6) AS stickiness
+      FROM (SELECT wk, COUNT(*) AS n_days, SUM(dau) AS sum_dau
+            FROM daily GROUP BY wk) dy
+      JOIN weekly w USING (wk) ORDER BY dy.wk"""))
+
+  val all: Seq[QueryDef] =
+    Seq(sampleWeighted, madOutliers, assocRules, cdcApply, stickiness)
 }

@@ -124,6 +124,32 @@ object RT {
       }
   }
 
+  /** R9: watermarked stream-stream equi-join within a time bound — which
+    * right-side events landed within ±`within` of each left event for the
+    * same key (click↔purchase attribution, request↔response pairing).
+    * Both sides carry `within`-sized watermarks AND the join condition
+    * bounds the event-time distance, which is exactly what lets Spark's
+    * symmetric hash join EVICT state: without the time constraint each
+    * side's buffer grows forever. Right-side columns surface prefixed
+    * `r_` (the key column is dropped after the equality).
+    *
+    * State per key is bounded by the rows inside one watermark horizon —
+    * the 100 TB/day contract is horizon-sized memory, not stream-sized.
+    */
+  def streamJoinWithin(left: DataFrame, right: DataFrame, key: String,
+                       ltsCol: String, rtsCol: String,
+                       within: String): DataFrame = {
+    val lw = left.withWatermark(ltsCol, within)
+    val rw = right.toDF(right.columns.map(c =>
+        if (c == key) "__rk" else s"r_$c"): _*)
+      .withWatermark(s"r_$rtsCol", within)
+    lw.join(rw,
+        col(key) === col("__rk") &&
+          col(s"r_$rtsCol") >= col(ltsCol) - expr(s"INTERVAL $within") &&
+          col(s"r_$rtsCol") <= col(ltsCol) + expr(s"INTERVAL $within"))
+      .drop("__rk")
+  }
+
   /** Streaming exact dedup for ingest pipelines: drop any document whose
     * content digest already arrived within the watermark horizon — the
     * streaming analogue of [[graft.llm.Dedup.exactByDigest]]. The dedup

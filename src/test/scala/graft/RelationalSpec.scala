@@ -89,6 +89,23 @@ class RelationalSpec extends SparkSpec {
     assert(u2.length == 1 && u2(0).getAs[Boolean]("is_current"))
   }
 
+  test("cdcApply: latest op wins, deletes remove, later re-insert revives") {
+    val d = df("k BIGINT, ts TIMESTAMP, ord BIGINT, op STRING, v DOUBLE", Seq(
+      R(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "I", 1.0),
+      R(1L, Timestamp.valueOf("2024-01-02 00:00:00"), 2L, "U", 2.0),
+      R(2L, Timestamp.valueOf("2024-01-01 00:00:00"), 3L, "I", 3.0),
+      R(2L, Timestamp.valueOf("2024-01-03 00:00:00"), 4L, "D", null),
+      R(3L, Timestamp.valueOf("2024-01-01 00:00:00"), 5L, "D", null),
+      R(3L, Timestamp.valueOf("2024-01-02 00:00:00"), 6L, "I", 9.0),
+      // key 4: delete and update share a timestamp — ord decides (D later)
+      R(4L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "U", 4.0),
+      R(4L, Timestamp.valueOf("2024-01-01 00:00:00"), 8L, "D", null)))
+    val out = Relational.cdcApply(d, "k", "ts", "ord", "op")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("v")).toMap
+    assert(out == Map(1L -> 2.0, 3L -> 9.0),
+      s"latest-op snapshot wrong: $out (2 deleted, 4 deleted by ord tie-break)")
+  }
+
   test("scd2 breaks equal-timestamp ties by the order column") {
     val ts = Timestamp.valueOf("2024-01-01 00:00:00")
     val d = df("uid BIGINT, tier STRING, ts TIMESTAMP, eid BIGINT",

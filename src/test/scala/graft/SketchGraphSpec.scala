@@ -207,6 +207,33 @@ class SketchGraphSpec extends SparkSpec {
     assert(byNode.values.sum == 3 * 4)
   }
 
+  test("associationRules: known baskets produce the textbook measures") {
+    import spark.implicits._
+    // 4 baskets: {m,b}, {m,b}, {m,e}, {b}  (m=milk, b=bread, e=eggs)
+    val d = Seq((1L, "m"), (1L, "b"), (2L, "m"), (2L, "b"),
+      (3L, "m"), (3L, "e"), (4L, "b")).toDF("ok", "item")
+    val out = Graph.associationRules(d, "ok", "item", minCount = 1L, k = 10)
+      .collect().map(r => (r.getAs[String]("ante"), r.getAs[String]("cons")) -> r).toMap
+    // m→b: n_ab=2, support 2/4, confidence 2/3, lift 2·4/(3·3)
+    val mb = out(("m", "b"))
+    assert(mb.getAs[Long]("n_ab") == 2L)
+    assert(mb.getAs[Double]("support") == 0.5)
+    assert(mb.getAs[Double]("confidence") == 0.666667)
+    assert(mb.getAs[Double]("lift") == 0.888889)
+    // b→m mirrors the count but not the confidence (3 bread baskets)
+    assert(out(("b", "m")).getAs[Double]("confidence") == 0.666667)
+    // m→e and e→m tie on lift 1·4/(3·1) = 1.333333 — the (ante, cons)
+    // tie-break puts e→m first
+    assert(out(("m", "e")).getAs[Double]("lift") == 1.333333)
+    assert(out(("e", "m")).getAs[Int]("rank") == 1)
+    assert(out(("m", "e")).getAs[Int]("rank") == 2)
+    // duplicate items within one basket must not inflate counts
+    val dup = d.unionAll(Seq((1L, "m")).toDF("ok", "item"))
+    assert(Graph.associationRules(dup, "ok", "item", 1L, 10)
+      .filter(col("ante") === "m" && col("cons") === "b")
+      .head().getAs[Long]("n_ab") == 2L)
+  }
+
   test("triangleCount: triangle-free bipartite graph yields no rows") {
     import spark.implicits._
     // K2,3: plenty of wedges, zero triangles
