@@ -160,6 +160,51 @@ object Relational {
     * evenly; a single key's history must fit one partition's sort, the
     * standard SCD contract.
     */
+  /** Data-quality profile: per column — row count, null count, exact
+    * distinct count — plus a `*` row carrying whole-row duplicate count,
+    * the audit a pipeline runs before trusting a new drop. One aggregation
+    * job (Spark expands the multi-distinct into grouped passes itself) and
+    * a 1-row→|cols|-row explode; nothing driver-side beyond the single
+    * result row. Count-only output by design: min/max/mean would drag
+    * engine-specific type formatting into the gate, and the count triple
+    * is what the ingest decision actually reads.
+    */
+  def dqProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "dqProfile: need at least one column")
+    val aggs =
+      Seq(count(lit(1)).as("__n"),
+        countDistinct(struct(df.columns.map(col): _*)).as("__ndr")) ++
+      cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(lit(c).as("column_name"),
+      col(s"__null_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"))) :+
+      struct(lit("*").as("column_name"),
+        (col("__n") - col("__ndr")).as("n_null"), // duplicate ROWS for '*'
+        col("__ndr").as("n_distinct"))
+    one.select(col("__n").as("n_rows"), explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name"), col("n_rows"), col("e.n_null"),
+        col("e.n_distinct"))
+  }
+
+  /** Referential-integrity audit: fact rows whose foreign key misses the
+    * dimension — the orphan report. An anti-join (broadcastable when the
+    * dimension key set is small, shuffled otherwise) then a keyed count;
+    * top-`k` orphan keys by row count plus the exact totals.
+    */
+  def dqOrphans(fact: DataFrame, factKey: String, dim: DataFrame,
+                dimKey: String, k: Int = 10): DataFrame = {
+    val orphans = fact.join(dim.select(col(dimKey).as(factKey)).distinct(),
+      Seq(factKey), "left_anti")
+    orphans.groupBy(col(factKey)).agg(count(lit(1)).as("n_rows"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_rows").desc, col(factKey))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col(factKey), col("n_rows"))
+  }
+
   /** CDC log application (the lakehouse MERGE-from-changelog): collapse an
     * insert/update/delete operation log to the current snapshot — per key,
     * the latest op by (ts, ord) wins; a winning delete removes the key

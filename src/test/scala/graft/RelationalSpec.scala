@@ -89,6 +89,28 @@ class RelationalSpec extends SparkSpec {
     assert(u2.length == 1 && u2(0).getAs[Boolean]("is_current"))
   }
 
+  test("dqProfile counts nulls, distincts, and whole-row duplicates") {
+    val d = df("a BIGINT, b STRING", Seq(
+      R(1L, "x"), R(1L, "x"), // exact duplicate row
+      R(2L, null), R(3L, "y"), R(null, "y")))
+    val out = Relational.dqProfile(d, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((5L, 1L, 3L)))   // one null a, distinct {1,2,3}
+    assert(out("b") == ((5L, 1L, 2L)))   // one null b, distinct {x,y}
+    assert(out("*") == ((5L, 1L, 4L)),   // 1 duplicate row, 4 distinct rows
+      s"whole-row duplicate accounting wrong: ${out("*")}")
+  }
+
+  test("dqOrphans reports fact keys missing from the dimension, largest first") {
+    val fact = df("fk BIGINT", Seq(R(1L), R(1L), R(1L), R(2L), R(9L), R(9L)))
+    val dim = df("k BIGINT", Seq(R(1L), R(3L)))
+    val out = Relational.dqOrphans(fact, "fk", dim, "k", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 9L, 2L), (2, 2L, 1L)),
+      "only keys absent from dim orphan; ordered by row count desc")
+  }
+
   test("cdcApply: latest op wins, deletes remove, later re-insert revives") {
     val d = df("k BIGINT, ts TIMESTAMP, ord BIGINT, op STRING, v DOUBLE", Seq(
       R(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "I", 1.0),
