@@ -95,6 +95,46 @@ object Graph {
       .distinct()
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection in O(iters) relational rounds: every node starts as its own
+    * label and each round adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label so the update is a pure
+    * function of the previous labeling (no RNG, no visit order — the
+    * asynchronous variant's nondeterminism is exactly what a hash-gated
+    * engine cannot ship). Fixed iteration count, not convergence: each
+    * round is one |E|-row join + one keyed count + one top-1-per-node
+    * rank, checkpointed so the plan stays linear in `iters`.
+    *
+    * Output: top-`k` communities of the final labeling by (size DESC,
+    * label).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+                       k: Int = 20): DataFrame = {
+    require(iters >= 1 && k > 0, s"labelPropagation: bad iters=$iters k=$k")
+    val ed = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint() // consumed once per iteration
+    var lab = ed.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val counts = ed
+        .join(lab.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("c").desc, col("label"))
+      lab = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    lab.groupBy(col("label")).agg(count(lit(1)).as("size"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("size").desc, col("label"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("label").as("community"), col("size"))
+  }
+
   /** Market-basket association rules over a (basket, item) fact table
     * (Agrawal & Srikant 1994's measures on pair itemsets): for each
     * directed pair a→b with pair support ≥ `minCount` baskets,

@@ -189,6 +189,28 @@ object Relational {
         col("e.n_distinct"))
   }
 
+  /** Key-skew profile — the diagnostic that decides whether a join/agg on
+    * `keyCol` needs salting: top-`k` keys by row count with each key's
+    * share and the CUMULATIVE share (decimal-exact running sum of the
+    * rounded shares, so "the top 10 keys own X% of the rows" reads off
+    * the last row). One keyed count + a k-row TakeOrdered + a window over
+    * k rows; the full key distribution never leaves the executors.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, s"keySkewProfile: k must be > 0, got $k")
+    val total = df.count()
+    val top = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(keyCol)).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col(keyCol))
+    top
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("share", round(col("cnt").cast("double") / total, 6))
+      .withColumn("cum_share",
+        round(sum(col("share").cast("decimal(27,10)")).over(w).cast("double"), 6))
+      .select(col("rank"), col(keyCol), col("cnt"), col("share"),
+        col("cum_share"))
+  }
+
   /** Referential-integrity audit: fact rows whose foreign key misses the
     * dimension — the orphan report. An anti-join (broadcastable when the
     * dimension key set is small, shuffled otherwise) then a keyed count;

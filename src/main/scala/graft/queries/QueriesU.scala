@@ -63,5 +63,76 @@ object QueriesU {
       FROM r WHERE rank <= $k ORDER BY rank"""))
   }
 
-  val all: Seq[QueryDef] = Seq(dqProfile, dqReferential)
+  /** Key-skew diagnostic on the lineitem part key: top-10 keys with share
+    * and decimal-exact cumulative share — the number that decides whether
+    * the key needs salting before a join.
+    */
+  val dqSkewProfile: QueryDef = {
+    val k = 10
+    QueryDef(
+      "dq_skew_profile",
+      (s, dir) => graft.operators.Relational.keySkewProfile(
+          t(s, dir, "lineitem"), "l_partkey", k = k)
+        .orderBy(col("rank")),
+      Some(s"""WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+        cnts AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        top AS (SELECT l_partkey, cnt FROM cnts
+          ORDER BY cnt DESC, l_partkey LIMIT $k),
+        sh AS (SELECT l_partkey, cnt, ROW_NUMBER() OVER
+            (ORDER BY cnt DESC, l_partkey) AS rank,
+            ROUND(CAST(cnt AS DOUBLE) / (SELECT n FROM tot), 6) AS share
+          FROM top)
+      SELECT CAST(rank AS INT) AS rank, l_partkey, cnt, share,
+        ROUND(CAST(SUM(CAST(share AS DECIMAL(27,10))) OVER
+          (ORDER BY rank) AS DOUBLE), 6) AS cum_share
+      FROM sh ORDER BY rank"""))
+  }
+
+  /** Label-propagation communities over the REPEAT co-purchase graph
+    * (pairs sharing ≥ 2 orders — the single-basket noise pruned away):
+    * 3 synchronous min-label-tie rounds, mirrored as unrolled steps; the
+    * top-20 community sizes gate the whole labeling.
+    */
+  val graphLabelProp: QueryDef = {
+    val iters = 3; val k = 20
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst, l.label, COUNT(*) AS c FROM ed e
+          JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+        l$i AS MATERIALIZED (SELECT dst AS node, label FROM
+          (SELECT dst, label, ROW_NUMBER() OVER
+            (PARTITION BY dst ORDER BY c DESC, label) AS rn FROM c$i)
+          WHERE rn = 1)"""
+    }.mkString(",\n        ")
+    QueryDef(
+      "graph_label_prop",
+      (s, dir) => {
+        val b = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+          .distinct()
+        val edges = b.select(col("ok"), col("item").as("a"))
+          .join(b.select(col("ok"), col("item").as("b")), Seq("ok"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+        graft.llm.Graph.labelPropagation(edges, iters = iters, k = k)
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+          FROM lineitem),
+        e0 AS (SELECT l.item AS a, r.item AS b FROM bk l JOIN bk r USING (ok)
+          WHERE l.item < r.item GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b, a FROM e0),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+        $steps,
+        fin AS (SELECT label, COUNT(*) AS size FROM l$iters GROUP BY 1),
+        r AS (SELECT label, size, ROW_NUMBER() OVER
+          (ORDER BY size DESC, label) AS rank FROM fin)
+      SELECT CAST(rank AS INT) AS rank, label AS community, size
+      FROM r WHERE rank <= $k ORDER BY rank"""))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(dqProfile, dqReferential, dqSkewProfile, graphLabelProp)
 }

@@ -207,6 +207,30 @@ class SketchGraphSpec extends SparkSpec {
     assert(byNode.values.sum == 3 * 4)
   }
 
+  test("labelPropagation: two cliques joined by a bridge resolve to two communities") {
+    import spark.implicits._
+    // K3 {1,2,3} + K3 {10,11,12} + bridge 3-10: labels collapse to each
+    // clique's minimum; the bridge endpoints keep their clique majority
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, iters = 3, k = 10).collect()
+      .map(r => r.getAs[Long]("community") -> r.getAs[Long]("size")).toMap
+    assert(out.values.sum == 6L, s"every node belongs somewhere: $out")
+    assert(out.size == 2, s"expected exactly two communities: $out")
+    assert(out.keySet.min == 1L, s"min-label tie-break anchors at 1: $out")
+  }
+
+  test("labelPropagation: deterministic across input row order") {
+    import spark.implicits._
+    val edges = (for (i <- 1L to 30L) yield (i, i % 7 + 100L)).toDF("a", "b")
+    val a = Graph.labelPropagation(edges, iters = 3, k = 50).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("community"), r.getAs[Long]("size"))).toSeq
+    val b = Graph.labelPropagation(edges.orderBy(col("a").desc), iters = 3, k = 50)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("community"), r.getAs[Long]("size"))).toSeq
+    assert(a == b)
+  }
+
   test("associationRules: known baskets produce the textbook measures") {
     import spark.implicits._
     // 4 baskets: {m,b}, {m,b}, {m,e}, {b}  (m=milk, b=bread, e=eggs)
