@@ -343,6 +343,78 @@ object TextAnalysis {
       .withColumn("ppl", round(pow(lit(10.0), col("neg_logp10")), 6))
   }
 
+  /** Distinctive terms per class by chi-squared association: for token t
+    * and class c with a = count(t in c), the 2×2 contingency reduction
+    * gives χ² = N·(a·d − b·c)² / (T·(N−T)·C·(N−C)) with T = token total,
+    * C = class total, N = corpus total (all token OCCURRENCES, not doc
+    * frequencies). Rare tokens (T < `minCount`) are excluded before
+    * ranking — χ² is unstable below ~5 expected counts. Top-`k` per class
+    * by (χ² desc, token).
+    *
+    * Scale shape: one (class, token) count — map-side combinable — then
+    * joins against the |vocab|-row token totals (broadcast-sized after the
+    * min-count cut) and the |classes|-row class totals. The ranking window
+    * partitions by class over the min-count vocabulary only. All χ²
+    * arithmetic in double AFTER explicit casts: the intermediate
+    * (a·d − b·c)² exceeds int64 at corpus scale, so neither engine is
+    * allowed to touch integer multiplication.
+    */
+  def chi2Terms(df: DataFrame, classCol: String, textCol: String,
+                minCount: Long = 20, k: Int = 10): DataFrame = {
+    val occ = graft.Core.fanOut(df)
+      .select(col(classCol).as("class"), explode(tokens(col(textCol))).as("token"))
+    val a = occ.groupBy(col("class"), col("token")).agg(count(lit(1)).as("a"))
+    val tokTot = a.groupBy(col("token")).agg(sum(col("a")).as("tt"))
+      .filter(col("tt") >= minCount)
+    val clsTot = a.groupBy(col("class")).agg(sum(col("a")).as("ct"))
+    val nTot = a.agg(sum(col("a")).as("nn"))
+    val j = a.join(broadcast(tokTot), Seq("token"))
+      .join(broadcast(clsTot), Seq("class"))
+      .crossJoin(broadcast(nTot))
+    val ad = col("a").cast("double"); val td = col("tt").cast("double")
+    val cd = col("ct").cast("double"); val nd = col("nn").cast("double")
+    // a·d − b·c with b = T−a, c = C−a, d = N−T−C+a simplifies to a·N − T·C
+    val num = ad * nd - td * cd
+    val chi2 = round(nd * num * num /
+      (td * (nd - td) * cd * (nd - cd)), 6)
+    val w = Window.partitionBy(col("class"))
+      .orderBy(col("chi2").desc, col("token"))
+    j.select(col("class"), col("token"), col("a").as("n_in_class"),
+        col("tt").as("n_total"), chi2.as("chi2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("class"), col("rank").cast("int").as("rank"), col("token"),
+        col("n_in_class"), col("n_total"), col("chi2"))
+  }
+
+  /** Per-class token-distribution divergence: Shannon entropy (nats) of
+    * each class's unigram distribution and its KL divergence from the
+    * pooled corpus distribution. Irrational per-token terms are truncated
+    * to DECIMAL(27,10) before summing — the repo-wide dsum trick — so the
+    * sums are merge-order independent and mirror exactly. One (class,
+    * token) count feeds both sums; p > 0 for every observed token and
+    * q ≥ p·(C/N) > 0, so neither log argument degenerates.
+    */
+  def entropyKl(df: DataFrame, classCol: String,
+                textCol: String): DataFrame = {
+    val occ = graft.Core.fanOut(df)
+      .select(col(classCol).as("class"), explode(tokens(col(textCol))).as("token"))
+    val a = occ.groupBy(col("class"), col("token")).agg(count(lit(1)).as("a"))
+    val tokTot = a.groupBy(col("token")).agg(sum(col("a")).as("tt"))
+    val clsTot = a.groupBy(col("class")).agg(sum(col("a")).as("ct"))
+    val nTot = a.agg(sum(col("a")).as("nn"))
+    val j = a.join(broadcast(tokTot), Seq("token"))
+      .join(broadcast(clsTot), Seq("class"))
+      .crossJoin(broadcast(nTot))
+    val p = col("a").cast("double") / col("ct").cast("double")
+    val q = col("tt").cast("double") / col("nn").cast("double")
+    val dec = (c: Column) => c.cast("decimal(27,10)")
+    j.groupBy(col("class"))
+      .agg(count(lit(1)).as("vocab"), first(col("ct")).as("n_tokens"),
+        round(sum(dec(-p * log(p))).cast("double"), 6).as("entropy_nats"),
+        round(sum(dec(p * log(p / q))).cast("double"), 6).as("kl_vs_corpus"))
+  }
+
   /** Document fingerprint: min 60-bit hash over word 5-gram shingles —
     * a winnowing-style rolling fingerprint; identical/near-identical prefixes
     * of content produce identical fingerprints.

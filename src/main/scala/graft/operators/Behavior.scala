@@ -109,4 +109,35 @@ object Behavior {
     events.select(col(idCol), col(keyCol), col(tsCol), col(valCol),
       round(num / den, 6).as("ewma"))
   }
+
+  /** Top-k entry paths: each user's first `len` event types in (ts, id)
+    * order joined with `>`, ranked by how many users share the path.
+    * Users with fewer than `len` events contribute their full shorter
+    * path (concat_ws skips the missing positions — identical NULL-skip
+    * semantics in both engines).
+    *
+    * Scale shape: one per-user window (bounded by a user's own events),
+    * a positional pivot to one row per user, and a map-side-combinable
+    * path count; the ranking runs on the |distinct paths| relation,
+    * bounded by |types|^len however many users exist.
+    */
+  def pathTopK(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String, len: Int = 3,
+               k: Int = 10): DataFrame = {
+    require(len >= 1 && len <= 8, s"pathTopK: len must be in [1,8]; got $len")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val firstN = events
+      .select(col(userCol), col(typeCol), row_number().over(w).as("__rn"))
+      .filter(col("__rn") <= len)
+    val positions = (1 to len).map(i =>
+      max(when(col("__rn") === i, col(typeCol))).as(s"__p$i"))
+    val paths = firstN.groupBy(col(userCol))
+      .agg(positions.head, positions.tail: _*)
+      .select(concat_ws(">", (1 to len).map(i => col(s"__p$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+    val rw = Window.orderBy(col("n_users").desc, col("path"))
+    paths.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("int").as("rank"), col("path"), col("n_users"))
+  }
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical modelling operators over relational inputs: per-group OLS
+  * trend fitting, 2-D skyline (Pareto frontier), and first-order Markov
+  * transition estimation. Each is one or two map-side-combinable
+  * aggregations — the model state per group is a handful of sufficient
+  * statistics, never the group's rows.
+  */
+object Stats {
+
+  /** Per-group simple linear regression (OLS) of `yCol` on `xCol`:
+    * slope, intercept, and R² from the five sufficient statistics
+    * (Σx, Σy, Σx², Σxy, Σy², n), accumulated exactly in DECIMAL(27,10)
+    * so the result is independent of partitioning and merge order —
+    * the same guarantee the dsum/dsum6 output columns give everywhere
+    * else in this repo. The closed-form arithmetic then runs on the
+    * already-exact per-group scalars in a fixed double expression.
+    *
+    * Scale shape: ONE map-side-combinable groupBy — the per-partition
+    * state is six numbers per group, so a 100 TB fact table reduces to
+    * |groups| rows in a single exchange. No window, no second pass.
+    *
+    * Degenerate groups (zero x-variance) return NULL slope/intercept/R²;
+    * zero y-variance with positive x-variance returns slope 0 and NULL R²
+    * (the regression is exact but R² is 0/0).
+    */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val s = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(x)).cast("double").as("sx"),
+        sum(dec(y)).cast("double").as("sy"),
+        sum(dec(x * x)).cast("double").as("sxx"),
+        sum(dec(x * y)).cast("double").as("sxy"),
+        sum(dec(y * y)).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    s.select(col(groupCol), col("n"),
+        when(varx > 0, round(cov / varx, 6)).as("slope"),
+        when(varx > 0,
+          round((col("sy") - (cov / varx) * col("sx")) / n, 6)).as("intercept"),
+        when(varx > 0 && vary > 0,
+          round((cov * cov) / (varx * vary), 6)).as("r2"))
+  }
+
+  /** 2-D skyline (Pareto frontier): the rows not dominated under
+    * (minimize `costCol`, maximize `gainCol`). Row q dominates p iff
+    * q.cost ≤ p.cost ∧ q.gain ≥ p.gain with at least one strict; ties on
+    * BOTH axes survive together (neither dominates).
+    *
+    * Not the quadratic dominance anti-join: the frontier test reduces to
+    * per-cost contraction + a running max over the distinct-cost relation —
+    *   survive(p) ⇔ p.gain = max gain at p.cost
+    *              ∧ p.gain > max gain over all strictly smaller costs.
+    * The groupBy is map-side combinable, so 100 TB of candidates contract
+    * to |distinct costs| rows before the one ordered scan; that scan is a
+    * single-partition window BY DESIGN — it runs on the contracted
+    * relation, never the input (same contract as every top-k ranking
+    * here). Join back is broadcast-sized for the same reason.
+    */
+  def skyline2d(df: DataFrame, keyCol: String, costCol: String,
+                gainCol: String): DataFrame = {
+    val perCost = df.groupBy(col(costCol))
+      .agg(max(col(gainCol)).as("__maxg"))
+    val w = Window.orderBy(col(costCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perCost.withColumn("__prevmax", max(col("__maxg")).over(w))
+    df.join(broadcast(ranked), Seq(costCol))
+      .filter(col(gainCol) === col("__maxg") &&
+        (col("__prevmax").isNull || col("__maxg") > col("__prevmax")))
+      .select(col(keyCol), col(costCol), col(gainCol))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for consecutive events of one user in (`tsCol`, `idCol`) order, count
+    * (src event type → dst event type) and normalize per src. One
+    * partitioned lead window (per-user, bounded by a user's own events)
+    * and one keyed count; the |types|²-row result carries its own
+    * normalizing window.
+    */
+  def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("src"),
+        lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_trans"))
+    val tw = Window.partitionBy(col("src"))
+    pairs.select(col("src"), col("dst"), col("n_trans"),
+      round(col("n_trans").cast("double") / sum(col("n_trans")).over(tw), 6)
+        .as("prob"))
+  }
+}

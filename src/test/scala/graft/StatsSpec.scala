@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Behavior, Stats}
+import graft.llm.TextAnalysis
+
+class StatsSpec extends SparkSpec {
+
+  private def ts(m: Int): Timestamp = new Timestamp(m * 60000L)
+
+  test("groupedOls: exact fit, degenerate-x group, constant-y group") {
+    val d = df("g STRING, x DOUBLE, y DOUBLE", Seq(
+      // perfect line y = 2x + 1
+      R("a", 0.0, 1.0), R("a", 1.0, 3.0), R("a", 2.0, 5.0),
+      // zero x-variance: no regression
+      R("b", 4.0, 1.0), R("b", 4.0, 9.0),
+      // zero y-variance: slope 0, R^2 undefined (0/0)
+      R("c", 0.0, 7.0), R("c", 2.0, 7.0)))
+    val out = Stats.groupedOls(d, "g", "x", "y").orderBy(col("g")).collect()
+    val a = out(0); val b = out(1); val c = out(2)
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 2.0 &&
+      a.getDouble(3) == 1.0 && a.getDouble(4) == 1.0)
+    assert(b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4))
+    assert(c.getDouble(2) == 0.0 && c.getDouble(3) == 7.0 && c.isNullAt(4))
+  }
+
+  test("groupedOls: noisy fit matches the closed form") {
+    // y = x + e with e = (+1, -1, 0, 0): slope from the normal equations
+    val d = df("g STRING, x DOUBLE, y DOUBLE", Seq(
+      R("g", 0.0, 1.0), R("g", 1.0, 0.0), R("g", 2.0, 2.0), R("g", 3.0, 3.0)))
+    val r = Stats.groupedOls(d, "g", "x", "y").collect()(0)
+    // n=4 sx=6 sy=6 sxx=14 sxy=13 syy=14; cov=4*13-36=16; varx=vary=20
+    assert(r.getDouble(2) == 0.8)           // 16/20
+    assert(r.getDouble(3) == 0.3)           // (6 - 0.8*6)/4
+    assert(r.getDouble(4) == 0.64)          // 256/(20*20)
+  }
+
+  test("skyline2d: dominance, both-axis ties survive, equal-cost pruning") {
+    val d = df("id BIGINT, cost DOUBLE, gain INT", Seq(
+      R(1L, 1.0, 5), // frontier
+      R(2L, 1.0, 3), // dominated: same cost, smaller gain
+      R(3L, 2.0, 5), // dominated: costlier, same gain as id 1
+      R(4L, 2.0, 7), // frontier
+      R(5L, 3.0, 7), // dominated by id 4 (costlier, equal gain)
+      R(6L, 4.0, 9), // frontier
+      R(7L, 4.0, 9))) // tie on BOTH axes with id 6: neither dominates
+    val out = Stats.skyline2d(d, "id", "cost", "gain")
+      .orderBy(col("cost"), col("id")).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 4L, 6L, 7L))
+  }
+
+  test("skyline2d equals the quadratic dominance definition on random data") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 200).map(i =>
+      R(i.toLong, (rng.nextInt(40) / 4.0), rng.nextInt(30)))
+    val d = df("id BIGINT, cost DOUBLE, gain INT", rows)
+    val fast = Stats.skyline2d(d, "id", "cost", "gain")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val l = d.select(col("id"), col("cost"), col("gain"))
+    val r = d.select(col("id").as("qid"), col("cost").as("qc"), col("gain").as("qg"))
+    val dominated = l.join(r,
+        col("qc") <= col("cost") && col("qg") >= col("gain") &&
+        (col("qc") < col("cost") || col("qg") > col("gain")), "leftsemi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val brute = d.select("id").collect().map(_.getLong(0)).toSet -- dominated
+    assert(fast == brute)
+  }
+
+  test("markovTransitions: per-user sequencing and per-src normalization") {
+    val e = df("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING",
+      Seq(
+        R(1L, 1L, ts(0), "a"), R(2L, 1L, ts(1), "b"), R(3L, 1L, ts(2), "a"),
+        R(4L, 2L, ts(0), "a"), R(5L, 2L, ts(1), "c")))
+    val out = Stats.markovTransitions(e, "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("src"), col("dst")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // from 'a': a->b (u1), a->c (u2); from 'b': b->a (u1); u2's c is terminal
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
+  test("pathTopK: short paths kept, count ties broken by path") {
+    val e = df("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING",
+      Seq(
+        R(1L, 1L, ts(0), "x"), R(2L, 1L, ts(1), "y"), R(3L, 1L, ts(2), "z"),
+        R(4L, 1L, ts(3), "q"), // 4th event must not extend the path
+        R(5L, 2L, ts(0), "x"), R(6L, 2L, ts(1), "y"), R(7L, 2L, ts(2), "z"),
+        R(8L, 3L, ts(0), "x"), // single-event user: path "x"
+        R(9L, 4L, ts(0), "a"), R(10L, 4L, ts(1), "b")))
+    val out = Behavior.pathTopK(e, "user_id", "ts", "event_id", "event_type",
+        len = 3, k = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1, "x>y>z", 2L), (2, "a>b", 1L), (3, "x", 1L)))
+  }
+
+  test("chi2Terms: the class-exclusive token outranks the shared one") {
+    val docs = df("doc_id BIGINT, lang STRING, text STRING", Seq(
+      R(1L, "en", "shared shared only_en only_en only_en"),
+      R(2L, "de", "shared shared only_de only_de only_de")))
+    val out = TextAnalysis.chi2Terms(docs, "lang", "text", minCount = 1, k = 2)
+      .orderBy(col("class"), col("rank")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    // a token ABSENT from a class has no (class, token) row — it can be
+    // distinctive of the other class, never of this one; the runner-up
+    // here is the zero-association shared token
+    assert(out.toSeq == Seq(
+      ("de", 1, "only_de"), ("de", 2, "shared"),
+      ("en", 1, "only_en"), ("en", 2, "shared")))
+    // shared token has zero association: chi2 = 0
+    val full = TextAnalysis.chi2Terms(docs, "lang", "text", minCount = 1, k = 10)
+      .filter(col("token") === "shared").collect()
+    assert(full.forall(_.getDouble(5) == 0.0))
+  }
+
+  test("entropyKl: uniform two-token class has entropy ln 2; lone class has KL 0") {
+    val docs = df("doc_id BIGINT, lang STRING, text STRING", Seq(
+      R(1L, "en", "aa bb aa bb")))
+    val r = TextAnalysis.entropyKl(docs, "lang", "text").collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - math.log(2.0)) < 1e-6)
+    assert(r.getDouble(4) == 0.0)
+  }
+}
