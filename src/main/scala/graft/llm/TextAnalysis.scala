@@ -387,6 +387,40 @@ object TextAnalysis {
         col("n_in_class"), col("n_total"), col("chi2"))
   }
 
+  /** Phrase lookup against the positional n-gram index: top-`k` documents
+    * by occurrence count of an exact multi-word phrase (whitespace
+    * tokenization, case-folded), ranked (count desc, id). Overlapping
+    * occurrences all count — the index enumerates every token position.
+    *
+    * Scale shape: the phrase equality filter sits BELOW the per-doc
+    * count, so only matching (doc, position) rows reach the shuffle —
+    * the exact behavior of probing a standing inverted index with one
+    * key, expressed as a query (a real deployment would materialize the
+    * (shingle → postings) relation once and reuse it; the per-query plan
+    * here is that index build pruned to a single key by the pushed
+    * filter). Ranking runs on the |matching docs| relation.
+    */
+  def phraseTopK(df: DataFrame, idCol: String, textCol: String,
+                 phrase: String, k: Int = 10): DataFrame = {
+    val words = phrase.trim.toLowerCase.split("\\s+")
+    require(words.length >= 2, s"phraseTopK wants a multi-word phrase; got '$phrase'")
+    val key = words.mkString(" ")
+    val n = words.length
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val counts = graft.Core.fanOut(df)
+      .select(col(idCol), explode(grams).as("g"))
+      .filter(col("g") === key)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_occur"))
+    val w = Window.orderBy(col("n_occur").desc, col(idCol))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("int").as("rank"), col(idCol), col("n_occur"))
+  }
+
   /** Per-class token-distribution divergence: Shannon entropy (nats) of
     * each class's unigram distribution and its KL divergence from the
     * pooled corpus distribution. Irrational per-token terms are truncated

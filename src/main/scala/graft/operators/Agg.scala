@@ -527,12 +527,13 @@ object Agg {
     * parallelizes across groups; a single group's values must fit one
     * partition's sort — same contract as every partitioned window here.
     */
-  private def groupMedian(df: DataFrame, groupCol: String, valCol: String,
+  private def groupMedian(df: DataFrame, groupCols: Seq[String], valCol: String,
                           out: String): DataFrame = {
+    val gc = groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col(valCol))
-    val nw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-    df.select(col(groupCol), col(valCol).cast("double").as(valCol))
+      .partitionBy(gc: _*).orderBy(col(valCol))
+    val nw = org.apache.spark.sql.expressions.Window.partitionBy(gc: _*)
+    df.select(gc :+ col(valCol).cast("double").as(valCol): _*)
       .filter(col(valCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(nw))
@@ -540,7 +541,7 @@ object Agg {
       // (n+1)/2 at even n is x.5 and would match no rank at all
       .filter(col("__rn") === floor((col("__n") + lit(1)) / lit(2)) ||
               col("__rn") === floor(col("__n") / lit(2)) + lit(1))
-      .groupBy(col(groupCol)).agg(avg(col(valCol)).as(out))
+      .groupBy(gc: _*).agg(avg(col(valCol)).as(out))
   }
 
   /** Robust outlier detection via the modified z-score (Iglewicz & Hoaglin
@@ -559,22 +560,32 @@ object Agg {
     * relation pre-aggregation.
     */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
-                  zThresh: Double = 3.5): DataFrame = {
-    val base = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
+                  zThresh: Double = 3.5): DataFrame =
+    madOutliers(df, Seq(groupCol), valCol, zThresh)
+
+  /** Multi-key grouping variant of [[madOutliers]] — e.g. a seasonal
+    * (series, hour-of-day) baseline, where the robust scale must be
+    * estimated per seasonal bucket, not per series. (Default zThresh
+    * lives on the single-key overload — Scala allows defaults on one.)
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valCol: String,
+                  zThresh: Double): DataFrame = {
+    val gc = groupCols.map(col)
+    val base = df.select(gc :+ col(valCol).cast("double").as("__v"): _*)
       .filter(col("__v").isNotNull)
-    val med = groupMedian(base, groupCol, "__v", "med")
-    val dev = base.join(med, Seq(groupCol))
+    val med = groupMedian(base, groupCols, "__v", "med")
+    val dev = base.join(med, groupCols)
       .withColumn("__d", abs(col("__v") - col("med")))
-    val mad = groupMedian(dev.select(col(groupCol), col("__d")),
-      groupCol, "__d", "mad")
-    dev.join(mad, Seq(groupCol))
+    val mad = groupMedian(dev.select(gc :+ col("__d"): _*),
+      groupCols, "__d", "mad")
+    dev.join(mad, groupCols)
       .withColumn("__z",
         when(col("mad") > 0,
           round(lit(0.6745) * (col("__v") - col("med")) / col("mad"), 6)))
       .withColumn("__flag",
         when(col("mad") > 0, abs(col("__z")) > zThresh)
           .otherwise(col("__v") =!= col("med")))
-      .groupBy(col(groupCol))
+      .groupBy(gc: _*)
       .agg(count(lit(1)).as("n"),
         round(first(col("med")), 6).as("med"),
         round(first(col("mad")), 6).as("mad"),

@@ -81,6 +81,52 @@ object Stats {
       .select(col(keyCol), col(costCol), col(gainCol))
   }
 
+  /** Per-group winsorization audit: clamp `valCol` to the group's exact
+    * interpolated [pLo, pHi] percentiles (quantile_cont semantics — rank
+    * r = p·(n−1), linear between the floor/ceil order statistics, the
+    * same arithmetic as Agg.exactPercentiles) and report per group the
+    * clip bounds, how many rows each tail clipped, and the decimal-exact
+    * winsorized sum.
+    *
+    * Clipping compares against the UNROUNDED bounds — rounding first
+    * would reclassify rows within 5e-7 of a bound; the bounds are rounded
+    * only for display.
+    *
+    * Scale shape: one per-group window sort (the repo-wide per-key window
+    * contract: a single group's rows fit one partition's sort), a
+    * |groups|-row broadcast join back, one map-combinable final agg.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize needs 0 <= pLo < pHi <= 1; got ($pLo, $pHi)")
+    val base = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val nw = Window.partitionBy(col(groupCol))
+    val ranked = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(nw))
+    def bound(p: Double, out: String) = {
+      val r = lit(p) * (col("__n") - lit(1))         // 0-based target rank
+      val vFloor = max(when(col("__rn") - 1 === floor(r), col("__v")))
+      val vCeil = max(when(col("__rn") - 1 === ceil(r), col("__v")))
+      (vFloor + (vCeil - vFloor) * (first(r) - floor(first(r)))).as(out)
+    }
+    val bounds = ranked.groupBy(col(groupCol))
+      .agg(bound(pLo, "__lo"), bound(pHi, "__hi"))
+    base.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("__w", least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("__lo")), 6).as("p_lo"),
+        round(first(col("__hi")), 6).as("p_hi"),
+        sum(when(col("__v") < col("__lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(sum(col("__w").cast("decimal(27,10)")), 6).cast("double")
+          .as("sum_winsorized"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * for consecutive events of one user in (`tsCol`, `idCol`) order, count
     * (src event type → dst event type) and normalize per src. One

@@ -117,6 +117,67 @@ class StatsSpec extends SparkSpec {
     assert(full.forall(_.getDouble(5) == 0.0))
   }
 
+  test("winsorize: exact interpolated bounds, tail counts, clipped sum") {
+    // g: values 1..10 → p05 = 1.45, p95 = 9.55 (rank = p·(n−1) interp)
+    val d = df("g STRING, v DOUBLE",
+      (1 to 10).map(i => R("g", i.toDouble)))
+    val r = graft.operators.Stats.winsorize(d, "g", "v").collect()(0)
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 1.45 && r.getDouble(3) == 9.55)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L) // v=1 low, v=10 high
+    // winsorized sum: 1.45 + (2..9).sum + 9.55 = 55.0
+    assert(r.getDouble(6) == 55.0)
+  }
+
+  test("winsorize: single-row group degenerates to the value itself") {
+    val d = df("g STRING, v DOUBLE", Seq(R("a", 42.0)))
+    val r = graft.operators.Stats.winsorize(d, "g", "v").collect()(0)
+    assert(r.getDouble(2) == 42.0 && r.getDouble(3) == 42.0)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L && r.getDouble(6) == 42.0)
+  }
+
+  test("neighborPairs: matches the quadratic definition, incl. cross-cell pairs") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 120).map(i =>
+      R(i.toLong, rng.nextInt(100) / 10.0, rng.nextInt(100) / 10.0))
+    val d = df("id BIGINT, x DOUBLE, y DOUBLE", rows)
+    val radius = 1.5
+    val fast = graft.operators.Spatial.neighborPairs(d, "id", "x", "y", radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = d.select(col("id").as("a"), col("x").as("xa"), col("y").as("ya"))
+    val r2 = d.select(col("id").as("b"), col("x").as("xb"), col("y").as("yb"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val brute = l.join(r2, col("a") < col("b"))
+      .filter(d2 <= radius * radius)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == brute && brute.nonEmpty)
+  }
+
+  test("phraseTopK: counts overlapping occurrences, ranks by count then id") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "Big data big data big data"),   // "big data" ×3 (case-folded)
+      R(2L, "big data once"),
+      R(3L, "data big no phrase here"),
+      R(4L, "big data and big data")))       // ×2
+    val out = TextAnalysis.phraseTopK(docs, "doc_id", "text", "big data", k = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L, 3L), (2, 4L, 2L), (3, 2L, 1L)))
+  }
+
+  test("madOutliers multi-key: buckets are independent") {
+    val d = df("g STRING, hr INT, v DOUBLE",
+      (1 to 9).map(i => R("a", 0, i.toDouble)) ++   // median 5, spike below
+        Seq(R("a", 0, 1000.0)) ++
+        (1 to 5).map(i => R("a", 1, 50.0)))          // constant bucket
+    val out = graft.operators.Agg.madOutliers(d, Seq("g", "hr"), "v", 3.5)
+      .orderBy(col("hr")).collect()
+    assert(out(0).getLong(2) == 10L && out(0).getLong(5) == 1L) // spike flagged
+    assert(out(1).getDouble(4) == 0.0 && out(1).getLong(5) == 0L) // zero-MAD, no flags
+  }
+
   test("entropyKl: uniform two-token class has entropy ln 2; lone class has KL 0") {
     val docs = df("doc_id BIGINT, lang STRING, text STRING", Seq(
       R(1L, "en", "aa bb aa bb")))
