@@ -127,6 +127,46 @@ object Stats {
           .as("sum_winsorized"))
   }
 
+  /** A/B mean comparison per metric group: Welch's z-statistic for the
+    * difference in mean `valCol` between the two arms of `variantCol`
+    * (must be 0/1), one row per `groupCol`. Means and variances come
+    * from decimal-exact sufficient statistics (the [[groupedOls]]
+    * guarantee); the z arithmetic then runs on per-group scalars in a
+    * fixed double expression:
+    *   z = (m₁ − m₀) / √(s₀²/n₀ + s₁²/n₁),  s² the unbiased variance.
+    * Arms with n < 2 or zero variance in both arms yield NULL z.
+    *
+    * Scale shape: ONE map-combinable groupBy over (group, variant), a
+    * positional pivot to one row per group — never a self-join of the
+    * fact table.
+    */
+  def abWelchZ(df: DataFrame, groupCol: String, variantCol: String,
+               valCol: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
+    val v = col(valCol).cast("double")
+    val s = df.filter(v.isNotNull &&
+        (col(variantCol) === 0 || col(variantCol) === 1))
+      .groupBy(col(groupCol), col(variantCol).cast("int").as("__arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(v)).cast("double").as("sv"),
+        sum(dec(v * v)).cast("double").as("svv"))
+    def armAgg(arm: Int, c: String, out: String) =
+      max(when(col("__arm") === arm, col(c))).as(out)
+    val p = s.groupBy(col(groupCol))
+      .agg(armAgg(0, "n", "n0"), armAgg(0, "sv", "sv0"), armAgg(0, "svv", "svv0"),
+        armAgg(1, "n", "n1"), armAgg(1, "sv", "sv1"), armAgg(1, "svv", "svv1"))
+    def mean(i: Int) = col(s"sv$i") / col(s"n$i").cast("double")
+    // unbiased variance from sums: (Σv² − (Σv)²/n) / (n−1)
+    def vr(i: Int) =
+      (col(s"svv$i") - col(s"sv$i") * col(s"sv$i") / col(s"n$i").cast("double")) /
+        (col(s"n$i").cast("double") - lit(1.0))
+    val se2 = vr(0) / col("n0").cast("double") + vr(1) / col("n1").cast("double")
+    p.select(col(groupCol), col("n0"), col("n1"),
+      round(mean(0), 6).as("mean0"), round(mean(1), 6).as("mean1"),
+      when(col("n0") >= 2 && col("n1") >= 2 && se2 > 0,
+        round((mean(1) - mean(0)) / sqrt(se2), 6)).as("welch_z"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * for consecutive events of one user in (`tsCol`, `idCol`) order, count
     * (src event type → dst event type) and normalize per src. One

@@ -150,6 +150,43 @@ object RT {
       .drop("__rk")
   }
 
+  /** Stream-static anomaly flagging: join the live event stream against a
+    * BROADCAST robust baseline (median/MAD per (event type, hour-of-day),
+    * e.g. from the batch [[graft.operators.Agg.madOutliers]] over history)
+    * and emit per-window counts of modified-z-score outliers. The static
+    * side is re-read per micro-batch by Structured Streaming's
+    * stream-static join contract, so a refreshed baseline table is picked
+    * up without restarting the query; the stream side needs no state
+    * beyond the windowed count (watermark-evicted).
+    *
+    * Baseline schema: (typeCol, hr INT, med DOUBLE, mad DOUBLE). Events
+    * whose (type, hour) has no baseline row are counted but never flagged
+    * (left join, NULL mad) — an unseen regime is a coverage gap, not an
+    * anomaly.
+    */
+  def anomalyStream(events: DataFrame, baseline: DataFrame, tsCol: String,
+                    typeCol: String, valCol: String, zThresh: Double = 3.5,
+                    windowDur: String = "1 hour",
+                    watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val flagged = events
+      .withColumn("hr", hour(col(tsCol)))
+      .join(broadcast(baseline), Seq(typeCol, "hr"), "left")
+      .withColumn("__z",
+        when(col("mad") > 0,
+          lit(0.6745) * (col(valCol) - col("med")) / col("mad")))
+      .withColumn("__anom",
+        when(col("mad") > 0, abs(col("__z")) > zThresh)
+          .when(col("mad").isNotNull, col(valCol) =!= col("med"))
+          .otherwise(lit(false)))
+    flagged.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__anom"), 1L).otherwise(0L)).as("n_anomalies"))
+      .select(col("w.start").as("window_start"), col(typeCol),
+        col("n_events"), col("n_anomalies"))
+  }
+
   /** Streaming exact dedup for ingest pipelines: drop any document whose
     * content digest already arrived within the watermark horizon — the
     * streaming analogue of [[graft.llm.Dedup.exactByDigest]]. The dedup

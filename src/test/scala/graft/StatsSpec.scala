@@ -178,6 +178,53 @@ class StatsSpec extends SparkSpec {
     assert(out(1).getDouble(4) == 0.0 && out(1).getLong(5) == 0L) // zero-MAD, no flags
   }
 
+  test("abWelchZ: hand-computed z, degenerate arms give NULL") {
+    val d = df("g STRING, variant INT, v DOUBLE", Seq(
+      // arm0: 1,2,3 (mean 2, var 1); arm1: 4,6 (mean 5, var 2)
+      R("a", 0, 1.0), R("a", 0, 2.0), R("a", 0, 3.0),
+      R("a", 1, 4.0), R("a", 1, 6.0),
+      // zero variance in both arms → se2 = 0 → NULL z
+      R("b", 0, 5.0), R("b", 0, 5.0), R("b", 1, 7.0), R("b", 1, 7.0),
+      // n1 = 1 → NULL z
+      R("c", 0, 1.0), R("c", 0, 2.0), R("c", 1, 9.0)))
+    val out = graft.operators.Stats.abWelchZ(d, "g", "variant", "v")
+      .orderBy(col("g")).collect()
+    val a = out(0)
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L)
+    assert(a.getDouble(3) == 2.0 && a.getDouble(4) == 5.0)
+    // z = 3 / sqrt(1/3 + 2/2) = 3 / sqrt(4/3)
+    assert(math.abs(a.getDouble(5) - 3.0 / math.sqrt(4.0 / 3.0)) < 1e-6)
+    assert(out(1).isNullAt(5) && out(2).isNullAt(5))
+  }
+
+  test("snapshotDiff: classifies added/removed/changed/unchanged with columns") {
+    val v1 = df("k BIGINT, p DOUBLE, s STRING", Seq(
+      R(1L, 10.0, "x"), R(2L, 20.0, "y"), R(3L, 30.0, "z"), R(4L, null, "w")))
+    val v2 = df("k BIGINT, p DOUBLE, s STRING", Seq(
+      R(1L, 10.0, "x"),          // unchanged
+      R(2L, 21.0, "y2"),         // changed: p and s
+      R(4L, null, "w"),          // unchanged (null-safe compare)
+      R(5L, 50.0, "v")))         // added; 3 removed
+    val out = graft.operators.Relational.snapshotDiff(v1, v2, "k", Seq("p", "s"))
+      .orderBy(col("status"), col("changed_cols")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("added", "", 1L), ("changed", "p,s", 1L),
+      ("removed", "", 1L), ("unchanged", "", 2L)))
+  }
+
+  test("bfsLayers: hop census on a path graph with an unreachable component") {
+    // path 1-2-3-4-5-6 plus isolated edge 10-11; seed at node 1
+    val edges = df("a BIGINT, b BIGINT", Seq(
+      R(1L, 2L), R(2L, 3L), R(3L, 4L), R(4L, 5L), R(5L, 6L), R(10L, 11L)))
+    val seeds = df("node BIGINT", Seq(R(1L), R(99L))) // 99 not in graph
+    val out = graft.llm.Graph.bfsLayers(edges, seeds, maxHops = 3)
+      .orderBy(col("hop")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // hops: 0→{1} 1→{2} 2→{3} 3→{4}; unreached: 5, 6, 10, 11
+    assert(out.toSeq == Seq((-1, 4L), (0, 1L), (1, 1L), (2, 1L), (3, 1L)))
+  }
+
   test("entropyKl: uniform two-token class has entropy ln 2; lone class has KL 0") {
     val docs = df("doc_id BIGINT, lang STRING, text STRING", Seq(
       R(1L, "en", "aa bb aa bb")))
