@@ -111,14 +111,19 @@ object QueriesW {
     * reproduce it exactly through 9-cell blocking.
     */
   val spatialGridJoin: QueryDef = {
-    val radius = 1.5; val k = 30
+    // quadratic (not linear-congruential) coordinate derivation: a linear
+    // k·a mod m map puts the points on a sparse torus lattice whose
+    // minimum pairwise distance exceeds any useful radius at small n —
+    // sf0.001 produced ZERO pairs and failed the driver's rows>0 smoke
+    val radius = 0.8; val k = 30
     QueryDef(
       "j11_spatial_grid_join",
       (s, dir) => {
+        val ck = col("c_custkey")
         val pts = t(s, dir, "customer").select(
-          col("c_custkey").as("id"),
-          ((col("c_custkey") * 37 % 1000) / lit(10.0)).as("x"),
-          ((col("c_custkey") * 73 % 1000) / lit(10.0)).as("y"))
+          ck.as("id"),
+          (((ck * ck * 13 + ck * 7) % 293) / lit(10.0)).as("x"),
+          (((ck * ck * 31 + ck * 11) % 307) / lit(10.0)).as("y"))
         val pairs = Spatial.neighborPairs(pts, "id", "x", "y", radius)
         val w = Window.orderBy(col("dist2"), col("id_a"), col("id_b"))
         pairs.withColumn("rank", row_number().over(w))
@@ -128,8 +133,9 @@ object QueriesW {
           .orderBy(col("rank"))
       },
       Some(s"""WITH p AS (SELECT c_custkey AS id,
-          ((c_custkey * 37) % 1000) / 10.0 AS x,
-          ((c_custkey * 73) % 1000) / 10.0 AS y FROM customer),
+          ((c_custkey * c_custkey * 13 + c_custkey * 7) % 293) / 10.0 AS x,
+          ((c_custkey * c_custkey * 31 + c_custkey * 11) % 307) / 10.0 AS y
+          FROM customer),
         pr AS (SELECT a.id AS id_a, b.id AS id_b,
           ROUND((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 6)
             AS dist2
