@@ -89,4 +89,53 @@ object Classify {
         col("n_used"),
         (col("b.lb") === col(labelCol)).as("correct"))
   }
+  /** Gaussian Naive Bayes over ONE numeric feature: fit per-class
+    * mean/variance (maximum-likelihood, population variance) and class
+    * priors on the train slice from decimal-exact sufficient statistics,
+    * score the held-out slice with
+    *   score(x,c) = ln P(c) − ½·ln σ²_c − (x − μ_c)² / (2σ²_c),
+    * and return the per-(actual, predicted) confusion counts. Zero-variance
+    * classes contribute the prior alone (guarded, not a crash). The argmax
+    * compares 6-dp-rounded decimal scores with the class label as
+    * tie-break — the [[nbTrainScore]] determinism treatment.
+    *
+    * Scale shape: training is ONE map-combinable agg (|classes| rows of
+    * sufficient statistics); scoring cross-joins the broadcast C-row model
+    * and reduces with a struct-min argmax — never a window over the
+    * corpus.
+    */
+  def gaussianNbConfusion(df: DataFrame, idCol: String, labelCol: String,
+                          valCol: String, isTrain: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(27,10)")
+    val v = col(valCol).cast("double")
+    val base = df.select(col(idCol), col(labelCol).as("label"), v.as("v"),
+        isTrain.as("is_train"))
+      .filter(col("v").isNotNull)
+    val train = base.filter(col("is_train"))
+    val model = train.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("v"))).cast("double").as("sv"),
+        sum(dec(col("v") * col("v"))).cast("double").as("svv"))
+    val tot = train.agg(count(lit(1)).as("td"))
+    val params = model.crossJoin(broadcast(tot)).select(
+      col("label").as("cls"),
+      log(col("n").cast("double") / col("td").cast("double")).as("prior"),
+      (col("sv") / col("n").cast("double")).as("mu"),
+      ((col("svv") - col("sv") * col("sv") / col("n").cast("double")) /
+        col("n").cast("double")).as("var"))
+    val test = base.filter(!col("is_train"))
+    val scored = test.crossJoin(broadcast(params))
+      .select(col(idCol), col("label"), col("cls"),
+        round(col("prior") +
+          when(col("var") > 0,
+            lit(-0.5) * log(col("var")) -
+              (col("v") - col("mu")) * (col("v") - col("mu")) /
+                (lit(2.0) * col("var")))
+          .otherwise(lit(0.0)), 6).as("score"))
+    val pred = scored.groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("ns"), col("cls").as("lb"))).as("b"),
+        first(col("label")).as("actual"))
+    pred.groupBy(col("actual"), col("b.lb").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -69,4 +69,59 @@ object Scores {
       .withColumn("pod", round(col("hits") / (col("hits") + col("misses")), 6))
       .withColumn("far", round(col("false_alarms") / (col("hits") + col("false_alarms")), 6))
       .withColumn("csi", round(col("hits") / (col("hits") + col("misses") + col("false_alarms")), 6))
+  /** AUC-ROC by the Mann-Whitney rank-sum, tie-corrected with average
+    * ranks, computed on the CONTRACTED per-score relation: one
+    * map-combinable (score → n, n_pos) aggregation, a running-count
+    * window over the |distinct scores| rows, and a scalar reduction —
+    *   AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+    * Never a rank window over the corpus: a billion rows with a bounded
+    * score vocabulary (or quantized scores) contract before any sort.
+    * Degenerate inputs (single class) return NULL AUC.
+    */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("boolean").as("pos"))
+      .filter(col("s").isNotNull && col("pos").isNotNull)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("avgrank",
+        col("cum").cast("double") + (col("n") + lit(1)) / lit(2.0))
+    val agg = ranked.agg(
+      sum(col("np")).as("n_pos"),
+      sum(col("n") - col("np")).as("n_neg"),
+      dsum(col("np").cast("double") * col("avgrank")).as("spr"))
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("spr") -
+            col("n_pos").cast("double") * (col("n_pos") + lit(1)) / lit(2.0)) /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+        .as("auc"))
+  }
+
+  /** Expected + maximum calibration error over equal-width probability
+    * bins (the m12 reliability diagram reduced to its two headline
+    * numbers): ECE = Σ_b (n_b/N)·|posrate_b − meanest_b|, MCE = max gap.
+    * Per-bin means come from decimal-exact sums; the bin-gap terms are
+    * decimal-truncated before the final sum so ECE is merge-order
+    * independent.
+    */
+  def calibrationEce(df: DataFrame, estCol: String, labelCol: String,
+                     bins: Int = 10): DataFrame = {
+    val b = df.select(col(estCol).cast("double").as("est"),
+        col(labelCol).cast("double").as("pos"))
+      .filter(col("est").isNotNull && col("pos").isNotNull)
+      .groupBy(floor(col("est") * bins).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("est")).as("se"), dsum(col("pos")).as("sp"))
+    val gap = abs(col("sp") / col("n") - col("se") / col("n"))
+    b.agg(count(lit(1)).as("n_bins"), sum(col("n")).as("n"),
+        dsum(col("n").cast("double") * gap).as("wg"),
+        round(max(gap), 6).as("mce"))
+      .select(col("n_bins"), col("n"),
+        round(col("wg") / col("n").cast("double"), 6).as("ece"), col("mce"))
+  }
 }
