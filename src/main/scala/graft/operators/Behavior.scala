@@ -110,6 +110,23 @@ object Behavior {
       round(num / den, 6).as("ewma"))
   }
 
+  /** "Eventually follows" matrix: for every ordered pair of event types
+    * (a, b), how many users saw their FIRST a strictly before their first
+    * b. One (user, type) min-ts contraction, then a per-user self-join of
+    * the ≤|types| first-occurrence rows — |types|² work per user, never a
+    * join of raw events.
+    */
+  def eventuallyFollows(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String): DataFrame = {
+    val firsts = events.groupBy(col(userCol), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("ft"))
+    firsts.select(col(userCol), col("t").as("a"), col("ft").as("ta"))
+      .join(firsts.select(col(userCol), col("t").as("b"), col("ft").as("tb")),
+        Seq(userCol))
+      .filter(col("a") =!= col("b") && col("ta") < col("tb"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Top-k entry paths: each user's first `len` event types in (ts, id)
     * order joined with `>`, ranked by how many users share the path.
     * Users with fewer than `len` events contribute their full shorter

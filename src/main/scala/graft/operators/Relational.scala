@@ -285,4 +285,22 @@ object Relational {
       .groupBy(col("status"), col("changed_cols"))
       .agg(count(lit(1)).as("n_rows"))
   }
+  /** Ingest-freshness audit: per calendar day, the event count and the
+    * LONGEST gap (seconds) between consecutive events — the cadence
+    * monitor that catches a stalled feed inside an otherwise-full day.
+    * One per-day window (lag) plus a map-combinable max.
+    */
+  def dqFreshness(events: DataFrame, tsCol: String,
+                  idCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(day)
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(day.as("day"), col(tsCol).as("__ts"),
+        lag(col(tsCol), 1).over(w).as("__prev"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_timestamp(col("__ts")) - unix_timestamp(col("__prev")))
+          .as("max_gap_s"))
+  }
 }

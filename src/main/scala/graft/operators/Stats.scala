@@ -127,6 +127,48 @@ object Stats {
           .as("sum_winsorized"))
   }
 
+  /** Kaplan-Meier survival estimator over (duration, observed) pairs:
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) across distinct event durations, with
+    * right-censored subjects leaving the risk set without an event. The
+    * product is computed in log space — each factor's ln is rounded at
+    * 9 dp (the libm determinism treatment), decimal-cumsummed over the
+    * ordered duration relation, and exponentiated once; a zero factor
+    * (dᵢ = nᵢ) sends survival to exactly 0 from that step on, bypassing
+    * ln(0).
+    *
+    * Scale shape: one groupBy contracts subjects to the |distinct
+    * durations| relation; the cumulative window runs on that contraction,
+    * never the subjects. Output per event step: duration, n_risk,
+    * n_events, n_censored, survival.
+    */
+  def kaplanMeier(df: DataFrame, durCol: String,
+                  observedCol: String): DataFrame = {
+    val g = df.select(col(durCol).cast("long").as("dur"),
+        col(observedCol).cast("boolean").as("obs"))
+      .filter(col("dur").isNotNull && col("dur") >= 0 && col("obs").isNotNull)
+      .groupBy(col("dur"))
+      .agg(sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("obs"), 0L).otherwise(1L)).as("c"))
+    val risked = g.withColumn("n_risk",
+        sum(col("d") + col("c")).over(
+          Window.orderBy(col("dur"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("d") > 0)
+    val factor = lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = risked
+      .withColumn("__lnf",
+        when(factor > 0, round(log(factor), 9)).otherwise(lit(0.0)))
+      .withColumn("__dead", min(when(factor > 0, 1.0).otherwise(0.0)).over(wCum))
+      .withColumn("__cum",
+        sum(col("__lnf").cast("decimal(27,10)")).over(wCum).cast("double"))
+    stepped.select(col("dur"), col("n_risk"), col("d").as("n_events"),
+      col("c").as("n_censored"),
+      when(col("__dead") > 0, round(exp(col("__cum")), 6))
+        .otherwise(lit(0.0)).as("survival"))
+  }
+
   /** A/B mean comparison per metric group: Welch's z-statistic for the
     * difference in mean `valCol` between the two arms of `variantCol`
     * (must be 0/1), one row per `groupCol`. Means and variances come

@@ -134,4 +134,25 @@ object Windows {
       round((v - mean) / sqrt(varS), 6))
     df.select(col(idCol), col(keyCol), col(tsCol), col(valCol), z.as("zscore"))
   }
+  /** Exact rolling median over the trailing `lags`+1 rows per key: the
+    * frame is collected (bounded at lags+1 values), sorted in-row, and
+    * the quantile_cont(0.5) middle taken — both engines sort the same
+    * ≤(lags+1)-element list, so the median is exact, not approximate.
+    * One per-key window sort; the in-row sort is O(lags · log lags) per
+    * row with NO extra exchange — right for small windows (the rolling
+    * smoother regime), wherever a rolling rank structure would be
+    * overkill.
+    */
+  def rollingMedian(df: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, valCol: String, lags: Int = 6): DataFrame = {
+    require(lags >= 1 && lags <= 64, s"rollingMedian: bad lags=$lags")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lags, 0)
+    val vals = array_sort(collect_list(col(valCol).cast("double")).over(w))
+    val n = size(vals)
+    val med = (element_at(vals, floor((n + lit(1)) / lit(2)).cast("int")) +
+      element_at(vals, (floor(n / lit(2)) + lit(1)).cast("int"))) / lit(2.0)
+    df.select(col(idCol), col(keyCol), col(tsCol), col(valCol),
+      round(med, 6).as("rolling_median"))
+  }
 }

@@ -225,6 +225,58 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((-1, 4L), (0, 1L), (1, 1L), (2, 1L), (3, 1L)))
   }
 
+  test("kaplanMeier: textbook small cohort with censoring") {
+    // durations (obs): 1+, 2+, 2c, 3+ ; classic KM:
+    // t=1: n=4 d=1 → S=0.75; t=2: n=3 d=1 c=1 → S=0.75·(2/3)=0.5
+    // t=3: n=1 d=1 → S=0
+    val d = df("dur BIGINT, obs BOOLEAN", Seq(
+      R(1L, true), R(2L, true), R(2L, false), R(3L, true)))
+    val out = graft.operators.Stats.kaplanMeier(d, "dur", "obs")
+      .orderBy(col("dur")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.length == 3)
+    assert(out(0) == ((1L, 4L, 1L, 0L, 0.75)))
+    assert(out(1)._1 == 2L && out(1)._2 == 3L && out(1)._3 == 1L &&
+      out(1)._4 == 1L && math.abs(out(1)._5 - 0.5) < 1e-6)
+    assert(out(2) == ((3L, 1L, 1L, 0L, 0.0))) // d=n → exact zero, no ln(0)
+  }
+
+  test("eventuallyFollows: counts first-occurrence ordering per user") {
+    val e = df("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING",
+      Seq(
+        R(1L, 1L, ts(0), "a"), R(2L, 1L, ts(1), "b"), R(3L, 1L, ts(2), "a"),
+        R(4L, 2L, ts(0), "b"), R(5L, 2L, ts(1), "a")))
+    val out = graft.operators.Behavior.eventuallyFollows(e, "user_id", "ts",
+        "event_type")
+      .orderBy(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // user1: a<b; user2: b<a; the repeat 'a' at t2 must not flip anything
+    assert(out.toSeq == Seq(("a", "b", 1L), ("b", "a", 1L)))
+  }
+
+  test("rollingMedian: warm-up frames and even/odd window medians") {
+    val e = df("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+      Seq(R(1L, 1L, ts(0), 1.0), R(2L, 1L, ts(1), 9.0), R(3L, 1L, ts(2), 5.0),
+        R(4L, 1L, ts(3), 3.0)))
+    val out = graft.operators.Windows.rollingMedian(e, "user_id", "ts",
+        "event_id", "value", lags = 2)
+      .orderBy(col("event_id")).collect().map(_.getDouble(4))
+    // frames: [1]→1; [1,9]→5; [1,9,5]→5; [9,5,3]→5
+    assert(out.toSeq == Seq(1.0, 5.0, 5.0, 5.0))
+  }
+
+  test("dqFreshness: per-day max gap, day boundaries excluded") {
+    val e = df("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING",
+      Seq(
+        R(1L, 1L, ts(0), "a"), R(2L, 1L, ts(10), "a"), R(3L, 1L, ts(15), "a"),
+        R(4L, 1L, ts(24 * 60 + 1), "a"), R(5L, 1L, ts(24 * 60 + 31), "a")))
+    val out = graft.operators.Relational.dqFreshness(e, "ts", "event_id")
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3L, 600L), (2L, 1800L)))
+  }
+
   test("entropyKl: uniform two-token class has entropy ln 2; lone class has KL 0") {
     val docs = df("doc_id BIGINT, lang STRING, text STRING", Seq(
       R(1L, "en", "aa bb aa bb")))
