@@ -201,6 +201,39 @@ object RT {
       .dropDuplicatesWithinWatermark(Seq("__digest"))
       .drop("__digest")
 
+  // ---- streaming CDC apply -------------------------------------------------
+
+  final case class CdcOp(key: Long, tsUs: Long, opId: Long, op: String,
+                         value: Double)
+  final case class CdcState(tsUs: Long, opId: Long, op: String, value: Double)
+  final case class CdcCurrent(key: Long, op: String, tsUs: Long, value: Double,
+                              deleted: Boolean)
+
+  /** Streaming CDC apply: maintain the latest op per key under the batch
+    * [[graft.operators.Relational.cdcApply]] ordering ((ts, opId) max
+    * wins; a winning D tombstones the key) and emit the key's CURRENT
+    * state each time it changes. State per key is ONE op — O(keys)
+    * forever, no op history. Late ops older than the kept one are
+    * ignored, exactly like the batch window's tie-break; a replay or
+    * out-of-order delivery therefore converges to the batch snapshot
+    * (CdcParitySpec proves it key-for-key). Deleted keys emit with
+    * `deleted = true` so a downstream sink can retract — filtering them
+    * yields the live snapshot.
+    */
+  def cdcStream(ops: Dataset[CdcOp]): Dataset[CdcCurrent] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[CdcOp], state: GroupState[CdcState]) =>
+          val newest = (state.getOption.map(s =>
+              CdcOp(key, s.tsUs, s.opId, s.op, s.value)).iterator ++ rows)
+            .maxBy(o => (o.tsUs, o.opId))
+          state.update(CdcState(newest.tsUs, newest.opId, newest.op, newest.value))
+          CdcCurrent(key, newest.op, newest.tsUs, newest.value,
+            deleted = newest.op == "D")
+      }
+  }
+
   // ---- R8: incremental day recompute --------------------------------------
 
   /** Dynamic partition overwrite on day partitions — re-running a day
