@@ -127,6 +127,38 @@ object Stats {
           .as("sum_winsorized"))
   }
 
+  /** Pairwise Pearson correlations among numeric columns from ONE
+    * map-combinable aggregation: per column Σx/Σx² and per pair Σxy in
+    * decimal, then the closed form on the 1-row scalar result —
+    * |cols|·(|cols|+1)/2 sums however large the table; rows with ANY
+    * null among the columns are dropped (complete-case, so every pair
+    * shares one n). NULL correlation when either variance is zero.
+    */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrPairs needs at least two columns")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
+    val base = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .filter(cols.map(col(_).isNotNull).reduceLeft(_ && _))
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(dec(col(c))).cast("double").as(s"s_$c"),
+        sum(dec(col(c) * col(c))).cast("double").as(s"ss_$c"))) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum(dec(col(a) * col(b))).cast("double").as(s"sp_${a}_$b")
+      }.toSeq
+    val m = base.agg(sums.head, sums.tail: _*)
+    val n = col("n").cast("double")
+    val pairs = cols.combinations(2).map { case Seq(a, b) =>
+      val cov = n * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val va = n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val vb = n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
+    }.toSeq
+    pairs.reduceLeft(_ unionAll _)
+  }
+
   /** Kaplan-Meier survival estimator over (duration, observed) pairs:
     * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) across distinct event durations, with
     * right-censored subjects leaving the risk set without an event. The

@@ -225,6 +225,21 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((-1, 4L), (0, 1L), (1, 1L), (2, 1L), (3, 1L)))
   }
 
+  test("corrPairs: perfect, anti, and degenerate correlations") {
+    val d = df("x DOUBLE, y DOUBLE, z DOUBLE", Seq(
+      R(1.0, 2.0, 5.0), R(2.0, 4.0, 5.0), R(3.0, 6.0, 5.0)))
+    val out = graft.operators.Stats.corrPairs(d, Seq("x", "y", "z"))
+      .orderBy(col("col_a"), col("col_b")).collect()
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m(("x", "y")) == Some(1.0))   // y = 2x exactly
+    assert(m(("x", "z")) == None)        // z constant: zero variance
+    assert(m(("y", "z")) == None)
+    val anti = df("x DOUBLE, y DOUBLE", Seq(R(1.0, 3.0), R(2.0, 2.0), R(3.0, 1.0)))
+    assert(graft.operators.Stats.corrPairs(anti, Seq("x", "y"))
+      .collect()(0).getDouble(3) == -1.0)
+  }
+
   test("kaplanMeier: textbook small cohort with censoring") {
     // durations (obs): 1+, 2+, 2c, 3+ ; classic KM:
     // t=1: n=4 d=1 → S=0.75; t=2: n=3 d=1 c=1 → S=0.75·(2/3)=0.5
