@@ -275,4 +275,39 @@ object Graph {
     layers.unionAll(unreached)
       .select(col("hop").cast("int").as("hop"), col("n_nodes"))
   }
+  /** HITS (Kleinberg) hubs-and-authorities on a bipartite edge relation,
+    * a fixed number of synchronous iterations with max-normalization:
+    *   a(i) ← Σ_{u→i} h(u) / max;   h(u) ← Σ_{u→i} a(i) / max.
+    * Max-normalization instead of L2 keeps every number an exact
+    * function of decimal sums and one IEEE division — no sqrt, nothing
+    * to round until the 6-dp output. Each half-iteration is one keyed
+    * join + map-combinable agg over the edge relation; scores are
+    * |nodes|-bounded relations, checkpointed per round.
+    */
+  def hits(edges: DataFrame, iters: Int = 2, k: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 6 && k > 0, s"hits: bad iters=$iters k=$k")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
+    val ed = edges.select(col("u"), col("i")).distinct().localCheckpoint()
+    var auth = ed.select(col("i")).distinct().withColumn("a", lit(1.0))
+    var hub = ed.select(col("u")).distinct().withColumn("h", lit(1.0))
+    for (_ <- 1 to iters) {
+      val aRaw = ed.join(hub, Seq("u"))
+        .groupBy(col("i")).agg(sum(dec(col("h"))).cast("double").as("ar"))
+      val aMax = aRaw.agg(max(col("ar")).as("am"))
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("i"), (col("ar") / col("am")).as("a"))
+        .localCheckpoint()
+      val hRaw = ed.join(auth, Seq("i"))
+        .groupBy(col("u")).agg(sum(dec(col("a"))).cast("double").as("hr"))
+      val hMax = hRaw.agg(max(col("hr")).as("hm"))
+      hub = hRaw.crossJoin(broadcast(hMax))
+        .select(col("u"), (col("hr") / col("hm")).as("h"))
+        .localCheckpoint()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("a").desc, col("i"))
+    auth.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("i").as("authority"), round(col("a"), 6).as("score"))
+  }
 }

@@ -110,6 +110,30 @@ object Behavior {
       round(num / den, 6).as("ewma"))
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands reduction: distinct active days, then
+    * (day-number − row-number) is constant exactly within a run of
+    * consecutive days, so one per-user window + one count per island
+    * finds every streak. Output per user: total active days, number of
+    * islands, longest streak. One distinct + one bounded per-user window.
+    */
+  def longestStreak(events: DataFrame, userCol: String,
+                    tsCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    val active = events.select(col(userCol), day.as("day")).distinct()
+    val w = Window.partitionBy(col(userCol)).orderBy(col("day"))
+    val islands = active
+      .withColumn("__grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy(col(userCol), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+    islands.groupBy(col(userCol))
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"))
+  }
+
   /** "Eventually follows" matrix: for every ordered pair of event types
     * (a, b), how many users saw their FIRST a strictly before their first
     * b. One (user, type) min-ts contraction, then a per-user self-join of

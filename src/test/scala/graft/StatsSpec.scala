@@ -225,6 +225,31 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((-1, 4L), (0, 1L), (1, 1L), (2, 1L), (3, 1L)))
   }
 
+  test("longestStreak: islands split on gaps, duplicates within a day collapse") {
+    def d(n: Int) = new Timestamp(n * 86400000L)
+    val e = df("event_id BIGINT, user_id BIGINT, ts TIMESTAMP", Seq(
+      R(1L, 1L, d(0)), R(2L, 1L, d(0)),  // same day twice
+      R(3L, 1L, d(1)), R(4L, 1L, d(2)),  // streak 0-2 (len 3)
+      R(5L, 1L, d(5)), R(6L, 1L, d(6)),  // streak 5-6 (len 2)
+      R(7L, 2L, d(10))))                 // single day
+    val out = graft.operators.Behavior.longestStreak(e, "user_id", "ts")
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 5L, 2L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("hits: the item bought by every customer tops the authorities") {
+    val e = df("u BIGINT, i BIGINT", Seq(
+      R(1L, 100L), R(2L, 100L), R(3L, 100L),  // 100 bought by all
+      R(1L, 200L), R(2L, 200L),               // 200 by two
+      R(3L, 300L)))                           // 300 by one
+    val out = graft.llm.Graph.hits(e, iters = 2, k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.head == ((1, 100L)))
+    assert(out.map(_._2).toSeq == Seq(100L, 200L, 300L))
+  }
+
   test("corrPairs: perfect, anti, and degenerate correlations") {
     val d = df("x DOUBLE, y DOUBLE, z DOUBLE", Seq(
       R(1.0, 2.0, 5.0), R(2.0, 4.0, 5.0), R(3.0, 6.0, 5.0)))
