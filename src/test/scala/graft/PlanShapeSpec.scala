@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan shape assertions for the round-8 operators — the scale
+  * contracts stated in the scaladocs, pinned so a refactor that silently
+  * reintroduces a cartesian product or drops a broadcast fails CI, not a
+  * cluster run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("spatial grid join: blocked equi-join, never a cartesian product") {
+    val p = planOf("j11_spatial_grid_join")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("skyline: per-cost contraction joins broadcast, no quadratic join") {
+    val p = planOf("skyline_pareto")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("chi2 terms: vocabulary totals broadcast into the scoring join") {
+    val p = planOf("text_chi2_terms")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("grouped OLS: one aggregation, no window, no join") {
+    val p = planOf("a21_grouped_ols")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"))
+  }
+
+  test("AUC: the rank window runs on the contracted per-score relation") {
+    val p = planOf("m13_auc_roc")
+    // the window input must be an aggregate (per-score contraction), and
+    // the corpus-side scan feeds an aggregate, not the window directly
+    assert(p.contains("Window") &&
+      (p.contains("HashAggregate") || p.contains("ObjectHashAggregate")))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("eventually-follows: the self-join is on the contracted firsts") {
+    val p = planOf("b7_eventually_follows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}
