@@ -310,4 +310,32 @@ object Graph {
       .filter(col("rank") <= k)
       .select(col("rank"), col("i").as("authority"), round(col("a"), 6).as("score"))
   }
+  /** k-core peeling census: `rounds` synchronous rounds of "drop every
+    * node with degree < k on the CURRENT induced subgraph", reporting
+    * surviving node and edge counts per round — the standard spam/core
+    * structure diagnostic, and (run to convergence) the k-core. Each
+    * round is one degree agg + one semi-join of the shrinking edge
+    * relation; fixed rounds keep the dataflow deterministic and linear.
+    */
+  def kcorePeel(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 8,
+      s"kcorePeel: bad k=$k rounds=$rounds")
+    var ed = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    val out = (1 to rounds).map { round =>
+      val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      ed = ed.join(keep, Seq("src"), "leftsemi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "leftsemi")
+        .localCheckpoint()
+      val nn = ed.select(col("src")).distinct().count()
+      val ne = ed.count() / 2
+      (round, nn, ne)
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    out.toDF("round", "n_nodes", "n_edges")
+      .select(col("round").cast("int"), col("n_nodes"), col("n_edges"))
+  }
 }

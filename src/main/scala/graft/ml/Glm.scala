@@ -79,4 +79,49 @@ object Glm {
     beta.select(col("n"), round(col("b0"), 6).as("b0"),
       round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"))
   }
+
+  /** Robust simple linear regression via Huber IRLS: weights
+    * w = min(1, c/|r|) against the previous fit's residuals, `iters`
+    * unrolled reweighted least-squares rounds from the OLS start.
+    * Unlike the logistic fit there is NO libm call anywhere — weights
+    * are one division and a min, the solve is the 2×2 closed form — so
+    * every iteration is exactly deterministic with no rounding tricks.
+    * Same scale shape as [[logisticIrls]]: one sufficient-statistics agg
+    * per round against the broadcast 1-row coefficient relation.
+    */
+  def huberIrls(df: DataFrame, yCol: String, xCol: String, c: Double = 1.5,
+                iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 6, s"huberIrls: bad iters=$iters")
+    require(c > 0, s"huberIrls: c must be positive; got $c")
+    val dec = (cc: Column) => cc.cast("decimal(27,10)")
+    val base = df.select(col(yCol).cast("double").as("y"),
+        col(xCol).cast("double").as("x"))
+      .filter(col("y").isNotNull && col("x").isNotNull)
+      .localCheckpoint()
+    def wls(weighted: DataFrame): DataFrame = {
+      val m = weighted.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("w"))).cast("double").as("sw"),
+        sum(dec(col("w") * col("x"))).cast("double").as("swx"),
+        sum(dec(col("w") * col("x") * col("x"))).cast("double").as("swxx"),
+        sum(dec(col("w") * col("y"))).cast("double").as("swy"),
+        sum(dec(col("w") * col("x") * col("y"))).cast("double").as("swxy"))
+      val det = col("sw") * col("swxx") - col("swx") * col("swx")
+      m.select(col("n"),
+        ((col("swy") * col("swxx") - col("swx") * col("swxy")) / det).as("b0"),
+        ((col("sw") * col("swxy") - col("swx") * col("swy")) / det).as("b1"))
+        .localCheckpoint()
+    }
+    var beta = wls(base.withColumn("w", lit(1.0))) // OLS start
+    for (_ <- 1 to iters) {
+      val r = abs(col("y") - (col("b0") + col("b1") * col("x")))
+      val w = when(r <= c, lit(1.0)).otherwise(lit(c) / r)
+      val weighted = base.crossJoin(broadcast(
+          beta.select(col("b0"), col("b1"))))
+        .select(col("y"), col("x"), w.as("w"))
+      beta = wls(weighted)
+    }
+    beta.select(col("n"), round(col("b0"), 6).as("b0"),
+      round(col("b1"), 6).as("b1"))
+  }
 }

@@ -34,6 +34,25 @@ class GlmSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("huberIrls: outlier is downweighted toward the clean-line fit") {
+    // 20 points on y = 2x + 1 plus one gross outlier; OLS is dragged,
+    // Huber must land within 0.05 of the true slope
+    val rows = (1 to 20).map(i => R(2.0 * i / 10.0 + 1.0, i / 10.0)) :+
+      R(100.0, 1.0)
+    val d = df("y DOUBLE, x DOUBLE", rows)
+    val b = graft.ml.Glm.huberIrls(d, "y", "x", c = 1.5, iters = 3).collect()(0)
+    assert(b.getLong(0) == 21L)
+    assert(math.abs(b.getDouble(2) - 2.0) < 0.05,
+      s"slope ${b.getDouble(2)} not robust to the outlier")
+  }
+
+  test("huberIrls: clean data reproduces the exact OLS line") {
+    val d = df("y DOUBLE, x DOUBLE",
+      (0 to 10).map(i => R(3.0 * i - 4.0, i.toDouble)))
+    val b = graft.ml.Glm.huberIrls(d, "y", "x").collect()(0)
+    assert(b.getDouble(1) == -4.0 && b.getDouble(2) == 3.0)
+  }
+
   test("logisticIrls: one step from beta=0 is the closed-form Newton step") {
     // at beta=0: p=0.5, w=0.25 for every row — the step is the weighted
     // least-squares solve with constant weights, checkable by hand on a

@@ -51,4 +51,21 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("b7_eventually_follows")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dynamic partition pruning fires on a day-partitioned fact join") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Core.table(spark, sfDir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    val dim = fact.select(col("day")).distinct()
+      .filter(col("day") <= "20240103") // selective dim: 3 of ~30 partitions
+    val joined = fact.join(dim, Seq("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "day-partitioned fact join must carry a dynamic partition pruning " +
+        "subquery:\n" + plan.linesIterator.take(20).mkString("\n"))
+  }
 }
