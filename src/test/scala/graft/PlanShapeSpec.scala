@@ -52,6 +52,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucketed tables join WITHOUT a shuffle") {
+    import org.apache.spark.sql.functions._
+    // run the query once so the bucketed tables exist in the catalog
+    SparkEntry.queries("j13_bucketed_join")(spark, sfDir).count()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bkt_counts")
+        .join(spark.table("graft_bkt_types"), Seq("user_id"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed co-located join must not shuffle:\n" +
+          plan.linesIterator.take(15).mkString("\n"))
+      assert(plan.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dynamic partition pruning fires on a day-partitioned fact join") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
