@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Core
+
+/** Batch 33 (round 8): RFM segmentation, item-item Jaccard similarity
+  * (the collaborative-filtering neighborhood), and OHLC time bars.
+  */
+object QueriesAG {
+  import Queries.QueryDef
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.table(s, dir, name)
+
+  /** RFM segmentation over purchase events: recency (days before the
+    * fixed 2024-02-01 reference), frequency, monetary per user, scored
+    * into quartiles with deterministic (metric, user) NTILE ordering and
+    * concatenated into the classic segment code.
+    */
+  val rfmSegments: QueryDef = {
+    val refEpoch = 1706745600L // 2024-02-01T00:00:00Z
+    QueryDef(
+      "b8_rfm_segments",
+      (s, dir) => {
+        val base = t(s, dir, "events")
+          .filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(floor((lit(refEpoch) - max(unix_timestamp(col("ts")))) /
+              lit(86400.0)).cast("long").as("recency_days"),
+            count(lit(1)).as("frequency"),
+            Ora.dsum6(col("value")).as("monetary"))
+        // recency: LOWER is better → rank ascending puts best in bucket 1
+        val r = ntile(4).over(Window.orderBy(col("recency_days"), col("user_id")))
+        val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id")))
+        val m = ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id")))
+        base.select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary"), r.as("r_score"), f.as("f_score"), m.as("m_score"))
+          .withColumn("segment",
+            concat(col("r_score"), col("f_score"), col("m_score")))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH base AS (SELECT user_id,
+          CAST(FLOOR(($refEpoch - MAX(${Ora.epochSql("ts")})) / 86400.0)
+            AS BIGINT) AS recency_days,
+          CAST(COUNT(*) AS BIGINT) AS frequency,
+          ${Ora.dsum6Sql("value")} AS monetary
+          FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+          GROUP BY 1),
+        sc AS (SELECT user_id, recency_days, frequency, monetary,
+          CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS INT)
+            AS r_score,
+          CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INT)
+            AS f_score,
+          CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INT)
+            AS m_score
+          FROM base)
+      SELECT user_id, recency_days, frequency, monetary, r_score, f_score,
+        m_score, CONCAT(r_score, f_score, m_score) AS segment
+      FROM sc ORDER BY user_id"""))
+  }
+
+  /** Item-item Jaccard similarity over purchase baskets — the
+    * collaborative-filtering neighborhood: for item pairs sharing ≥ 2
+    * baskets, J = |B_a ∩ B_b| / |B_a ∪ B_b|, top-25 by (J desc, a, b).
+    * The pair counts ride the basket-keyed inverted index (fan-out
+    * bounded by basket size), item degrees are one keyed agg — never
+    * an all-pairs item join.
+    */
+  val itemJaccard: QueryDef = {
+    val minShared = 2; val k = 25
+    QueryDef(
+      "graph_item_jaccard",
+      (s, dir) => {
+        val b = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+          .distinct()
+        val deg = b.groupBy(col("item")).agg(count(lit(1)).as("nb"))
+        val pairs = b.select(col("ok"), col("item").as("a"))
+          .join(b.select(col("ok"), col("item").as("b")), Seq("ok"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= minShared)
+        val scored = pairs
+          .join(deg.select(col("item").as("a"), col("nb").as("na")), Seq("a"))
+          .join(deg.select(col("item").as("b"), col("nb").as("nbb")), Seq("b"))
+          .select(col("a"), col("b"), col("n_ab"),
+            round(col("n_ab").cast("double") /
+              (col("na") + col("nbb") - col("n_ab")).cast("double"), 6)
+              .as("jaccard"))
+        val w = Window.orderBy(col("jaccard").desc, col("a"), col("b"))
+        scored.withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= k)
+          .select(col("rank"), col("a"), col("b"), col("n_ab"), col("jaccard"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+          FROM lineitem),
+        deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS nb FROM bk
+          GROUP BY 1),
+        pr AS (SELECT l.item AS a, r.item AS b,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM bk l JOIN bk r USING (ok) WHERE l.item < r.item
+          GROUP BY 1, 2 HAVING COUNT(*) >= $minShared),
+        sc AS (SELECT p.a, p.b, p.n_ab,
+          ROUND(CAST(p.n_ab AS DOUBLE) /
+            CAST(da.nb + db.nb - p.n_ab AS DOUBLE), 6) AS jaccard
+          FROM pr p JOIN deg da ON da.item = p.a JOIN deg db ON db.item = p.b),
+        r AS (SELECT a, b, n_ab, jaccard, ROW_NUMBER() OVER
+          (ORDER BY jaccard DESC, a, b) AS rank FROM sc)
+      SELECT CAST(rank AS INT) AS rank, a, b, n_ab, jaccard
+      FROM r WHERE rank <= $k ORDER BY rank"""))
+  }
+
+  /** OHLC bars: per (user, 6-hour bar) open/high/low/close of value with
+    * (ts, event_id)-ordered first/last — the time-bar aggregation of
+    * every market-data pipeline, via min/max_by on the composite order
+    * key.
+    */
+  val ohlcBars: QueryDef = QueryDef(
+    "w18_ohlc_bars",
+    (s, dir) => {
+      val bar = (floor(unix_timestamp(col("ts")) / lit(21600L)) * 21600)
+        .cast("long").as("bar_start")
+      // composite BIGINT order key instead of a struct: DuckDB's
+      // min_by/max_by take no struct ordering; epoch·10^7 + event_id is
+      // exact in int64 and totally ordered on both engines
+      val ord = (unix_timestamp(col("ts")) * lit(10000000L) + col("event_id"))
+        .as("ord")
+      t(s, dir, "events").filter(col("value").isNotNull && col("user_id") < 60)
+        .select(col("user_id"), bar, ord, col("value"))
+        .groupBy(col("user_id"), col("bar_start"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), col("ord")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ord")).as("close"))
+        .orderBy(col("user_id"), col("bar_start"))
+    },
+    Some(s"""SELECT user_id,
+        CAST(FLOOR(${Ora.epochSql("ts")} / 21600) * 21600 AS BIGINT)
+          AS bar_start,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        MIN_BY(value, ${Ora.epochSql("ts")} * 10000000 + event_id) AS open,
+        MAX(value) AS high, MIN(value) AS low,
+        MAX_BY(value, ${Ora.epochSql("ts")} * 10000000 + event_id) AS close
+      FROM events WHERE value IS NOT NULL AND user_id < 60
+      GROUP BY 1, 2 ORDER BY user_id, bar_start"""))
+
+  val all: Seq[QueryDef] = Seq(rfmSegments, itemJaccard, ohlcBars)
+}
