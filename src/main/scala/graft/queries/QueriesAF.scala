@@ -86,25 +86,34 @@ object QueriesAF {
     SELECT c.user_id, c.n_events, c.sum_v, t.n_types
     FROM c JOIN t USING (user_id) ORDER BY user_id"""))
 
-  /** Blocked string-similarity join: 20 closest part-name pairs by
-    * Levenshtein distance WITHIN a brand block — the block key bounds the
-    * pair fan-out (never all-pairs across the catalogue); both engines'
-    * levenshtein is exact integer edit distance.
+  /** Blocked string-similarity join: 20 closest part-name pairs with
+    * edit distance ≤ 10 WITHIN a (brand, size) block — the composite
+    * block key bounds pair fan-out ~50× tighter than brand alone
+    * (13 → ~1 s at sf0.1; at 100 TB the block key IS the scalability
+    * dial). The |length difference| ≤ 10 lower bound prunes before the
+    * quadratic-cost levenshtein — lossless under the dist ≤ 10
+    * definition the mirror states directly.
     */
   val editDistancePairs: QueryDef = {
-    val k = 20
+    val k = 20; val maxDist = 10
     QueryDef(
       "f22_edit_distance",
       (s, dir) => {
         val p = t(s, dir, "part")
-          .select(col("p_brand"), col("p_partkey"), col("p_name"))
-        val pairs = p.select(col("p_brand"), col("p_partkey").as("id_a"),
-            col("p_name").as("name_a"))
-          .join(p.select(col("p_brand"), col("p_partkey").as("id_b"),
-            col("p_name").as("name_b")), Seq("p_brand"))
-          .filter(col("id_a") < col("id_b"))
+          .select(col("p_brand"), col("p_size"), col("p_partkey"), col("p_name"))
+        val pairs = p.select(col("p_brand"), col("p_size"),
+            col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+          .join(p.select(col("p_brand"), col("p_size"),
+            col("p_partkey").as("id_b"), col("p_name").as("name_b")),
+            Seq("p_brand", "p_size"))
+          .filter(col("id_a") < col("id_b") &&
+            abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+          // 2-arg levenshtein: the 3-arg banded variant measured 2x SLOWER
+          // in Spark 4.1 (interpreted path); the length lower bound plus
+          // the dist cutoff do the pruning instead
           .select(col("p_brand"), col("id_a"), col("id_b"),
             levenshtein(col("name_a"), col("name_b")).as("dist"))
+          .filter(col("dist") <= maxDist)
         val w = Window.orderBy(col("dist"), col("id_a"), col("id_b"))
         pairs.withColumn("rank", row_number().over(w).cast("int"))
           .filter(col("rank") <= k)
@@ -116,9 +125,10 @@ object QueriesAF {
           b.p_partkey AS id_b,
           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
           FROM part a JOIN part b ON a.p_brand = b.p_brand
-            AND a.p_partkey < b.p_partkey),
+            AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey),
         r AS (SELECT p_brand, id_a, id_b, dist, ROW_NUMBER() OVER
-          (ORDER BY dist, id_a, id_b) AS rank FROM pr)
+          (ORDER BY dist, id_a, id_b) AS rank
+          FROM pr WHERE dist <= $maxDist)
       SELECT CAST(rank AS INT) AS rank, p_brand, id_a, id_b, dist
       FROM r WHERE rank <= $k ORDER BY rank"""))
   }
