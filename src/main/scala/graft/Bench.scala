@@ -161,8 +161,12 @@ object Bench {
     if (only.isEmpty) scala.util.Try {
       val fullJson = sortedResults
         .map { case (k, v) => s"\"$k\":${fmt3(v)}" }.mkString("{", ",", "}")
-      val keysJson = aliasOf.toSeq.sortBy(_._1)
-        .map { case (full, a) => s"\"$a\":\"$full\"" }.mkString("{", ",", "}")
+      // "_packed" documents the stdout line's packed-CSV field: values in
+      // ascending alias-index order, i.e. qN's time is field N (0-based)
+      val keysJson = (aliasOf.toSeq.sortBy(_._1)
+        .map { case (full, a) => s"\"$a\":\"$full\"" } :+
+        "\"_packed\":\"stdout 'packed' is a CSV of all timings; qN = field N (0-based, sorted-name order)\"")
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
         s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_KEYS.json"),
@@ -185,6 +189,21 @@ object Bench {
     def strip(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s
+    // round 8: even 1-dp stripped maps outgrew the window at ~200 queries
+    // (2284 chars at 212). The packed form keeps EVERY timing decodable
+    // at 2 dp in ~half the bytes: "packed" is a CSV of all timings in
+    // sorted-name order (= BENCH_KEYS alias index order, so q17's value
+    // is the 18th field), and the alias map keeps only the slowest 40
+    // for direct human reading. ~1650 chars at 212 queries, linear
+    // headroom to ~350.
+    def packedLine(): String = {
+      val packed = sortedResults.map { case (_, v) => strip(fmt2(v)) }
+        .mkString(",")
+      val heavy = sortedResults.sortBy(-_._2).take(40).sortBy(_._1)
+        .map { case (k, v) => s"\"${aliasOf(k)}\":${strip(fmt2(v))}" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"${new java.io.File(sfDir).getName}","queries":$heavy,"packed":"$packed"}"""
+    }
     val line2 = lineAt(fmt2)
     val line = if (line2.length <= 1850) line2 else {
       // the stripped form may run to ~1900: the measured capture window is
@@ -195,9 +214,9 @@ object Bench {
         System.err.println(s"NOTE: bench line trailing-zero-stripped (plain 2 dp was ${line2.length} chars)")
         lt
       } else {
-        val l1 = lineAt(v => strip(String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))))
-        System.err.println(s"NOTE: bench line dropped to 1 dp (2 dp was ${line2.length} chars)")
-        l1
+        val lp = packedLine()
+        System.err.println(s"NOTE: bench line switched to packed encoding (2 dp map was ${line2.length} chars)")
+        lp
       }
     }
     if (line.length > 1900)
