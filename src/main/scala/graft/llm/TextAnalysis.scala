@@ -449,6 +449,65 @@ object TextAnalysis {
         round(sum(dec(p * log(p / q))).cast("double"), 6).as("kl_vs_corpus"))
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995, the
+    * smoothing every n-gram LM baseline uses): with absolute discount D,
+    *   p(w2|w1) = max(c(w1w2) − D, 0)/c(w1·) + λ(w1)·p_cont(w2),
+    *   λ(w1) = D·|{w2 : c(w1w2)>0}| / c(w1·),
+    *   p_cont(w2) = |{w1 : c(w1w2)>0}| / |distinct bigrams|.
+    * Unseen contexts back off to p_cont alone; bigrams with zero
+    * probability under the model (unseen continuation word) are dropped
+    * and counted as OOV. Scored per held-out document as the mean
+    * −log₁₀ p.
+    *
+    * Scale shape: every model table derives from the ONE (w1, w2) train
+    * bigram count (the bigramPerplexity ReuseExchange lesson) — prefix
+    * totals, per-context fan-out, continuation counts, and the scalar
+    * distinct-bigram total are all keyed aggs of it; scoring is two
+    * joins of the held-out bigrams against vocabulary-bounded relations.
+    */
+  def knBigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                         isTrain: Column, d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"knBigramPerplexity: D must be in (0,1); got $d")
+    val base = graft.Core.fanOut(df)
+      .select(col(idCol), isTrain.as("is_train"), tokens(col(textCol)).as("toks"))
+    val bi = base.select(col(idCol), col("is_train"),
+        explode(when(size(col("toks")) >= 2,
+            transform(sequence(lit(2), size(col("toks"))),
+              i => struct(element_at(col("toks"), i - 1).as("w1"),
+                          element_at(col("toks"), i).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col(idCol), col("is_train"), col("bg.w1"), col("bg.w2"))
+    val bigramCnt = bi.filter(col("is_train"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val prefix = bigramCnt.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("n1p"))
+    val cont = bigramCnt.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val totB = bigramCnt.agg(count(lit(1)).as("tb"))
+    val dd = lit(d)
+    val scored = bi.filter(!col("is_train"))
+      .join(bigramCnt, Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totB))
+      .withColumn("__pcont",
+        coalesce(col("nc").cast("double") / col("tb").cast("double"), lit(0.0)))
+      .withColumn("__p",
+        when(col("cw").isNull, col("__pcont"))
+          .otherwise(
+            greatest(coalesce(col("cb"), lit(0L)).cast("double") - dd, lit(0.0)) /
+              col("cw").cast("double") +
+            dd * col("n1p").cast("double") / col("cw").cast("double") *
+              col("__pcont")))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__p") > 0, 1L).otherwise(0L)).as("n_scored"),
+        round(sum(when(col("__p") > 0, (-log10(col("__p"))).cast("decimal(27,10)")))
+            .cast("double") /
+          sum(when(col("__p") > 0, 1L).otherwise(0L)), 6).as("neg_logp10"))
+    df.filter(!isTrain).select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams", "n_scored"))
+  }
+
   /** Document fingerprint: min 60-bit hash over word 5-gram shingles —
     * a winnowing-style rolling fingerprint; identical/near-identical prefixes
     * of content produce identical fingerprints.

@@ -250,6 +250,24 @@ class StatsSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq(100L, 200L, 300L))
   }
 
+  test("knBigramPerplexity: seen, backed-off, and OOV bigrams behave") {
+    // train: "a b a b a c"; held out: "a b", "z b" (unseen ctx), "a q" (OOV)
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "a b a b a c"),
+      R(10L, "a b"), R(20L, "z b"), R(30L, "a q")))
+    val out = TextAnalysis.knBigramPerplexity(docs, "doc_id", "text",
+        col("doc_id") < 10, d = 0.75)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc10: "a b" seen → scored; doc20: ctx z unseen, backoff to
+    // p_cont(b) > 0 → scored; doc30: continuation q unseen → p = 0, OOV
+    assert(out.toSeq == Seq((10L, 1L, 1L), (20L, 1L, 1L), (30L, 1L, 0L)))
+    // KN with D<1 must score the seen bigram better than the backoff
+    val scored = TextAnalysis.knBigramPerplexity(docs, "doc_id", "text",
+        col("doc_id") < 10).orderBy(col("doc_id")).collect()
+    assert(scored(0).getDouble(3) < scored(1).getDouble(3))
+  }
+
   test("corrPairs: perfect, anti, and degenerate correlations") {
     val d = df("x DOUBLE, y DOUBLE, z DOUBLE", Seq(
       R(1.0, 2.0, 5.0), R(2.0, 4.0, 5.0), R(3.0, 6.0, 5.0)))
