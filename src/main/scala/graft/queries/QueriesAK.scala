@@ -16,7 +16,9 @@ object QueriesAK {
     Core.table(s, dir, name)
 
   /** Entity resolution over the part catalogue: (brand, size)-blocked
-    * candidate pairs at edit distance ≤ 3, clustered by 3 synchronous
+    * candidate pairs at edit distance ≤ 8 (the threshold that yields
+    * real matches at every test scale — ≤ 3 found zero pairs at
+    * sf0.001 and failed the rows>0 smoke), clustered by 3 synchronous
     * min-label rounds (fixed rounds — the mirror runs the identical
     * algorithm, so even an unconverged labeling matches), canonical
     * survivor = smallest key. Top-15 merged entities by size.
@@ -26,7 +28,7 @@ object QueriesAK {
     * only matched nodes).
     */
   val entityResolution: QueryDef = {
-    val maxDist = 3; val rounds = 3; val k = 15
+    val maxDist = 8; val rounds = 3; val k = 15
     val steps = (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (SELECT n.node,
           LEAST(n.label, COALESCE(m.ml, n.label)) AS label
