@@ -1,0 +1,39 @@
+package graft
+
+/** Partitioning-invariance guard: the repo-wide determinism claim is that
+  * every gated result is independent of physical parallelism (decimal
+  * accumulators, explicit tie-breaks, fixed-order scalar arithmetic).
+  * This spec re-runs a representative slice of the declared queries in a
+  * sibling session with a DIFFERENT (and prime) shuffle partition count
+  * and demands bit-identical rows — the local stand-in for "same answer
+  * on a 1000-executor cluster".
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // one representative per determinism-sensitive family: decimal sums,
+  // sufficient-statistics fits, log-space products, iterative graph
+  // rounds, LSH/minhash, windows, rank selections, LM scoring
+  private val picked = Seq(
+    "q1_pricing_summary", "a21_grouped_ols", "text_entropy_kl",
+    "m13_auc_roc", "survival_km", "ml_logreg_irls", "graph_hits",
+    "dedup_minhash", "text_kn_perplexity", "w16_longest_streak",
+    "a22_winsorize", "er_entity_resolution")
+
+  test("representative queries are bit-identical under a different shuffle partitioning") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "13")
+    picked.foreach { name =>
+      val base = SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toString).sorted
+      val other = SparkEntry.queries(name)(alt, sfDir)
+        .collect().map(_.toString).sorted
+      assert(base.sameElements(other),
+        s"$name diverged across partitionings: " +
+          base.zip(other).find { case (a, b) => a != b }
+            .map { case (a, b) => s"$a != $b" }.getOrElse("row counts differ"))
+      assert(base.nonEmpty, s"$name returned no rows at $sfDir")
+    }
+  }
+}
