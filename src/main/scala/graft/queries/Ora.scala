@@ -77,15 +77,14 @@ private[queries] object Ora {
     */
   def bruteForceTopKSql(maxQid: Int, k: Int, dim: Int): String =
     s"""SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM (
-        SELECT q.vec_id AS qid, c.vec_id AS vb,
-          ROUND((${dotSql("q", "c", dim)}) /
-            (SQRT(${normSql("q", dim)}) * SQRT(${normSql("c", dim)})), 6) AS cos,
-          ROW_NUMBER() OVER (PARTITION BY q.vec_id
-            ORDER BY ROUND((${dotSql("q", "c", dim)}) /
-              (SQRT(${normSql("q", dim)}) * SQRT(${normSql("c", dim)})), 6) DESC,
-            c.vec_id) AS rank
-        FROM embeddings q JOIN embeddings c
-          ON q.vec_id < $maxQid AND c.vec_id <> q.vec_id)
+        SELECT qid, vb, cos,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cos DESC, vb) AS rank
+        FROM (SELECT q.vec_id AS qid, c.vec_id AS vb,
+            ROUND((${dotSql("q", "c", dim)}) /
+              (SQRT(${normSql("q", dim)}) * SQRT(${normSql("c", dim)})), 6) AS cos
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id < $maxQid AND c.vec_id <> q.vec_id))
       WHERE rank <= $k"""
 
   /** DuckDB mirror of ivfTopK's decimal-mean centroid stage: the c1..c`dim`

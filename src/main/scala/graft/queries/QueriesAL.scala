@@ -43,7 +43,7 @@ object QueriesAL {
             round(abs(col("jac") - est), 6).as("abs_err"))
           .orderBy(col("da"), col("db"))
       },
-      Some(s"""WITH sh AS (${Ora.shinglesSql(3)}),
+      Some(s"""WITH sh AS MATERIALIZED (${Ora.shinglesSql(3)}),
         hm AS (SELECT doc_id, sh, ${Ora.md5LongSql("sh")} % 1000000007 AS hm
           FROM sh),
         params AS (SELECT g AS i, (654435747 * (g + 1)) % 1000000007 AS a,
@@ -66,7 +66,7 @@ object QueriesAL {
         j AS (SELECT da, db, ROUND(c / (sa.sz + sb.sz - c), 6) AS jac
           FROM common JOIN sizes sa ON da = sa.doc_id
             JOIN sizes sb ON db = sb.doc_id),
-        keep AS (SELECT da, db, jac FROM j WHERE jac >= 0.5),
+        keep AS MATERIALIZED (SELECT da, db, jac FROM j WHERE jac >= 0.5),
         est AS (SELECT kp.da, kp.db,
           ROUND(CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
             AS DOUBLE) / ${k}.0, 6) AS jac_est

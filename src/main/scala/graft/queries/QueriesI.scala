@@ -243,7 +243,7 @@ object QueriesI {
     },
     Some(s"""WITH $ivfFixedCtes,
       approx AS (SELECT qid, vb FROM scored WHERE rank <= 5),
-      exact AS (SELECT qid, vb FROM (${Ora.bruteForceTopKSql(10, 5, 64)})),
+      exact AS MATERIALIZED (SELECT qid, vb FROM (${Ora.bruteForceTopKSql(10, 5, 64)})),
       hit AS (SELECT e.qid, COUNT(*) AS n_hit
         FROM exact e JOIN approx a ON a.qid = e.qid AND a.vb = e.vb
         GROUP BY e.qid),

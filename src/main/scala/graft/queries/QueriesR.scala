@@ -71,14 +71,13 @@ object QueriesR {
           t(s, dir, "documents"), "text", d = d, width = w, k = k)
         .orderBy(col("rank")),
       Some(s"""WITH tok AS (SELECT unnest(${Ora.toksSql}) AS tok FROM documents),
-        js AS (SELECT unnest($js) AS j),
-        pe AS (SELECT tok, j, ${bSql("tok")} AS b FROM tok CROSS JOIN js),
-        cells AS MATERIALIZED (SELECT j, b, COUNT(*) AS cnt
-          FROM pe GROUP BY 1, 2),
         cand AS MATERIALIZED (SELECT tok, COUNT(*) AS exact_cnt
           FROM tok GROUP BY tok),
-        pr AS (SELECT tok, exact_cnt, j, ${bSql("tok")} AS b
+        js AS (SELECT unnest($js) AS j),
+        pr AS MATERIALIZED (SELECT tok, exact_cnt, j, ${bSql("tok")} AS b
           FROM cand CROSS JOIN js),
+        cells AS (SELECT j, b, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+          FROM pr GROUP BY 1, 2),
         est AS (SELECT p.tok, ANY_VALUE(p.exact_cnt) AS exact_cnt,
             MIN(c.cnt) AS est_cnt
           FROM pr p JOIN cells c USING (j, b) GROUP BY p.tok),
@@ -210,18 +209,18 @@ object QueriesR {
             mBits = mBits, d = d)
           .orderBy(col("tok"))
       },
-      Some(s"""WITH bt AS (SELECT unnest(${Ora.toksSql}) AS tok
-          FROM documents WHERE doc_id % 7 = 0),
+      Some(s"""WITH ex AS MATERIALIZED (SELECT DISTINCT tok FROM
+          (SELECT unnest(${Ora.toksSql}) AS tok
+           FROM documents WHERE doc_id % 7 = 0)),
         pt AS MATERIALIZED (SELECT DISTINCT tok FROM
           (SELECT unnest(${Ora.toksSql}) AS tok
            FROM documents WHERE doc_id % 7 <> 0)),
         js AS (SELECT unnest($js) AS j),
         bits AS MATERIALIZED (SELECT DISTINCT ${bitSql("tok")} AS bit
-          FROM bt CROSS JOIN js),
+          FROM ex CROSS JOIN js),
         pm AS (SELECT tok, ${bitSql("tok")} AS bit FROM pt CROSS JOIN js),
         hits AS (SELECT tok, COUNT(DISTINCT bit) AS nh
-          FROM pm JOIN bits USING (bit) GROUP BY tok),
-        ex AS MATERIALIZED (SELECT DISTINCT tok FROM bt)
+          FROM pm JOIN bits USING (bit) GROUP BY tok)
       SELECT p.tok, COALESCE(h.nh, 0) = $d AS maybe_member,
         (e.tok IS NOT NULL) AS is_member
       FROM pt p LEFT JOIN hits h USING (tok)
@@ -243,7 +242,9 @@ object QueriesR {
       (s, dir) => graft.operators.Sketch.hllDistinct(
           t(s, dir, "events"), "event_type", "user_id", m = m)
         .orderBy(col("event_type")),
-      Some(s"""WITH h AS (SELECT event_type, $hSql AS h FROM events),
+      Some(s"""WITH du AS MATERIALIZED (
+          SELECT DISTINCT event_type, user_id FROM events),
+        h AS (SELECT event_type, $hSql AS h FROM du),
         regs AS (SELECT event_type, h % $m AS b,
             CASE WHEN (h >> 6) > 0 THEN 55 - LENGTH(bin(h >> 6))
                  ELSE 55 END AS rho
@@ -251,15 +252,15 @@ object QueriesR {
         mx AS MATERIALIZED (SELECT event_type, b, MAX(rho) AS mb
           FROM regs GROUP BY 1, 2),
         dom AS (SELECT unnest(generate_series(0, ${m - 1})) AS b),
-        gs AS (SELECT DISTINCT event_type FROM events),
+        gs AS (SELECT DISTINCT event_type FROM du),
         filled AS (SELECT g.event_type, d.b, COALESCE(mx.mb, 0) AS mb
           FROM gs g CROSS JOIN dom d
           LEFT JOIN mx ON mx.event_type = g.event_type AND mx.b = d.b),
         sm AS (SELECT event_type,
             CAST(SUM(CAST(1 AS BIGINT) << (55 - mb)) AS BIGINT) AS s
           FROM filled GROUP BY 1),
-        ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
-          FROM events GROUP BY 1)
+        ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+          FROM du GROUP BY 1)
       SELECT sm.event_type,
         ROUND(CAST(${scale.toString} AS DOUBLE) / CAST(sm.s AS DOUBLE), 6)
           AS est_distinct,
