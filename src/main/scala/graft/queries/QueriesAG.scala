@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,8 +17,17 @@ object QueriesAG {
 
   /** RFM segmentation over purchase events: recency (days before the
     * fixed 2024-02-01 reference), frequency, monetary per user, scored
-    * into quartiles with deterministic (metric, user) NTILE ordering and
-    * concatenated into the classic segment code.
+    * into VALUE-defined quartiles (score = 1 + #thresholds passed, best
+    * quartile = 1) and concatenated into the classic segment code.
+    *
+    * Scale shape: the three quartile thresholds come from
+    * [[graft.operators.Agg.exactPercentilesMulti]] — shuffle-free
+    * counting selection, never a global sort — and are broadcast back as
+    * literals, so no `NTILE OVER (ORDER BY …)` single-partition window
+    * exists at ANY table size (a billion-customer RFM stays distributed).
+    * Value-defined buckets also mean ties share a score, the semantics a
+    * marketer actually wants; rank-split NTILE would separate equal
+    * spenders by user id.
     */
   val rfmSegments: QueryDef = {
     val refEpoch = 1706745600L // 2024-02-01T00:00:00Z
@@ -32,34 +41,58 @@ object QueriesAG {
               lit(86400.0)).cast("long").as("recency_days"),
             count(lit(1)).as("frequency"),
             Ora.dsum6(col("value")).as("monetary"))
-        // recency: LOWER is better → rank ascending puts best in bucket 1
-        val r = ntile(4).over(Window.orderBy(col("recency_days"), col("user_id")))
-        val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id")))
-        val m = ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id")))
+          .localCheckpoint() // threshold passes + final scan read it 3×
+        val n = base.count()
+        val cols3 = Seq("recency_days", "frequency", "monetary")
+        val qs = graft.operators.Agg.exactPercentilesMulti(
+          base, cols3, Seq(0.25, 0.5, 0.75), cols3.map(_ -> n).toMap)
+        // ascending metric (lower = better): score 1 below q25, 4 above q75
+        def asc(c: Column, th: Seq[Double]): Column =
+          th.map(q => when(c.cast("double") > lit(q), 1).otherwise(0))
+            .foldLeft(lit(1))(_ + _).cast("int")
+        // descending metric (higher = better): score 1 at/above q75
+        def desc(c: Column, th: Seq[Double]): Column =
+          th.map(q => when(c.cast("double") < lit(q), 1).otherwise(0))
+            .foldLeft(lit(1))(_ + _).cast("int")
         base.select(col("user_id"), col("recency_days"), col("frequency"),
-            col("monetary"), r.as("r_score"), f.as("f_score"), m.as("m_score"))
+            col("monetary"),
+            asc(col("recency_days"), qs("recency_days")).as("r_score"),
+            desc(col("frequency"), qs("frequency")).as("f_score"),
+            desc(col("monetary"), qs("monetary")).as("m_score"))
           .withColumn("segment",
             concat(col("r_score"), col("f_score"), col("m_score")))
           .orderBy(col("user_id"))
       },
-      Some(s"""WITH base AS (SELECT user_id,
+      Some {
+        def ascSql(v: String, q: String): String =
+          s"""CAST(1 + (CASE WHEN CAST($v AS DOUBLE) > $q[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST($v AS DOUBLE) > $q[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST($v AS DOUBLE) > $q[3] THEN 1 ELSE 0 END) AS INT)"""
+        def descSql(v: String, q: String): String =
+          s"""CAST(1 + (CASE WHEN CAST($v AS DOUBLE) < $q[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST($v AS DOUBLE) < $q[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST($v AS DOUBLE) < $q[3] THEN 1 ELSE 0 END) AS INT)"""
+        s"""WITH base AS MATERIALIZED (SELECT user_id,
           CAST(FLOOR(($refEpoch - MAX(${Ora.epochSql("ts")})) / 86400.0)
             AS BIGINT) AS recency_days,
           CAST(COUNT(*) AS BIGINT) AS frequency,
           ${Ora.dsum6Sql("value")} AS monetary
           FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
           GROUP BY 1),
+        th AS (SELECT
+          quantile_cont(CAST(recency_days AS DOUBLE), [0.25, 0.5, 0.75]) AS rq,
+          quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fq,
+          quantile_cont(CAST(monetary AS DOUBLE), [0.25, 0.5, 0.75]) AS mq
+          FROM base),
         sc AS (SELECT user_id, recency_days, frequency, monetary,
-          CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS INT)
-            AS r_score,
-          CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INT)
-            AS f_score,
-          CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INT)
-            AS m_score
-          FROM base)
+          ${ascSql("recency_days", "rq")} AS r_score,
+          ${descSql("frequency", "fq")} AS f_score,
+          ${descSql("monetary", "mq")} AS m_score
+          FROM base CROSS JOIN th)
       SELECT user_id, recency_days, frequency, monetary, r_score, f_score,
         m_score, CONCAT(r_score, f_score, m_score) AS segment
-      FROM sc ORDER BY user_id"""))
+      FROM sc ORDER BY user_id"""
+      })
   }
 
   /** Item-item Jaccard similarity over purchase baskets — the

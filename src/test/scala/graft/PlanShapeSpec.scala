@@ -52,6 +52,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("RFM segments: threshold scoring, no single-partition NTILE window") {
+    val p = planOf("b8_rfm_segments")
+    // quartile thresholds are broadcast literals (exactPercentilesMulti),
+    // so the per-user relation is never globally sorted
+    assert(!p.contains("Window"),
+      "b8_rfm_segments must not contain any window:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+  }
+
   test("bucketed tables join WITHOUT a shuffle") {
     import org.apache.spark.sql.functions._
     // run the query once so the bucketed tables exist in the catalog
