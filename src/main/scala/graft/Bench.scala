@@ -158,20 +158,6 @@ object Bench {
     // stdout aliases. FULL runs only — a SPARK_GRAFT_ONLY dev run must not
     // clobber the full-run record the re-anchor workflow copies from.
     // Best-effort — a read-only cwd must not fail the bench.
-    if (only.isEmpty) scala.util.Try {
-      val fullJson = sortedResults
-        .map { case (k, v) => s"\"$k\":${fmt3(v)}" }.mkString("{", ",", "}")
-      // "_packed" documents the stdout line's packed-CSV field: values in
-      // ascending alias-index order, i.e. qN's time is field N (0-based)
-      val keysJson = (aliasOf.toSeq.sortBy(_._1)
-        .map { case (full, a) => s"\"$a\":\"$full\"" } :+
-        "\"_packed\":\"stdout 'packed' is a CSV of all timings; qN = field N (0-based, sorted-name order)\"")
-        .mkString("{", ",", "}")
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-        s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_KEYS.json"),
-        (keysJson + "\n").getBytes("UTF-8"))
-    }
     // stdout line (driver-captured): alias-keyed, 3-decimal, queries last so
     // any truncation cuts the header, not the timings. Must stay under the
     // driver's ~2000-char tail window — warn loudly if it ever outgrows it.
@@ -205,19 +191,47 @@ object Bench {
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"${new java.io.File(sfDir).getName}","queries":$heavy,"packed":"$packed"}"""
     }
     val line2 = lineAt(fmt2)
-    val line = if (line2.length <= 1850) line2 else {
+    val (line, usedPacked) = if (line2.length <= 1850) (line2, false) else {
       // the stripped form may run to ~1900: the measured capture window is
       // ~1928 chars (2000 tail − 72 sbt trailer, NOTES_r7), so accept it
       // with a 28-char margin before surrendering resolution
       val lt = lineAt(v => strip(fmt2(v)))
       if (lt.length <= 1900) {
         System.err.println(s"NOTE: bench line trailing-zero-stripped (plain 2 dp was ${line2.length} chars)")
-        lt
-      } else {
+        (lt, false)
+      } else if (only.isEmpty) {
         val lp = packedLine()
         System.err.println(s"NOTE: bench line switched to packed encoding (2 dp map was ${line2.length} chars)")
-        lp
+        (lp, true)
+      } else {
+        // a SPARK_GRAFT_ONLY subset must NEVER pack: the CSV's positions
+        // would be decoded against the FULL-set alias indices in the
+        // committed BENCH_KEYS.json and silently misalign every field
+        System.err.println(s"NOTE: oversized dev-subset line kept stripped (${lt.length} chars); packed is full-run-only")
+        (lt, false)
       }
+    }
+    // side files with the lossless full-name record (cwd = repo root under
+    // sbt): BENCH_full.json for humans/tools, BENCH_KEYS.json to decode the
+    // stdout aliases. FULL runs only — a SPARK_GRAFT_ONLY dev run must not
+    // clobber the full-run record the re-anchor workflow copies from. The
+    // "_packed" decode note is written only when the stdout line actually
+    // used the packed encoding. Best-effort — a read-only cwd must not
+    // fail the bench.
+    if (only.isEmpty) scala.util.Try {
+      val fullJson = sortedResults
+        .map { case (k, v) => s"\"$k\":${fmt3(v)}" }.mkString("{", ",", "}")
+      val packedDoc =
+        if (usedPacked)
+          Seq("\"_packed\":\"stdout 'packed' is a CSV of all timings; qN = field N (0-based, sorted-name order)\"")
+        else Seq.empty
+      val keysJson = (aliasOf.toSeq.sortBy(_._1)
+        .map { case (full, a) => s"\"$a\":\"$full\"" } ++ packedDoc)
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+        s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_KEYS.json"),
+        (keysJson + "\n").getBytes("UTF-8"))
     }
     if (line.length > 1900)
       System.err.println(s"WARN: bench line ${line.length} chars — may exceed the driver tail window")

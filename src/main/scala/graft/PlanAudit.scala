@@ -28,7 +28,9 @@ object PlanAudit {
       try {
         val p = SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.executedPlan.toString
-        val ex = count(p, "Exchange ")
+        // shuffle exchanges only: a bare "Exchange " also matches inside
+        // BroadcastExchange/ReusedExchange nodes and overcounts
+        val ex = count(p, "Exchange (hash|range|SinglePartition)")
         val bhj = count(p, "BroadcastHashJoin")
         val smj = count(p, "SortMergeJoin")
         val cart = count(p, "CartesianProduct") +

@@ -114,7 +114,10 @@ object Scores {
     val b = df.select(col(estCol).cast("double").as("est"),
         col(labelCol).cast("double").as("pos"))
       .filter(col("est").isNotNull && col("pos").isNotNull)
-      .groupBy(floor(col("est") * bins).cast("int").as("bin"))
+      // last bin is inclusive: est = 1.0 belongs to bin bins−1, not an
+      // out-of-range bin of its own (the standard reliability-diagram
+      // convention)
+      .groupBy(least(floor(col("est") * bins), lit(bins - 1)).cast("int").as("bin"))
       .agg(count(lit(1)).as("n"),
         dsum(col("est")).as("se"), dsum(col("pos")).as("sp"))
     val gap = abs(col("sp") / col("n") - col("se") / col("n"))

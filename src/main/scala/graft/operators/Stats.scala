@@ -67,11 +67,25 @@ object Stats {
     * single-partition window BY DESIGN — it runs on the contracted
     * relation, never the input (same contract as every top-k ranking
     * here). Join back is broadcast-sized for the same reason.
+    *
+    * PRECONDITION — |distinct costs| must actually be small: a
+    * near-unique continuous cost column contracts to ~|input| rows and
+    * would exhaust both the single-partition scan and the driver-side
+    * broadcast. The contraction is counted (it is materialized for the
+    * window anyway) and a loud failure beats a silent driver OOM;
+    * callers with continuous costs should bucket/round the cost column
+    * first, which is also the statistically honest frontier at scale.
     */
   def skyline2d(df: DataFrame, keyCol: String, costCol: String,
-                gainCol: String): DataFrame = {
+                gainCol: String, maxDistinctCosts: Long = 4000000L): DataFrame = {
     val perCost = df.groupBy(col(costCol))
       .agg(max(col(gainCol)).as("__maxg"))
+      .localCheckpoint() // counted below + window + join-back: read 3×
+    val nCosts = perCost.count()
+    require(nCosts <= maxDistinctCosts,
+      s"skyline2d: $nCosts distinct costs exceed the $maxDistinctCosts bound " +
+        "for the contracted single-partition frontier scan + broadcast " +
+        "join-back; bucket or round the cost column first")
     val w = Window.orderBy(col(costCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = perCost.withColumn("__prevmax", max(col("__maxg")).over(w))

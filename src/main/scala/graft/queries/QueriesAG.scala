@@ -158,10 +158,13 @@ object QueriesAG {
       val bar = (floor(unix_timestamp(col("ts")) / lit(21600L)) * 21600)
         .cast("long").as("bar_start")
       // composite BIGINT order key instead of a struct: DuckDB's
-      // min_by/max_by take no struct ordering; epoch·10^7 + event_id is
-      // exact in int64 and totally ordered on both engines
-      val ord = (unix_timestamp(col("ts")) * lit(10000000L) + col("event_id"))
-        .as("ord")
+      // min_by/max_by take no struct ordering. The key only has to order
+      // WITHIN a bar, so the epoch term is the in-bar offset (< 21600) —
+      // offset·10^12 + event_id is exact in int64 with event_id headroom
+      // to 10^12 (a full-epoch·10^7 key would alias at event_id = 10^7)
+      val ord = ((unix_timestamp(col("ts")) -
+          floor(unix_timestamp(col("ts")) / lit(21600L)) * 21600) *
+        lit(1000000000000L) + col("event_id")).as("ord")
       t(s, dir, "events").filter(col("value").isNotNull && col("user_id") < 60)
         .select(col("user_id"), bar, ord, col("value"))
         .groupBy(col("user_id"), col("bar_start"))
@@ -176,9 +179,13 @@ object QueriesAG {
         CAST(FLOOR(${Ora.epochSql("ts")} / 21600) * 21600 AS BIGINT)
           AS bar_start,
         CAST(COUNT(*) AS BIGINT) AS n,
-        MIN_BY(value, ${Ora.epochSql("ts")} * 10000000 + event_id) AS open,
+        MIN_BY(value, (${Ora.epochSql("ts")}
+          - CAST(FLOOR(${Ora.epochSql("ts")} / 21600) * 21600 AS BIGINT))
+          * 1000000000000 + event_id) AS open,
         MAX(value) AS high, MIN(value) AS low,
-        MAX_BY(value, ${Ora.epochSql("ts")} * 10000000 + event_id) AS close
+        MAX_BY(value, (${Ora.epochSql("ts")}
+          - CAST(FLOOR(${Ora.epochSql("ts")} / 21600) * 21600 AS BIGINT))
+          * 1000000000000 + event_id) AS close
       FROM events WHERE value IS NOT NULL AND user_id < 60
       GROUP BY 1, 2 ORDER BY user_id, bar_start"""))
 

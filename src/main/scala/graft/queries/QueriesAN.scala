@@ -75,11 +75,16 @@ object QueriesAN {
           sum((col("value") - lit(50.0)).cast("decimal(27,10)")).over(w)
             .cast("double"))
         .withColumn("__peak", max(col("__cum")).over(w))
-      val ord = unix_timestamp(col("ts")) * lit(10000000L) + col("event_id")
+        // final_level order key: the per-key row number over the SAME
+        // (ts, event_id) sort the running windows use (one WindowExec) —
+        // bounded by group size, unlike a packed epoch·K + event_id key,
+        // which silently aliases once event_id reaches K
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
       ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           round(max(col("__peak") - col("__cum")), 6).as("max_drawdown"),
-          round(max_by(col("__cum"), ord), 6).as("final_level"))
+          round(max_by(col("__cum"), col("__rn")), 6).as("final_level"))
         .orderBy(col("user_id"))
     },
     Some("""WITH ev AS (SELECT user_id, ts, event_id,
@@ -93,12 +98,13 @@ object QueriesAN {
         FROM ev),
       p AS (SELECT user_id, ts, event_id, cum,
         MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS rn
         FROM c)
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
       ROUND(MAX(peak - cum), 6) AS max_drawdown,
-      ROUND(MAX_BY(cum, CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 10000000
-        + event_id), 6) AS final_level
+      ROUND(MAX_BY(cum, rn), 6) AS final_level
     FROM p GROUP BY 1 ORDER BY user_id"""))
 
   val all: Seq[QueryDef] = Seq(twap, maxDrawdown)

@@ -64,7 +64,7 @@ object QueriesY {
     Some("""WITH e AS (SELECT CAST(abs(event_id % 100) AS DOUBLE) / 100.0 AS est,
         CAST((value > 50.0) AS DOUBLE) AS pos FROM events
         WHERE value IS NOT NULL),
-      b AS (SELECT CAST(FLOOR(est * 10) AS INT) AS bin,
+      b AS (SELECT CAST(LEAST(FLOOR(est * 10), 9) AS INT) AS bin,
         CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(CAST(est AS DECIMAL(27,10))) AS DOUBLE) AS se,
         CAST(SUM(CAST(pos AS DECIMAL(27,10))) AS DOUBLE) AS sp
