@@ -468,23 +468,62 @@ object Similarity {
     * scoreable vectors returns fewer than k rows — returning unscoreable
     * filler would be the dishonest alternative.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, partCol: String, dim: Int, k: Int,
-              nprobe: Int): DataFrame = {
-    requireIntegral(corpus, partCol, "ivfTopK")
-    requireIntegral(corpus, idCol, "ivfTopK")
-    // centroids: element-wise mean per partition (posexplode + groupBy).
-    // Decimal accumulation so the mean is independent of partition order —
-    // the probe ranking reads these, and a FP-order flip there would make
-    // the result set run-dependent (and oracle-unmirrorable).
+  /** Element-wise centroid of each partition (posexplode + groupBy).
+    * Decimal accumulation so the mean is independent of partition order —
+    * probe rankings and Lloyd iterations read these, and a FP-order flip
+    * would make results run-dependent (and oracle-unmirrorable). Shared by
+    * [[ivfTopK]]'s probe stage and [[lloydAssign]]'s recompute step.
+    */
+  def cellCentroids(corpus: DataFrame, partCol: String, vecCol: String): DataFrame = {
     val expl = corpus.select(col(partCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-    val cent = expl.groupBy(col(partCol), col("pos"))
+    expl.groupBy(col(partCol), col("pos"))
       .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
         count(lit(1))).as("cv"))
       .groupBy(col(partCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("s"))
       .select(col(partCol).cast("long").as(partCol),
               transform(col("s"), x => x.getField("cv")).as("cvec"))
+  }
+
+  /** Deterministic Lloyd k-means as a DATAFLOW — the RNG-free quantizer
+    * fit: initial centers come from an explicit `seeds` relation (any
+    * deterministic pick — here the first `nlist` corpus vectors), then
+    * `iters` rounds of (cosine-argmax assignment via [[assignCells]],
+    * decimal-exact element-wise center recompute via [[cellCentroids]]).
+    * Because there is no RNG anywhere — unlike the MLlib fit in
+    * [[kmeansPartitions]], whose seeded random init is engine-local — the
+    * WHOLE train + assign pipeline is SQL-mirrorable and sits under the
+    * exact oracle gate (the ml_logreg_irls training-as-a-query precedent).
+    * Cells that lose all members in a round simply drop out of the next
+    * centroid table (standard Lloyd behavior, mirrored exactly).
+    *
+    * Scale shape per round: one size-guarded centroid collect (≤1024 rows,
+    * model-coefficient scale), one map-side argmax projection over the
+    * corpus (zero keyed shuffles — the assignCells contract), one
+    * map-combinable centroid aggregation. `localCheckpoint` between rounds
+    * keeps the plan linear in `iters` (the textRank precedent).
+    */
+  def lloydAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                  seeds: DataFrame, cellCol: String, cvecCol: String,
+                  dim: Int, iters: Int, outCol: String = "ivf_cell"): DataFrame = {
+    require(iters >= 1, s"lloydAssign needs iters >= 1; got $iters")
+    var asn = assignCells(corpus, idCol, vecCol, seeds, cellCol, cvecCol,
+      dim, outCol)
+    for (_ <- 2 to iters) {
+      val cent = cellCentroids(asn.localCheckpoint(), outCol, vecCol)
+        .select(col(outCol).as("__cell"), col("cvec").as("__cv"))
+      asn = assignCells(corpus, idCol, vecCol, cent, "__cell", "__cv",
+        dim, outCol)
+    }
+    asn
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, partCol: String, dim: Int, k: Int,
+              nprobe: Int): DataFrame = {
+    requireIntegral(corpus, partCol, "ivfTopK")
+    requireIntegral(corpus, idCol, "ivfTopK")
+    val cent = cellCentroids(corpus, partCol, vecCol)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     // probe assignment: nprobe nearest centroids per query, ranked through
     // the bounded aggregator — (ccos DESC, partCol ASC), the same total

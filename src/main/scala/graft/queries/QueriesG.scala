@@ -298,26 +298,87 @@ object QueriesG {
               / COUNT(*), 4) AS mean_corrected
       FROM pr GROUP BY l_linestatus ORDER BY l_linestatus"""))
 
-  /** Similarity at scale: IVF with an MLlib KMeans coarse quantizer
-    * (learned cells instead of labels), nprobe=2 of 8 — rows-only check,
-    * recall invariants spec'd in LlmSpec.
+  /** Similarity at scale: IVF with a LEARNED coarse quantizer — a
+    * deterministic Lloyd k-means fit (seed-vector init, 2 assignment /
+    * recompute rounds, [[graft.llm.Similarity.lloydAssign]]) followed by
+    * the nprobe=2 IVF search. RNG-free, so the ENTIRE quantizer training
+    * + assignment + search pipeline hash-matches the unrolled DuckDB
+    * mirror (the ml_logreg_irls training-as-a-query precedent) — this was
+    * the last no_oracle similarity row. The MLlib-KMeans variant
+    * ([[graft.llm.Similarity.kmeansPartitions]]) keeps its recall spec in
+    * LlmSpec; its seeded random init is engine-local and stays unmirrored.
     */
   val simsearchKmeans: QueryDef = QueryDef(
     "simsearch_ivf_kmeans",
     (s, dir) => {
       import graft.llm.Similarity
       val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"))
       // materialize the cell assignment once: ivfTopK reads it three times
       // (centroids, query side, search side) and each read would otherwise
-      // re-run the KMeans transform; this is the in-memory analogue of the
+      // re-run the Lloyd rounds; this is the in-memory analogue of the
       // persisted saveIndex layout
-      val cells = Similarity.kmeansPartitions(emb, "vec_id", "embedding", nlist = 8)
+      val cells = Similarity.lloydAssign(emb, "vec_id", "embedding",
+          seeds, "cell", "cv", dim = 64, iters = 2)
         .localCheckpoint()
       Similarity.ivfTopK(cells, cells.filter(col("vec_id") < 10),
           "vec_id", "embedding", "ivf_cell", dim = 64, k = 5, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
     },
-    None)
+    Some {
+      val centCols = Ora.centMeanSql("e.embedding", 64)
+      val qcDot = Ora.centDotSql("qv", 64)
+      val eDot = Ora.centDotSql("e.embedding", 64)
+      val cNorm = Ora.centNormSql(64)
+      val qNorm = Ora.normArrSql("qv", 64)
+      val eNorm = Ora.normArrSql("e.embedding", 64)
+      s"""WITH sd AS MATERIALIZED (SELECT vec_id AS cell, embedding AS cv
+            FROM embeddings WHERE vec_id < 8),
+        asn1 AS MATERIALIZED (SELECT vec_id, cell FROM (
+            SELECT e.vec_id, s.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                (${Ora.dotArrSql("e.embedding", "s.cv", 64)}) /
+                (SQRT($eNorm) * SQRT(${Ora.normArrSql("s.cv", 64)})) DESC,
+                s.cell) AS rn
+            FROM embeddings e CROSS JOIN sd s
+            WHERE SQRT($eNorm) * SQRT(${Ora.normArrSql("s.cv", 64)}) > 0)
+          WHERE rn = 1),
+        cent1 AS MATERIALIZED (SELECT a.cell, $centCols
+          FROM embeddings e JOIN asn1 a USING (vec_id) GROUP BY a.cell),
+        asn2 AS MATERIALIZED (SELECT vec_id, cell AS ivf_cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                ($eDot) / (SQRT($eNorm) * SQRT($cNorm)) DESC, c.cell) AS rn
+            FROM embeddings e CROSS JOIN cent1 c
+            WHERE SQRT($eNorm) * SQRT($cNorm) > 0)
+          WHERE rn = 1),
+        cent AS (SELECT a.ivf_cell, $centCols
+          FROM embeddings e JOIN asn2 a USING (vec_id)
+          GROUP BY a.ivf_cell),
+        q AS (SELECT e.vec_id AS qid, e.embedding AS qv
+          FROM embeddings e JOIN asn2 a USING (vec_id)
+          WHERE e.vec_id < 10),
+        probes AS (SELECT qid, qv, ivf_cell FROM (
+            SELECT q.qid, q.qv, cent.ivf_cell,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ($qcDot) / (SQRT($qNorm) * SQRT($cNorm)) DESC,
+                cent.ivf_cell) AS prn
+            FROM q CROSS JOIN cent)
+          WHERE prn <= 2),
+        scored AS (SELECT qid, vb, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS rank
+          FROM (SELECT p.qid, e.vec_id AS vb,
+              ROUND((${Ora.dotArrSql("p.qv", "e.embedding", 64)}) /
+                (SQRT(${Ora.normArrSql("p.qv", 64)}) *
+                 SQRT(${Ora.normArrSql("e.embedding", 64)})), 6) AS cos
+            FROM probes p
+            JOIN asn2 a ON a.ivf_cell = p.ivf_cell
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            WHERE e.vec_id <> p.qid))
+      SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM scored
+      WHERE rank <= 5 ORDER BY qid, rank"""
+    })
 
   val all: Seq[QueryDef] = Seq(q3Shipping, q5LocalSupplier, m6WqAgg, m6EnergyDist,
     j7AsofExec, q7Volume, q10Returns, m3Isotonic, simsearchKmeans)
