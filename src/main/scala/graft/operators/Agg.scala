@@ -437,7 +437,14 @@ object Agg {
     * and a fused verify+collect pass, no global sort, never a whole-column
     * aggregation buffer.
     */
-  def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def summaryStats(df: DataFrame, cols: Seq[String],
+                   approx: Boolean = false): DataFrame = {
+    // approx=true is the profiling fast path: quantiles come from a GK
+    // percentile_approx sketch FUSED into the same single aggregation pass
+    // (one scan total, deterministic for a given n/accuracy, but not the
+    // quantile_cont interpolation) — use it for 100 TB profiling sweeps
+    // where a rank error of n/10000 is irrelevant. Exact stays the default:
+    // it is the oracle-gated semantics (quantile_cont-equal bits).
     val aggs = cols.flatMap { c =>
       val v = col(c).cast("double")
       Seq(
@@ -446,14 +453,23 @@ object Agg {
         sum((v * v).cast("decimal(32,14)")).cast("double").as(s"${c}__sum2"),
         min(v).as(s"${c}__min"),
         max(v).as(s"${c}__max"))
-    }
+    } ++ (if (approx) cols.map { c =>
+      percentile_approx(col(c).cast("double"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as(s"${c}__pq")
+    } else Nil)
     val m = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     // identical to Spark SQL round(): BigDecimal HALF_UP at scale 6
     def r6(x: Double): Double =
       if (x.isNaN || x.isInfinite) x
       else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val pcts = exactPercentilesMulti(df, cols, Seq(0.25, 0.5, 0.75),
-      cols.map(c => c -> m.getAs[Long](s"${c}__n")).toMap)
+    val pcts: Map[String, Seq[Double]] =
+      if (approx) cols.map { c =>
+        c -> (Option(m.getAs[scala.collection.Seq[Double]](s"${c}__pq"))
+          .map(_.toSeq)
+          .getOrElse(Seq(Double.NaN, Double.NaN, Double.NaN)))
+      }.toMap
+      else exactPercentilesMulti(df, cols, Seq(0.25, 0.5, 0.75),
+        cols.map(c => c -> m.getAs[Long](s"${c}__n")).toMap)
     val rows = cols.map { c =>
       val n = m.getAs[Long](s"${c}__n")
       if (n == 0) {

@@ -169,14 +169,22 @@ object Relational {
     * engine-specific type formatting into the gate, and the count triple
     * is what the ingest decision actually reads.
     */
-  def dqProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def dqProfile(df: DataFrame, cols: Seq[String],
+                approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "dqProfile: need at least one column")
+    // approx=true is the 100 TB profiling path: approx_count_distinct's
+    // mergeable HLL++ buffers replace exact COUNT(DISTINCT), which for
+    // multiple columns in one agg costs an Expand (rows × (cols+1)) plus a
+    // per-column distinct shuffle. Exact stays the default — it is the
+    // oracle-gated semantics; null counts are exact on both paths.
+    def nd(c: Column): Column =
+      if (approx) approx_count_distinct(c, rsd) else countDistinct(c)
     val aggs =
       Seq(count(lit(1)).as("__n"),
-        countDistinct(struct(df.columns.map(col): _*)).as("__ndr")) ++
+        nd(struct(df.columns.map(col): _*)).as("__ndr")) ++
       cols.flatMap { c =>
         Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-          countDistinct(col(c)).as(s"__nd_$c"))
+          nd(col(c)).as(s"__nd_$c"))
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val entries = cols.map(c => struct(lit(c).as("column_name"),

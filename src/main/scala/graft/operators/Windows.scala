@@ -33,12 +33,14 @@ object Windows {
     df.withColumn(as, count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
 
   /** W3/A8: contiguous dense group ids (reference: ml/rf.py:225-243
-    * np.unique(return_inverse) + rankdata(dense)). NOTE: a global
-    * dense_rank forces a single-partition sort; prefer grouping directly on
-    * the key columns (the reference only materializes ids because pandas
-    * needs them). Kept for API fidelity, documented as small-data-only.
+    * np.unique(return_inverse) + rankdata(dense)). NOT public API: the
+    * global dense_rank single-partition-sorts the FULL input, so this is
+    * kept package-private purely as the reference semantics
+    * [[denseGroupIdScalable]] is spec'd equal to (AggWindowsSpec) — the
+    * cosineComposed pattern. Library users get only the scalable variant
+    * and cannot global-sort a table by accident.
     */
-  def denseGroupId(df: DataFrame, keys: Seq[String], as: String = "group_id"): DataFrame =
+  private[graft] def denseGroupId(df: DataFrame, keys: Seq[String], as: String = "group_id"): DataFrame =
     df.withColumn(as, dense_rank().over(Window.orderBy(keys.map(col): _*)) - 1)
 
   /** W3/A8 at scale: same contract as [[denseGroupId]] but the global sort

@@ -37,8 +37,8 @@ object QueriesB {
 
   /** W3/A8: contiguous dense group ids — scale-safe construction: the global
     * sort only touches the distinct key set, broadcast-joined back (the naive
-    * whole-table dense_rank is kept in [[Windows.denseGroupId]] as the
-    * documented small-data API). Oracle-identical output.
+    * whole-table dense_rank survives only package-private as the reference
+    * semantics the spec compares against). Oracle-identical output.
     */
   val w3DenseRank: QueryDef = QueryDef(
     "w3_dense_rank",

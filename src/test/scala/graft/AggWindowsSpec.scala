@@ -51,6 +51,27 @@ class AggWindowsSpec extends SparkSpec {
     assert((2 to 8).forall(i => e.getDouble(i).isNaN))
   }
 
+  test("summaryStats approx path: one scan, exact moments, sane sketch quantiles") {
+    import scala.util.Random
+    val rnd = new Random(11)
+    import spark.implicits._
+    val d = (1 to 4000).map(_ => rnd.nextGaussian() * 10.0).toDF("v")
+    val exact = Agg.summaryStats(d, Seq("v")).collect()(0)
+    val ap = Agg.summaryStats(d, Seq("v"), approx = true).collect()(0)
+    // n/mean/std/min/max ride the same decimal aggregation — identical
+    assert(ap.getLong(1) == exact.getLong(1))
+    (2 to 4).foreach(i => assert(ap.getDouble(i) == exact.getDouble(i)))
+    assert(ap.getDouble(8) == exact.getDouble(8))
+    // sketch quantiles: ordered, inside [min, max], near the exact ones
+    val (p25, p50, p75) = (ap.getDouble(5), ap.getDouble(6), ap.getDouble(7))
+    assert(p25 <= p50 && p50 <= p75)
+    assert(p25 >= ap.getDouble(4) && p75 <= ap.getDouble(8))
+    Seq(5, 6, 7).foreach { i =>
+      assert(math.abs(ap.getDouble(i) - exact.getDouble(i)) < 1.0,
+        s"col $i: ${ap.getDouble(i)} vs ${exact.getDouble(i)}")
+    }
+  }
+
   test("exactPercentilesMulti matches the sorted path on ties, both bracket modes") {
     import scala.util.Random
     val rnd = new Random(7)

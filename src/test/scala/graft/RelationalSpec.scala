@@ -102,6 +102,26 @@ class RelationalSpec extends SparkSpec {
       s"whole-row duplicate accounting wrong: ${out("*")}")
   }
 
+  test("dqProfile approx path: exact nulls, HLL distincts within tolerance, no Expand") {
+    import spark.implicits._
+    val d = (1 to 5000).map(i => (i.toLong % 997, s"s${i % 313}"))
+      .toDF("a", "b")
+    val exact = Relational.dqProfile(d, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val ap = Relational.dqProfile(d, Seq("a", "b"), approx = true).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    Seq("a", "b").foreach { c =>
+      assert(ap(c)._1 == exact(c)._1, s"null counts must stay exact for $c")
+      val (e, g) = (exact(c)._2.toDouble, ap(c)._2.toDouble)
+      assert(math.abs(g - e) / e < 0.2, s"$c: approx $g vs exact $e")
+    }
+    // the scale point: the approx plan has no Expand (exact multi-distinct
+    // costs rows × (cols+1))
+    val apPlan = Relational.dqProfile(d, Seq("a", "b"), approx = true)
+      .queryExecution.executedPlan.toString
+    assert(!apPlan.contains("Expand"), apPlan.linesIterator.take(10).mkString("\n"))
+  }
+
   test("dqOrphans reports fact keys missing from the dimension, largest first") {
     val fact = df("fk BIGINT", Seq(R(1L), R(1L), R(1L), R(2L), R(9L), R(9L)))
     val dim = df("k BIGINT", Seq(R(1L), R(3L)))
