@@ -78,6 +78,50 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("global-window census: every single-partition WindowExec is a known contracted-relation site") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // The closed allowlist of intentional global windows. EVERY entry runs
+    // on a relation already contracted far below the input (top-k
+    // candidates, distinct key/cost/duration sets, |V|-bounded graph
+    // relations, per-user rollups) — the contract each operator's scaladoc
+    // states. A new query feeding a full table into an unpartitioned
+    // window will fail this census instead of melting a cluster.
+    val allow: Map[String, Int] = Map(
+      "assoc_rules" -> 1,            // rank over the mined-rule relation
+      "b6_path_topk" -> 1,           // rank over distinct path strings
+      "b9_power_users" -> 2,         // p90 bound + rank on per-user rollup
+      "dq_referential" -> 1,         // rank over orphan keys
+      "dq_skew_profile" -> 2,        // top-k keys + k-row cumulative share
+      "er_entity_resolution" -> 1,   // rank within the blocked-match pairs
+      "f22_edit_distance" -> 1,      // rank over the blocked pair relation
+      "graph_hits" -> 1,             // rank over the |V|-bounded node set
+      "graph_item_jaccard" -> 1,     // rank over >=2-support item pairs
+      "graph_label_prop" -> 1,       // rank over the |V|-bounded labels
+      "graph_textrank" -> 1,         // rank over the token-node relation
+      "graph_triangle_count" -> 1,   // rank over per-node triangle counts
+      "j11_spatial_grid_join" -> 1,  // rank over the radius-join pairs
+      "m13_auc_roc" -> 1,            // Mann-Whitney on distinct scores
+      "sample_weighted" -> 1,        // rank over the k-bounded sample keys
+      "sketch_cms_topk" -> 1,        // rank over distinct-token estimates
+      "skyline_pareto" -> 1,         // running max over distinct costs
+      "survival_km" -> 3,            // KM product over distinct durations
+      "w13_phrase_topk" -> 1,        // rank over per-doc phrase counts
+      "w3_dense_rank" -> 1)          // dense ids over the distinct key set
+    val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p0 = fn(spark, sfDir).queryExecution.executedPlan
+      val p = p0 match { case a: AdaptiveSparkPlanExec => a.inputPlan; case o => o }
+      var n = 0
+      p.foreach { case w: WindowExec if w.partitionSpec.isEmpty => n += 1; case _ => () }
+      if (n > 0) Some(name -> n) else None
+    }.toMap
+    val unexpected = found.toSet -- allow.toSet
+    val missing = allow.toSet -- found.toSet
+    assert(unexpected.isEmpty && missing.isEmpty,
+      s"global-window census drifted — new/changed: $unexpected; " +
+        s"no longer present (update the allowlist): $missing")
+  }
+
   test("dynamic partition pruning fires on a day-partitioned fact join") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString

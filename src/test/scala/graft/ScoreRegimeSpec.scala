@@ -103,6 +103,46 @@ class ScoreRegimeSpec extends SparkSpec {
       s"RF ${corr("RF")} should beat RZC ${corr("RZC")} (BASELINE 0.700 > 0.619)")
   }
 
+  test("numeric regime bands cite the BASELINE.md table, not just orderings") {
+    scoreTable.toSeq.sortBy(_._1).foreach { case ((m, a), r) =>
+      info(f"$m%s/$a%s corr=${r.getAs[Double]("corr")}%.4f " +
+        f"mae=${r.getAs[Double]("mae")}%.4f " +
+        f"scatter=${r.getAs[Double]("scatter_db")}%.4f " +
+        f"logbias=${r.getAs[Double]("logbias_db")}%.4f " +
+        f"ed=${r.getAs[Double]("ed")}%.4f")
+    }
+    def at(m: String, a: String, c: String): Double =
+      scoreTable((m, a)).getAs[Double](c)
+    // BASELINE.md 10-min row: CORR 0.800 (CPCH) / 0.700 (RF) / 0.619
+    // (RZC). The fixture's noise amplitudes differ, so the assertions are
+    // BANDS + the published GAP structure (0.181 CPCH−RZC, ~0.08-0.1 per
+    // side for RF), not the exact constants:
+    assert(at("CPCH", "10min", "corr") > 0.9,
+      "good product must be high-corr (BASELINE CPCH 0.800 tops the table)")
+    assert(at("RZC", "10min", "corr") < at("CPCH", "10min", "corr") - 0.1,
+      "poor product trails by a real gap (BASELINE 0.800 - 0.619 = 0.181)")
+    assert(at("CPCH", "10min", "corr") - at("RF", "10min", "corr") > 0.02 &&
+      at("RF", "10min", "corr") - at("RZC", "10min", "corr") > 0.02,
+      "RF sits strictly between with margin (BASELINE 0.800 > 0.700 > 0.619)")
+    // scatter column: RZC 3.777 dB vs CPCH 2.303 dB at 10 min — the poor
+    // product's spread must exceed the good one's by a real margin
+    assert(at("RZC", "10min", "scatter_db") > at("CPCH", "10min", "scatter_db") + 0.3,
+      "BASELINE scatter: RZC 3.777 > CPCH 2.303 dB")
+    // ED column: CPCH 0.174 < RZC 0.189 at 10 min
+    assert(at("CPCH", "10min", "ed") < at("RZC", "10min", "ed"),
+      "BASELINE ED: CPCH 0.174 < RZC 0.189")
+    // bias column: both products carry -0.408 dB; estimator noise allows a
+    // band, not the constant
+    for (p <- Seq("CPCH", "RZC")) {
+      val lb = at(p, "10min", "logbias_db")
+      assert(lb < -0.05 && lb > -1.5,
+        s"$p 10-min logbias $lb outside the (-1.5, -0.05) dB band " +
+          "(BASELINE -0.408)")
+    }
+    assert(math.abs(at("RF", "10min", "logbias_db")) < 0.35,
+      "bias-corrected RF sits near zero (BASELINE +0.121 dB)")
+  }
+
   test("60-min aggregation scores better than 10-min for every model") {
     for (m <- Seq("RF", "CPCH", "RZC")) {
       val t10 = scoreTable((m, "10min"))
