@@ -32,6 +32,39 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Core.table(s, dir, name)
 
+  /** Session-scoped memo for relations several queries rebuild identically
+    * (an in-memory analogue of a persisted shared index). Keyed on the
+    * session identity + data dir, so a sibling session with different
+    * partitioning (PartitionInvarianceSpec) never reuses another session's
+    * checkpointed blocks. The builder result is localCheckpoint-ed: built
+    * once per (session, dir), read by every consumer.
+    */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[queries] def memoRel(s: SparkSession, dir: String, key: String)
+                              (build: => DataFrame): DataFrame =
+    relCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$dir|$key", _ => build.localCheckpoint())
+
+  /** The weighted co-purchase pair relation (a < b item pairs sharing a
+    * basket, with the shared-basket count) — the common input of SEVEN
+    * graph queries (triangle count, BFS, k-core, label propagation,
+    * assortativity, item-Jaccard, item-CF recommender). Built + shuffled
+    * ONCE per session via [[memoRel]]; each consumer applies its own
+    * support filter / projection. In the bench this removes six rebuilds
+    * of the basket self-join (the graph family's shared dominant cost).
+    */
+  private[queries] def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    memoRel(s, dir, "copurchase_pairs") {
+      val bk = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      bk.select(col("ok"), col("item").as("a"))
+        .join(bk.select(col("ok"), col("item").as("b")), Seq("ok"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    }
+
   /** Exact, order-independent sum of a double expression (see header). */
 
 

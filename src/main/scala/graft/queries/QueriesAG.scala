@@ -111,10 +111,7 @@ object QueriesAG {
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
           .distinct()
         val deg = b.groupBy(col("item")).agg(count(lit(1)).as("nb"))
-        val pairs = b.select(col("ok"), col("item").as("a"))
-          .join(b.select(col("ok"), col("item").as("b")), Seq("ok"))
-          .filter(col("a") < col("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        val pairs = Queries.coPurchasePairs(s, dir)
           .filter(col("n_ab") >= minShared)
         val scored = pairs
           .join(deg.select(col("item").as("a"), col("nb").as("na")), Seq("a"))

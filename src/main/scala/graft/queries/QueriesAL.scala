@@ -153,14 +153,8 @@ object QueriesAL {
     "graph_assortativity",
     (s, dir) => {
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
-      val b = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
-        .distinct()
-      val e0 = b.select(col("ok"), col("item").as("a"))
-        .join(b.select(col("ok"), col("item").as("b")), Seq("ok"))
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2).select(col("a"), col("b"))
+      val e0 = Queries.coPurchasePairs(s, dir)
+        .filter(col("n_ab") >= 2).select(col("a"), col("b"))
       val ed = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
       val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))

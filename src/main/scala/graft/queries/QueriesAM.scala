@@ -31,10 +31,7 @@ object QueriesAM {
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
           .distinct()
         val deg = bk.groupBy(col("item")).agg(count(lit(1)).as("nb"))
-        val pairs = bk.select(col("ok"), col("item").as("a"))
-          .join(bk.select(col("ok"), col("item").as("b")), Seq("ok"))
-          .filter(col("a") < col("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        val pairs = Queries.coPurchasePairs(s, dir)
           .filter(col("n_ab") >= minShared)
         val sims = pairs
           .join(deg.select(col("item").as("a"), col("nb").as("na")), Seq("a"))

@@ -88,8 +88,9 @@ object QueriesS {
     QueryDef(
       "graph_triangle_count",
       (s, dir) => graft.llm.Graph.triangleCount(
-          graft.llm.Graph.coPurchaseEdges(
-            t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+          // the memoized pair relation's key set IS coPurchaseEdges's
+          // distinct (a, b) — the count column just drops
+          Queries.coPurchasePairs(s, dir).select(col("a"), col("b")),
           k = k)
         .orderBy(col("rank")),
       Some(s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item

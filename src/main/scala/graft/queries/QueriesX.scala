@@ -33,14 +33,8 @@ object QueriesX {
     QueryDef(
       "graph_bfs_layers",
       (s, dir) => {
-        val b = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
-          .distinct()
-        val edges = b.select(col("ok"), col("item").as("a"))
-          .join(b.select(col("ok"), col("item").as("b")), Seq("ok"))
-          .filter(col("a") < col("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val edges = Queries.coPurchasePairs(s, dir)
+          .filter(col("n_ab") >= 2)
           .select(col("a"), col("b"))
         val seeds = t(s, dir, "lineitem")
           .select(col("l_partkey").as("node")).distinct()
