@@ -340,6 +340,67 @@ object Similarity {
       .filter(col("qid") =!= col("vb")), m, k)
   }
 
+  /** LEARNED PQ codebook: per-subspace Lloyd k-means, RNG-free. Init is
+    * the `ks` lowest-id corpus vectors (the training-free codebook), then
+    * `iters` rounds of (subspace-L2 assignment via the [[pqCodes]] fused
+    * encode kernel — the EXACT kernel the search uses, so training and
+    * serving can't disagree on the metric — and per-(subspace, codeword)
+    * decimal-exact element-wise mean recompute). Codeword `c`'s slice `j`
+    * is subspace `j`'s c-th learned centroid; a (j, c) cell that loses all
+    * members keeps its previous slice (standard Lloyd empty-cell rule,
+    * deterministic). Returns a (idCol, vecCol) relation of `ks` full-dim
+    * codeword vectors that drops straight into [[pqTopK]] / [[ivfPqTopK]]'s
+    * codewords seam — and because nothing anywhere is random, the whole
+    * train + encode + search pipeline is SQL-mirrorable (the lloydAssign
+    * precedent applied to PQ).
+    *
+    * Scale shape per round: one map-side encode pass over the corpus (the
+    * codebook rides inlined, NO shuffle), one map-combinable mean
+    * aggregation contracting to dim·ks rows, one ≤dim·ks-value driver
+    * merge — model-coefficient scale, like every codebook collect here.
+    */
+  def pqLearnCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int, ks: Int, iters: Int): DataFrame = {
+    require(m > 0 && dim % m == 0,
+      s"pqLearnCodebook needs m dividing dim; got dim=$dim m=$m")
+    require(ks > 0 && ks <= 1024,
+      s"pqLearnCodebook: ks must be in [1, 1024], got $ks")
+    require(iters >= 0, s"pqLearnCodebook: iters must be >= 0, got $iters")
+    val sub = dim / m
+    var cw: Array[Array[Double]] = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        !exists(col(vecCol), _.isNull))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(ks).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cw.length == ks,
+      s"pqLearnCodebook: corpus has only ${cw.length} clean vectors, need $ks")
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(pqCodes(col(vecCol), cw, m, sub).as("codes"),
+          col(vecCol).as("v"))
+        .filter(col("codes").isNotNull)
+        .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("pos"),
+          element_at(col("codes"), (col("pos") / sub).cast("int") + 1).as("c"),
+          col("x").cast("double").as("x"))
+        .groupBy(col("c"), col("pos"))
+        .agg((sum(col("x").cast("decimal(27,10)")).cast("double") /
+          count(lit(1))).as("mean"))
+        .collect()
+      val next = cw.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("c") - 1)(r.getAs[Int]("pos")) =
+          r.getAs[Double]("mean")
+      }
+      cw = next
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cw.toSeq.zipWithIndex.map { case (v, i) => (i.toLong + 1, v.toSeq) }
+      .toDF(idCol, vecCol)
+  }
+
   /** Left-associated squared L2 between subspace j of an array column and
     * codeword c of the collected codebook — the fused kernel under both the
     * PQ encode and the ADC lookup tables.
