@@ -65,6 +65,27 @@ object Queries {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
     }
 
+  /** The verified n=3 Jaccard near-dup pair relation over `documents`
+    * (minJaccard 0.5, maxDf 1000) — shared input of dedup_ngram_jaccard,
+    * dedup_clusters, and dedup_canonicalize; the shingle inverted-index
+    * join builds once per session instead of three times.
+    */
+  private[queries] def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
+    memoRel(s, dir, "jaccard_pairs_n3_j05_df1000") {
+      graft.llm.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 1000)
+    }
+
+  /** The verified MinHash+LSH near-dup pair relation over `documents`
+    * (n=3, k=16, r=4, minJaccard 0.5) — shared by dedup_minhash and the
+    * sketch_minhash_error calibration.
+    */
+  private[queries] def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
+    memoRel(s, dir, "minhash_pairs_n3_k16_r4_j05") {
+      graft.llm.Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 16, r = 4, minJaccard = 0.5)
+    }
+
   /** Exact, order-independent sum of a double expression (see header). */
 
 

@@ -26,8 +26,7 @@ object QueriesAL {
       "sketch_minhash_error",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
-          n = 3, k = k, r = 4, minJaccard = 0.5)
+        val pairs = Queries.minhashPairsShared(s, dir)
         val sig = Dedup.minhashSignature(
           Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", k)
         val sa = sig.toDF(sig.columns.map(c =>

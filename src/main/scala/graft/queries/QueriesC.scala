@@ -61,8 +61,7 @@ object QueriesC {
     */
   val dedupJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
-    (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.5, maxDf = 1000)
+    (s, dir) => Queries.jaccardPairsShared(s, dir)
       .orderBy(col("da"), col("db")),
     Some(s"""WITH sh_all AS (${shinglesSql(3)}),
       sh AS (SELECT sh_all.* FROM sh_all
@@ -82,8 +81,7 @@ object QueriesC {
     */
   val dedupMinhash: QueryDef = QueryDef(
     "dedup_minhash",
-    (s, dir) => Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 16, r = 4, minJaccard = 0.5)
+    (s, dir) => Queries.minhashPairsShared(s, dir)
       .orderBy(col("da"), col("db")),
     Some(s"""WITH sh AS (${shinglesSql(3)}),
       hm AS (SELECT doc_id, sh, ${md5LongSql("sh")} % 1000000007 AS hm FROM sh),
@@ -147,9 +145,7 @@ object QueriesC {
     */
   val dedupClusters: QueryDef = QueryDef(
     "dedup_clusters",
-    (s, dir) => Dedup.resolveClusters(
-        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, minJaccard = 0.5, maxDf = 1000))
+    (s, dir) => Dedup.resolveClusters(Queries.jaccardPairsShared(s, dir))
       .orderBy(col("doc_id")),
     Some(s"""WITH RECURSIVE sh_all AS (${shinglesSql(3)}),
       sh AS (SELECT sh_all.* FROM sh_all
@@ -272,9 +268,7 @@ object QueriesC {
     "dedup_canonicalize",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val clusters = Dedup.resolveClusters(
-        Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5,
-          maxDf = 1000))
+      val clusters = Dedup.resolveClusters(Queries.jaccardPairsShared(s, dir))
       Dedup.canonicalize(docs, clusters, "doc_id")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
