@@ -374,4 +374,62 @@ object Curation {
       }
     df.withColumn("split", split)
   }
+
+  /** DSIR-style importance weighting for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * documents become bags of HASHED n-gram features (distinct word
+    * n-grams → md5 buckets, the Bernoulli-feature variant), the target
+    * and raw corpora each get an add-one-smoothed bucket distribution,
+    * and a document's weight is its summed log-likelihood ratio
+    * Σ_f ln(p_target(f) / p_raw(f)). `selected` uses the scale-honest
+    * threshold rule (weight > 0 ⇔ the doc looks more target-like than
+    * raw-like) rather than a global top-k rank — a corpus-wide rank
+    * window is exactly the shape this engine refuses at 100 TB; a
+    * quota-constrained caller can histogram the weights and pick the
+    * threshold matching its budget (two scans, still no global sort).
+    *
+    * Scale shape: one shingle explode per corpus, bucket distributions
+    * contract to `nBuckets` rows and BROADCAST into the per-doc scoring
+    * join, one keyed agg. Determinism: ln-ratio terms are computed as
+    * identical IEEE doubles on both engines (LN is cross-engine safe —
+    * the tfidf precedent), decimal-truncated before the per-doc sum (the
+    * entropy/KL treatment), rounded 6 dp on output.
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, n: Int = 2,
+                  nBuckets: Int = 10000): DataFrame = {
+    require(n > 0 && nBuckets > 0,
+      s"dsirWeights: need n > 0 and nBuckets > 0, got n=$n nBuckets=$nBuckets")
+    val bucket = (sh: Column) =>
+      TextAnalysis.md5Long(concat(lit("dsir:"), sh)) % nBuckets
+    def bucketCounts(df: DataFrame, as: String): DataFrame =
+      Dedup.shingles(df, idCol, textCol, n)
+        .select(bucket(col("sh")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as(as))
+    val ct = bucketCounts(target, "ct")
+    val cr = bucketCounts(corpus, "cr")
+    val tot = ct.agg(sum(col("ct")).as("nt"))
+      .crossJoin(cr.agg(sum(col("cr")).as("nr")))
+    // per-bucket ln-ratio table: nBuckets rows at most, broadcast
+    val w = ct.join(cr, Seq("b"), "full")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        log(((col("ct") + 1).cast("double") /
+            (col("nt") + nBuckets).cast("double")) /
+          ((col("cr") + 1).cast("double") /
+            (col("nr") + nBuckets).cast("double"))).as("lw"))
+    val perDoc = Dedup.shingles(corpus, idCol, textCol, n)
+      .select(col(idCol), bucket(col("sh")).as("b"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("lw").cast("decimal(27,10)")).cast("double"), 6)
+          .as("weight"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_feats"))
+      .withColumn("weight", coalesce(col("weight"), lit(0.0)))
+      .withColumn("selected", col("weight") > 0.0)
+  }
 }

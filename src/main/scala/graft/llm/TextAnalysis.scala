@@ -528,4 +528,39 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(min(hash(col("g"))).as("fingerprint"))
   }
+
+  /** Zipf-law fit of the corpus token frequency distribution: OLS of
+    * ln(freq) on ln(rank) over the top-`topN` tokens — the classic
+    * corpus-health number (natural text sits near slope −1; synthetic or
+    * template-heavy corpora drift). The rank window runs on the DISTINCT
+    * TOKEN relation (vocabulary-bounded — the repo-wide contracted-input
+    * contract for global windows; census-allowlisted) and the regression
+    * is one sufficient-statistics pass over `topN` rows with
+    * decimal-truncated ln products (the a21 grouped-OLS treatment).
+    * Output: one row (n_ranks, slope, intercept), both rounded 6 dp.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN > 1, s"zipfFit: topN must be > 1, got $topN")
+    val freq = graft.Core.fanOut(df)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    val ranked = freq.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val dec = (c: Column) => c.cast("decimal(27,10)")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).cast("double").as("sx"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
+      sum(dec(col("x") * col("y"))).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * col("sxx") - col("sx") * col("sx"))
+    m.select(col("n").as("n_ranks"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / nD, 6).as("intercept"))
+  }
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Core
+
+/** Batch 44 (round 9): DSIR importance weighting for data selection and
+  * the Zipf-law corpus fit — training-data-pipeline depth.
+  */
+object QueriesAR {
+  import Queries.QueryDef
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.table(s, dir, name)
+
+  /** Distinct word-bigram shingles of a named CTE (the Ora.shinglesSql
+    * shape parameterized over the source relation).
+    */
+  private def shSql(src: String): String =
+    s"""SELECT DISTINCT doc_id, unnest([array_to_string(w[g : g + 1], ' ')
+        for g in generate_series(1, len(w) - 1)]) AS sh
+        FROM (SELECT doc_id, ${Ora.toksSql} AS w FROM $src)"""
+
+  /** DSIR importance weights: the non-English pool scored against the
+    * English target distribution over 10k hashed bigram buckets —
+    * documents whose feature bag looks more target-like than pool-like
+    * get `selected`. The whole method (hashing, smoothed distributions,
+    * log-likelihood-ratio sum, threshold selection) under the exact gate.
+    */
+  val dsirImportance: QueryDef = {
+    val nBuckets = 10000
+    val bSql = (shExpr: String) =>
+      s"${Ora.md5LongSql(s"'dsir:' || $shExpr")} % $nBuckets"
+    QueryDef(
+      "curation_dsir",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.llm.Curation.dsirWeights(
+            corpus = docs.filter(col("lang") =!= "en"),
+            target = docs.filter(col("lang") === "en"),
+            "doc_id", "text", n = 2, nBuckets = nBuckets)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE lang <> 'en'),
+        target AS (SELECT * FROM documents WHERE lang = 'en'),
+        tsh AS (${shSql("target")}),
+        csh AS MATERIALIZED (${shSql("corpus")}),
+        ctb AS MATERIALIZED (SELECT ${bSql("sh")} AS b, COUNT(*) AS ct
+          FROM tsh GROUP BY 1),
+        crb AS MATERIALIZED (SELECT ${bSql("sh")} AS b, COUNT(*) AS cr
+          FROM csh GROUP BY 1),
+        tot AS (SELECT (SELECT SUM(ct) FROM ctb) AS nt,
+                       (SELECT SUM(cr) FROM crb) AS nr),
+        w AS MATERIALIZED (SELECT b,
+            LN((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) /
+                CAST(nt + $nBuckets AS DOUBLE)) /
+               (CAST(COALESCE(cr, 0) + 1 AS DOUBLE) /
+                CAST(nr + $nBuckets AS DOUBLE))) AS lw
+          FROM ctb FULL JOIN crb USING (b) CROSS JOIN tot),
+        pd AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+            ROUND(CAST(SUM(CAST(lw AS DECIMAL(27,10))) AS DOUBLE), 6)
+              AS weight
+          FROM (SELECT doc_id, ${bSql("sh")} AS b FROM csh) c
+          JOIN w USING (b) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(pd.n_feats, 0) AS n_feats,
+        COALESCE(pd.weight, 0.0) AS weight,
+        COALESCE(pd.weight, 0.0) > 0.0 AS selected
+      FROM corpus d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""))
+  }
+
+  /** Zipf slope of the corpus token distribution over the top-100 ranks
+    * (natural text ≈ −1) — OLS on (ln rank, ln freq) from one
+    * sufficient-statistics pass; the rank window runs on the
+    * vocabulary-bounded distinct-token relation (census-allowlisted).
+    */
+  val zipfFit: QueryDef = QueryDef(
+    "text_zipf_fit",
+    (s, dir) => graft.llm.TextAnalysis.zipfFit(
+      t(s, dir, "documents"), "text", topN = 100),
+    Some(s"""WITH freq AS (SELECT tok, COUNT(*) AS cnt
+          FROM (SELECT unnest(${Ora.toksSql}) AS tok FROM documents)
+          GROUP BY 1),
+        r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+          FROM freq),
+        xy AS (SELECT LN(CAST(rank AS DOUBLE)) AS x,
+            LN(CAST(cnt AS DOUBLE)) AS y
+          FROM r WHERE rank <= 100),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(27,10))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST((x * x) AS DECIMAL(27,10))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST((x * y) AS DECIMAL(27,10))) AS DOUBLE) AS sxy
+          FROM xy)
+      SELECT n AS n_ranks,
+        ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+              (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+              (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
+              CAST(n AS DOUBLE), 6) AS intercept
+      FROM m"""))
+
+  val all: Seq[QueryDef] = Seq(dsirImportance, zipfFit)
+}
