@@ -149,6 +149,13 @@ object Core {
     * query tier (round-3 driver bench).
     */
   def fanOut(df: DataFrame): DataFrame = {
+    // streaming frames pass through: micro-batch parallelism is governed
+    // by the SOURCE (kafka partitions, maxFilesPerTrigger), the stats /
+    // rdd probes below don't exist before execution, and a blanket
+    // exchange per micro-batch would defeat low-latency ingest. This is
+    // what lets the map-side operators built on fanOut (assignCells,
+    // shingles, …) run unchanged inside a streaming query (LloydPqSpec).
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val slots = spark.sparkContext.defaultParallelism
     // decide from OPTIMIZED-PLAN STATS where possible, not
