@@ -494,6 +494,62 @@ object Similarity {
     * partition-pruning shape an ANN index needs at 100 TB) plus the KMeans
     * model for assigning future queries/vectors.
     */
+  /** Euclidean sibling of [[assignCells]] — KMeans layouts are L2, not
+    * cosine, so index MAINTENANCE must assign with the fitted metric.
+    * argmin ‖v−c‖² is ranked via the algebraic form 2·v·c − ‖c‖²
+    * (argmax): per fixed v the ‖v‖² term is common and drops, the per-
+    * centroid ‖c‖² is a driver-computed double literal, and the dot is
+    * the fused [[graft.plans.ArrayDot]] — one compiled projection per
+    * row, ZERO shuffles, exactly the assignCells plan shape. NULL dot
+    * (null vector/element) → null score → row dropped, same contract.
+    */
+  def assignCellsL2(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, cellCol: String, cvecCol: String,
+                    dim: Int, outCol: String = "ivf_cell"): DataFrame = {
+    requireIntegral(corpus, idCol, "assignCellsL2")
+    requireIntegral(centroids, cellCol, "assignCellsL2")
+    val cents: Array[(Long, Array[Double])] = centroids
+      .filter(col(cellCol).isNotNull && col(cvecCol).isNotNull &&
+        !exists(col(cvecCol), _.isNull))
+      .select(col(cellCol).cast("long"), col(cvecCol).cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(cents.nonEmpty && cents.length <= 1024,
+      s"assignCellsL2 inlines centroids into one projection — ${cents.length} " +
+        "cells is past the compiled-plan comfort zone (<= 1024)")
+    val scored = array(cents.map { case (cell, cv) =>
+      val cNorm2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct((graft.plans.ArrayDot.arrayDot(col(vecCol), lit(cv)) * 2.0 -
+          lit(cNorm2)).as("s"),
+        lit(-cell).as("negCell"))
+    }: _*)
+    graft.Core.fanOut(corpus)
+      .withColumn("__best", array_max(scored))
+      .filter(col("__best.s").isNotNull)
+      .withColumn(outCol, -col("__best.negCell"))
+      .drop("__best")
+  }
+
+  /** Incremental index maintenance: assign NEW vectors to an existing
+    * persisted layout with the layout's own (Euclidean) metric and APPEND
+    * them into the cell-partitioned files — no refit, no rewrite of
+    * existing cells. The write lands only in the partitions the new
+    * vectors hit; probe reads stay partition-pruned. Returns the
+    * assignment so callers can account for what landed where.
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newVectors: DataFrame, idCol: String, vecCol: String,
+                    dim: Int): DataFrame = {
+    val model = org.apache.spark.ml.clustering.KMeansModel.load(s"$path/kmeans")
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray.toSeq) }.toSeq
+      .toDF("cell", "cv")
+    val asn = assignCellsL2(newVectors, idCol, vecCol, cents, "cell", "cv", dim)
+    asn.write.mode("append").partitionBy("ivf_cell").parquet(s"$path/cells")
+    asn
+  }
+
   def saveIndex(assigned: DataFrame,
                 model: org.apache.spark.ml.clustering.KMeansModel,
                 path: String, nBuckets: Int = 32): Unit = {

@@ -104,6 +104,33 @@ class LloydPqSpec extends SparkSpec {
       s"slope ${out.getDouble(1)} vs closed-form $slope")
   }
 
+  test("appendToIndex: new vectors land in the model's own cells, old cells untouched") {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val (assigned, model) = Similarity.kmeansIndex(emb, "vec_id", "embedding",
+      nlist = 4)
+    Similarity.saveIndex(assigned, model, dir)
+    val before = spark.read.parquet(s"$dir/cells").count()
+    val newVecs = (1000 until 1010).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin((i - 1000) * 0.9 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val asn = Similarity.appendToIndex(spark, dir, newVecs,
+      "vec_id", "embedding", dim = 8)
+    val got = asn.select("vec_id", "ivf_cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // parity with the fitted model's OWN predictions (the layout metric)
+    val pred = model.transform(
+        newVecs.withColumn("__features", array_to_vector(col("embedding"))))
+      .select(col("vec_id"), col("__cluster").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pred, s"$got vs model.transform $pred")
+    val after = spark.read.parquet(s"$dir/cells")
+    assert(after.count() == before + 10)
+    assert(after.filter(col("vec_id") < 1000).count() == before,
+      "existing rows must be untouched by the append")
+  }
+
   test("assignCells works UNCHANGED on a streaming frame (vector ingest)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
