@@ -29,8 +29,10 @@ object PlanAudit {
         val p = SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.executedPlan.toString
         // shuffle exchanges only: a bare "Exchange " also matches inside
-        // BroadcastExchange/ReusedExchange nodes and overcounts
-        val ex = count(p, "Exchange (hash|range|SinglePartition)")
+        // BroadcastExchange/ReusedExchange nodes and overcounts; the
+        // alternation must include round-robin (fanOut's repartition) and
+        // rebalance or those real shuffles would go uncounted
+        val ex = count(p, "Exchange (hash|range|SinglePartition|roundrobin|rebalance)")
         val bhj = count(p, "BroadcastHashJoin")
         val smj = count(p, "SortMergeJoin")
         val cart = count(p, "CartesianProduct") +

@@ -517,6 +517,11 @@ object Similarity {
     require(cents.nonEmpty && cents.length <= 1024,
       s"assignCellsL2 inlines centroids into one projection — ${cents.length} " +
         "cells is past the compiled-plan comfort zone (<= 1024)")
+    // validate the dim contract here (ArrayDot nulls only on a pairwise
+    // length mismatch — a uniformly mis-sized centroid table would
+    // otherwise silently truncate every dot product)
+    require(cents.forall(_._2.length == dim),
+      s"assignCellsL2: centroid width ${cents.map(_._2.length).distinct.mkString(",")} != dim=$dim")
     val scored = array(cents.map { case (cell, cv) =>
       val cNorm2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
       struct((graft.plans.ArrayDot.arrayDot(col(vecCol), lit(cv)) * 2.0 -
@@ -617,8 +622,12 @@ object Similarity {
     * Scale shape per round: one size-guarded centroid collect (≤1024 rows,
     * model-coefficient scale), one map-side argmax projection over the
     * corpus (zero keyed shuffles — the assignCells contract), one
-    * map-combinable centroid aggregation. `localCheckpoint` between rounds
-    * keeps the plan linear in `iters` (the textRank precedent).
+    * map-combinable centroid aggregation. No checkpointing is needed:
+    * each round's assignment plan is consumed exactly ONCE (the next
+    * round's centroid collect inside assignCells), and the new assignment
+    * rebuilds from `corpus` + driver-side centroid literals — the plan
+    * never grows with `iters`, so a localCheckpoint would only pin a
+    * corpus-sized block set per round for nothing.
     */
   def lloydAssign(corpus: DataFrame, idCol: String, vecCol: String,
                   seeds: DataFrame, cellCol: String, cvecCol: String,
@@ -627,7 +636,7 @@ object Similarity {
     var asn = assignCells(corpus, idCol, vecCol, seeds, cellCol, cvecCol,
       dim, outCol)
     for (_ <- 2 to iters) {
-      val cent = cellCentroids(asn.localCheckpoint(), outCol, vecCol)
+      val cent = cellCentroids(asn, outCol, vecCol)
         .select(col(outCol).as("__cell"), col("cvec").as("__cv"))
       asn = assignCells(corpus, idCol, vecCol, cent, "__cell", "__cv",
         dim, outCol)

@@ -441,10 +441,12 @@ object Agg {
                    approx: Boolean = false): DataFrame = {
     // approx=true is the profiling fast path: quantiles come from a GK
     // percentile_approx sketch FUSED into the same single aggregation pass
-    // (one scan total, deterministic for a given n/accuracy, but not the
-    // quantile_cont interpolation) — use it for 100 TB profiling sweeps
-    // where a rank error of n/10000 is irrelevant. Exact stays the default:
-    // it is the oracle-gated semantics (quantile_cont-equal bits).
+    // (one scan total). The rank error is bounded by n/accuracy, but the
+    // value is NOT run-for-run deterministic: the partial-sketch merge is
+    // fetch-order dependent, so two runs can report slightly different
+    // quantiles — don't diff two approx sweeps to detect drift; use the
+    // exact path for that. Exact stays the default: it is the oracle-gated
+    // semantics (quantile_cont-equal bits).
     val aggs = cols.flatMap { c =>
       val v = col(c).cast("double")
       Seq(

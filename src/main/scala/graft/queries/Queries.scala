@@ -33,18 +33,30 @@ object Queries {
     Core.table(s, dir, name)
 
   /** Session-scoped memo for relations several queries rebuild identically
-    * (an in-memory analogue of a persisted shared index). Keyed on the
-    * session identity + data dir, so a sibling session with different
-    * partitioning (PartitionInvarianceSpec) never reuses another session's
-    * checkpointed blocks. The builder result is localCheckpoint-ed: built
-    * once per (session, dir), read by every consumer.
+    * (an in-memory analogue of a persisted shared index). The outer map is
+    * a WeakHashMap keyed on the SparkSession INSTANCE: identity semantics
+    * mean a sibling session with different partitioning
+    * (PartitionInvarianceSpec) can never collide with another session's
+    * checkpointed blocks (an identityHashCode string key could), and weak
+    * keys let a stopped session's entries — and their checkpoint blocks —
+    * be collected instead of pinning the JVM forever. The builder result
+    * is localCheckpoint-ed: built once per (session, dir), read by every
+    * consumer.
     */
-  private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val relCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
   private[queries] def memoRel(s: SparkSession, dir: String, key: String)
-                              (build: => DataFrame): DataFrame =
-    relCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir|$key", _ => build.localCheckpoint())
+                              (build: => DataFrame): DataFrame = {
+    val perSession = relCache.synchronized {
+      var m = relCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir|$key", _ => build.localCheckpoint())
+  }
 
   /** The weighted co-purchase pair relation (a < b item pairs sharing a
     * basket, with the shared-basket count) — the common input of SEVEN

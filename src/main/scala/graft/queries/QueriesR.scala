@@ -259,7 +259,7 @@ object QueriesR {
         sm AS (SELECT event_type,
             CAST(SUM(CAST(1 AS BIGINT) << (55 - mb)) AS BIGINT) AS s
           FROM filled GROUP BY 1),
-        ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+        ex AS (SELECT event_type, CAST(COUNT(user_id) AS BIGINT) AS exact_distinct
           FROM du GROUP BY 1)
       SELECT sm.event_type,
         ROUND(CAST(${scale.toString} AS DOUBLE) / CAST(sm.s AS DOUBLE), 6)
