@@ -646,7 +646,28 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, partCol: String, dim: Int, k: Int,
-              nprobe: Int): DataFrame = {
+              nprobe: Int): DataFrame =
+    ivfTopKImpl(corpus, queries, idCol, vecCol, partCol, dim, k, nprobe, None)
+
+  /** Filtered ANN — the vector-DB staple: top-k under a candidate
+    * PREDICATE (tenant, language, date range …). The index layout is
+    * untouched: centroids and probe ranking come from the FULL corpus
+    * (filtering the layout would move centroids and silently change which
+    * cells get probed), and the predicate prunes candidates inside the
+    * probed cells before scoring — post-probe pre-filter, the semantics
+    * FAISS/production stores document. A highly selective predicate can
+    * leave fewer than k matches in the probed cells; raising nprobe is
+    * the recall dial, exactly as unfiltered.
+    */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, partCol: String, dim: Int, k: Int,
+                      nprobe: Int, candidateFilter: Column): DataFrame =
+    ivfTopKImpl(corpus, queries, idCol, vecCol, partCol, dim, k, nprobe,
+      Some(candidateFilter))
+
+  private def ivfTopKImpl(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, partCol: String, dim: Int, k: Int,
+                          nprobe: Int, candidateFilter: Option[Column]): DataFrame = {
     requireIntegral(corpus, partCol, "ivfTopK")
     requireIntegral(corpus, idCol, "ivfTopK")
     val cent = cellCentroids(corpus, partCol, vecCol)
@@ -669,7 +690,9 @@ object Similarity {
     // search only within probed partitions: the probe set (|Q|·nprobe rows +
     // query vectors) broadcasts; the corpus side stays partitioned, with the
     // parallelism floor for the per-pair cosines ([[graft.Core.fanOut]])
-    val c = graft.Core.fanOut(corpus)
+    // the candidate predicate (filtered search) applies HERE — after the
+    // layout-defining centroid/probe stages, before any cosine is paid
+    val c = graft.Core.fanOut(candidateFilter.map(corpus.filter).getOrElse(corpus))
       .select(col(partCol).cast("long").as(partCol),
               col(idCol).as("vb"), col(vecCol).as("eb"))
     val cos = cosine("qv", "eb", dim)

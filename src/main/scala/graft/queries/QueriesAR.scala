@@ -100,5 +100,47 @@ object QueriesAR {
               CAST(n AS DOUBLE), 6) AS intercept
       FROM m"""))
 
-  val all: Seq[QueryDef] = Seq(dsirImportance, zipfFit)
+  /** Filtered ANN: label-centroid IVF search with a candidate predicate
+    * (vec_id % 3 = 0 — the tenant/language filter shape). Centroids and
+    * probing use the FULL corpus (the index layout); the predicate prunes
+    * candidates inside the probed cells — the FAISS post-probe-pre-filter
+    * semantics, whole pipeline under the hash gate.
+    */
+  val simsearchFiltered: QueryDef = QueryDef(
+    "simsearch_filtered",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.ivfTopKFiltered(emb,
+          emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", dim = 64, k = 5, nprobe = 3,
+          candidateFilter = col("vec_id") % 3 === 0)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some {
+      val centCols = Ora.centMeanSql("embedding", 64)
+      val qcDot = Ora.centDotSql("qv", 64)
+      val cNorm = Ora.centNormSql(64)
+      val qNorm = Ora.normArrSql("qv", 64)
+      val qeDot = Ora.dotArrSql("qv", "e.embedding", 64)
+      val eNorm = Ora.normArrSql("e.embedding", 64)
+      s"""WITH cent AS (SELECT label, $centCols FROM embeddings GROUP BY label),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+        probes AS (SELECT qid, qv, label FROM (
+            SELECT q.qid, q.qv, cent.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ($qcDot) / (SQRT($qNorm) * SQRT($cNorm)) DESC, cent.label) AS prn
+            FROM q CROSS JOIN cent)
+          WHERE prn <= 3),
+        scored AS (SELECT qid, vb, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS rank
+          FROM (SELECT p.qid, e.vec_id AS vb,
+              ROUND(($qeDot) / (SQRT($qNorm) * SQRT($eNorm)), 6) AS cos
+            FROM probes p JOIN embeddings e ON e.label = p.label
+            WHERE e.vec_id <> p.qid AND e.vec_id % 3 = 0))
+        SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM scored
+        WHERE rank <= 5 ORDER BY qid, rank"""
+    })
+
+  val all: Seq[QueryDef] = Seq(dsirImportance, zipfFit, simsearchFiltered)
 }
