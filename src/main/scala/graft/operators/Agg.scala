@@ -438,39 +438,38 @@ object Agg {
     * aggregation buffer.
     */
   def summaryStats(df: DataFrame, cols: Seq[String],
-                   approx: Boolean = false): DataFrame = {
-    // approx=true is the profiling fast path: quantiles come from a GK
-    // percentile_approx sketch FUSED into the same single aggregation pass
-    // (one scan total). The rank error is bounded by n/accuracy, but the
-    // value is NOT run-for-run deterministic: the partial-sketch merge is
-    // fetch-order dependent, so two runs can report slightly different
-    // quantiles — don't diff two approx sweeps to detect drift; use the
-    // exact path for that. Exact stays the default: it is the oracle-gated
-    // semantics (quantile_cont-equal bits).
+                   fast: Boolean = false): DataFrame = {
+    // fast=true is the profiling path: the mean/std moments accumulate in
+    // plain DOUBLE (whole-stage codegen) instead of the wide decimals,
+    // which are BigDecimal-backed past 18 digits and measured 8× slower
+    // per row (1.6 s vs 0.2 s over 600k×3 at sf0.1). Percentiles stay the
+    // SAME exact counting selection on both paths — a GK
+    // percentile_approx sketch was measured SLOWER than the exact
+    // selection at every local scale (interpreted ObjectHashAggregate per
+    // row), so "approximate quantiles" would have traded correctness for
+    // negative speed. The only fast-path concession: double summation is
+    // merge-order dependent, so mean/std can wobble in the last bits
+    // between runs — don't diff two fast sweeps bit-for-bit; the default
+    // exact path is the oracle-gated, run-deterministic semantics.
     val aggs = cols.flatMap { c =>
       val v = col(c).cast("double")
       Seq(
         count(v).as(s"${c}__n"),
-        sum(v.cast("decimal(27,10)")).cast("double").as(s"${c}__sum"),
-        sum((v * v).cast("decimal(32,14)")).cast("double").as(s"${c}__sum2"),
+        (if (fast) sum(v) else sum(v.cast("decimal(27,10)")).cast("double"))
+          .as(s"${c}__sum"),
+        (if (fast) sum(v * v)
+         else sum((v * v).cast("decimal(32,14)")).cast("double"))
+          .as(s"${c}__sum2"),
         min(v).as(s"${c}__min"),
         max(v).as(s"${c}__max"))
-    } ++ (if (approx) cols.map { c =>
-      percentile_approx(col(c).cast("double"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as(s"${c}__pq")
-    } else Nil)
+    }
     val m = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     // identical to Spark SQL round(): BigDecimal HALF_UP at scale 6
     def r6(x: Double): Double =
       if (x.isNaN || x.isInfinite) x
       else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val pcts: Map[String, Seq[Double]] =
-      if (approx) cols.map { c =>
-        c -> (Option(m.getAs[scala.collection.Seq[Double]](s"${c}__pq"))
-          .map(_.toSeq)
-          .getOrElse(Seq(Double.NaN, Double.NaN, Double.NaN)))
-      }.toMap
-      else exactPercentilesMulti(df, cols, Seq(0.25, 0.5, 0.75),
+      exactPercentilesMulti(df, cols, Seq(0.25, 0.5, 0.75),
         cols.map(c => c -> m.getAs[Long](s"${c}__n")).toMap)
     val rows = cols.map { c =>
       val n = m.getAs[Long](s"${c}__n")

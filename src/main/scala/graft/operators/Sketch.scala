@@ -34,12 +34,18 @@ object Sketch {
     val toks = df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     def bucket(j: Int): Column =
       TextAnalysis.md5Long(concat(lit(s"cms$j:"), col("tok"))) % width
-    // one pass over the stream: all d buckets map-side, then a (j, b) pair
-    // explode — the aggregate output is d·width cells regardless of input
-    val cells = toks
-      .select(posexplode(array((0 until d).map(bucket): _*)).as(Seq("j", "b")))
-      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("cnt"))
+    // ONE pass over the raw token stream (the keyed count), then both the
+    // sketch cells and the probe derive from the |vocab|-sized count
+    // relation: cell counts are Σ exact_cnt over the tokens hashing there —
+    // identical integers to counting raw occurrences, but the d-way pair
+    // explode and the d md5 evaluations run over distinct tokens instead
+    // of every occurrence (the same restructure the DuckDB mirror got)
     val cand = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint() // consumed by cells AND the probe
+    val cells = cand
+      .select(col("exact_cnt"),
+        posexplode(array((0 until d).map(bucket): _*)).as(Seq("j", "b")))
+      .groupBy(col("j"), col("b")).agg(sum(col("exact_cnt")).as("cnt"))
     val probe = cand
       .select(col("tok"), col("exact_cnt"),
         posexplode(array((0 until d).map(bucket): _*)).as(Seq("j", "b")))

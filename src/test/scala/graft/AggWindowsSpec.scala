@@ -51,24 +51,23 @@ class AggWindowsSpec extends SparkSpec {
     assert((2 to 8).forall(i => e.getDouble(i).isNaN))
   }
 
-  test("summaryStats approx path: one scan, exact moments, sane sketch quantiles") {
+  test("summaryStats fast path: double moments within FP tolerance, exact quantiles") {
     import scala.util.Random
     val rnd = new Random(11)
     import spark.implicits._
     val d = (1 to 4000).map(_ => rnd.nextGaussian() * 10.0).toDF("v")
     val exact = Agg.summaryStats(d, Seq("v")).collect()(0)
-    val ap = Agg.summaryStats(d, Seq("v"), approx = true).collect()(0)
-    // n/mean/std/min/max ride the same decimal aggregation — identical
-    assert(ap.getLong(1) == exact.getLong(1))
-    (2 to 4).foreach(i => assert(ap.getDouble(i) == exact.getDouble(i)))
-    assert(ap.getDouble(8) == exact.getDouble(8))
-    // sketch quantiles: ordered, inside [min, max], near the exact ones
-    val (p25, p50, p75) = (ap.getDouble(5), ap.getDouble(6), ap.getDouble(7))
-    assert(p25 <= p50 && p50 <= p75)
-    assert(p25 >= ap.getDouble(4) && p75 <= ap.getDouble(8))
-    Seq(5, 6, 7).foreach { i =>
-      assert(math.abs(ap.getDouble(i) - exact.getDouble(i)) < 1.0,
-        s"col $i: ${ap.getDouble(i)} vs ${exact.getDouble(i)}")
+    val fp = Agg.summaryStats(d, Seq("v"), fast = true).collect()(0)
+    // n/min/max identical; quantiles are the SAME exact selection
+    assert(fp.getLong(1) == exact.getLong(1))
+    assert(fp.getDouble(4) == exact.getDouble(4))
+    assert(fp.getDouble(8) == exact.getDouble(8))
+    Seq(5, 6, 7).foreach(i => assert(fp.getDouble(i) == exact.getDouble(i)))
+    // double-summed mean/std: equal to the decimal path up to FP
+    // accumulation order (NOT bit-pinned — that's the documented trade)
+    Seq(2, 3).foreach { i =>
+      assert(math.abs(fp.getDouble(i) - exact.getDouble(i)) < 1e-6,
+        s"col $i: ${fp.getDouble(i)} vs ${exact.getDouble(i)}")
     }
   }
 
