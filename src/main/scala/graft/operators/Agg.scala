@@ -451,13 +451,20 @@ object Agg {
     // merge-order dependent, so mean/std can wobble in the last bits
     // between runs — don't diff two fast sweeps bit-for-bit; the default
     // exact path is the oracle-gated, run-deterministic semantics.
+    // NaN/±Inf terms are NULLed on the fast path the same way the decimal
+    // cast drops them on the exact path — without the guard one NaN row
+    // would poison the whole fast mean/std instead of being skipped, a
+    // structural divergence rather than the documented last-bit wobble.
+    def finite(x: Column): Column =
+      when(!isnan(x) && abs(x) <= lit(Double.MaxValue), x)
     val aggs = cols.flatMap { c =>
       val v = col(c).cast("double")
       Seq(
         count(v).as(s"${c}__n"),
-        (if (fast) sum(v) else sum(v.cast("decimal(27,10)")).cast("double"))
+        (if (fast) sum(finite(v))
+         else sum(v.cast("decimal(27,10)")).cast("double"))
           .as(s"${c}__sum"),
-        (if (fast) sum(v * v)
+        (if (fast) sum(finite(v * v))
          else sum((v * v).cast("decimal(32,14)")).cast("double"))
           .as(s"${c}__sum2"),
         min(v).as(s"${c}__min"),

@@ -16,14 +16,18 @@ object Sketch {
     * token's estimate is the MIN over its d bucket counters, an upper
     * bound on the true count (never under — collisions only inflate).
     *
-    * Scale shape: the sketch build is ONE map-side explode + one
-    * d·width-cell aggregation (the shuffle carries ≤ d·width rows however
-    * large the corpus — that is the point of a CMS at 100 TB); the probe
-    * joins candidates against the tiny sketch broadcast-style. The
-    * candidate set here is the exact vocabulary (and the exact counts ride
-    * along to exhibit the overestimate bound); at corpus scale you'd feed
-    * a sampled/heuristic candidate set instead and skip the exact pass —
-    * the sketch side is unchanged.
+    * Scale shape: this variant carries the exact vocabulary counts
+    * ALONGSIDE the sketch (to exhibit the overestimate bound under the
+    * oracle gate), so the token stream contracts through ONE keyed
+    * count — a |vocab|-sized map-combinable shuffle — and both the
+    * d·width sketch cells and the probe derive from that relation (the
+    * d-way explode and the d md5 evaluations run per distinct token, not
+    * per occurrence). A pure-sketch build with NO exact ride-along is the
+    * raw-stream form: explode the occurrences directly into (j, b) pairs
+    * and aggregate — the shuffle then carries ≤ d·width partial cells
+    * however large the corpus, with a sampled/heuristic candidate set fed
+    * to the probe. Both shapes produce identical cell counts; pick by
+    * whether the vocabulary relation is needed anyway.
     *
     * Output: top-`k` candidates by (estimate DESC, token) with the
     * estimate and the exact count (est_cnt ≥ exact_cnt always).

@@ -102,4 +102,44 @@ private[queries] object Ora {
     s"""CASE WHEN SQRT(${normSql(a, dim)}) * SQRT(${normSql(b, dim)}) > 0
         THEN (${dotSql(a, b, dim)})
              / (SQRT(${normSql(a, dim)}) * SQRT(${normSql(b, dim)})) END"""
+
+  /** DuckDB mirror of ivfTopK over the label-centroid quantizer: decimal
+    * element-wise centroid means, nprobe probe ranking, in-cell cosine
+    * ranking — ONE definition shared by the unfiltered and filtered
+    * search mirrors so the tie-breaks/rounding/guards cannot drift apart.
+    * `extraCandPred` is AND-ed into the candidate scan (filtered ANN).
+    * Zero-norm guards mirror the Scala side's NULL-cosine drops exactly:
+    * without them a degenerate all-zero centroid would still get a probe
+    * rank (DuckDB ROW_NUMBER orders NULLs) while ivfTopK's
+    * `.filter(ccos.isNotNull)` probes fewer cells.
+    */
+  def ivfLabelSql(maxQid: Int, k: Int, nprobe: Int, dim: Int,
+                  extraCandPred: String = ""): String = {
+    val centCols = centMeanSql("embedding", dim)
+    val qcDot = centDotSql("qv", dim)
+    val cNorm = centNormSql(dim)
+    val qNorm = normArrSql("qv", dim)
+    val qeDot = dotArrSql("qv", "e.embedding", dim)
+    val eNorm = normArrSql("e.embedding", dim)
+    val pred = if (extraCandPred.nonEmpty) s" AND $extraCandPred" else ""
+    s"""WITH cent AS (SELECT label, $centCols FROM embeddings GROUP BY label),
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id < $maxQid),
+      probes AS (SELECT qid, qv, label FROM (
+          SELECT q.qid, q.qv, cent.label,
+            ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+              ($qcDot) / (SQRT($qNorm) * SQRT($cNorm)) DESC, cent.label) AS prn
+          FROM q CROSS JOIN cent
+          WHERE SQRT($qNorm) * SQRT($cNorm) > 0)
+        WHERE prn <= $nprobe),
+      scored AS (SELECT qid, vb, cos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS rank
+        FROM (SELECT p.qid, e.vec_id AS vb,
+            ROUND(($qeDot) / (SQRT($qNorm) * SQRT($eNorm)), 6) AS cos
+          FROM probes p JOIN embeddings e ON e.label = p.label
+          WHERE e.vec_id <> p.qid$pred
+            AND SQRT($qNorm) * SQRT($eNorm) > 0))
+      SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM scored
+      WHERE rank <= $k ORDER BY qid, rank"""
+  }
 }

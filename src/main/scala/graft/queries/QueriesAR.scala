@@ -116,31 +116,8 @@ object QueriesAR {
           candidateFilter = col("vec_id") % 3 === 0)
         .orderBy(col("qid"), col("rank"))
     },
-    Some {
-      val centCols = Ora.centMeanSql("embedding", 64)
-      val qcDot = Ora.centDotSql("qv", 64)
-      val cNorm = Ora.centNormSql(64)
-      val qNorm = Ora.normArrSql("qv", 64)
-      val qeDot = Ora.dotArrSql("qv", "e.embedding", 64)
-      val eNorm = Ora.normArrSql("e.embedding", 64)
-      s"""WITH cent AS (SELECT label, $centCols FROM embeddings GROUP BY label),
-        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-          WHERE vec_id < 10),
-        probes AS (SELECT qid, qv, label FROM (
-            SELECT q.qid, q.qv, cent.label,
-              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-                ($qcDot) / (SQRT($qNorm) * SQRT($cNorm)) DESC, cent.label) AS prn
-            FROM q CROSS JOIN cent)
-          WHERE prn <= 3),
-        scored AS (SELECT qid, vb, cos,
-            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS rank
-          FROM (SELECT p.qid, e.vec_id AS vb,
-              ROUND(($qeDot) / (SQRT($qNorm) * SQRT($eNorm)), 6) AS cos
-            FROM probes p JOIN embeddings e ON e.label = p.label
-            WHERE e.vec_id <> p.qid AND e.vec_id % 3 = 0))
-        SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM scored
-        WHERE rank <= 5 ORDER BY qid, rank"""
-    })
+    Some(Ora.ivfLabelSql(maxQid = 10, k = 5, nprobe = 3, dim = 64,
+      extraCandPred = "e.vec_id % 3 = 0")))
 
   val all: Seq[QueryDef] = Seq(dsirImportance, zipfFit, simsearchFiltered)
 }

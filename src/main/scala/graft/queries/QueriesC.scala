@@ -235,30 +235,7 @@ object QueriesC {
           "vec_id", "embedding", "label", dim = 64, k = 5, nprobe = 3)
         .orderBy(col("qid"), col("rank"))
     },
-    Some {
-      val centCols = centMeanSql("embedding", 64)
-      val qcDot = centDotSql("qv", 64)
-      val cNorm = centNormSql(64)
-      val qNorm = normArrSql("qv", 64)
-      val qeDot = dotArrSql("qv", "e.embedding", 64)
-      val eNorm = normArrSql("e.embedding", 64)
-      s"""WITH cent AS (SELECT label, $centCols FROM embeddings GROUP BY label),
-        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        probes AS (SELECT qid, qv, label FROM (
-            SELECT q.qid, q.qv, cent.label,
-              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-                ($qcDot) / (SQRT($qNorm) * SQRT($cNorm)) DESC, cent.label) AS prn
-            FROM q CROSS JOIN cent)
-          WHERE prn <= 3),
-        scored AS (SELECT qid, vb, cos,
-            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS rank
-          FROM (SELECT p.qid, e.vec_id AS vb,
-              ROUND(($qeDot) / (SQRT($qNorm) * SQRT($eNorm)), 6) AS cos
-            FROM probes p JOIN embeddings e ON e.label = p.label
-            WHERE e.vec_id <> p.qid))
-        SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM scored
-        WHERE rank <= 5 ORDER BY qid, rank"""
-    })
+    Some(Ora.ivfLabelSql(maxQid = 10, k = 5, nprobe = 3, dim = 64)))
 
   /** The pairs → clusters → corpus composition, ending in [[Dedup.canonicalize]]:
     * the deduplicated corpus itself (one canonical doc per near-dup cluster,

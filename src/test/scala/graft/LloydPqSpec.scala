@@ -104,6 +104,41 @@ class LloydPqSpec extends SparkSpec {
       s"slope ${out.getDouble(1)} vs closed-form $slope")
   }
 
+  test("ivfTopKFiltered keeps the index layout and honors the fewer-than-k shape") {
+    import spark.implicits._
+    // two well-separated clusters as cells (label 0 on the x-axis, label 1
+    // on the y-axis); the query sits in cluster 0
+    val rows = (0 until 20).map { i =>
+      val base =
+        if (i % 2 == 0) Array(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+        else Array(0f, 10f, 0f, 0f, 0f, 0f, 0f, 0f)
+      (i.toLong,
+        base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 3) },
+        (i % 2).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val q = rows.filter(col("vec_id") === 0)
+    // layout invariance: with nprobe=1 the query probes ITS OWN cell
+    // (centroids from the FULL corpus), whose members all fail the
+    // label=1 predicate → zero results. A buggy filter-before-centroids
+    // implementation would see only cluster 1, probe it, and return k hits.
+    val strict = Similarity.ivfTopKFiltered(rows, q, "vec_id", "embedding",
+      "label", dim = 8, k = 3, nprobe = 1, candidateFilter = col("label") === 1)
+    assert(strict.count() == 0,
+      "a fully-filtered probed cell must yield nothing — the predicate " +
+        "must not move centroids or probe sets")
+    // widening the probe reaches the surviving cell: hits exist and ALL
+    // satisfy the predicate
+    val wide = Similarity.ivfTopKFiltered(rows, q, "vec_id", "embedding",
+        "label", dim = 8, k = 3, nprobe = 2, candidateFilter = col("label") === 1)
+      .collect()
+    assert(wide.length == 3 && wide.forall(_.getLong(2) % 2 == 1))
+    // a predicate leaving fewer than k survivors returns fewer than k rows
+    val tiny = Similarity.ivfTopKFiltered(rows, q, "vec_id", "embedding",
+        "label", dim = 8, k = 3, nprobe = 2, candidateFilter = col("vec_id") === 1)
+      .collect()
+    assert(tiny.length == 1 && tiny(0).getLong(2) == 1L)
+  }
+
   test("appendToIndex: new vectors land in the model's own cells, old cells untouched") {
     import spark.implicits._
     import org.apache.spark.ml.functions.array_to_vector
