@@ -119,5 +119,53 @@ object QueriesAR {
     Some(Ora.ivfLabelSql(maxQid = 10, k = 5, nprobe = 3, dim = 64,
       extraCandPred = "e.vec_id % 3 = 0")))
 
-  val all: Seq[QueryDef] = Seq(dsirImportance, zipfFit, simsearchFiltered)
+  /** Vocabulary coverage curve: the share of total token OCCURRENCES the
+    * top-N most frequent tokens cover, for N ∈ {10, 100, 1000} — the
+    * number that sizes a tokenizer vocabulary. One rank window on the
+    * vocabulary-bounded distinct-token relation (census-allowlisted), one
+    * aggregation for all three thresholds.
+    */
+  val vocabCoverage: QueryDef = {
+    val thresholds = Seq(10, 100, 1000)
+    QueryDef(
+      "text_vocab_coverage",
+      (s, dir) => {
+        val freq = Core.fanOut(t(s, dir, "documents"))
+          .select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))
+        val ranked = freq.withColumn("rank", row_number().over(w))
+        val covAggs = thresholds.map(n =>
+          sum(when(col("rank") <= n, col("cnt")).otherwise(0L)).as(s"c$n"))
+        val m = ranked.agg(sum(col("cnt")).as("total"), covAggs: _*)
+        val entries = thresholds.map(n =>
+          struct(lit(n).as("n_top"), col(s"c$n").as("covered")))
+        m.select(col("total"), explode(array(entries: _*)).as("e"))
+          .select(col("e.n_top"), col("e.covered"), col("total"),
+            round(col("e.covered").cast("double") /
+              col("total").cast("double"), 6).as("share"))
+          .orderBy(col("n_top"))
+      },
+      Some {
+        val cases = thresholds.map(n =>
+          s"CAST(SUM(CASE WHEN rank <= $n THEN cnt ELSE 0 END) AS BIGINT) AS c$n")
+          .mkString(", ")
+        val rows = thresholds.map(n =>
+          s"SELECT $n AS n_top, c$n AS covered, total FROM m")
+          .mkString("\n          UNION ALL ")
+        s"""WITH freq AS (SELECT tok, COUNT(*) AS cnt
+            FROM (SELECT unnest(${Ora.toksSql}) AS tok FROM documents)
+            GROUP BY 1),
+          r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+            FROM freq),
+          m AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, $cases FROM r)
+        SELECT n_top, covered, total,
+          ROUND(CAST(covered AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        FROM ($rows) ORDER BY n_top"""
+      })
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(dsirImportance, zipfFit, simsearchFiltered, vocabCoverage)
 }

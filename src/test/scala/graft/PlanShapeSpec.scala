@@ -106,6 +106,7 @@ class PlanShapeSpec extends SparkSpec {
       "sketch_cms_topk" -> 1,        // rank over distinct-token estimates
       "skyline_pareto" -> 1,         // running max over distinct costs
       "survival_km" -> 3,            // KM product over distinct durations
+      "text_vocab_coverage" -> 1,    // rank over the vocab-bounded tokens
       "text_zipf_fit" -> 1,          // rank over the vocab-bounded tokens
       "w13_phrase_topk" -> 1,        // rank over per-doc phrase counts
       "w3_dense_rank" -> 1)          // dense ids over the distinct key set
