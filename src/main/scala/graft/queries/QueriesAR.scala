@@ -166,6 +166,56 @@ object QueriesAR {
       })
   }
 
+  /** Quality-classifier pipeline (the CCNet/GPT-style corpus filter as
+    * ONE gated dataflow): train a logistic model on per-doc features
+    * (scaled token count, scaled char count) against a weak source-based
+    * label via the unrolled IRLS dataflow, then SCORE every document
+    * with the fitted (6-dp-rounded, hence engine-identical) coefficients
+    * — training AND inference both under the exact hash gate. The
+    * coefficient collect is 1 row (model scale); scoring is one map-side
+    * projection over the corpus.
+    */
+  val qualityClassifier: QueryDef = {
+    val iters = 3
+    QueryDef(
+      "curation_quality_classifier",
+      (s, dir) => {
+        import graft.llm.TextAnalysis
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"),
+            (substring(col("source"), 4, 10).cast("int") < 5)
+              .cast("double").as("y"),
+            (size(TextAnalysis.tokens(col("text"))).cast("double") / 100.0)
+              .as("x1"),
+            (col("n_chars").cast("double") / 1000.0).as("x2"))
+          .localCheckpoint() // the fit scans it per iteration + the scorer
+        val b = graft.ml.Glm.logisticIrls(base, "y", "x1", "x2",
+          iters = iters).collect()(0)
+        val (b0, b1, b2) = (b.getDouble(1), b.getDouble(2), b.getDouble(3))
+        val p = round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")))), 9)
+        base.select(col("doc_id"), round(p, 6).as("score"),
+            (p >= 0.5).as("predicted_pos"), (col("y") === 1.0).as("is_pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS MATERIALIZED (SELECT doc_id,
+          CAST(CAST(substr(source, 4) AS INT) < 5 AS DOUBLE) AS y,
+          CAST(len(${Ora.toksSql}) AS DOUBLE) / 100.0 AS x1,
+          CAST(n_chars AS DOUBLE) / 1000.0 AS x2
+          FROM documents),
+        bet0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+        ${Ora.irlsStepsSql(iters)},
+        fin AS (SELECT ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
+          ROUND(b2, 6) AS b2 FROM bet$iters),
+        sc AS (SELECT doc_id, y,
+          ROUND(1.0 / (1.0 + EXP(-(f.b0 + f.b1 * x1 + f.b2 * x2))), 9) AS p
+          FROM base CROSS JOIN fin f)
+      SELECT doc_id, ROUND(p, 6) AS score, p >= 0.5 AS predicted_pos,
+        (y = 1.0) AS is_pos
+      FROM sc ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(dsirImportance, zipfFit, simsearchFiltered, vocabCoverage)
+    Seq(dsirImportance, zipfFit, simsearchFiltered, vocabCoverage,
+      qualityClassifier)
 }
