@@ -19,7 +19,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q1_pricing_summary", "a21_grouped_ols", "text_entropy_kl",
     "m13_auc_roc", "survival_km", "ml_logreg_irls", "graph_hits",
     "dedup_minhash", "text_kn_perplexity", "w16_longest_streak",
-    "a22_winsorize", "er_entity_resolution")
+    "a22_winsorize", "er_entity_resolution",
+    // round-9 families: DSIR's decimal-truncated ln-ratio sums, the
+    // Lloyd-trained PQ codebook (per-subspace decimal means feeding the
+    // fused encode), and the threshold-scored RFM quartiles
+    "curation_dsir", "simsearch_pq_learned", "b8_rfm_segments")
 
   test("representative queries are bit-identical under a different shuffle partitioning") {
     val alt = spark.newSession()
