@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Core
@@ -75,6 +74,13 @@ object QueriesAI {
     * event counts — percentile threshold on the CONTRACTED |users|
     * relation, then a filter; the "top decile cohort" every growth
     * dashboard defines.
+    *
+    * Scale shape: the threshold comes from
+    * [[graft.operators.Agg.exactPercentilesMulti]] — shuffle-free
+    * counting selection, never a global sort or single-partition window —
+    * and is broadcast back as a LITERAL, so the plan over the per-user
+    * relation is scan → hash-agg → filter at ANY table size (a
+    * billion-user events table never single-partition-sorts |users| rows).
     */
   val powerUsers: QueryDef = {
     val p = 0.9
@@ -83,22 +89,14 @@ object QueriesAI {
       (s, dir) => {
         val counts = t(s, dir, "events").groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"))
-        val w = Window.orderBy(col("n_events"))
-        val ranked = counts
-          .withColumn("__rn", row_number().over(w))
-          .withColumn("__n", count(lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
-        val r = lit(p) * (col("__n") - lit(1))
-        val thr = ranked.agg(
-          (max(when(col("__rn") - 1 === floor(r), col("n_events"))) +
-            (max(when(col("__rn") - 1 === ceil(r), col("n_events"))) -
-              max(when(col("__rn") - 1 === floor(r), col("n_events")))) *
-            (first(r) - floor(first(r)))).as("thr"))
-        counts.crossJoin(broadcast(thr))
-          .filter(col("n_events").cast("double") > col("thr"))
+          .localCheckpoint() // threshold pass + final scan read it twice
+        val n = counts.count()
+        val thr = graft.operators.Agg.exactPercentilesMulti(
+          counts, Seq("n_events"), Seq(p), Map("n_events" -> n))("n_events").head
+        counts
+          .filter(col("n_events").cast("double") > lit(thr))
           .select(col("user_id"), col("n_events"),
-            round(col("thr"), 6).as("p90_threshold"))
+            round(lit(thr), 6).as("p90_threshold"))
           .orderBy(col("user_id"))
       },
       Some(s"""WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT)

@@ -61,6 +61,16 @@ class PlanShapeSpec extends SparkSpec {
         p.linesIterator.take(15).mkString("\n"))
   }
 
+  test("power users: broadcast-literal p90 threshold, no window at all") {
+    val p = planOf("b9_power_users")
+    // the p90 comes from exactPercentilesMulti (counting selection) and is
+    // applied as a literal filter, so the per-user rollup is never
+    // single-partition-sorted
+    assert(!p.contains("Window"),
+      "b9_power_users must not contain any window:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+  }
+
   test("bucketed tables join WITHOUT a shuffle") {
     import org.apache.spark.sql.functions._
     // run the query once so the bucketed tables exist in the catalog
@@ -90,7 +100,6 @@ class PlanShapeSpec extends SparkSpec {
     val allow: Map[String, Int] = Map(
       "assoc_rules" -> 1,            // rank over the mined-rule relation
       "b6_path_topk" -> 1,           // rank over distinct path strings
-      "b9_power_users" -> 2,         // p90 bound + rank on per-user rollup
       "dq_referential" -> 1,         // rank over orphan keys
       "dq_skew_profile" -> 2,        // top-k keys + k-row cumulative share
       "er_entity_resolution" -> 1,   // rank within the blocked-match pairs
