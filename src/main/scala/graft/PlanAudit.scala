@@ -29,10 +29,16 @@ object PlanAudit {
         val p = SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.executedPlan.toString
         // shuffle exchanges only: a bare "Exchange " also matches inside
-        // BroadcastExchange/ReusedExchange nodes and overcounts; the
-        // alternation must include round-robin (fanOut's repartition) and
-        // rebalance or those real shuffles would go uncounted
-        val ex = count(p, "Exchange (hash|range|SinglePartition|roundrobin|rebalance)")
+        // BroadcastExchange/ReusedExchange nodes and overcounts. The
+        // alternation lists the EXACT partitioning toStrings Spark 4.1
+        // prints after "Exchange ": lowercase expression-style
+        // hashpartitioning/rangepartitioning, and case-class-style
+        // SinglePartition/RoundRobinPartitioning (the latter covers
+        // repartition(n) and REBALANCE_* origins, which print a
+        // RoundRobinPartitioning or hashpartitioning node plus an origin
+        // suffix — so rebalance needs no token of its own)
+        val ex = count(p,
+          "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)")
         val bhj = count(p, "BroadcastHashJoin")
         val smj = count(p, "SortMergeJoin")
         val cart = count(p, "CartesianProduct") +

@@ -551,8 +551,28 @@ object Similarity {
       .map { case (v, i) => (i.toLong, v.toArray.toSeq) }.toSeq
       .toDF("cell", "cv")
     val asn = assignCellsL2(newVectors, idCol, vecCol, cents, "cell", "cv", dim)
-    asn.write.mode("append").partitionBy("ivf_cell").parquet(s"$path/cells")
-    asn
+    // schema guard: an append with extra/missing/retyped columns would land
+    // silently and later reads of the index would drop or null columns
+    // depending on which parquet footer gets sampled — align to the schema
+    // saveIndex originally wrote (partition column included) before writing
+    val existing = spark.read.parquet(s"$path/cells").schema
+    // compare via .sql: nullability round-trips lossily through parquet
+    // (array containsNull flips to true on read) and is not a layout hazard
+    val exCols = existing.fields.map(f => f.name -> f.dataType.sql).toMap
+    val asnCols = asn.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    require(asnCols.keySet == exCols.keySet,
+      s"appendToIndex: column set ${asnCols.keySet.toSeq.sorted.mkString(",")} " +
+        s"does not match the saved index ${exCols.keySet.toSeq.sorted.mkString(",")}")
+    // ivf_cell is the PARTITION column: on disk it is a directory-name
+    // string and reads back with an inferred (narrower) type, so its
+    // in-frame type is not a layout property — presence is all that matters
+    exCols.foreach { case (n, dt) =>
+      require(n == "ivf_cell" || asnCols(n) == dt,
+        s"appendToIndex: column $n has type ${asnCols(n)}, saved index has $dt")
+    }
+    val aligned = asn.select(existing.fieldNames.map(col): _*)
+    aligned.write.mode("append").partitionBy("ivf_cell").parquet(s"$path/cells")
+    aligned
   }
 
   def saveIndex(assigned: DataFrame,

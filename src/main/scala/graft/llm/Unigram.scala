@@ -97,13 +97,20 @@ object Unigram {
     // overhead) is checked against a 256 MB driver-side budget — a
     // row-count cap alone admits multi-hundred-MB tables (ADVICE r7).
     val budgetBytes = 256L << 20
-    val sz = pieceScores.agg(
+    // materialize the (vocabulary-bounded) score table ONCE before the two
+    // driver actions below: without this, the size-guard agg and the
+    // collect each re-execute the table's full lineage — which for an
+    // EM-refined model contains the entire previous Viterbi DP pass, so
+    // every encode ran its training DP twice (the round-9 unigram_encode
+    // 2.0× drift)
+    val psChk = pieceScores.localCheckpoint()
+    val sz = psChk.agg(
       count(lit(1)), coalesce(sum(length(col("piece"))), lit(0L))).head()
     val estBytes = sz.getLong(1) * 2 + sz.getLong(0) * 150
     require(estBytes <= budgetBytes,
       s"viterbi broadcasts the piece-score table — ~${estBytes >> 20} MB " +
         s"estimated (${sz.getLong(0)} pieces) exceeds the ${budgetBytes >> 20} MB budget")
-    val scoreRows = pieceScores.select(col("piece"), col("pscore").cast(Dec))
+    val scoreRows = psChk.select(col("piece"), col("pscore").cast(Dec))
       .collect()
     val scoreMap: Map[String, java.math.BigDecimal] =
       scoreRows.map(r => r.getString(0) -> r.getDecimal(1)).toMap

@@ -49,4 +49,71 @@ object HydroClass {
       .withColumn("hydro_dist", minDist)
       .drop(features.flatMap(f => Seq(s"__mu_$f", s"__sd_$f")): _*)
   }
+
+  /** Fixed-range feature standardization (the pyart `_standardize` shape
+    * the reference applies to both gates and mass centers:
+    * radarprocessing.py:707-779 hydroClass_single_over_iso): clamp to
+    * [mn, mx], then map linearly onto [-1, 1]. Pure per-row arithmetic —
+    * no data-dependent moments, so it is trivially deterministic and
+    * constant-folds when applied to centroid literals.
+    */
+  def standardizeFixed(x: Column, mn: Double, mx: Double): Column =
+    lit(2.0) * (least(greatest(x, lit(mn)), lit(mx)) - lit(mn)) /
+      lit(mx - mn) - lit(1.0)
+
+  /** The per-group variant of [[classify]] — the
+    * `hydroClass_single_over_iso` analog (reference
+    * common/radarprocessing.py:707-779, used by the database_5min ETL:
+    * retrieve_radar_data_5min.py:767): each radar has its OWN static
+    * centroid table (constants.py HYDRO_CENTROIDS), the 5th feature is the
+    * gate height over the freezing level (altitude − ISO0) instead of a
+    * temperature proxy, features are standardized with the FIXED pyart
+    * ranges (not data moments), and the distance is the weighted Minkowski
+    * of the reference's `cdist(..., w=weights)`.
+    *
+    * Spark-first realization: the per-group centroid tables are static
+    * constants, so the whole classifier compiles to ONE codegen'd
+    * projection — a `when` chain on the group column dispatching to that
+    * group's argmin-distance `when` chain. No join, no shuffle, no UDF;
+    * at 100 TB this is a map-only pass. Rows whose group has no centroid
+    * table classify as null (the reference's NaN → "no data").
+    */
+  def classifyPerGroup(df: DataFrame, groupCol: String,
+                       features: Seq[String], ranges: Seq[(Double, Double)],
+                       centroidsByGroup: Map[String, Seq[Centroid]],
+                       weights: Seq[Double], p: Double = 2.0): DataFrame = {
+    require(weights.length == features.length &&
+      ranges.length == features.length,
+      "features, ranges and weights must align")
+    centroidsByGroup.foreach { case (g, cs) =>
+      require(cs.nonEmpty && cs.forall(_.values.length == features.length),
+        s"group $g centroid width must match ${features.length} features")
+    }
+    def distTo(c: Centroid): Column =
+      features.indices.map { i =>
+        val (mn, mx) = ranges(i)
+        val d = standardizeFixed(col(features(i)), mn, mx) -
+          standardizeFixed(lit(c.values(i)), mn, mx)
+        if (p == 2.0) lit(weights(i)) * d * d
+        else lit(weights(i)) * pow(abs(d), p)
+      }.reduce(_ + _)
+    val byGroup = centroidsByGroup.toSeq.sortBy(_._1).map { case (g, cs) =>
+      val dists = cs.map(c => c.hydroClass -> distTo(c))
+      val minD = least(dists.map(_._2): _*)
+      // ties resolve to declaration order, like classify
+      val cls = dists.foldRight(lit(null).cast("string")) {
+        case ((name, d), acc) => when(d === minD, lit(name)).otherwise(acc)
+      }
+      (g, cls, minD)
+    }
+    val clsAll = byGroup.foldRight(lit(null).cast("string")) {
+      case ((g, cls, _), acc) => when(col(groupCol) === g, cls).otherwise(acc)
+    }
+    val distAll = byGroup.foldRight(lit(null).cast("double")) {
+      case ((g, _, d), acc) => when(col(groupCol) === g, d).otherwise(acc)
+    }
+    df.withColumn("hydro_class", clsAll)
+      .withColumn("hydro_dist",
+        if (p == 2.0) sqrt(distAll) else pow(distAll, lit(1.0 / p)))
+  }
 }

@@ -37,23 +37,30 @@ object Queries {
     * a WeakHashMap keyed on the SparkSession INSTANCE: identity semantics
     * mean a sibling session with different partitioning
     * (PartitionInvarianceSpec) can never collide with another session's
-    * checkpointed blocks (an identityHashCode string key could), and weak
-    * keys let a stopped session's entries — and their checkpoint blocks —
-    * be collected instead of pinning the JVM forever. The builder result
-    * is localCheckpoint-ed: built once per (session, dir), read by every
-    * consumer.
+    * checkpointed blocks (an identityHashCode string key could). The inner
+    * map is held through a SoftReference: a cached Dataset strongly
+    * references its SparkSession (via QueryExecution), so storing it as a
+    * plain WeakHashMap VALUE would resurrect the key and pin every
+    * session's entries for the JVM lifetime. With the soft indirection an
+    * abandoned session is at most softly reachable from this cache, so the
+    * GC clears the entry under memory pressure (always before OOM), and
+    * the ContextCleaner then unpersists the collected RDDs' checkpoint
+    * blocks. The builder result is localCheckpoint-ed: built once per
+    * (session, dir), read by every consumer.
     */
   private val relCache = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    SparkSession, java.lang.ref.SoftReference[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]]()
   private[queries] def memoRel(s: SparkSession, dir: String, key: String)
                               (build: => DataFrame): DataFrame = {
     val perSession = relCache.synchronized {
-      var m = relCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        relCache.put(s, m)
-      }
-      m
+      val ref = relCache.get(s)
+      val live = if (ref == null) null else ref.get()
+      if (live == null) {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relCache.put(s, new java.lang.ref.SoftReference(m))
+        m
+      } else live
     }
     perSession.computeIfAbsent(s"$dir|$key", _ => build.localCheckpoint())
   }

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Core
+import graft.ml.HydroClass
+
+/** Batch 36 (round 10): the ISO0-height hydrometeor-classification variant
+  * (per-group static centroid tables, fixed-range standardization, weighted
+  * Minkowski — the `hydroClass_single_over_iso` analog the database_5min
+  * ETL path uses).
+  */
+object QueriesAS {
+  import Queries.QueryDef
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.table(s, dir, name)
+
+  /** J10-iso fixture: per-"radar" (event_type) centroid tables in RAW
+    * feature space, standardized by the same fixed ranges as the data —
+    * exactly how the reference standardizes constants.HYDRO_CENTROIDS
+    * per radar before cdist (radarprocessing.py:755-761).
+    */
+  private val isoFeatures = Seq("zh", "hr", "hoi")
+  private val isoRanges = Seq((0.0, 100.0), (0.0, 23.0), (-25.0, 100.0))
+  private val isoWeights = Seq(1.0, 0.75, 0.5)
+  private val isoCentroids: Seq[(String, Seq[(String, Seq[Double])])] = Seq(
+    "click" -> Seq("LR" -> Seq(20.0, 8.0, 10.0),
+      "RN" -> Seq(55.0, 14.0, 40.0), "WS" -> Seq(35.0, 19.0, -10.0)),
+    "error" -> Seq("LR" -> Seq(18.0, 6.0, 12.0),
+      "RN" -> Seq(58.0, 15.0, 42.0), "WS" -> Seq(32.0, 20.0, -12.0)),
+    "purchase" -> Seq("LR" -> Seq(22.0, 9.0, 9.0),
+      "RN" -> Seq(52.0, 13.0, 38.0), "WS" -> Seq(37.0, 18.0, -8.0)),
+    "signup" -> Seq("LR" -> Seq(19.0, 7.0, 11.0),
+      "RN" -> Seq(56.0, 16.0, 41.0), "WS" -> Seq(33.0, 21.0, -11.0)),
+    "view" -> Seq("LR" -> Seq(21.0, 8.5, 10.5),
+      "RN" -> Seq(54.0, 14.5, 39.0), "WS" -> Seq(36.0, 19.5, -9.0)))
+
+  // ---- SQL mirror generators: the SAME arithmetic, token for token ----
+  private def fmt(d: Double): String =
+    if (d == d.floor && math.abs(d) < 1e15) f"${d}%.1f" else d.toString
+  private def stdSql(e: String, mn: Double, mx: Double): String =
+    s"2.0 * (LEAST(GREATEST($e, ${fmt(mn)}), ${fmt(mx)}) - ${fmt(mn)}) / " +
+      s"${fmt(mx - mn)} - 1.0"
+  private def distSql(cvals: Seq[Double]): String =
+    isoFeatures.indices.map { i =>
+      val (mn, mx) = isoRanges(i)
+      val d = s"(${stdSql(isoFeatures(i), mn, mx)} - " +
+        s"(${stdSql(fmt(cvals(i)), mn, mx)}))"
+      s"${fmt(isoWeights(i))} * $d * $d"
+    }.mkString(" + ")
+  private def groupCaseSql(cs: Seq[(String, Seq[Double])]): String = {
+    val Seq((n1, v1), (n2, v2), (n3, v3)) = cs
+    val (d1, d2, d3) = (distSql(v1), distSql(v2), distSql(v3))
+    s"""CASE WHEN ($d1) <= ($d2) AND ($d1) <= ($d3) THEN '$n1'
+        WHEN ($d2) <= ($d3) THEN '$n2' ELSE '$n3' END"""
+  }
+
+  /** Per-radar nearest-centroid classification with the height-over-ISO0
+    * feature — `hydroClass_single_over_iso`
+    * (common/radarprocessing.py:707-779; called from
+    * database_5min/retrieve_radar_data_5min.py:767 with
+    * height_over_iso0 as the 5th feature). Static per-group centroids,
+    * pyart fixed-range standardization of BOTH gates and centroids,
+    * weighted squared-Euclidean argmin — all compiled into one codegen'd
+    * projection (no join, no shuffle; see
+    * [[graft.ml.HydroClass.classifyPerGroup]]).
+    */
+  val j10CentroidIso: QueryDef = QueryDef(
+    "j10_nearest_centroid_iso",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type").as("radar"),
+          col("value").as("zh"),
+          hour(col("ts")).cast("double").as("hr"),
+          (col("value") - hour(col("ts")).cast("double")).as("hoi"))
+      val cents = isoCentroids.map { case (g, cs) =>
+        g -> cs.map { case (n, vs) => HydroClass.Centroid(n, vs) }
+      }.toMap
+      HydroClass.classifyPerGroup(ev, "radar", isoFeatures, isoRanges,
+          cents, isoWeights)
+        .select(col("event_id"), col("radar"), col("hydro_class"))
+        .orderBy(col("event_id"))
+    },
+    Some {
+      val radarCase = isoCentroids.map { case (g, cs) =>
+        s"WHEN radar = '$g' THEN (${groupCaseSql(cs)})"
+      }.mkString("\n        ")
+      s"""WITH ev AS (SELECT event_id, event_type AS radar, value AS zh,
+          CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS hr,
+          value - CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS hoi
+        FROM events WHERE value IS NOT NULL)
+      SELECT event_id, radar,
+        CASE $radarCase END AS hydro_class
+      FROM ev ORDER BY event_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(j10CentroidIso)
+}

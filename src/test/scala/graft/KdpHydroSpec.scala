@@ -60,4 +60,45 @@ class KdpHydroSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(r.fieldIndex("hydro_class")))).toMap
     assert(out == Map("a" -> "lo", "b" -> "hi"))
   }
+
+  test("classifyPerGroup dispatches to the group's OWN centroid table") {
+    // the same gate (zh=30, hoi=5) is 'rain' under radar A's centroids and
+    // 'snow' under radar B's — per-group dispatch, the over_iso semantics
+    val d = df("gate STRING, radar STRING, zh DOUBLE, hoi DOUBLE",
+      Seq(R("g1", "A", 30.0, 5.0), R("g2", "B", 30.0, 5.0),
+        R("g3", "C", 30.0, 5.0))) // C has no table → null class
+    val ranges = Seq((0.0, 60.0), (-10.0, 20.0))
+    val cents = Map(
+      "A" -> Seq(HydroClass.Centroid("rain", Seq(32.0, 6.0)),
+        HydroClass.Centroid("snow", Seq(5.0, -8.0))),
+      "B" -> Seq(HydroClass.Centroid("rain", Seq(55.0, 18.0)),
+        HydroClass.Centroid("snow", Seq(28.0, 4.0))))
+    val out = HydroClass.classifyPerGroup(d, "radar", Seq("zh", "hoi"),
+        ranges, cents, weights = Seq(1.0, 0.5))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getString(r.fieldIndex("hydro_class")))).toMap
+    assert(out == Map("g1" -> Some("rain"), "g2" -> Some("snow"),
+      "g3" -> None))
+  }
+
+  test("classifyPerGroup: weights steer the argmin, clamps saturate") {
+    // point equidistant per-feature from both centroids in standardized
+    // space; the weight on feature 1 decides the winner
+    val d = df("gate STRING, radar STRING, x DOUBLE, y DOUBLE",
+      Seq(R("g", "A", 0.0, 10.0),
+        R("ov", "A", 999.0, -999.0))) // out of range: clamps to (1, -1)
+    val ranges = Seq((-10.0, 10.0), (-10.0, 10.0))
+    val cents = Map("A" -> Seq(
+      HydroClass.Centroid("cx", Seq(10.0, 10.0)),  // matches y, off in x
+      HydroClass.Centroid("cy", Seq(0.0, -10.0)))) // matches x, off in y
+    def cls(w: Seq[Double]) = HydroClass.classifyPerGroup(
+        d, "radar", Seq("x", "y"), ranges, cents, w)
+      .collect().map(r => r.getString(0) ->
+        r.getString(r.fieldIndex("hydro_class"))).toMap
+    // heavy x-weight punishes cx's x-offset → cy wins; heavy y-weight → cx
+    assert(cls(Seq(1.0, 0.1))("g") == "cy")
+    assert(cls(Seq(0.1, 1.0))("g") == "cx")
+    // the clamped point sits at standardized (1, -1): nearer cy=(1, -1)
+    assert(cls(Seq(1.0, 1.0))("ov") == "cy")
+  }
 }

@@ -164,6 +164,17 @@ class LloydPqSpec extends SparkSpec {
     assert(after.count() == before + 10)
     assert(after.filter(col("vec_id") < 1000).count() == before,
       "existing rows must be untouched by the append")
+    // schema guard: a frame with an extra column must be REJECTED, not
+    // appended — mixed parquet schemas in the index read back
+    // footer-dependent (columns silently dropped or nulled)
+    val widened = newVecs.withColumn("extra", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(spark, dir, widened, "vec_id", "embedding",
+        dim = 8)
+    }
+    assert(e.getMessage.contains("does not match the saved index"))
+    assert(spark.read.parquet(s"$dir/cells").count() == before + 10,
+      "rejected append must not write")
   }
 
   test("assignCells works UNCHANGED on a streaming frame (vector ingest)") {
