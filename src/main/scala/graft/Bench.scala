@@ -197,17 +197,17 @@ object Bench {
       // with a 28-char margin before surrendering resolution
       val lt = lineAt(v => strip(fmt2(v)))
       if (lt.length <= 1900) {
-        System.err.println(s"NOTE: bench line trailing-zero-stripped (plain 2 dp was ${line2.length} chars)")
+        println(s"NOTE: bench line trailing-zero-stripped (plain 2 dp was ${line2.length} chars)")
         (lt, false)
       } else if (only.isEmpty) {
         val lp = packedLine()
-        System.err.println(s"NOTE: bench line switched to packed encoding (2 dp map was ${line2.length} chars)")
+        println(s"NOTE: bench line switched to packed encoding (2 dp map was ${line2.length} chars)")
         (lp, true)
       } else {
         // a SPARK_GRAFT_ONLY subset must NEVER pack: the CSV's positions
         // would be decoded against the FULL-set alias indices in the
         // committed BENCH_KEYS.json and silently misalign every field
-        System.err.println(s"NOTE: oversized dev-subset line kept stripped (${lt.length} chars); packed is full-run-only")
+        println(s"NOTE: oversized dev-subset line kept stripped (${lt.length} chars); packed is full-run-only")
         (lt, false)
       }
     }

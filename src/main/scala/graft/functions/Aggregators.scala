@@ -272,4 +272,140 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[LongHit]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[LongHit]]()
   }
+
+  final case class StrHit(score: Double, id: String)
+  final case class TopKStrBuffer(scores: ArrayBuffer[Double],
+                                 ids: ArrayBuffer[String])
+
+  /** Bounded top-k by (score DESC, id ASC) with a STRING identity — the
+    * [[TopK]] sibling for rankings whose tie-break/payload is text (path
+    * strings, tokens, canonical names). Same scale shape: at most k
+    * candidates per partial buffer, so the exchange carries
+    * |partitions|·k rows however large the ranked relation is — the
+    * replacement for a global `ROW_NUMBER() OVER (ORDER BY score DESC,
+    * id)` window, which single-partition-sorts the WHOLE relation. The
+    * string comparison is Java lexicographic (UTF-16 code units) ==
+    * DuckDB's binary collation for the ASCII identities every caller
+    * ranks.
+    */
+  class TopKStr(k: Int)
+      extends Aggregator[(Double, String), TopKStrBuffer, Seq[StrHit]] {
+    require(k > 0, "k must be positive")
+
+    private def better(s1: Double, i1: String, s2: Double, i2: String): Boolean = {
+      val cmp = java.lang.Double.compare(s1, s2)
+      cmp > 0 || (cmp == 0 && i1.compareTo(i2) < 0)
+    }
+
+    private def admit(b: TopKStrBuffer, s: Double, id: String): Unit = {
+      if (b.scores.length < k) { b.scores += s; b.ids += id }
+      else {
+        var worst = 0
+        var i = 1
+        while (i < b.scores.length) {
+          if (better(b.scores(worst), b.ids(worst), b.scores(i), b.ids(i))) worst = i
+          i += 1
+        }
+        if (better(s, id, b.scores(worst), b.ids(worst))) {
+          b.scores(worst) = s; b.ids(worst) = id
+        }
+      }
+    }
+
+    override def zero: TopKStrBuffer =
+      TopKStrBuffer(ArrayBuffer.empty, ArrayBuffer.empty)
+
+    override def reduce(b: TopKStrBuffer, in: (Double, String)): TopKStrBuffer = {
+      admit(b, in._1, in._2)
+      b
+    }
+
+    override def merge(a: TopKStrBuffer, c: TopKStrBuffer): TopKStrBuffer = {
+      var i = 0
+      while (i < c.scores.length) { admit(a, c.scores(i), c.ids(i)); i += 1 }
+      a
+    }
+
+    override def finish(b: TopKStrBuffer): Seq[StrHit] = {
+      val hits = b.scores.indices.map(i => StrHit(b.scores(i), b.ids(i)))
+      hits.sortWith((x, y) => better(x.score, x.id, y.score, y.id)).toSeq
+    }
+
+    override def bufferEncoder: Encoder[TopKStrBuffer] =
+      Encoders.product[TopKStrBuffer]
+    override def outputEncoder: Encoder[Seq[StrHit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[StrHit]]()
+  }
+
+  final case class PairHit(score: Double, a: Long, b: Long)
+  final case class BottomKPairBuffer(scores: ArrayBuffer[Double],
+                                     as: ArrayBuffer[Long],
+                                     bs: ArrayBuffer[Long])
+
+  /** Bounded bottom-k by (score ASC, a ASC, b ASC) — the closest-pairs
+    * ranking (edit-distance pairs, spatial radius pairs): score is the
+    * distance, (a, b) the pair identity, and the whole pair survives in
+    * the buffer so no packing/recovery join is needed for the ids. Same
+    * scale contract as [[TopK]]: k candidates per partial buffer,
+    * |partitions|·k exchange rows, however many pairs the blocked join
+    * emits. Replaces `ROW_NUMBER() OVER (ORDER BY dist, a, b)` over a
+    * pair relation that GROWS with data — the shape that
+    * single-partition-sorts billions of pairs at 100 TB.
+    */
+  class BottomKPair(k: Int)
+      extends Aggregator[(Double, Long, Long), BottomKPairBuffer, Seq[PairHit]] {
+    require(k > 0, "k must be positive")
+
+    /** (s1,a1,b1) strictly before (s2,a2,b2) under (score ASC, a ASC,
+      * b ASC); total order via Double.compare, NaN last like an ASC sort.
+      */
+    private def before(s1: Double, a1: Long, b1: Long,
+                       s2: Double, a2: Long, b2: Long): Boolean = {
+      val cmp = java.lang.Double.compare(s1, s2)
+      cmp < 0 || (cmp == 0 && (a1 < a2 || (a1 == a2 && b1 < b2)))
+    }
+
+    private def admit(buf: BottomKPairBuffer, s: Double, a: Long, b: Long): Unit = {
+      if (buf.scores.length < k) { buf.scores += s; buf.as += a; buf.bs += b }
+      else {
+        var worst = 0
+        var i = 1
+        while (i < buf.scores.length) {
+          if (before(buf.scores(worst), buf.as(worst), buf.bs(worst),
+              buf.scores(i), buf.as(i), buf.bs(i))) worst = i
+          i += 1
+        }
+        if (before(s, a, b, buf.scores(worst), buf.as(worst), buf.bs(worst))) {
+          buf.scores(worst) = s; buf.as(worst) = a; buf.bs(worst) = b
+        }
+      }
+    }
+
+    override def zero: BottomKPairBuffer =
+      BottomKPairBuffer(ArrayBuffer.empty, ArrayBuffer.empty, ArrayBuffer.empty)
+
+    override def reduce(buf: BottomKPairBuffer,
+                        in: (Double, Long, Long)): BottomKPairBuffer = {
+      admit(buf, in._1, in._2, in._3)
+      buf
+    }
+
+    override def merge(x: BottomKPairBuffer,
+                       y: BottomKPairBuffer): BottomKPairBuffer = {
+      var i = 0
+      while (i < y.scores.length) { admit(x, y.scores(i), y.as(i), y.bs(i)); i += 1 }
+      x
+    }
+
+    override def finish(buf: BottomKPairBuffer): Seq[PairHit] = {
+      val hits = buf.scores.indices.map(i =>
+        PairHit(buf.scores(i), buf.as(i), buf.bs(i)))
+      hits.sortWith((x, y) => before(x.score, x.a, x.b, y.score, y.a, y.b)).toSeq
+    }
+
+    override def bufferEncoder: Encoder[BottomKPairBuffer] =
+      Encoders.product[BottomKPairBuffer]
+    override def outputEncoder: Encoder[Seq[PairHit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[PairHit]]()
+  }
 }

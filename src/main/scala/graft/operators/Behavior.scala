@@ -176,9 +176,14 @@ object Behavior {
       .agg(positions.head, positions.tail: _*)
       .select(concat_ws(">", (1 to len).map(i => col(s"__p$i")): _*).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
-    val rw = Window.orderBy(col("n_users").desc, col("path"))
-    paths.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
-      .select(col("rank").cast("int").as("rank"), col("path"), col("n_users"))
+    // bounded top-k by (n_users DESC, path ASC): k paths per partial
+    // buffer instead of a global single-partition sort of the distinct
+    // path relation, whose cardinality grows with |event types|^len
+    val topk = udaf(new graft.functions.Aggregators.TopKStr(k))
+    paths.agg(topk(col("n_users").cast("double"), col("path")).as("hits"))
+      .select(posexplode(col("hits")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("path"),
+        col("col.score").cast("long").as("n_users"))
   }
 }

@@ -114,9 +114,20 @@ object QueriesAF {
           .select(col("p_brand"), col("id_a"), col("id_b"),
             levenshtein(col("name_a"), col("name_b")).as("dist"))
           .filter(col("dist") <= maxDist)
-        val w = Window.orderBy(col("dist"), col("id_a"), col("id_b"))
-        pairs.withColumn("rank", row_number().over(w).cast("int"))
-          .filter(col("rank") <= k)
+        // bounded closest-k by (dist ASC, id_a, id_b): k pairs per partial
+        // buffer instead of a global single-partition sort of the pair
+        // relation (which grows with data); the block brand of the k
+        // winners is recovered from `part` via a broadcast join of k rows
+        val botk = udaf(new graft.functions.Aggregators.BottomKPair(k))
+        val top = pairs.agg(botk(col("dist").cast("double"),
+            col("id_a"), col("id_b")).as("hits"))
+          .select(posexplode(col("hits")))
+          .select((col("pos") + 1).cast("int").as("rank"),
+            col("col.a").as("id_a"), col("col.b").as("id_b"),
+            col("col.score").cast("int").as("dist"))
+        broadcast(top)
+          .join(p.select(col("p_partkey").as("id_a"), col("p_brand")),
+            Seq("id_a"))
           .select(col("rank"), col("p_brand"), col("id_a"), col("id_b"),
             col("dist"))
           .orderBy(col("rank"))

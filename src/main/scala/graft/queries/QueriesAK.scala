@@ -66,10 +66,16 @@ object QueriesAK {
         }
         val sizes = lab.groupBy(col("label").as("canonical"))
           .agg(count(lit(1)).as("n_members"))
-        val w = Window.orderBy(col("n_members").desc, col("canonical"))
-        sizes.withColumn("rank", row_number().over(w).cast("int"))
-          .filter(col("rank") <= k)
-          .select(col("rank"), col("canonical"), col("n_members"))
+        // bounded top-k by (n_members DESC, canonical ASC): k rows per
+        // partial buffer instead of a global single-partition sort of the
+        // cluster relation (which grows with data)
+        val topk = udaf(new graft.functions.Aggregators.TopK(k))
+        sizes.agg(topk(col("n_members").cast("double"), col("canonical"))
+            .as("hits"))
+          .select(posexplode(col("hits")))
+          .select((col("pos") + 1).cast("int").as("rank"),
+            col("col.id").as("canonical"),
+            col("col.score").cast("long").as("n_members"))
           .orderBy(col("rank"))
       },
       Some(s"""WITH pr AS (SELECT a.p_partkey AS a, b.p_partkey AS b

@@ -125,11 +125,15 @@ object QueriesW {
           (((ck * ck * 13 + ck * 7) % 293) / lit(10.0)).as("x"),
           (((ck * ck * 31 + ck * 11) % 307) / lit(10.0)).as("y"))
         val pairs = Spatial.neighborPairs(pts, "id", "x", "y", radius)
-        val w = Window.orderBy(col("dist2"), col("id_a"), col("id_b"))
-        pairs.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select(col("rank").cast("int").as("rank"),
-            col("id_a"), col("id_b"), col("dist2"))
+        // bounded closest-k by (dist2 ASC, id_a, id_b): k pairs per
+        // partial buffer instead of a global single-partition sort of the
+        // radius-join pair relation (which grows with data)
+        val botk = udaf(new graft.functions.Aggregators.BottomKPair(k))
+        pairs.agg(botk(col("dist2"), col("id_a"), col("id_b")).as("hits"))
+          .select(posexplode(col("hits")))
+          .select((col("pos") + 1).cast("int").as("rank"),
+            col("col.a").as("id_a"), col("col.b").as("id_b"),
+            col("col.score").as("dist2"))
           .orderBy(col("rank"))
       },
       Some(s"""WITH p AS (SELECT c_custkey AS id,

@@ -99,17 +99,13 @@ class PlanShapeSpec extends SparkSpec {
     // window will fail this census instead of melting a cluster.
     val allow: Map[String, Int] = Map(
       "assoc_rules" -> 1,            // rank over the mined-rule relation
-      "b6_path_topk" -> 1,           // rank over distinct path strings
       "dq_referential" -> 1,         // rank over orphan keys
       "dq_skew_profile" -> 2,        // top-k keys + k-row cumulative share
-      "er_entity_resolution" -> 1,   // rank within the blocked-match pairs
-      "f22_edit_distance" -> 1,      // rank over the blocked pair relation
       "graph_hits" -> 1,             // rank over the |V|-bounded node set
       "graph_item_jaccard" -> 1,     // rank over >=2-support item pairs
       "graph_label_prop" -> 1,       // rank over the |V|-bounded labels
       "graph_textrank" -> 1,         // rank over the token-node relation
       "graph_triangle_count" -> 1,   // rank over per-node triangle counts
-      "j11_spatial_grid_join" -> 1,  // rank over the radius-join pairs
       "m13_auc_roc" -> 1,            // Mann-Whitney on distinct scores
       "sample_weighted" -> 1,        // rank over the k-bounded sample keys
       "sketch_cms_topk" -> 1,        // rank over distinct-token estimates
