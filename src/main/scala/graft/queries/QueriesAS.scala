@@ -96,5 +96,45 @@ object QueriesAS {
       FROM ev ORDER BY event_id"""
     })
 
-  val all: Seq[QueryDef] = Seq(j10CentroidIso)
+  /** M1/M4 frozen-model replay: the predict + bias-correction + clamp
+    * stage of the RF pipeline on FIXED trees
+    * ([[graft.ml.FrozenRf]] — extracted once from the seeded fit by
+    * graft.tools.FreezeRf, MLlib-parity-verified at freeze time), scored
+    * as native `when`-chain expressions and mirrored as the identical
+    * nested CASE SQL. This puts everything downstream of the RNG under
+    * the exact cross-engine hash gate — only `fit` itself remains
+    * spec-gated (reference ml/rfdefinitions.py:205-242 predict:
+    * forest mean → 'cdf' BC → max(·, 0)).
+    */
+  val m1PredictFrozen: QueryDef = QueryDef(
+    "m1_rf_predict_frozen",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").as("f1"), col("l_discount").as("f2"),
+        col("l_tax").as("f3"))
+      li.withColumn("pred", graft.ml.FrozenRf.frozenColumn(
+          Seq(col("f1"), col("f2"), col("f3"))))
+        .withColumn("pred_bc",
+          greatest(lit(0.0), col("pred") * lit(graft.ml.FrozenRf.bcSlope)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Ora.dsum6(col("pred")).as("sum_pred"),
+          Ora.dsum6(col("pred_bc")).as("sum_pred_bc"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some {
+      val forest = graft.ml.FrozenRf.frozenSql(Seq("f1", "f2", "f3"))
+      s"""WITH li AS (SELECT l_returnflag, l_quantity AS f1,
+          l_discount AS f2, l_tax AS f3 FROM lineitem),
+        sc AS (SELECT l_returnflag, $forest AS pred FROM li),
+        bc AS (SELECT l_returnflag, pred,
+          GREATEST(0.0, pred * ${graft.ml.FrozenRf.bcSlope}) AS pred_bc
+          FROM sc)
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        ${Ora.dsum6Sql("pred")} AS sum_pred,
+        ${Ora.dsum6Sql("pred_bc")} AS sum_pred_bc
+      FROM bc GROUP BY l_returnflag ORDER BY l_returnflag"""
+    })
+
+  val all: Seq[QueryDef] = Seq(j10CentroidIso, m1PredictFrozen)
 }

@@ -18,8 +18,9 @@ object RT {
   /** R1: file source + 5-min processing trigger
     * (reference: qpe_rt_daemon.py:865-873 sleep-to-next-slot loop).
     */
-  def fileStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+                 options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(schema).options(options).parquet(path)
 
   def fiveMinuteTrigger: Trigger = Trigger.ProcessingTime("5 minutes")
 

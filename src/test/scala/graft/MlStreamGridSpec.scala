@@ -339,4 +339,38 @@ class MlStreamGridSpec extends SparkSpec {
         s"cell ($x,$y): sparse ${got((x, y))} vs dense ${expected(x)(y)}")
     }
   }
+
+  test("FrozenRf: compiled when-chain == driver-side tree walk, clamp holds") {
+    import org.apache.spark.sql.functions._
+    import graft.ml.FrozenRf
+    import graft.ml.FrozenRf.{TLeaf, TNode, TSplit}
+    def walk(n: TNode, x: Seq[Double]): Double = n match {
+      case TLeaf(v) => v
+      case TSplit(f, t, l, r) => if (x(f) <= t) walk(l, x) else walk(r, x)
+    }
+    // probe points spanning the (quantity, discount, tax) domain, incl.
+    // split-threshold boundary values where <= vs < would diverge
+    val probes = Seq(
+      Seq(1.0, 0.0, 0.0), Seq(19.5, 0.085, 0.035), Seq(31.5, 0.095, 0.055),
+      Seq(50.0, 0.1, 0.08), Seq(9.5, 0.005, 0.005), Seq(48.5, 0.025, 0.015))
+    val rows = probes.zipWithIndex.map { case (p, i) =>
+      R(i.toLong, p(0), p(1), p(2))
+    }
+    val d = df("id BIGINT, f1 DOUBLE, f2 DOUBLE, f3 DOUBLE", rows)
+    val got = d.withColumn("pred", FrozenRf.frozenColumn(
+        Seq(col("f1"), col("f2"), col("f3"))))
+      .withColumn("pred_bc",
+        greatest(lit(0.0), col("pred") * lit(FrozenRf.bcSlope)))
+      .orderBy(col("id")).collect()
+    // driver-side replay through the same public fixture
+    val expected = probes.map { p =>
+      val per = FrozenRf.frozenTrees.map(t => walk(t, p))
+      per.reduce(_ + _) / per.length.toDouble
+    }
+    got.zip(expected).foreach { case (r, e) =>
+      assert(r.getDouble(r.fieldIndex("pred")) == e, s"row ${r.getLong(0)}")
+      assert(r.getDouble(r.fieldIndex("pred_bc")) ==
+        math.max(0.0, e * FrozenRf.bcSlope))
+    }
+  }
 }
