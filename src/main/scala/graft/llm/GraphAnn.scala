@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN (the HNSW/NSW family, next to the IVF family in
+  * [[Similarity]]): a single-layer navigable small-world index — per-node
+  * kNN edges inside each coarse cell plus a fully-connected hub backbone
+  * (one hub per cell) — searched by iterative BEAM SEARCH expressed as
+  * bounded BSP rounds.
+  *
+  * Spark-first shape, in contrast to the pointer-chasing sequential HNSW:
+  *   - index build: one blocked self-join per cell (never all-pairs) with
+  *     the bounded [[graft.functions.Aggregators.TopK]] aggregator picking
+  *     each node's M edges — |nodes|·M exchange rows;
+  *   - out-degrees are BOUNDED BY CONSTRUCTION: ≤ 2M pruned kNN edges
+  *     (+1 hub edge) per node, ≤ 2M + (#cells − 1) for hubs — the HNSW
+  *     Mmax cap applied after symmetrization. Node→hub edges are NOT
+  *     reversed — a hub's out-edges are its own pruned list plus the
+  *     other hubs, so expanding a frontier never pulls in a whole cell;
+  *   - search: R synchronous rounds; each round expands the current
+  *     per-query beam through the edge list (one join), rescores the
+  *     visited set, and re-selects the beam with TopK — |Q|·beam·degree
+  *     candidate rows per round, deterministic (cosine rounded to 6 dp,
+  *     ties by id) and therefore exactly mirrorable in SQL.
+  *
+  * Approximation contract: like HNSW, recall depends on graph
+  * connectivity (M, beam, rounds); the result is the exact top-k OF THE
+  * VISITED SET, which the oracle mirror reproduces row for row.
+  */
+object GraphAnn {
+
+  /** One hub per cell: the smallest node id (deterministic). */
+  def hubs(cells: DataFrame, idCol: String, cellCol: String): DataFrame =
+    cells.groupBy(col(cellCol)).agg(min(col(idCol)).as("hub"))
+
+  /** The navigable edge list (src, dst), distinct: symmetric within-cell
+    * kNN edges, directed node→hub edges, and the symmetric hub backbone.
+    */
+  def nswEdges(cells: DataFrame, idCol: String, vecCol: String,
+               cellCol: String, dim: Int, m: Int): DataFrame = {
+    require(m > 0, "m must be positive")
+    val topm = udaf(new graft.functions.Aggregators.TopK(m))
+    val a = cells.select(col(cellCol).as("__cell"), col(idCol).as("src"),
+      col(vecCol).as("va"))
+    val b = cells.select(col(cellCol).as("__cell"), col(idCol).as("dst"),
+      col(vecCol).as("vb"))
+    val knn = a.join(b, Seq("__cell")).filter(col("src") =!= col("dst"))
+      .select(col("src"),
+        round(Similarity.cosine("va", "vb", dim), 6).as("cos"), col("dst"))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("src")).agg(topm(col("cos"), col("dst")).as("hits"))
+      .select(col("src"), explode(col("hits")).as("h"))
+      .select(col("src"), col("h.score").as("cos"), col("h.id").as("dst"))
+    // symmetrize, then PRUNE to 2m per node (the HNSW Mmax = 2M
+    // neighbor-select step): without the cap a popular node's out-degree
+    // grows with its reverse-kNN in-degree, which nothing bounds; capping
+    // at m alone cuts the reverse edges navigability depends on
+    val sym = knn
+      .unionByName(knn.select(col("dst").as("src"), col("cos"),
+        col("src").as("dst")))
+      .distinct()
+    val top2m = udaf(new graft.functions.Aggregators.TopK(2 * m))
+    val pruned = sym.groupBy(col("src"))
+      .agg(top2m(col("cos"), col("dst")).as("hits"))
+      .select(col("src"), explode(col("hits")).as("h"))
+      .select(col("src"), col("h.id").as("dst"))
+    val hb = hubs(cells, idCol, cellCol)
+    val nodeHub = cells.select(col(cellCol), col(idCol).as("src"))
+      .join(hb, Seq(cellCol)).filter(col("src") =!= col("hub"))
+      .select(col("src"), col("hub").as("dst"))
+    val hubHub = hb.select(col("hub").as("src"))
+      .crossJoin(hb.select(col("hub").as("dst")))
+      .filter(col("src") =!= col("dst"))
+    pruned
+      .unionByName(nodeHub)
+      .unionByName(hubHub)
+      .distinct()
+  }
+
+  /** Beam search from per-query entry nodes over the edge list: R rounds
+    * of expand → rescore → reselect, then the exact top-k of the visited
+    * set (self-matches excluded). Output (qid, rank, vb, cos) like the
+    * other simsearch rankings.
+    */
+  def beamSearch(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, dim: Int,
+                 entries: DataFrame, k: Int, beam: Int,
+                 rounds: Int): DataFrame = {
+    require(k > 0 && beam > 0 && rounds >= 1)
+    val topb = udaf(new graft.functions.Aggregators.TopK(beam))
+    val topk = udaf(new graft.functions.Aggregators.TopK(k))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("node"), col(vecCol).as("nv"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(q, Seq("qid")).join(c, Seq("node"))
+        .select(col("qid"), col("node"),
+          round(Similarity.cosine("qv", "nv", dim), 6).as("cos"))
+        .filter(col("cos").isNotNull)
+    // visited starts as the scored entry points; each round is bounded by
+    // |Q|·beam·maxDegree new candidates and is checkpointed so the
+    // iterative lineage never nests. Each node is EXPANDED AT MOST ONCE
+    // (the explored set): without the exclusion the frontier re-selects
+    // the same stable top-beam every round and the search stalls at the
+    // entry neighborhood instead of advancing through the graph.
+    var visited = score(entries.select(col("qid"), col("node")))
+      .localCheckpoint()
+    var explored = visited.select(col("qid"), col("node")).limit(0)
+    (1 to rounds).foreach { _ =>
+      val frontier = visited
+        .join(explored, Seq("qid", "node"), "left_anti")
+        .groupBy(col("qid"))
+        .agg(topb(col("cos"), col("node")).as("h"))
+        .select(col("qid"), explode(col("h")).as("x"))
+        .select(col("qid"), col("x.id").as("node"))
+      explored = explored.unionByName(frontier).localCheckpoint()
+      val expanded = frontier.join(edges, col("node") === col("src"))
+        .select(col("qid"), col("dst").as("node"))
+      val cand = visited.select(col("qid"), col("node"))
+        .unionByName(expanded).distinct()
+      visited = score(cand).localCheckpoint()
+    }
+    visited.filter(col("node") =!= col("qid"))
+      .groupBy(col("qid")).agg(topk(col("cos"), col("node")).as("h"))
+      .select(col("qid"), posexplode(col("h")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vb"), col("col.score").as("cos"))
+  }
+}

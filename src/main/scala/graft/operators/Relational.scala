@@ -262,6 +262,40 @@ object Relational {
         col(tsCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+  /** CDC changelog → SCD Type-2 dimension HISTORY (the composition of
+    * [[cdcApply]]'s op semantics with [[scd2]]'s versioned intervals —
+    * what a warehouse "apply the changelog to the dimension" job
+    * produces). Per key, ops ordered by (ts, ord) define an alive-state
+    * sequence: I/U carry the attribute, D is a tombstone. Every
+    * null-safe state CHANGE is a boundary; non-tombstone boundaries open
+    * a version whose `valid_to` is the next boundary's ts (a delete
+    * CLOSES the open version without opening one, and a re-insert after
+    * a delete opens a NEW version even if the attribute is unchanged —
+    * the delete is real history, unlike plain [[scd2]] runs).
+    * `is_current` is false for every version of a currently-deleted key.
+    *
+    * Same scale shape as the pieces: key-partitioned windows only — the
+    * log shuffles once by key and each key's history sorts locally.
+    */
+  def cdcScd2(ops: DataFrame, keyCol: String, attrCol: String,
+              tsCol: String, ordCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    val state = when(col(opCol) === "D", lit(null).cast("string"))
+      .otherwise(col(attrCol).cast("string"))
+    val boundaries = ops
+      .withColumn("__s", state)
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col("__s") <=> col("__prev")))
+    boundaries
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .filter(col("__s").isNotNull)
+      .withColumn("version", row_number().over(w).cast("int"))
+      .select(col(keyCol), col("version"), col("__s").as(attrCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Snapshot diff between two versions of a keyed table: FULL OUTER join
     * on the key, classify each key as added / removed / changed /
     * unchanged, and report counts grouped by (status, changed-column

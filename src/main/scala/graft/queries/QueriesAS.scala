@@ -136,5 +136,141 @@ object QueriesAS {
       FROM bc GROUP BY l_returnflag ORDER BY l_returnflag"""
     })
 
-  val all: Seq[QueryDef] = Seq(j10CentroidIso, m1PredictFrozen)
+  /** Graph ANN (NSW/HNSW family) under the deterministic fixed-seed
+    * quantizer: cells from [[graft.llm.Similarity.assignCells]] (the
+    * simsearch_ivf_fixed precedent), a navigable edge list (within-cell
+    * kNN + hub backbone, [[graft.llm.GraphAnn.nswEdges]]), entry at the
+    * query's own cell hub, then 2 beam-search rounds — the whole
+    * build→navigate→rank path against the exact unrolled DuckDB mirror.
+    */
+  val simsearchGraphBeam: QueryDef = {
+    val m = 4; val beam = 3; val rounds = 2; val k = 5
+    QueryDef(
+      "simsearch_graph_beam",
+      (s, dir) => {
+        import graft.llm.{GraphAnn, Similarity}
+        val emb = t(s, dir, "embeddings")
+        val seeds = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+        val cells = Similarity.assignCells(emb, "vec_id", "embedding",
+            seeds, "cell", "cv", dim = 64)
+          .localCheckpoint() // read by edges, hubs, and entries
+        val edges = GraphAnn.nswEdges(cells, "vec_id", "embedding",
+            "ivf_cell", dim = 64, m = m)
+          .localCheckpoint() // read once per beam round
+        val hubs = GraphAnn.hubs(cells, "vec_id", "ivf_cell")
+        val entries = cells.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("ivf_cell"))
+          .join(hubs, Seq("ivf_cell"))
+          .select(col("qid"), col("hub").as("node"))
+        GraphAnn.beamSearch(emb, edges, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", dim = 64, entries,
+            k = k, beam = beam, rounds = rounds)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        import Ora.{dotArrSql, normArrSql}
+        def scoreSql(cand: String): String =
+          s"""SELECT c.qid, c.node,
+              ROUND((${dotArrSql("qe.embedding", "ne.embedding", 64)}) /
+                (SQRT(${normArrSql("qe.embedding", 64)}) *
+                 SQRT(${normArrSql("ne.embedding", 64)})), 6) AS cos
+            FROM $cand c JOIN embeddings qe ON qe.vec_id = c.qid
+            JOIN embeddings ne ON ne.vec_id = c.node
+            WHERE SQRT(${normArrSql("qe.embedding", 64)}) *
+              SQRT(${normArrSql("ne.embedding", 64)}) > 0"""
+        def beamSql(scored: String): String =
+          s"""SELECT qid, node FROM (SELECT qid, node, ROW_NUMBER() OVER
+              (PARTITION BY qid ORDER BY cos DESC, node) AS rn FROM $scored)
+            WHERE rn <= $beam"""
+        s"""WITH ${QueriesI.fixedAsnCtes},
+          pr AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+              ROUND((${dotArrSql("ea.embedding", "eb.embedding", 64)}) /
+                (SQRT(${normArrSql("ea.embedding", 64)}) *
+                 SQRT(${normArrSql("eb.embedding", 64)})), 6) AS cos
+            FROM asn a JOIN asn b ON a.ivf_cell = b.ivf_cell
+              AND a.vec_id <> b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE SQRT(${normArrSql("ea.embedding", 64)}) *
+              SQRT(${normArrSql("eb.embedding", 64)}) > 0),
+          knn AS (SELECT src, cos, dst FROM (SELECT src, cos, dst,
+              ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst)
+                AS rn FROM pr)
+            WHERE rn <= $m),
+          sym AS (SELECT src, cos, dst FROM knn
+            UNION SELECT dst, cos, src FROM knn),
+          knn2 AS (SELECT src, dst FROM (SELECT src, dst, ROW_NUMBER() OVER
+              (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sym)
+            WHERE rn <= ${2 * m}),
+          hubs AS (SELECT ivf_cell, MIN(vec_id) AS hub FROM asn GROUP BY 1),
+          nodehub AS (SELECT a.vec_id AS src, h.hub AS dst
+            FROM asn a JOIN hubs h USING (ivf_cell) WHERE a.vec_id <> h.hub),
+          edges AS MATERIALIZED (SELECT src, dst FROM knn2
+            UNION SELECT src, dst FROM nodehub
+            UNION SELECT h1.hub, h2.hub FROM hubs h1 JOIN hubs h2
+              ON h1.hub <> h2.hub),
+          ent AS (SELECT a.vec_id AS qid, h.hub AS node
+            FROM asn a JOIN hubs h USING (ivf_cell) WHERE a.vec_id < 5),
+          s0 AS (${scoreSql("ent")}),
+          f1 AS (${beamSql("s0")}),
+          c1 AS (SELECT qid, node FROM s0
+            UNION SELECT f.qid, e.dst FROM f1 f JOIN edges e ON e.src = f.node),
+          s1 AS (${scoreSql("c1")}),
+          f2 AS (${beamSql("s1")}),
+          c2 AS (SELECT qid, node FROM s1
+            UNION SELECT f.qid, e.dst FROM f2 f JOIN edges e ON e.src = f.node),
+          s2 AS (${scoreSql("c2")})
+        SELECT qid, CAST(rank AS INT) AS rank, vb, cos FROM (
+          SELECT qid, node AS vb, cos, ROW_NUMBER() OVER
+            (PARTITION BY qid ORDER BY cos DESC, node) AS rank
+          FROM s2 WHERE node <> qid)
+        WHERE rank <= $k ORDER BY qid, rank"""
+      })
+  }
+
+  /** CDC changelog → SCD2 dimension history, composed under ONE oracle
+    * (s16's op mapping + scd2's versioned intervals with real delete
+    * semantics — [[graft.operators.Relational.cdcScd2]]): signup inserts,
+    * error deletes, the rest update the tracked attribute. A delete
+    * closes the open version; a later op re-opens a new one.
+    */
+  val cdcScd2E2e: QueryDef = QueryDef(
+    "cdc_scd2_e2e",
+    (s, dir) => {
+      val ops = t(s, dir, "events").filter(col("user_id") < 40)
+        .withColumn("op",
+          when(col("event_type") === "signup", lit("I"))
+            .when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")))
+      graft.operators.Relational.cdcScd2(ops, "user_id", "event_type",
+          "ts", "event_id", "op")
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""WITH ops AS (SELECT user_id, event_id, ts,
+          CASE WHEN event_type = 'signup' THEN 'I'
+               WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          event_type
+        FROM events WHERE user_id < 40),
+      st AS (SELECT user_id, ts, event_id,
+          CASE WHEN op = 'D' THEN NULL ELSE event_type END AS s,
+          LAG(CASE WHEN op = 'D' THEN NULL ELSE event_type END) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          ROW_NUMBER() OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM ops),
+      ch AS (SELECT user_id, ts, event_id, s FROM st
+        WHERE rn = 1 OR s IS DISTINCT FROM prev),
+      iv AS (SELECT user_id, ts, event_id, s, LEAD(ts) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM ch)
+      SELECT user_id, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS INT) AS version,
+        s AS event_type, ts AS valid_from, valid_to,
+        valid_to IS NULL AS is_current
+      FROM iv WHERE s IS NOT NULL
+      ORDER BY user_id, version"""))
+
+  val all: Seq[QueryDef] = Seq(j10CentroidIso, m1PredictFrozen,
+    simsearchGraphBeam, cdcScd2E2e)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{GraphAnn, Similarity}
+
+/** Graph-ANN (NSW) contracts: bounded out-degree by construction, and
+  * beam-search recall against the exact brute-force ranking on a
+  * clustered corpus — the navigability property the hub backbone buys.
+  */
+class GraphAnnSpec extends SparkSpec {
+
+  private val dim = 8
+  // 4 well-separated clusters of 30 vectors each
+  private lazy val emb = {
+    import spark.implicits._
+    (0 until 120).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(dim)(d =>
+        (math.sin(c * 2.1 + d) * 2.0 + math.sin(i * i * 1.3 + d * (1.0 + i % 5)) * 0.2).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private lazy val cells = {
+    val seeds = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    Similarity.assignCells(emb, "vec_id", "embedding", seeds, "cell", "cv",
+      dim).localCheckpoint()
+  }
+
+  test("nswEdges: out-degree bounded by m + backbone for every node") {
+    val m = 3
+    val edges = GraphAnn.nswEdges(cells, "vec_id", "embedding", "ivf_cell",
+      dim, m = m)
+    val nCells = cells.select(col("ivf_cell")).distinct().count().toInt
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    // a node: 2m pruned kNN edges + its hub edge; a hub: 2m + the
+    // backbone. The hard bound either way:
+    assert(deg <= 2 * m + nCells,
+      s"max out-degree $deg exceeds ${2 * m + nCells}")
+    // no self-loops, all endpoints are corpus nodes
+    assert(edges.filter(col("src") === col("dst")).count() == 0)
+  }
+
+  test("beam search recall@5 vs brute force, and more rounds never hurt") {
+    val edges = GraphAnn.nswEdges(cells, "vec_id", "embedding", "ivf_cell",
+      dim, m = 6).localCheckpoint()
+    val hubs = GraphAnn.hubs(cells, "vec_id", "ivf_cell")
+    val queries = emb.filter(col("vec_id") < 8)
+    val entries = cells.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("ivf_cell"))
+      .join(hubs, Seq("ivf_cell")).select(col("qid"), col("hub").as("node"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", dim, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, hits) => q -> hits.map(_._2).toSet }
+    def recall(rounds: Int): Double = {
+      val got = GraphAnn.beamSearch(emb, edges, queries, "vec_id",
+          "embedding", dim, entries, k = 5, beam = 8, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .map { case (q, hits) => q -> hits.map(_._2).toSet }
+      val per = exact.map { case (q, ex) =>
+        got.get(q).map(g => (g & ex).size.toDouble / ex.size).getOrElse(0.0) }
+      per.sum / per.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r1 >= 0.6, s"recall@5 after 1 round = $r1")
+    assert(r2 >= r1, s"more rounds lowered recall: $r2 < $r1")
+    assert(r2 == 1.0,
+      s"recall@5 after 2 rounds = $r2 (expected exact on this navigable fixture)")
+  }
+}

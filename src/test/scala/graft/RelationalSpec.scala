@@ -157,4 +157,32 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("tier")).toSeq == Seq("a", "b"),
       "event_id must order equal timestamps deterministically")
   }
+
+  test("cdcScd2: deletes close versions, re-inserts open new ones") {
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val d = df("uid BIGINT, tier STRING, ts TIMESTAMP, eid BIGINT, op STRING",
+      Seq(
+        // key 1: I gold, U gold (no-op run), U silver, D, I silver again
+        R(1L, "gold", t(1), 1L, "I"), R(1L, "gold", t(2), 2L, "U"),
+        R(1L, "silver", t(3), 3L, "U"), R(1L, null, t(4), 4L, "D"),
+        R(1L, "silver", t(5), 5L, "I"),
+        // key 2: inserted then deleted — history only, nothing current
+        R(2L, "gold", t(1), 6L, "I"), R(2L, null, t(2), 7L, "D"),
+        // key 3: consecutive deletes collapse
+        R(3L, "gold", t(1), 8L, "I"), R(3L, null, t(2), 9L, "D"),
+        R(3L, null, t(3), 10L, "D")))
+    val out = Relational.cdcScd2(d, "uid", "tier", "ts", "eid", "op")
+      .orderBy("uid", "version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        Option(r.getAs[Timestamp]("valid_to")), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      // key 1: gold [t1,t3), silver [t3,t4) closed by D, silver [t5,∞)
+      (1L, 1, "gold", Some(t(3)), false),
+      (1L, 2, "silver", Some(t(4)), false),
+      (1L, 3, "silver", None, true),
+      // key 2: one closed version, no current row
+      (2L, 1, "gold", Some(t(2)), false),
+      // key 3: the second D is not a boundary — one closed version
+      (3L, 1, "gold", Some(t(2)), false)), out.mkString(", "))
+  }
 }
