@@ -98,22 +98,26 @@ object GraphAnn {
           round(Similarity.cosine("qv", "nv", dim), 6).as("cos"))
         .filter(col("cos").isNotNull)
     // visited starts as the scored entry points; each round is bounded by
-    // |Q|·beam·maxDegree new candidates and is checkpointed so the
-    // iterative lineage never nests. Each node is EXPANDED AT MOST ONCE
-    // (the explored set): without the exclusion the frontier re-selects
-    // the same stable top-beam every round and the search stalls at the
-    // entry neighborhood instead of advancing through the graph.
-    var visited = score(entries.select(col("qid"), col("node")))
-      .localCheckpoint()
+    // |Q|·beam·maxDegree new candidates. Each node is EXPANDED AT MOST
+    // ONCE (the explored set): without the exclusion the frontier
+    // re-selects the same stable top-beam every round and the search
+    // stalls at the entry neighborhood instead of advancing through the
+    // graph. `visited` is localCheckpoint-ed per round — it is referenced
+    // TWICE by the next round (frontier + candidate union), so an
+    // un-cut lineage duplicates the whole previous-round subtree per
+    // reference (O(2^rounds) plan text; measured SLOWER than the eager
+    // checkpoint job even at 2 rounds, and the plan census unreadable).
+    // The small frontier/explored relations just persist().
+    var visited = score(entries.select(col("qid"), col("node"))).persist()
     var explored = visited.select(col("qid"), col("node")).limit(0)
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       val frontier = visited
         .join(explored, Seq("qid", "node"), "left_anti")
         .groupBy(col("qid"))
         .agg(topb(col("cos"), col("node")).as("h"))
         .select(col("qid"), explode(col("h")).as("x"))
         .select(col("qid"), col("x.id").as("node"))
-      explored = explored.unionByName(frontier).localCheckpoint()
+      explored = explored.unionByName(frontier).persist()
       val expanded = frontier.join(edges, col("node") === col("src"))
         .select(col("qid"), col("dst").as("node"))
       val cand = visited.select(col("qid"), col("node"))

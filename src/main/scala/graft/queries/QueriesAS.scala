@@ -154,10 +154,10 @@ object QueriesAS {
           .select(col("vec_id").as("cell"), col("embedding").as("cv"))
         val cells = Similarity.assignCells(emb, "vec_id", "embedding",
             seeds, "cell", "cv", dim = 64)
-          .localCheckpoint() // read by edges, hubs, and entries
+          .localCheckpoint() // read by edges, hubs, entries; cuts lineage
         val edges = GraphAnn.nswEdges(cells, "vec_id", "embedding",
             "ivf_cell", dim = 64, m = m)
-          .localCheckpoint() // read once per beam round
+          .localCheckpoint() // read once per beam round; cuts lineage
         val hubs = GraphAnn.hubs(cells, "vec_id", "ivf_cell")
         val entries = cells.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("ivf_cell"))

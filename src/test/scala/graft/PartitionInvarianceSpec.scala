@@ -23,7 +23,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-9 families: DSIR's decimal-truncated ln-ratio sums, the
     // Lloyd-trained PQ codebook (per-subspace decimal means feeding the
     // fused encode), and the threshold-scored RFM quartiles
-    "curation_dsir", "simsearch_pq_learned", "b8_rfm_segments")
+    "curation_dsir", "simsearch_pq_learned", "b8_rfm_segments",
+    // round-10 families: counting-selection percentile threshold, the
+    // bounded TopKStr/BottomKPair rankings (admit/merge order must not
+    // leak partitioning), beam-search graph ANN, the frozen-forest
+    // scorer's decimal rollup, and the per-group fixed-range classifier
+    "b9_power_users", "b6_path_topk", "f22_edit_distance",
+    "simsearch_graph_beam", "m1_rf_predict_frozen",
+    "j10_nearest_centroid_iso", "cdc_scd2_e2e")
 
   test("representative queries are bit-identical under a different shuffle partitioning") {
     val alt = spark.newSession()
