@@ -292,6 +292,18 @@ object Aggregators {
       extends Aggregator[(Double, String), TopKStrBuffer, Seq[StrHit]] {
     require(k > 0, "k must be positive")
 
+    // NOTE: the four bounded-ranking aggregators (TopK, BottomKLong,
+    // TopKStr, BottomKPair) deliberately repeat the admit/worst-scan/
+    // merge machinery on CONCRETE primitive buffers instead of sharing an
+    // Ordering-parameterized core: a generic comparator would box every
+    // Double/Long per admit in the per-row hot path, and the Encoders
+    // need concrete product types anyway. A fix to the selection logic
+    // must be applied to all four.
+
+    /** Total order via Double.compare, NaN above every finite score like
+      * a descending sort (see [[TopK.better]]); string ties in UTF-16
+      * code-unit order == DuckDB binary collation for ASCII ids.
+      */
     private def better(s1: Double, i1: String, s2: Double, i2: String): Boolean = {
       val cmp = java.lang.Double.compare(s1, s2)
       cmp > 0 || (cmp == 0 && i1.compareTo(i2) < 0)

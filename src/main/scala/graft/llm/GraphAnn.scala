@@ -107,23 +107,32 @@ object GraphAnn {
     // un-cut lineage duplicates the whole previous-round subtree per
     // reference (O(2^rounds) plan text; measured SLOWER than the eager
     // checkpoint job even at 2 rounds, and the plan census unreadable).
-    // The small frontier/explored relations just persist().
+    // frontier is persist()-ed (referenced by both the explored union and
+    // the expansion join). Every intermediate cached/checkpointed handle
+    // is released before returning — the final round's checkpoint, the
+    // only relation the returned ranking reads, is the one kept — so
+    // repeated searches in one session don't accumulate blocks.
+    val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
     var visited = score(entries.select(col("qid"), col("node"))).persist()
     var explored = visited.select(col("qid"), col("node")).limit(0)
-    (1 to rounds).foreach { r =>
+    (1 to rounds).foreach { _ =>
+      toFree += visited
       val frontier = visited
         .join(explored, Seq("qid", "node"), "left_anti")
         .groupBy(col("qid"))
         .agg(topb(col("cos"), col("node")).as("h"))
         .select(col("qid"), explode(col("h")).as("x"))
         .select(col("qid"), col("x.id").as("node"))
-      explored = explored.unionByName(frontier).persist()
+        .persist()
+      toFree += frontier
+      explored = explored.unionByName(frontier)
       val expanded = frontier.join(edges, col("node") === col("src"))
         .select(col("qid"), col("dst").as("node"))
       val cand = visited.select(col("qid"), col("node"))
         .unionByName(expanded).distinct()
-      visited = score(cand).localCheckpoint()
+      visited = score(cand).localCheckpoint() // eager: deps safe to free
     }
+    toFree.foreach(_.unpersist())
     visited.filter(col("node") =!= col("qid"))
       .groupBy(col("qid")).agg(topk(col("cos"), col("node")).as("h"))
       .select(col("qid"), posexplode(col("h")))

@@ -280,16 +280,26 @@ object Relational {
   def cdcScd2(ops: DataFrame, keyCol: String, attrCol: String,
               tsCol: String, ordCol: String, opCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
-    val state = when(col(opCol) === "D", lit(null).cast("string"))
-      .otherwise(col(attrCol).cast("string"))
+    // state = (alive, attr): the explicit alive flag keeps an I/U whose
+    // attribute VALUE is null distinct from a tombstone — encoding
+    // deletes as a null attr alone would silently read a null-valued
+    // update as a deletion. A D's attr payload is normalized to null so
+    // consecutive tombstones collapse whatever their rows carried; the
+    // attribute keeps its own type in the output.
+    val alive = col(opCol) =!= "D"
+    val state = when(alive, col(attrCol)).otherwise(lit(null))
     val boundaries = ops
+      .withColumn("__alive", alive)
       .withColumn("__s", state)
-      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .withColumn("__pAlive", lag(col("__alive"), 1).over(w))
+      .withColumn("__pS", lag(col("__s"), 1).over(w))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 || !(col("__s") <=> col("__prev")))
+      .filter(col("__rn") === 1 ||
+        !(col("__alive") <=> col("__pAlive")) ||
+        !(col("__s") <=> col("__pS")))
     boundaries
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
-      .filter(col("__s").isNotNull)
+      .filter(col("__alive"))
       .withColumn("version", row_number().over(w).cast("int"))
       .select(col(keyCol), col("version"), col("__s").as(attrCol),
         col(tsCol).as("valid_from"), col("valid_to"),

@@ -38,8 +38,10 @@ object QueriesAS {
       "RN" -> Seq(54.0, 14.5, 39.0), "WS" -> Seq(36.0, 19.5, -9.0)))
 
   // ---- SQL mirror generators: the SAME arithmetic, token for token ----
-  private def fmt(d: Double): String =
-    if (d == d.floor && math.abs(d) < 1e15) f"${d}%.1f" else d.toString
+  // Double.toString: shortest round-trip repr, locale-independent (the
+  // f"%.1f" interpolator renders "0,5" under comma-decimal locales and
+  // would silently change the variadic LEAST/GREATEST arity in the SQL)
+  private def fmt(d: Double): String = d.toString
   private def stdSql(e: String, mn: Double, mx: Double): String =
     s"2.0 * (LEAST(GREATEST($e, ${fmt(mn)}), ${fmt(mx)}) - ${fmt(mn)}) / " +
       s"${fmt(mx - mn)} - 1.0"
@@ -179,10 +181,19 @@ object QueriesAS {
             JOIN embeddings ne ON ne.vec_id = c.node
             WHERE SQRT(${normArrSql("qe.embedding", 64)}) *
               SQRT(${normArrSql("ne.embedding", 64)}) > 0"""
-        def beamSql(scored: String): String =
-          s"""SELECT qid, node FROM (SELECT qid, node, ROW_NUMBER() OVER
-              (PARTITION BY qid ORDER BY cos DESC, node) AS rn FROM $scored)
+        // the frontier EXCLUDES already-expanded nodes exactly like
+        // GraphAnn.beamSearch's explored-set anti-join — without the
+        // NOT EXISTS the mirror re-selects the entry hub into the round-2
+        // beam and the two engines search different node sets
+        def beamSql(scored: String, explored: Seq[String]): String = {
+          val excl = explored.map(f =>
+            s"""AND NOT EXISTS (SELECT 1 FROM $f
+                WHERE $f.qid = x.qid AND $f.node = x.node)""").mkString(" ")
+          s"""SELECT qid, node FROM (SELECT x.qid, x.node, ROW_NUMBER() OVER
+              (PARTITION BY x.qid ORDER BY x.cos DESC, x.node) AS rn
+              FROM $scored x WHERE 1 = 1 $excl)
             WHERE rn <= $beam"""
+        }
         s"""WITH ${QueriesI.fixedAsnCtes},
           pr AS (SELECT a.vec_id AS src, b.vec_id AS dst,
               ROUND((${dotArrSql("ea.embedding", "eb.embedding", 64)}) /
@@ -213,11 +224,11 @@ object QueriesAS {
           ent AS (SELECT a.vec_id AS qid, h.hub AS node
             FROM asn a JOIN hubs h USING (ivf_cell) WHERE a.vec_id < 5),
           s0 AS (${scoreSql("ent")}),
-          f1 AS (${beamSql("s0")}),
+          f1 AS (${beamSql("s0", Seq())}),
           c1 AS (SELECT qid, node FROM s0
             UNION SELECT f.qid, e.dst FROM f1 f JOIN edges e ON e.src = f.node),
           s1 AS (${scoreSql("c1")}),
-          f2 AS (${beamSql("s1")}),
+          f2 AS (${beamSql("s1", Seq("f1"))}),
           c2 AS (SELECT qid, node FROM s1
             UNION SELECT f.qid, e.dst FROM f2 f JOIN edges e ON e.src = f.node),
           s2 AS (${scoreSql("c2")})

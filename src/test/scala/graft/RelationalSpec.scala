@@ -170,7 +170,10 @@ class RelationalSpec extends SparkSpec {
         R(2L, "gold", t(1), 6L, "I"), R(2L, null, t(2), 7L, "D"),
         // key 3: consecutive deletes collapse
         R(3L, "gold", t(1), 8L, "I"), R(3L, null, t(2), 9L, "D"),
-        R(3L, null, t(3), 10L, "D")))
+        R(3L, null, t(3), 10L, "D"),
+        // key 4: a null-VALUED update is real history, not a tombstone
+        R(4L, "gold", t(1), 11L, "I"), R(4L, null, t(2), 12L, "U"),
+        R(4L, "gold", t(3), 13L, "U")))
     val out = Relational.cdcScd2(d, "uid", "tier", "ts", "eid", "op")
       .orderBy("uid", "version").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
@@ -183,6 +186,10 @@ class RelationalSpec extends SparkSpec {
       // key 2: one closed version, no current row
       (2L, 1, "gold", Some(t(2)), false),
       // key 3: the second D is not a boundary — one closed version
-      (3L, 1, "gold", Some(t(2)), false)), out.mkString(", "))
+      (3L, 1, "gold", Some(t(2)), false),
+      // key 4: the null-valued update opens its own (alive) version
+      (4L, 1, "gold", Some(t(2)), false),
+      (4L, 2, null, Some(t(3)), false),
+      (4L, 3, "gold", None, true)), out.mkString(", "))
   }
 }

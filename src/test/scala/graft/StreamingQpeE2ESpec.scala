@@ -113,9 +113,18 @@ class StreamingQpeE2ESpec extends SparkSpec {
         assert(java.lang.Double.compare(streamed(x)(y), batch(x)(y)) == 0,
           s"slot $slot cell ($x,$y): ${streamed(x)(y)} vs ${batch(x)(y)}")
     }
-    // the degraded grid is genuinely different from a complete one
-    assert(slots.exists(s => results(s1)._2.flatten.toSeq !=
-      results(s)._2.flatten.toSeq && s != s1))
+    // the missing radar genuinely changes the product: slot s0 recomputed
+    // WITHOUT radar W's gates must differ from the streamed full-radar s0
+    // grid (the degraded path is not a no-op on the numbers)
+    val s0NoW = gates(s0, RT.AllSources.filterNot(_ == "W"))
+      .toDF("slot", "radar", "sweep", "az_idx", "rng_idx", "zh",
+        "noise", "visib", "w", "eventTimeMs")
+      .select(col("sweep"), col("az_idx"), col("rng_idx"), col("zh"),
+        col("noise"), col("visib"), col("w"))
+    val gNoW = Qpe.kernelStage(Qpe.gridStage(s0NoW, lut, cfg), cfg)
+    assert((0 until cfg.nx).exists(x => (0 until cfg.ny).exists(y =>
+      java.lang.Double.compare(gNoW(x)(y), results(s0)._2(x)(y)) != 0)),
+      "removing a radar's gates must change the computed grid")
 
     // parity 2: the product sink carries the streaming quality string
     val (_, fields) = Odim.read(s"$prodDir/qpe_${s1 / 1000}.h5")
