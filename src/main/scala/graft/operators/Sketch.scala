@@ -240,4 +240,56 @@ object Sketch {
       .unionAll(row("union", est(uk), exact(left.unionAll(right))))
       .unionAll(row("intersect", interEst, exInter))
   }
+
+  /** Mergeable histogram quantile sketch — the missing quantile member of
+    * the sketch family, and the shape that actually computes a percentile
+    * over 100 TB: per group, O(`bins`) map-side-combinable counters
+    * (merge = cell-wise add, like CMS), never a sort of the data. The
+    * per-p estimate walks the bin CDF to the lower-quantile rank
+    * r = ceil(p·n) and interpolates linearly inside the hit bin, so the
+    * true rank-r order statistic is guaranteed inside the same bin:
+    * |est − exact| ≤ bin width, an a-priori bound the oracle query
+    * asserts per row.
+    *
+    * Binning is sqrt-scaled (value-domain [0, (bins/binsPerUnit)²)):
+    * IEEE-754 REQUIRES sqrt to be exactly rounded, so the bin of a value
+    * is bit-identical on every engine — a log-binned variant would hang
+    * the cross-engine gate on 1-ulp transcendental differences.
+    *
+    * Output: (group, p, est_q, bin_lo, bin_hi) per requested quantile.
+    */
+  def histQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                    ps: Seq[Double], bins: Int = 128,
+                    binsPerUnit: Double = 4.0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "quantiles must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valCol).cast("double")
+    val bin = least(greatest(floor(sqrt(v) * binsPerUnit).cast("int"),
+      lit(0)), lit(bins - 1))
+    val counts = df.filter(v.isNotNull && v >= 0.0)
+      .select(col(groupCol), bin.as("__bin"))
+      .groupBy(col(groupCol), col("__bin")).agg(count(lit(1)).as("__cnt"))
+    // both windows are PARTITIONED (by group, over <= bins rows) — the
+    // contracted-histogram shape, never a global sort
+    val cum = counts
+      .withColumn("__cum",
+        sum(col("__cnt")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__bin"))))
+      .withColumn("__n",
+        sum(col("__cnt")).over(Window.partitionBy(col(groupCol))))
+    val edge = (b: Column) => (b / lit(binsPerUnit)) * (b / lit(binsPerUnit))
+    ps.map { p =>
+      val r = ceil(lit(p) * col("__n")).cast("double")
+      val lo = edge(col("__bin").cast("double"))
+      val hi = edge(col("__bin").cast("double") + lit(1.0))
+      val frac = (r - (col("__cum") - col("__cnt")).cast("double")) /
+        col("__cnt").cast("double")
+      cum.filter(col("__cum").cast("double") >= r &&
+          (col("__cum") - col("__cnt")).cast("double") < r)
+        .select(col(groupCol), lit(p).as("p"),
+          (lo + (hi - lo) * frac).as("est_q"),
+          lo.as("bin_lo"), hi.as("bin_hi"))
+    }.reduce(_ unionAll _)
+  }
 }

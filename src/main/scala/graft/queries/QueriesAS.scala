@@ -282,6 +282,92 @@ object QueriesAS {
       FROM iv WHERE s IS NOT NULL
       ORDER BY user_id, version"""))
 
+  /** Mergeable histogram quantile sketch ([[graft.operators.Sketch
+    * .histQuantiles]]) — the quantile member of the sketch family,
+    * estimate + exact + a-priori error bound all under one hash gate.
+    * sqrt-binned (IEEE sqrt is exactly rounded → bins are bit-identical
+    * cross-engine), O(bins) map-combinable state per group; the exact
+    * side is the at-rank order statistic via PARTITIONED windows;
+    * within_bound asserts |est − exact| ≤ the hit bin's width.
+    */
+  val sketchQuantileHist: QueryDef = {
+    val ps = Seq(0.5, 0.9, 0.99)
+    val bins = 128; val bpu = 4.0
+    QueryDef(
+      "sketch_quantile_hist",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+          .filter(col("value").isNotNull && col("value").cast("double") >= 0.0)
+        val est = graft.operators.Sketch.histQuantiles(
+          ev, "event_type", "value", ps, bins = bins, binsPerUnit = bpu)
+        val ranked = ev
+          .select(col("event_type"), col("value").cast("double").as("v"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("v"))))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+        val exacts = ps.map { p =>
+          ranked.groupBy(col("event_type"))
+            .agg(max(when(col("rn") === ceil(lit(p) * col("n")), col("v")))
+              .as("exact_q"))
+            .withColumn("p", lit(p))
+        }.reduce(_ unionAll _)
+        est.join(exacts, Seq("event_type", "p"))
+          .select(col("event_type"), col("p"),
+            round(col("est_q"), 6).as("est_q"), col("exact_q"),
+            round(abs(col("est_q") - col("exact_q")), 6).as("abs_err"),
+            (abs(col("est_q") - col("exact_q")) <=
+              (col("bin_hi") - col("bin_lo"))).as("within_bound"))
+          .orderBy(col("event_type"), col("p"))
+      },
+      Some {
+        def estP(p: Double): String =
+          s"""SELECT event_type, $p AS p,
+            (CAST(bin AS DOUBLE) / $bpu) * (CAST(bin AS DOUBLE) / $bpu) +
+            (((CAST(bin AS DOUBLE) + 1.0) / $bpu) *
+               ((CAST(bin AS DOUBLE) + 1.0) / $bpu) -
+             (CAST(bin AS DOUBLE) / $bpu) * (CAST(bin AS DOUBLE) / $bpu)) *
+            ((CAST(CEIL($p * n) AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) /
+              CAST(cnt AS DOUBLE)) AS est_q,
+            (CAST(bin AS DOUBLE) / $bpu) * (CAST(bin AS DOUBLE) / $bpu)
+              AS bin_lo,
+            ((CAST(bin AS DOUBLE) + 1.0) / $bpu) *
+              ((CAST(bin AS DOUBLE) + 1.0) / $bpu) AS bin_hi
+          FROM cum
+          WHERE CAST(cum AS DOUBLE) >= CAST(CEIL($p * n) AS DOUBLE)
+            AND CAST(cum - cnt AS DOUBLE) < CAST(CEIL($p * n) AS DOUBLE)"""
+        def exP(p: Double): String =
+          s"""SELECT event_type, $p AS p,
+            MAX(CASE WHEN rn = CEIL($p * n) THEN v END) AS exact_q
+          FROM ranked GROUP BY 1"""
+        s"""WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+            FROM events WHERE value IS NOT NULL
+              AND CAST(value AS DOUBLE) >= 0.0),
+          b AS (SELECT event_type,
+              LEAST(GREATEST(CAST(FLOOR(SQRT(v) * $bpu) AS INT), 0),
+                ${bins - 1}) AS bin
+            FROM ev),
+          cnts AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2),
+          cum AS (SELECT event_type, bin, cnt,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+              SUM(cnt) OVER (PARTITION BY event_type) AS n
+            FROM cnts),
+          est AS (${ps.map(estP).mkString("\n            UNION ALL ")}),
+          ranked AS (SELECT event_type, v,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM ev),
+          ex AS (${ps.map(exP).mkString("\n            UNION ALL ")})
+        SELECT e.event_type, e.p, ROUND(e.est_q, 6) AS est_q, x.exact_q,
+          ROUND(ABS(e.est_q - x.exact_q), 6) AS abs_err,
+          ABS(e.est_q - x.exact_q) <= (e.bin_hi - e.bin_lo) AS within_bound
+        FROM est e JOIN ex x ON x.event_type = e.event_type AND x.p = e.p
+        ORDER BY e.event_type, e.p"""
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(j10CentroidIso, m1PredictFrozen,
-    simsearchGraphBeam, cdcScd2E2e)
+    simsearchGraphBeam, cdcScd2E2e, sketchQuantileHist)
 }

@@ -30,7 +30,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     // scorer's decimal rollup, and the per-group fixed-range classifier
     "b9_power_users", "b6_path_topk", "f22_edit_distance",
     "simsearch_graph_beam", "m1_rf_predict_frozen",
-    "j10_nearest_centroid_iso", "cdc_scd2_e2e")
+    "j10_nearest_centroid_iso", "cdc_scd2_e2e", "sketch_quantile_hist")
 
   test("representative queries are bit-identical under a different shuffle partitioning") {
     val alt = spark.newSession()

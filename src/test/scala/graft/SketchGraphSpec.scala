@@ -265,4 +265,36 @@ class SketchGraphSpec extends SparkSpec {
       yield (a, b)).toDF("a", "b")
     assert(Graph.triangleCount(edges, k = 10).collect().isEmpty)
   }
+
+  test("histQuantiles: estimate within the hit bin of the true rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed values across many sqrt bins, two groups
+    val d = (1 to 1000).map(i => ("a", (i * i % 997).toDouble)) ++
+      (1 to 500).map(i => ("b", (i % 30).toDouble))
+    val df = d.toDF("g", "v")
+    val est = graft.operators.Sketch.histQuantiles(df, "g", "v",
+        Seq(0.5, 0.9, 0.99)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = d.groupBy(_._1).map { case (g, rows) =>
+      val vs = rows.map(_._2).sorted
+      g -> Map(0.5 -> vs(math.ceil(0.5 * vs.size).toInt - 1),
+        0.9 -> vs(math.ceil(0.9 * vs.size).toInt - 1),
+        0.99 -> vs(math.ceil(0.99 * vs.size).toInt - 1))
+    }
+    for (g <- Seq("a", "b"); p <- Seq(0.5, 0.9, 0.99)) {
+      val (e, lo, hi) = est((g, p))
+      val x = exact(g)(p)
+      assert(x >= lo && x < hi, s"$g p=$p: exact $x outside hit bin [$lo,$hi)")
+      assert(math.abs(e - x) <= hi - lo,
+        s"$g p=$p: |$e - $x| exceeds bin width ${hi - lo}")
+    }
+    // a whole group inside ONE bin resolves exactly to that bin's span
+    val one = Seq(("c", 10.1), ("c", 10.2), ("c", 10.3)).toDF("g", "v")
+    val r = graft.operators.Sketch.histQuantiles(one, "g", "v", Seq(0.5))
+      .head()
+    assert(r.getDouble(3) <= 10.1 && r.getDouble(4) > 10.3,
+      "single-bin group must hit the covering bin")
+  }
 }
