@@ -246,30 +246,46 @@ object Sketch {
     * over 100 TB: per group, O(`bins`) map-side-combinable counters
     * (merge = cell-wise add, like CMS), never a sort of the data. The
     * per-p estimate walks the bin CDF to the lower-quantile rank
-    * r = ceil(p·n) and interpolates linearly inside the hit bin, so the
-    * true rank-r order statistic is guaranteed inside the same bin:
-    * |est − exact| ≤ bin width, an a-priori bound the oracle query
-    * asserts per row.
+    * r = ceil(p·n) and interpolates linearly inside the hit bin.
+    *
+    * Error bound: when `saturated` is false (no value clamped into the
+    * top bin from above, i.e. all values < (bins/binsPerUnit)²), the true
+    * rank-r order statistic lies inside the hit bin, so
+    * |est − exact| ≤ bin width holds a priori — the oracle query asserts
+    * both the bound and non-saturation per row. When a group saturates,
+    * high quantiles can sit arbitrarily far beyond the top edge and the
+    * flag is the caller's signal to widen `bins`/shrink `binsPerUnit`.
     *
     * Binning is sqrt-scaled (value-domain [0, (bins/binsPerUnit)²)):
     * IEEE-754 REQUIRES sqrt to be exactly rounded, so the bin of a value
     * is bit-identical on every engine — a log-binned variant would hang
-    * the cross-engine gate on 1-ulp transcendental differences.
+    * the cross-engine gate on 1-ulp transcendental differences. The clamp
+    * into [0, bins−1] happens in DOUBLE space BEFORE the narrowing cast
+    * (floor of an unbounded double overflows int/long under ANSI), and
+    * NaN is excluded explicitly — it passes `v >= 0` on both engines
+    * (NaN sorts above every number) and would poison the cast.
     *
-    * Output: (group, p, est_q, bin_lo, bin_hi) per requested quantile.
+    * Output: (group, p, est_q, bin_lo, bin_hi, saturated) per requested
+    * quantile. All ps are answered in ONE pass over the histogram
+    * (conditional aggregation + stack), not one plan replay per p.
     */
   def histQuantiles(df: DataFrame, groupCol: String, valCol: String,
                     ps: Seq[Double], bins: Int = 128,
                     binsPerUnit: Double = 4.0): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       "quantiles must be in (0, 1]")
+    require(bins > 0 && binsPerUnit > 0.0,
+      s"bins and binsPerUnit must be positive, got $bins / $binsPerUnit")
     import org.apache.spark.sql.expressions.Window
     val v = col(valCol).cast("double")
-    val bin = least(greatest(floor(sqrt(v) * binsPerUnit).cast("int"),
-      lit(0)), lit(bins - 1))
-    val counts = df.filter(v.isNotNull && v >= 0.0)
-      .select(col(groupCol), bin.as("__bin"))
-      .groupBy(col(groupCol), col("__bin")).agg(count(lit(1)).as("__cnt"))
+    val scaled = sqrt(v) * lit(binsPerUnit)
+    val bin = greatest(floor(least(scaled, lit((bins - 1).toDouble))),
+      lit(0L)).cast("int")
+    val counts = df.filter(v.isNotNull && !isnan(v) && v >= 0.0)
+      .select(col(groupCol), bin.as("__bin"),
+        (scaled >= lit(bins.toDouble)).cast("int").as("__cl"))
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(count(lit(1)).as("__cnt"), max(col("__cl")).as("__clb"))
     // both windows are PARTITIONED (by group, over <= bins rows) — the
     // contracted-histogram shape, never a global sort
     val cum = counts
@@ -278,18 +294,32 @@ object Sketch {
           Window.partitionBy(col(groupCol)).orderBy(col("__bin"))))
       .withColumn("__n",
         sum(col("__cnt")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__sat",
+        max(col("__clb")).over(Window.partitionBy(col(groupCol))))
     val edge = (b: Column) => (b / lit(binsPerUnit)) * (b / lit(binsPerUnit))
-    ps.map { p =>
+    // one groupBy (partition-local: the windows above already hashed by
+    // group) with a conditional aggregate per p, then stack — the
+    // histogram build runs once for all ps instead of once per p
+    val lo = edge(col("__bin").cast("double"))
+    val hi = edge(col("__bin").cast("double") + lit(1.0))
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
       val r = ceil(lit(p) * col("__n")).cast("double")
-      val lo = edge(col("__bin").cast("double"))
-      val hi = edge(col("__bin").cast("double") + lit(1.0))
+      val hit = col("__cum").cast("double") >= r &&
+        (col("__cum") - col("__cnt")).cast("double") < r
       val frac = (r - (col("__cum") - col("__cnt")).cast("double")) /
         col("__cnt").cast("double")
-      cum.filter(col("__cum").cast("double") >= r &&
-          (col("__cum") - col("__cnt")).cast("double") < r)
-        .select(col(groupCol), lit(p).as("p"),
-          (lo + (hi - lo) * frac).as("est_q"),
-          lo.as("bin_lo"), hi.as("bin_hi"))
-    }.reduce(_ unionAll _)
+      Seq(max(when(hit, lo + (hi - lo) * frac)).as(s"__e$i"),
+        max(when(hit, lo)).as(s"__lo$i"),
+        max(when(hit, hi)).as(s"__hi$i"))
+    } :+ max(col("__sat")).as("__satg")
+    val aggd = cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ps.zipWithIndex.map { case (p, i) =>
+      s"CAST(${p} AS DOUBLE), __e$i, __lo$i, __hi$i"
+    }.mkString(", ")
+    aggd.select(col(groupCol),
+        expr(s"stack(${ps.size}, $stackArgs) AS (p, est_q, bin_lo, bin_hi)"),
+        (col("__satg") === lit(1)).as("saturated"))
+      .select(col(groupCol), col("p"), col("est_q"),
+        col("bin_lo"), col("bin_hi"), col("saturated"))
   }
 }

@@ -287,8 +287,11 @@ object QueriesAS {
     * estimate + exact + a-priori error bound all under one hash gate.
     * sqrt-binned (IEEE sqrt is exactly rounded → bins are bit-identical
     * cross-engine), O(bins) map-combinable state per group; the exact
-    * side is the at-rank order statistic via PARTITIONED windows;
-    * within_bound asserts |est − exact| ≤ the hit bin's width.
+    * side is the at-rank order statistic via PARTITIONED windows, one
+    * sort for all ps (conditional aggregates + stack, not one replay
+    * per p); within_bound asserts |est − exact| ≤ the hit bin's width,
+    * valid a priori because `saturated` (also gated) is false — no value
+    * clamped past the top bin edge (bins/bpu)² = 1024.
     */
   val sketchQuantileHist: QueryDef = {
     val ps = Seq(0.5, 0.9, 0.99)
@@ -298,7 +301,9 @@ object QueriesAS {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val ev = t(s, dir, "events")
-          .filter(col("value").isNotNull && col("value").cast("double") >= 0.0)
+          .filter(col("value").isNotNull &&
+            !isnan(col("value").cast("double")) &&
+            col("value").cast("double") >= 0.0)
         val est = graft.operators.Sketch.histQuantiles(
           ev, "event_type", "value", ps, bins = bins, binsPerUnit = bpu)
         val ranked = ev
@@ -307,23 +312,29 @@ object QueriesAS {
             Window.partitionBy(col("event_type")).orderBy(col("v"))))
           .withColumn("n", count(lit(1)).over(
             Window.partitionBy(col("event_type"))))
-        val exacts = ps.map { p =>
-          ranked.groupBy(col("event_type"))
-            .agg(max(when(col("rn") === ceil(lit(p) * col("n")), col("v")))
-              .as("exact_q"))
-            .withColumn("p", lit(p))
-        }.reduce(_ unionAll _)
+        val exAggs = ps.zipWithIndex.map { case (p, i) =>
+          max(when(col("rn") === ceil(lit(p) * col("n")), col("v")))
+            .as(s"__x$i")
+        }
+        val exAggd = ranked.groupBy(col("event_type"))
+          .agg(exAggs.head, exAggs.tail: _*)
+        val stackArgs = ps.zipWithIndex.map { case (p, i) =>
+          s"CAST(${p} AS DOUBLE), __x$i"
+        }.mkString(", ")
+        val exacts = exAggd.select(col("event_type"),
+          expr(s"stack(${ps.size}, $stackArgs) AS (p, exact_q)"))
         est.join(exacts, Seq("event_type", "p"))
           .select(col("event_type"), col("p"),
             round(col("est_q"), 6).as("est_q"), col("exact_q"),
             round(abs(col("est_q") - col("exact_q")), 6).as("abs_err"),
             (abs(col("est_q") - col("exact_q")) <=
-              (col("bin_hi") - col("bin_lo"))).as("within_bound"))
+              (col("bin_hi") - col("bin_lo"))).as("within_bound"),
+            col("saturated"))
           .orderBy(col("event_type"), col("p"))
       },
       Some {
         def estP(p: Double): String =
-          s"""SELECT event_type, $p AS p,
+          s"""SELECT event_type, CAST($p AS DOUBLE) AS p,
             (CAST(bin AS DOUBLE) / $bpu) * (CAST(bin AS DOUBLE) / $bpu) +
             (((CAST(bin AS DOUBLE) + 1.0) / $bpu) *
                ((CAST(bin AS DOUBLE) + 1.0) / $bpu) -
@@ -333,26 +344,32 @@ object QueriesAS {
             (CAST(bin AS DOUBLE) / $bpu) * (CAST(bin AS DOUBLE) / $bpu)
               AS bin_lo,
             ((CAST(bin AS DOUBLE) + 1.0) / $bpu) *
-              ((CAST(bin AS DOUBLE) + 1.0) / $bpu) AS bin_hi
+              ((CAST(bin AS DOUBLE) + 1.0) / $bpu) AS bin_hi,
+            sat AS sat
           FROM cum
           WHERE CAST(cum AS DOUBLE) >= CAST(CEIL($p * n) AS DOUBLE)
             AND CAST(cum - cnt AS DOUBLE) < CAST(CEIL($p * n) AS DOUBLE)"""
         def exP(p: Double): String =
-          s"""SELECT event_type, $p AS p,
+          s"""SELECT event_type, CAST($p AS DOUBLE) AS p,
             MAX(CASE WHEN rn = CEIL($p * n) THEN v END) AS exact_q
           FROM ranked GROUP BY 1"""
         s"""WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v
             FROM events WHERE value IS NOT NULL
+              AND NOT isnan(CAST(value AS DOUBLE))
               AND CAST(value AS DOUBLE) >= 0.0),
           b AS (SELECT event_type,
-              LEAST(GREATEST(CAST(FLOOR(SQRT(v) * $bpu) AS INT), 0),
-                ${bins - 1}) AS bin
+              CAST(GREATEST(FLOOR(LEAST(SQRT(v) * $bpu,
+                ${(bins - 1).toDouble})), 0) AS INT) AS bin,
+              CASE WHEN SQRT(v) * $bpu >= ${bins.toDouble}
+                THEN 1 ELSE 0 END AS cl
             FROM ev),
-          cnts AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+          cnts AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+              MAX(cl) AS clb
             FROM b GROUP BY 1, 2),
           cum AS (SELECT event_type, bin, cnt,
               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
-              SUM(cnt) OVER (PARTITION BY event_type) AS n
+              SUM(cnt) OVER (PARTITION BY event_type) AS n,
+              MAX(clb) OVER (PARTITION BY event_type) AS sat
             FROM cnts),
           est AS (${ps.map(estP).mkString("\n            UNION ALL ")}),
           ranked AS (SELECT event_type, v,
@@ -362,7 +379,8 @@ object QueriesAS {
           ex AS (${ps.map(exP).mkString("\n            UNION ALL ")})
         SELECT e.event_type, e.p, ROUND(e.est_q, 6) AS est_q, x.exact_q,
           ROUND(ABS(e.est_q - x.exact_q), 6) AS abs_err,
-          ABS(e.est_q - x.exact_q) <= (e.bin_hi - e.bin_lo) AS within_bound
+          ABS(e.est_q - x.exact_q) <= (e.bin_hi - e.bin_lo) AS within_bound,
+          e.sat = 1 AS saturated
         FROM est e JOIN ex x ON x.event_type = e.event_type AND x.p = e.p
         ORDER BY e.event_type, e.p"""
       })

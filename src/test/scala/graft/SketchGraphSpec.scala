@@ -297,4 +297,36 @@ class SketchGraphSpec extends SparkSpec {
     assert(r.getDouble(3) <= 10.1 && r.getDouble(4) > 10.3,
       "single-bin group must hit the covering bin")
   }
+
+  test("histQuantiles: out-of-domain inputs clamp/skip instead of crashing") {
+    import spark.implicits._
+    // 1e18 would overflow the int bin cast if clamping ran after the
+    // narrowing; Double.MaxValue would overflow even a long floor. Both
+    // must clamp into the top bin and raise the saturation flag.
+    val d = Seq(("a", 1.0), ("a", 4.0), ("a", 1e18),
+      ("a", Double.MaxValue), ("a", Double.NaN), ("a", -3.0),
+      ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val out = graft.operators.Sketch.histQuantiles(d, "g", "v",
+        Seq(0.5, 1.0)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getDouble(4), r.getBoolean(5))).toMap
+    // group a: NaN and -3.0 skipped -> n=4; p=1.0 hits the clamp bin
+    val (estTop, hiTop, satA) = out(("a", 1.0))
+    assert(satA, "clamped values must set saturated")
+    assert(hiTop === 1024.0 && estTop <= 1024.0,
+      s"top-bin estimate stays at the domain edge, got $estTop / $hiTop")
+    // median of (1, 4, 1e18, MaxValue) is rank 2 -> 4.0's bin, in-domain
+    val (estMed, _, _) = out(("a", 0.5))
+    assert(estMed < 16.0, s"median must resolve below 4.0's bin edge: $estMed")
+    // group b has no clamped values -> saturated false
+    assert(!out(("b", 0.5))._3 && !out(("b", 1.0))._3)
+    // shape guards fail fast instead of emitting bin -1 garbage
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketch.histQuantiles(d, "g", "v", Seq(0.5), bins = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketch.histQuantiles(d, "g", "v", Seq(0.5),
+        binsPerUnit = 0.0)
+    }
+  }
 }
