@@ -275,4 +275,67 @@ object Stats {
       round(col("n_trans").cast("double") / sum(col("n_trans")).over(tw), 6)
         .as("prob"))
   }
+
+  /** Per-group sample autocorrelation at lags 1..`maxLag` — the classic
+    * estimator r(ℓ) = Σ(vₜ−m)(vₜ₋ℓ−m) / Σ(vₜ−m)² with the GROUP mean m,
+    * computed WITHOUT a mean-first second pass: expand the numerator to
+    * Σvₜvₜ₋ℓ − m·Σvₜ − m·Σvₜ₋ℓ + nℓ·m² so one partitioned lag window and
+    * ONE map-side-combinable groupBy produce every lag's sufficient
+    * statistics together. All sums accumulate in DECIMAL(27,10) (the
+    * repo-wide dsum rule), so the result is independent of partitioning
+    * and merge order, and the closed form then runs on exact per-group
+    * scalars in a fixed double expression — cross-engine reproducible.
+    *
+    * Scale shape: the window is PARTITIONED by group (never global) and
+    * the aggregation state is 3·maxLag+3 numbers per group, so a 100 TB
+    * series table reduces to |groups| rows in one exchange after the
+    * window sort. maxLag is a plan-width constant — keep it O(10).
+    *
+    * Zero-variance groups (constant series) return NULL acf; lags with
+    * no pairs (series shorter than ℓ) return NULL.
+    *
+    * Output: (group, lag, n_pairs, acf), acf rounded to 6 dp.
+    */
+  def acf(df: DataFrame, groupCol: String, tsCol: String, tieCol: String,
+          valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"maxLag must be in [1, 64], got $maxLag")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
+    val v = col(valCol).cast("double")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val lagged = df.filter(v.isNotNull && !isnan(v))
+      .select(col(groupCol) +: v.as("v") +:
+        (1 to maxLag).map(l => lag(v, l).over(w).as(s"v$l")): _*)
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        sum(dec(col("v"))).cast("double").as("s"),
+        sum(dec(col("v") * col("v"))).cast("double").as("ss")) ++
+      (1 to maxLag).flatMap { l =>
+        val vl = col(s"v$l")
+        Seq(count(vl).as(s"n$l"),
+          sum(dec(when(vl.isNotNull, col("v") * vl))).cast("double")
+            .as(s"sxy$l"),
+          sum(dec(when(vl.isNotNull, col("v")))).cast("double").as(s"sx$l"),
+          sum(dec(vl)).cast("double").as(s"sy$l"))
+      }
+    val aggd = lagged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("__m", col("s") / col("n").cast("double"))
+      .withColumn("__den",
+        col("ss") - col("n").cast("double") * col("__m") * col("__m"))
+    val withR = (1 to maxLag).foldLeft(aggd) { (d, l) =>
+      val num = col(s"sxy$l") - col("__m") * col(s"sx$l") -
+        col("__m") * col(s"sy$l") +
+        col(s"n$l").cast("double") * col("__m") * col("__m")
+      d.withColumn(s"__r$l",
+        when(col("__den") > 0.0 && col(s"n$l") > 0,
+          round(num / col("__den"), 6)))
+    }
+    val stackArgs = (1 to maxLag).map(l => s"$l, n$l, __r$l").mkString(", ")
+    withR
+      .select(col(groupCol),
+        expr(s"stack($maxLag, $stackArgs) AS (lag, n_pairs, acf)"))
+      .select(col(groupCol), col("lag").cast("int").as("lag"),
+        col("n_pairs"), col("acf"))
+  }
 }

@@ -343,4 +343,32 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - math.log(2.0)) < 1e-6)
     assert(r.getDouble(4) == 0.0)
   }
+
+  test("acf: alternating series has closed-form lags; constant series NULLs") {
+    import spark.implicits._
+    val n = 100
+    // v_t = (-1)^t, mean 0 exactly (n even): r(l) = (-1)^l (n-l)/n
+    val alt = (1 to n).map(i => ("a", i, i, if (i % 2 == 0) 1.0 else -1.0))
+    val const = (1 to 10).map(i => ("c", i, i, 5.0))
+    val short3 = Seq(("s", 1, 1, 1.0), ("s", 2, 2, 2.0), ("s", 3, 3, 6.0))
+    val d = (alt ++ const ++ short3).toDF("g", "t", "id", "v")
+    val out = Stats.acf(d, "g", "t", "id", "v", maxLag = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    for (l <- 1 to 4) {
+      val (np, acf) = out(("a", l))
+      assert(np == n - l)
+      val expect = math.pow(-1.0, l) * (n - l).toDouble / n
+      assert(math.abs(acf.get - expect) < 1e-6,
+        s"lag $l: ${acf.get} vs $expect")
+    }
+    // constant series: zero variance -> NULL acf, pairs still counted
+    assert(out(("c", 1)) == ((9L, None)))
+    // series shorter than the lag: zero pairs -> NULL acf
+    assert(out(("s", 3))._2.isEmpty && out(("s", 3))._1 == 0L)
+    assert(out(("s", 1))._2.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Stats.acf(d, "g", "t", "id", "v", maxLag = 0)
+    }
+  }
 }
