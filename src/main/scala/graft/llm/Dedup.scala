@@ -139,6 +139,69 @@ object Dedup {
         .select(col("da"), col("db"), col("cont_ab"), col("cont_ba"))
     }
 
+  /** EXACT Jaccard-threshold self-join via PREFIX FILTERING (Chaudhuri et
+    * al., "A primitive operator for similarity joins", ICDE 2006; Bayardo
+    * et al., "Scaling up all pairs similarity search", WWW 2007) — the
+    * no-false-negative complement to [[minhashDedup]] and the
+    * no-approximation complement to [[jaccardPairs]]'s hot-shingle cap:
+    * every pair with Jaccard ≥ `minJaccard` is returned, with its exact
+    * score, and no shingle is dropped.
+    *
+    * Shape: order the shingle universe globally by (document frequency
+    * ASC, shingle ASC) — rarest first — and keep only each document's
+    * PREFIX of length |d| − ceil(τ·|d|) + 1 under that order. The prefix
+    * filtering principle guarantees any pair with |A∩B| ≥ ceil(τ·max(|A|,
+    * |B|)) (implied by jac ≥ τ together with the size-ratio check) shares
+    * a token in BOTH prefixes, so candidates come from a prefix⋈prefix
+    * equi-join: the fan-out per token is its PREFIX frequency, and hot
+    * tokens are exactly the ones the ordering pushes out of prefixes —
+    * the candidate bound Σ prefixDf(t)² replaces the uncapped inverted
+    * index's Σ df(t)² without giving up exactness. Candidates then
+    * exact-verify against the full shingle relation.
+    *
+    * At 100 TB: one groupBy for df, one PARTITIONED per-doc window for
+    * prefix positions, the prefix self-join, and a verify join driven by
+    * the (small) candidate set — no all-pairs step, no global window, no
+    * collect.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val sh = shingles(df, idCol, textCol, n).cache()
+    try {
+      val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("__dfc"))
+      val sizes = shingleSizes(sh, idCol)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("__dfc"), col("sh"))
+      val pref = sh.join(dfc, "sh")
+        .withColumn("__pos", row_number().over(w))
+        .join(sizes, idCol)
+        .filter(col("__pos") <=
+          col("sz") - ceil(lit(minJaccard) * col("sz").cast("double")) + 1)
+        .select(col(idCol), col("sh"), col("sz"))
+      val cand = pref.select(col(idCol).as("da"), col("sh"), col("sz").as("sza"))
+        .join(pref.select(col(idCol).as("db"), col("sh"), col("sz").as("szb")),
+          Seq("sh"))
+        .filter(col("da") < col("db") &&
+          col("szb").cast("double") >= lit(minJaccard) * col("sza").cast("double") &&
+          col("sza").cast("double") >= lit(minJaccard) * col("szb").cast("double"))
+        .select(col("da"), col("db")).distinct()
+      val inter = cand
+        .join(sh.select(col(idCol).as("da"), col("sh")), "da")
+        .join(sh.select(col(idCol).as("db"), col("sh")), Seq("db", "sh"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
+        .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
+        .withColumn("jac",
+          round(col("c") / (col("sza") + col("szb") - col("c")), 6))
+        .filter(col("jac") >= minJaccard)
+        .select(col("da"), col("db"), col("jac"))
+        .localCheckpoint()
+    } finally sh.unpersist()
+  }
+
   /** Shared inverted-index candidate machinery under [[jaccardPairs]] /
     * [[containmentPairs]]: capped shingles → self-join → per-pair overlap
     * counts joined to both documents' shingle-set sizes. `finish` turns the

@@ -67,5 +67,45 @@ object QueriesAT {
       })
   }
 
-  val all: Seq[QueryDef] = Seq(tsAcf)
+  /** Exact Jaccard-threshold self-join via PREFIX FILTERING
+    * ([[graft.llm.Dedup.prefixJaccardPairs]]) — the no-false-negative,
+    * no-cap member of the dedup family: global (df ASC, shingle ASC)
+    * canonical order, per-doc prefix of |d| − ceil(τ|d|) + 1 rarest
+    * shingles, prefix⋈prefix candidates under the size-ratio bound,
+    * exact verify. Candidate fan-out per token is its PREFIX frequency
+    * (hot tokens are pushed out of prefixes by the ordering), so the
+    * Σ df² blowup of an uncapped inverted index never materializes.
+    * Same output contract as dedup_ngram_jaccard, different (exact)
+    * candidate machinery — both engines replicate the prefix selection
+    * deterministically (ties broken by shingle string).
+    */
+  val dedupPrefixJaccard: QueryDef = QueryDef(
+    "dedup_prefix_jaccard",
+    (s, dir) => graft.llm.Dedup.prefixJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.5)
+      .orderBy(col("da"), col("db")),
+    Some(s"""WITH sh AS (${Ora.shinglesSql(3)}),
+      dfc AS (SELECT sh, COUNT(*) AS dfc FROM sh GROUP BY 1),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      ord AS (SELECT s.doc_id, s.sh,
+          ROW_NUMBER() OVER (PARTITION BY s.doc_id
+            ORDER BY d.dfc, s.sh) AS pos
+        FROM sh s JOIN dfc d USING (sh)),
+      pref AS (SELECT o.doc_id, o.sh, z.sz
+        FROM ord o JOIN sizes z USING (doc_id)
+        WHERE o.pos <= z.sz - CEIL(0.5 * CAST(z.sz AS DOUBLE)) + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE CAST(b.sz AS DOUBLE) >= 0.5 * CAST(a.sz AS DOUBLE)
+          AND CAST(a.sz AS DOUBLE) >= 0.5 * CAST(b.sz AS DOUBLE)),
+      inter AS (SELECT cand.da, cand.db, COUNT(*) AS c
+        FROM cand JOIN sh x ON x.doc_id = cand.da
+                  JOIN sh y ON y.doc_id = cand.db AND y.sh = x.sh
+        GROUP BY 1, 2),
+      j AS (SELECT da, db, ROUND(c / (sa.sz + sb.sz - c), 6) AS jac
+        FROM inter JOIN sizes sa ON da = sa.doc_id
+                   JOIN sizes sb ON db = sb.doc_id)
+      SELECT da, db, jac FROM j WHERE jac >= 0.5 ORDER BY da, db"""))
+
+  val all: Seq[QueryDef] = Seq(tsAcf, dedupPrefixJaccard)
 }

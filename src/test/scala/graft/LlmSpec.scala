@@ -36,6 +36,31 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefixJaccardPairs: exact parity with the uncapped inverted index") {
+    // richer corpus: exact dup, near dup, subset-ish, unrelated, and a
+    // shared-rare-token pair below threshold that prefix candidates must
+    // still generate-and-reject
+    val d = docs.unionByName(df("doc_id BIGINT, text STRING", Seq(
+      R(5L, "alpha beta gamma delta epsilon zeta eta theta"),
+      R(6L, "alpha beta gamma delta epsilon zeta eta iota"),
+      R(7L, "alpha beta gamma completely unrelated tail of words here"))))
+    val byPrefix = Dedup.prefixJaccardPairs(d, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the capped index with a cap no shingle reaches = exact
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(byPrefix == exact,
+      s"prefix filter must be lossless: ${byPrefix.diff(exact)} extra, " +
+        s"${exact.diff(byPrefix)} missing")
+    assert(byPrefix.exists(p => p._1 == 5L && p._2 == 6L))
+    assert(!byPrefix.exists(p => p._1 == 7L || p._2 == 7L))
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardPairs(d, "doc_id", "text", minJaccard = 0.0)
+    }
+  }
+
   test("minhashDedup finds the same high-similarity pairs as exact Jaccard") {
     val mh = Dedup.minhashDedup(docs, "doc_id", "text", minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
