@@ -159,10 +159,12 @@ object Dedup {
     * index's Σ df(t)² without giving up exactness. Candidates then
     * exact-verify against the full shingle relation.
     *
-    * At 100 TB: one groupBy for df, one PARTITIONED per-doc window for
-    * prefix positions, the prefix self-join, and a verify join driven by
-    * the (small) candidate set — no all-pairs step, no global window, no
-    * collect.
+    * At 100 TB: TWO exchanges of the shingle relation total — document
+    * frequency rides a count window on the shingle exchange, and per-doc
+    * size + prefix position ride the same id exchange (no groupBy+join
+    * round-trips) — then the prefix self-join and a verify join driven by
+    * the (small) candidate set, which carries both sizes so no size join
+    * reappears at scoring. No all-pairs step, no global window, no collect.
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
@@ -170,30 +172,46 @@ object Dedup {
       s"minJaccard must be in (0, 1], got $minJaccard")
     val sh = shingles(df, idCol, textCol, n).cache()
     try {
-      val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("__dfc"))
-      val sizes = shingleSizes(sh, idCol)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idCol)).orderBy(col("__dfc"), col("sh"))
-      val pref = sh.join(dfc, "sh")
-        .withColumn("__pos", row_number().over(w))
-        .join(sizes, idCol)
+      val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+      val wId = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      val pref = sh
+        .withColumn("__dfc", count(lit(1)).over(wSh))
+        .withColumn("sz", count(lit(1)).over(wId))
+        .withColumn("__pos",
+          row_number().over(wId.orderBy(col("__dfc"), col("sh"))))
         .filter(col("__pos") <=
           col("sz") - ceil(lit(minJaccard) * col("sz").cast("double")) + 1)
-        .select(col(idCol), col("sh"), col("sz"))
-      val cand = pref.select(col(idCol).as("da"), col("sh"), col("sz").as("sza"))
-        .join(pref.select(col(idCol).as("db"), col("sh"), col("sz").as("szb")),
-          Seq("sh"))
+        .select(col(idCol), col("sh"), col("sz"), col("__pos"))
+      // positional filter (PPJoin, Xiao et al. WWW 2008): a token matched at
+      // prefix positions (pa, pb) bounds the overlap by 1 + min(remaining
+      // tokens after it on each side); jac ≥ τ needs overlap ≥
+      // τ/(1+τ)·(|A|+|B|), and the FIRST common token in canonical order
+      // maximizes the bound, so filtering per joined token + distinct keeps
+      // every valid pair (the 1e-6 slack only ever RETAINS borderline
+      // candidates — exact verify scores them — never drops one).
+      val cand = pref.select(col(idCol).as("da"), col("sh"),
+          col("sz").as("sza"), col("__pos").as("pa"))
+        .join(pref.select(col(idCol).as("db"), col("sh"),
+          col("sz").as("szb"), col("__pos").as("pb")), Seq("sh"))
         .filter(col("da") < col("db") &&
           col("szb").cast("double") >= lit(minJaccard) * col("sza").cast("double") &&
-          col("sza").cast("double") >= lit(minJaccard) * col("szb").cast("double"))
-        .select(col("da"), col("db")).distinct()
+          col("sza").cast("double") >= lit(minJaccard) * col("szb").cast("double") &&
+          (lit(1) + least(col("sza") - col("pa"), col("szb") - col("pb")))
+            .cast("double") * lit(1.0 + minJaccard) >=
+            lit(minJaccard) * (col("sza") + col("szb")).cast("double") - lit(1e-6))
+        .select(col("da"), col("db"), col("sza"), col("szb")).distinct()
+      // verify on per-doc shingle ARRAYS (bounded by doc length) instead of
+      // re-exploding the inverted index per candidate: the explode-verify is
+      // |cand|·avg(sz) join rows (21M at sf0.1 for 310k candidates), the
+      // array form is two |cand|-row joins + a codegen'd array_intersect
+      val docsets = sh.groupBy(col(idCol)).agg(collect_list(col("sh")).as("set"))
       val inter = cand
-        .join(sh.select(col(idCol).as("da"), col("sh")), "da")
-        .join(sh.select(col(idCol).as("db"), col("sh")), Seq("db", "sh"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        .join(docsets.select(col(idCol).as("da"), col("set").as("seta")), "da")
+        .join(docsets.select(col(idCol).as("db"), col("set").as("setb")), "db")
+        .withColumn("c", size(array_intersect(col("seta"), col("setb")))
+          .cast("long"))
+        .select(col("da"), col("db"), col("sza"), col("szb"), col("c"))
       inter
-        .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
-        .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
         .withColumn("jac",
           round(col("c") / (col("sza") + col("szb") - col("c")), 6))
         .filter(col("jac") >= minJaccard)
