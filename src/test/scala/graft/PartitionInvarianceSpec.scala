@@ -30,7 +30,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // scorer's decimal rollup, and the per-group fixed-range classifier
     "b9_power_users", "b6_path_topk", "f22_edit_distance",
     "simsearch_graph_beam", "m1_rf_predict_frozen",
-    "j10_nearest_centroid_iso", "cdc_scd2_e2e", "sketch_quantile_hist")
+    "j10_nearest_centroid_iso", "cdc_scd2_e2e", "sketch_quantile_hist",
+    // prefix-Jaccard: the canonical (df ASC, sh ASC) prefix order and the
+    // positional-filter candidate set must not depend on partitioning;
+    // ts_acf: decimal sufficient-statistics sums per (group, lag)
+    "dedup_prefix_jaccard", "ts_acf")
 
   test("representative queries are bit-identical under a different shuffle partitioning") {
     val alt = spark.newSession()
