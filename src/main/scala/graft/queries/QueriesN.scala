@@ -110,7 +110,9 @@ object QueriesN {
           minTokens = 40, maxTokens = 80, maxRepetition = 0.1,
           minStopRatio = 0.01)
         .filter(col("keep")).select(col("doc_id"))
-      val keepers = Dedup.exact(corpus, "doc_id", "text")
+      // digest variant: the canonicalization shuffle carries 16-byte keys
+      // instead of whole documents (identical keep set, the 100 TB shape)
+      val keepers = Dedup.exactByDigest(corpus, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       val clean = Cur.contaminationScore(corpus, bench, "doc_id", "text",
           n = 3, threshold = 0.2)
