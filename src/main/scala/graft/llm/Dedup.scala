@@ -157,7 +157,7 @@ object Dedup {
     * tokens are exactly the ones the ordering pushes out of prefixes —
     * the candidate bound Σ prefixDf(t)² replaces the uncapped inverted
     * index's Σ df(t)² without giving up exactness. Candidates then
-    * exact-verify against the full shingle relation.
+    * exact-verify against per-document shingle arrays.
     *
     * At 100 TB: TWO exchanges of the shingle relation total — document
     * frequency rides a count window on the shingle exchange, and per-doc
@@ -179,8 +179,13 @@ object Dedup {
         .withColumn("sz", count(lit(1)).over(wId))
         .withColumn("__pos",
           row_number().over(wId.orderBy(col("__dfc"), col("sh"))))
-        .filter(col("__pos") <=
-          col("sz") - ceil(lit(minJaccard) * col("sz").cast("double")) + 1)
+        // the -1e-9 inside the ceil is retain-only: a 1-ulp-high τ·|d|
+        // product for non-dyadic τ would round the ceil UP and shorten the
+        // prefix (a potential false negative); the slack can only ever
+        // LENGTHEN it, and a longer prefix only adds candidates that exact
+        // verify rejects. The mirror applies the identical expression.
+        .filter(col("__pos") <= col("sz") -
+          ceil(lit(minJaccard) * col("sz").cast("double") - lit(1e-9)) + 1)
         .select(col(idCol), col("sh"), col("sz"), col("__pos"))
       // positional filter (PPJoin, Xiao et al. WWW 2008): a token matched at
       // prefix positions (pa, pb) bounds the overlap by 1 + min(remaining

@@ -93,7 +93,7 @@ object QueriesAT {
         FROM sh s JOIN dfc d USING (sh)),
       pref AS (SELECT o.doc_id, o.sh, z.sz
         FROM ord o JOIN sizes z USING (doc_id)
-        WHERE o.pos <= z.sz - CEIL(0.5 * CAST(z.sz AS DOUBLE)) + 1),
+        WHERE o.pos <= z.sz - CEIL(0.5 * CAST(z.sz AS DOUBLE) - 1e-9) + 1),
       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id
         WHERE CAST(b.sz AS DOUBLE) >= 0.5 * CAST(a.sz AS DOUBLE)
@@ -107,5 +107,64 @@ object QueriesAT {
                    JOIN sizes sb ON db = sb.doc_id)
       SELECT da, db, jac FROM j WHERE jac >= 0.5 ORDER BY da, db"""))
 
-  val all: Seq[QueryDef] = Seq(tsAcf, dedupPrefixJaccard)
+  /** Persisted dedup-index lifecycle under ONE oracle
+    * ([[graft.llm.DedupIndex]]): build the LSH band + docset index from
+    * the %5∈{1,2} slice, APPEND the %5∈{3,4} slice (write-only, schema-
+    * and hash-probe-guarded), then probe the %5=0 slice against the
+    * persisted state. The mirror computes the direct cross-corpus form
+    * (probe × full reference) with no index at all — hash equality
+    * proves the save→append→query disk roundtrip changes nothing, the
+    * s3_sink_roundtrip precedent applied to incremental dedup state.
+    */
+  val dedupIndexIncremental: QueryDef = QueryDef(
+    "dedup_index_incremental",
+    (s, dir) => {
+      import graft.llm.DedupIndex
+      val docs = t(s, dir, "documents")
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_dedup_index").getAbsolutePath
+      // a previous run's index must not leak into this one: append is
+      // append — stale bands would double every candidate
+      val hPath = new org.apache.hadoop.fs.Path(base)
+      hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hPath, true)
+      DedupIndex.save(docs.filter(col("doc_id") % 5 === 1 ||
+          col("doc_id") % 5 === 2), "doc_id", "text", base)
+      DedupIndex.append(s, base, docs.filter(col("doc_id") % 5 === 3 ||
+          col("doc_id") % 5 === 4), "doc_id", "text")
+      DedupIndex.query(s, base, docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", minJaccard = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sh AS (${Ora.shinglesSql(3)}),
+      hm AS (SELECT doc_id, sh,
+          ${Ora.md5LongSql("sh")} % 1000000007 AS hm FROM sh),
+      params AS (SELECT g AS i, (654435747 * (g + 1)) % 1000000007 AS a,
+                        (654602297 * (g + 1)) % 1000000007 AS b
+                 FROM generate_series(0, 15) t(g)),
+      mh AS (SELECT doc_id, i, MIN((a * hm + b) % 1000000007) AS mh
+             FROM hm CROSS JOIN params GROUP BY 1, 2),
+      sig AS (SELECT doc_id, i // 4 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+              FROM mh GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+               WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      common AS (SELECT c.da, c.db, COUNT(*) AS c
+                 FROM cand c JOIN sh a ON a.doc_id = c.da
+                             JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
+                 GROUP BY 1, 2),
+      j AS (SELECT da, db, ROUND(c / (sa.sz + sb.sz - c), 6) AS jac
+            FROM common JOIN sizes sa ON da = sa.doc_id
+                        JOIN sizes sb ON db = sb.doc_id),
+      per AS (SELECT da, MIN(db) AS dup_of, MAX(jac) AS best_jac
+              FROM j WHERE jac >= 0.5 GROUP BY da)
+      SELECT d.doc_id, per.dup_of, per.best_jac, per.dup_of IS NULL AS keep
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      LEFT JOIN per ON d.doc_id = per.da
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(tsAcf, dedupPrefixJaccard, dedupIndexIncremental)
 }
