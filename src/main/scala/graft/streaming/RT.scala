@@ -202,6 +202,42 @@ object RT {
       .dropDuplicatesWithinWatermark(Seq("__digest"))
       .drop("__digest")
 
+  /** Continuous-crawl NEAR-dup ingest against the persisted
+    * [[graft.llm.DedupIndex]] — the streaming serve-and-grow loop for
+    * incremental dedup state: each micro-batch is probed against
+    * everything accepted so far (the initial corpus plus every earlier
+    * batch's survivors), the flag rows land in `outPath` as the audit
+    * log, and the kept (novel) documents are APPENDED to the index so
+    * later batches see them. Usage:
+    * `stream.writeStream.foreachBatch(dedupIngestBatch(...)).start()`.
+    *
+    * Intra-batch near-dups are deliberately NOT checked against each
+    * other — the unit of acceptance is the batch (run a batch-local
+    * [[graft.llm.Dedup.minhashDedup]] inside the function if finer
+    * granularity is needed); DedupIngestParitySpec replays the same
+    * files through a driver-side fold of [[graft.llm.DedupIndex.query]]
+    * semantics and proves flag-for-flag agreement. Ordering inside the
+    * function is load-bearing: the flag relation is MATERIALIZED
+    * (localCheckpoint) before the append, so its plan can never read
+    * the bands its own batch is about to write.
+    */
+  def dedupIngestBatch(indexPath: String, idCol: String, textCol: String,
+                       minJaccard: Double, outPath: String)
+                      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      val b = batch.localCheckpoint() // consumed by probe + kept below;
+                                      // a streaming source frame may not
+                                      // be recomputable across actions
+      val flagged = graft.llm.DedupIndex
+        .query(spark, indexPath, b, idCol, textCol, minJaccard)
+        .localCheckpoint()
+      flagged.write.mode("append").parquet(outPath)
+      val kept = b.join(flagged.filter(col("keep")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      graft.llm.DedupIndex.append(spark, indexPath, kept, idCol, textCol)
+    }
+
   // ---- streaming CDC apply -------------------------------------------------
 
   final case class CdcOp(key: Long, tsUs: Long, opId: Long, op: String,
