@@ -37,8 +37,23 @@ object DedupIndex {
 
   final case class Meta(n: Int, k: Int, r: Int, idCol: String, hashProbe: Long)
 
+  /** One shared default-hash function VALUE: a `hash: Column => Column =
+    * TextAnalysis.md5Long` default argument would allocate a fresh lambda
+    * per call and defeat the probe memo below.
+    */
+  private val DefaultHash: Column => Column = TextAnalysis.md5Long
+
+  // the probe depends only on the hash FUNCTION (a deterministic expression
+  // over a literal), not on any session or data — evaluate each distinct
+  // function instance once per JVM instead of one tiny job per
+  // save/append/query call
+  private val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, java.lang.Long]()
+
   private def probeValue(spark: SparkSession, hash: Column => Column): Long =
-    spark.range(1).select(hash(lit(Sentinel)).cast("long")).head().getLong(0)
+    probeMemo.computeIfAbsent(hash, _ =>
+      spark.range(1).select(hash(lit(Sentinel)).cast("long")).head().getLong(0)
+    ).longValue()
 
   private def bandsOf(sh: DataFrame, idCol: String, k: Int, r: Int,
                       hash: Column => Column): DataFrame =
@@ -53,7 +68,7 @@ object DedupIndex {
   /** Build the index from scratch (overwrites `path`). */
   def save(df: DataFrame, idCol: String, textCol: String, path: String,
            n: Int = 3, k: Int = 16, r: Int = 4,
-           hash: Column => Column = TextAnalysis.md5Long): Unit = {
+           hash: Column => Column = DefaultHash): Unit = {
     require(k > 0 && r > 0 && k % r == 0, s"k=$k must be a multiple of r=$r")
     val spark = df.sparkSession
     val sh = Dedup.shingles(df, idCol, textCol, n).cache()
@@ -112,7 +127,7 @@ object DedupIndex {
     */
   def append(spark: SparkSession, path: String, newDf: DataFrame,
              idCol: String, textCol: String,
-             hash: Column => Column = TextAnalysis.md5Long): Unit = {
+             hash: Column => Column = DefaultHash): Unit = {
     val m = readMeta(spark, path)
     require(idCol == m.idCol,
       s"index id column is ${m.idCol}, append called with $idCol")
@@ -136,7 +151,7 @@ object DedupIndex {
     */
   def query(spark: SparkSession, path: String, probe: DataFrame,
             idCol: String, textCol: String, minJaccard: Double = 0.5,
-            hash: Column => Column = TextAnalysis.md5Long): DataFrame = {
+            hash: Column => Column = DefaultHash): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
     val m = readMeta(spark, path)
