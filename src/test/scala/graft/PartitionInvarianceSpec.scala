@@ -33,8 +33,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "j10_nearest_centroid_iso", "cdc_scd2_e2e", "sketch_quantile_hist",
     // prefix-Jaccard: the canonical (df ASC, sh ASC) prefix order and the
     // positional-filter candidate set must not depend on partitioning;
-    // ts_acf: decimal sufficient-statistics sums per (group, lag)
-    "dedup_prefix_jaccard", "ts_acf")
+    // ts_acf: decimal sufficient-statistics sums per (group, lag);
+    // the persisted dedup index: a DISK roundtrip (save→append→query)
+    // written with 13 shuffle partitions must read back the same flags
+    "dedup_prefix_jaccard", "ts_acf", "dedup_index_incremental")
 
   test("representative queries are bit-identical under a different shuffle partitioning") {
     val alt = spark.newSession()
