@@ -106,10 +106,12 @@ object QueriesN {
       val docs = t(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 20 =!= 0)
       val bench = docs.filter(col("doc_id") % 20 === 0)
+      // n_tokens rides along from the quality pass so the final
+      // accounting never re-tokenizes the kept documents
       val keepQ = Cur.qualityFilter(corpus, "doc_id", "text",
           minTokens = 40, maxTokens = 80, maxRepetition = 0.1,
           minStopRatio = 0.01)
-        .filter(col("keep")).select(col("doc_id"))
+        .filter(col("keep")).select(col("doc_id"), col("n_tokens"))
       // digest variant: the canonicalization shuffle carries 16-byte keys
       // instead of whole documents (identical keep set, the 100 TB shape)
       val keepers = Dedup.exactByDigest(corpus, "doc_id", "text")
@@ -124,7 +126,7 @@ object QueriesN {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+          sum(col("n_tokens")).as("n_tokens"))
         .orderBy(col("split"), col("lang"))
     },
     Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
