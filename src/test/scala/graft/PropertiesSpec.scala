@@ -155,6 +155,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: prefix filtering is lossless vs the uncapped inverted index") {
+    // heavy-overlap corpora (tiny vocabulary) and NON-DYADIC thresholds —
+    // 0.3/0.7 have inexact binary τ·|d| products, exactly the case the
+    // retain-only ceil slack in prefixJaccardPairs guards
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docGen = Gen.listOfN(8,
+      Gen.choose(5, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocab.length - 1))))
+    forAll(docGen, cases = 3) { docs =>
+      val d = df("doc_id BIGINT, text STRING",
+        docs.zipWithIndex.map { case (ws, i) =>
+          R(i.toLong, ws.map(vocab).mkString(" "))
+        })
+      Seq(0.3, 0.7).foreach { tau =>
+        val byPrefix = Dedup.prefixJaccardPairs(d, "doc_id", "text",
+            n = 2, minJaccard = tau)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val exact = Dedup.jaccardPairs(d, "doc_id", "text",
+            n = 2, minJaccard = tau, maxDf = 1000000)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(byPrefix == exact,
+          s"tau=$tau: ${exact.diff(byPrefix)} missing, ${byPrefix.diff(exact)} extra")
+      }
+    }
+  }
+
   test("property: ewma stays inside its trailing window's value range") {
     val vals = Gen.listOfN(12, Gen.choose(-50.0, 50.0))
     forAll(vals) { vs =>
