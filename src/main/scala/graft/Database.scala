@@ -27,6 +27,18 @@ class Database(val spark: SparkSession) {
     this
   }
 
+  /** Register an in-memory relation (e.g. a query result) as a table —
+    * the reference's "add query as a table to the dataset"
+    * (interface.py:303-305): visible to SQL, info, display and summary
+    * exactly like a file-backed table.
+    */
+  def register(name: String, df: DataFrame): this.type = {
+    df.createOrReplaceTempView(name)
+    tables(name) = df
+    infoCache.remove(name)
+    this
+  }
+
   def table(name: String): DataFrame = tables(name)
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
 

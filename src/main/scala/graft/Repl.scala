@@ -79,7 +79,7 @@ object Repl {
             case "add" =>
               val res = current.getOrElse(
                 throw new IllegalStateException("no query to add — run `query` first"))
-              res.createOrReplaceTempView(rest)
+              db.register(rest, res) // full table: info/display/summary see it
               out.println(s"query registered as $rest")
             case "display" =>
               val parts = rest.split("\\s+")

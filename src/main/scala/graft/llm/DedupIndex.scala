@@ -46,14 +46,19 @@ object DedupIndex {
   // the probe depends only on the hash FUNCTION (a deterministic expression
   // over a literal), not on any session or data — evaluate each distinct
   // function instance once per JVM instead of one tiny job per
-  // save/append/query call
+  // save/append/query call. Keys are INSTANCE identities: only a stable
+  // function value (like DefaultHash) actually hits; a caller passing an
+  // inline lambda or eta-expanded def pays the job each time, so the map
+  // is size-capped against per-call-lambda callers in long-lived drivers.
   private val probeMemo =
     new java.util.concurrent.ConcurrentHashMap[AnyRef, java.lang.Long]()
 
-  private def probeValue(spark: SparkSession, hash: Column => Column): Long =
+  private def probeValue(spark: SparkSession, hash: Column => Column): Long = {
+    if (probeMemo.size > 64) probeMemo.clear()
     probeMemo.computeIfAbsent(hash, _ =>
       spark.range(1).select(hash(lit(Sentinel)).cast("long")).head().getLong(0)
     ).longValue()
+  }
 
   private def bandsOf(sh: DataFrame, idCol: String, k: Int, r: Int,
                       hash: Column => Column): DataFrame =
@@ -70,6 +75,10 @@ object DedupIndex {
            n: Int = 3, k: Int = 16, r: Int = 4,
            hash: Column => Column = DefaultHash): Unit = {
     require(k > 0 && r > 0 && k % r == 0, s"k=$k must be a multiple of r=$r")
+    // idCol lands verbatim in the one-line meta JSON: a quote or newline
+    // would write an index whose meta can never be parsed back
+    require(!idCol.exists(c => c == '"' || c == '\n' || c == '\r'),
+      s"idCol must not contain quotes or newlines: $idCol")
     val spark = df.sparkSession
     val sh = Dedup.shingles(df, idCol, textCol, n).cache()
     try {
@@ -83,6 +92,12 @@ object DedupIndex {
     // a 1-row text write instead of java.nio so the index lives on any
     // Hadoop-visible filesystem, not only local disk
     Seq(meta).toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+    // a rebuilt index starts a fresh ingest history: a stale streaming
+    // batch marker (RT.dedupIngestBatch) from a previous index at the
+    // same path would silently skip the new stream's early batches
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_ingest_batch")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
   }
 
   private val MetaRe =

@@ -51,7 +51,7 @@ object RT {
     * (reference: "ADLPW" → "A-LPW", qpe/qpe.py:464-489, qpe_utils.py:209-228).
     */
   final case class SlotResult(slot: Long, quality: String, complete: Boolean)
-  final case class SlotState(seen: Set[String])
+  final case class SlotState(seen: Set[String], done: Boolean = false)
 
   val AllSources: Seq[String] = Seq("A", "D", "L", "P", "W")
 
@@ -59,23 +59,47 @@ object RT {
     * otherwise wait until the event-time timeout (watermark passing the slot's
     * deadline) and emit the degraded product — the batch is never blocked
     * (reference: wait_for_files timeout=60, qpe_rt_daemon.py:198-253).
+    *
+    * Two robustness contracts a long-running daemon needs:
+    *   - an emitted slot leaves a TOMBSTONE (done=true) behind instead of
+    *     removing state, so a duplicate/retransmitted arrival cannot
+    *     re-open a closed slot and emit a second, contradictory result —
+    *     the tombstone is garbage-collected by its own timeout;
+    *   - the timeout timestamp is floored ABOVE the current watermark: a
+    *     straggler for a slot whose deadline the watermark already passed
+    *     would otherwise make setTimeoutTimestamp throw and kill the
+    *     whole query (instead it emits degraded at the next trigger,
+    *     which is what an already-passed deadline means).
     */
   def slotUpdate(timeoutMs: Long)(slot: Long, arrivals: Iterator[SourceArrival],
                                   state: GroupState[SlotState]): Iterator[SlotResult] = {
+    def deadline: Long =
+      math.max(slot + timeoutMs, state.getCurrentWatermarkMs() + 1)
     if (state.hasTimedOut) {
-      val seen = state.getOption.map(_.seen).getOrElse(Set.empty)
-      state.remove()
-      Iterator.single(SlotResult(slot, quality(seen), complete = false))
+      val st = state.getOption.getOrElse(SlotState(Set.empty))
+      if (st.done) { state.remove(); Iterator.empty } // tombstone expiry
+      else {
+        // degraded emit leaves the same tombstone the complete path does:
+        // a retransmitted arrival one trigger later must not re-open the
+        // slot and emit a second, contradictory result
+        state.update(SlotState(st.seen, done = true))
+        state.setTimeoutTimestamp(deadline)
+        Iterator.single(SlotResult(slot, quality(st.seen), complete = false))
+      }
+    } else if (state.getOption.exists(_.done)) {
+      state.setTimeoutTimestamp(deadline) // duplicate arrival after emit:
+      Iterator.empty                      // keep the tombstone, emit nothing
     } else {
       val seen = state.getOption.map(_.seen).getOrElse(Set.empty) ++
         arrivals.map(_.source)
       if (AllSources.forall(seen.contains)) {
-        state.remove()
+        state.update(SlotState(seen, done = true))
+        state.setTimeoutTimestamp(deadline)
         Iterator.single(SlotResult(slot, quality(seen), complete = true))
       } else {
         state.update(SlotState(seen))
         // deadline: slot end + allowed lateness
-        state.setTimeoutTimestamp(slot + timeoutMs)
+        state.setTimeoutTimestamp(deadline)
         Iterator.empty
       }
     }
@@ -106,7 +130,12 @@ object RT {
 
   /** mapGroupsWithState carrying the previous timestep's value per key —
     * the checkpointed replacement for the reference's X_prev/qpe_prev npy
-    * spill files (qpe/qpe.py:380-403,745-762).
+    * spill files (qpe/qpe.py:380-403,745-762). Time only moves FORWARD
+    * through the state: a row at or before the stored slot (late or
+    * replayed cross-batch delivery) pairs with None — never with a
+    * future slot's value — and does not regress the stored state; the
+    * within-batch sort already guarantees this inside one batch, the
+    * slot comparison extends the same contract across batches.
     */
   def pairWithPrevious(values: Dataset[KeyedValue]): Dataset[Paired] = {
     import values.sparkSession.implicits._
@@ -116,9 +145,13 @@ object RT {
           val sorted = rows.toSeq.sortBy(_.slot)
           var prev = state.getOption
           val out = sorted.map { kv =>
-            val p = Paired(kv.key, kv.slot, kv.value, prev.map(_.value))
-            prev = Some(PrevState(kv.slot, kv.value))
-            p
+            if (prev.exists(kv.slot <= _.slot))
+              Paired(kv.key, kv.slot, kv.value, None) // out-of-order row
+            else {
+              val p = Paired(kv.key, kv.slot, kv.value, prev.map(_.value))
+              prev = Some(PrevState(kv.slot, kv.value))
+              p
+            }
           }
           prev.foreach(state.update)
           out.iterator
@@ -220,22 +253,49 @@ object RT {
     * function is load-bearing: the flag relation is MATERIALIZED
     * (localCheckpoint) before the append, so its plan can never read
     * the bands its own batch is about to write.
+    *
+    * foreachBatch is at-least-once: after a failure between the batch
+    * function and the checkpoint commit, the SAME batchId replays. A
+    * replayed append would duplicate every survivor's bands (making docs
+    * their own near-dups) and write contradictory audit rows, so the
+    * last applied batchId is recorded IN the index directory and a
+    * replay of an already-applied id is a no-op. The marker is written
+    * after the append — a crash inside the window between them still
+    * replays, which is the unavoidable residue of non-transactional
+    * parquet appends (a lakehouse table format closes it).
     */
   def dedupIngestBatch(indexPath: String, idCol: String, textCol: String,
                        minJaccard: Double, outPath: String)
                       : (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) => {
+    (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val b = batch.localCheckpoint() // consumed by probe + kept below;
-                                      // a streaming source frame may not
-                                      // be recomputable across actions
-      val flagged = graft.llm.DedupIndex
-        .query(spark, indexPath, b, idCol, textCol, minJaccard)
-        .localCheckpoint()
-      flagged.write.mode("append").parquet(outPath)
-      val kept = b.join(flagged.filter(col("keep")).select(col(idCol)),
-        Seq(idCol), "left_semi")
-      graft.llm.DedupIndex.append(spark, indexPath, kept, idCol, textCol)
+      val markerPath = new org.apache.hadoop.fs.Path(
+        s"$indexPath/_ingest_batch")
+      val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val applied: Long =
+        if (!fs.exists(markerPath)) -1L
+        else {
+          val in = fs.open(markerPath)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      if (batchId > applied) {
+        val b = batch.localCheckpoint() // consumed by probe + kept below;
+                                        // a streaming source frame may not
+                                        // be recomputable across actions
+        val flagged = graft.llm.DedupIndex
+          .query(spark, indexPath, b, idCol, textCol, minJaccard)
+          .localCheckpoint()
+        flagged.write.mode("append").parquet(outPath)
+        val kept = b.join(flagged.filter(col("keep")).select(col(idCol)),
+          Seq(idCol), "left_semi")
+        graft.llm.DedupIndex.append(spark, indexPath, kept, idCol, textCol)
+        val outS = fs.create(markerPath, true)
+        try outS.write(batchId.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally outS.close()
+      }
     }
 
   // ---- streaming CDC apply -------------------------------------------------
@@ -278,9 +338,12 @@ object RT {
     * skip/update of already-computed days).
     */
   def writeDayPartitioned(df: DataFrame, tsCol: String, path: String): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-WRITE option, not a session conf mutation: setting the session
+    // conf would silently flip every later overwrite-partitionBy write in
+    // the same session from truncate-table to dynamic semantics
     df.withColumn("day", date_format(col(tsCol), "yyyyMMdd"))
-      .write.mode("overwrite").partitionBy("day").parquet(path)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
   }
 
   /** R5: hourly side-input refresh — reload a small dimension each batch and

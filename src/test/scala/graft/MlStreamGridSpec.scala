@@ -152,6 +152,67 @@ class MlStreamGridSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("completeness: duplicate arrival after emit cannot re-open the slot; straggler past the deadline cannot kill the query") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[RT.SourceArrival]
+    val q = RT.completenessStream(input.toDS(), timeoutMs = 1000)
+      .writeStream.format("memory").queryName("slots4").outputMode("append").start()
+    try {
+      // slot 1000 completes; a retransmitted arrival hits the tombstone
+      input.addData(RT.AllSources.map(s => RT.SourceArrival(1000L, s, 1000L)): _*)
+      q.processAllAvailable()
+      input.addData(RT.SourceArrival(1000L, "A", 1500L)) // duplicate, fresh ts
+      q.processAllAvailable()
+      // slot 5000 partial; watermark sails past its deadline, then a
+      // straggler with FRESH event time arrives for it — pre-fix this
+      // called setTimeoutTimestamp below the watermark and KILLED the query
+      input.addData(RT.SourceArrival(5000L, "A", 5000L))
+      q.processAllAvailable()
+      input.addData(RT.SourceArrival(900000L, "A", 900000L)) // advance wm
+      q.processAllAvailable()
+      input.addData(RT.SourceArrival(905000L, "D", 905000L)) // fire timeouts
+      q.processAllAvailable()
+      input.addData(RT.SourceArrival(5000L, "D", 905500L))   // straggler
+      q.processAllAvailable()
+      input.addData(RT.SourceArrival(910000L, "L", 910000L)) // advance again
+      q.processAllAvailable()
+      assert(q.isActive || q.exception.isEmpty, s"query died: ${q.exception}")
+      val bySlot = spark.table("slots4").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.toSeq).toMap
+      // exactly ONE result for the completed slot despite the duplicate
+      assert(bySlot(1000L).map(r => (r.getString(1), r.getBoolean(2))) ==
+        Seq(("ADLPW", true)))
+      // slot 5000: one degraded emit from the passed deadline; the fresh
+      // straggler may produce at most one more bounded-horizon emit, never
+      // a crash and never a contradictory complete=true
+      assert(bySlot(5000L).nonEmpty)
+      assert(bySlot(5000L).forall(!_.getBoolean(2)))
+      assert(bySlot(5000L).head.getString(1) == "A----")
+    } finally q.stop()
+  }
+
+  test("pairWithPrevious: a late cross-batch row pairs with None and never regresses state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[RT.KeyedValue]
+    val q = RT.pairWithPrevious(input.toDS())
+      .writeStream.format("memory").queryName("paired_late").outputMode("append").start()
+    try {
+      input.addData(RT.KeyedValue("m", 2, 20.0))
+      q.processAllAvailable()
+      input.addData(RT.KeyedValue("m", 1, 10.0)) // late: slot < stored slot
+      q.processAllAvailable()
+      input.addData(RT.KeyedValue("m", 3, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("paired_late").orderBy("slot").collect()
+      assert(rows.length == 3)
+      assert(rows(0).isNullAt(3))           // late row: NOT slot 2's future value
+      assert(rows(1).isNullAt(3))           // slot 2 was first in, no prev
+      assert(rows(2).getDouble(3) == 20.0)  // slot 3 pairs with slot 2, not 1
+    } finally q.stop()
+  }
+
   test("streaming pairWithPrevious carries state across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

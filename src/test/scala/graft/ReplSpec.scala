@@ -28,16 +28,21 @@ class ReplSpec extends SparkSpec {
          |save $dir/out.csv
          |add doubled
          |query SELECT COUNT(*) AS n FROM doubled
+         |info doubled
+         |display doubled
          |display t 2
          |e
          |""".stripMargin)
-    assert(n == 7)
+    assert(n == 9)
     assert(outStr.contains("table t added"))
     assert(outStr.contains("t: 3 rows x 2 cols"))
     assert(outStr.contains("id | v2") && outStr.contains("1 | 4.0"))
     assert(outStr.contains(s"saved to $dir/out.csv"))
     assert(outStr.contains("query registered as doubled"))
     assert(outStr.contains("\n2")) // count over the registered view
+    // `add` registers a FULL Database table: info and display see it too
+    assert(outStr.contains("doubled: 2 rows x 2 cols"))
+    assert(outStr.contains("id | v2"))
     assert(outStr.contains("... (more rows)")) // display 2 of 3
     // the saved file reads back through the same suffix dispatcher
     val saved = Core.readAny(spark, s"$dir/out.csv").collect()
