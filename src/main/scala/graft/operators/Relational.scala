@@ -38,12 +38,21 @@ object Relational {
   }
 
   /** S4: daily upsert — old ∪ new, dedup on key (reference:
-    * retrieve_radar_data.py:635-649 read-append-drop_duplicates-rewrite).
-    * At scale this is a dynamic partition overwrite on the day partition; the
-    * dedup itself is one shuffle.
+    * retrieve_radar_data.py:635-649 read-append-drop_duplicates-rewrite;
+    * there the old/new overlap carries identical rows, so its full-row
+    * drop_duplicates never has to choose). Keyed with EXPLICIT
+    * precedence here — the incoming row wins a key collision — because
+    * a bare `dropDuplicates(keys)` keeps an arbitrary row, which can
+    * flip between runs with partitioning. Caller contract: each side is
+    * key-unique (duplicate keys WITHIN one side still tie arbitrarily).
+    * At scale this is a dynamic partition overwrite on the day partition;
+    * the dedup itself is one shuffle.
     */
   def upsert(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame =
-    oldDf.unionByName(newDf).dropDuplicates(keys)
+    dedupKeepFirst(
+      newDf.withColumn("__prec", lit(0))
+        .unionByName(oldDf.withColumn("__prec", lit(1))),
+      keys, "__prec").drop("__prec")
 
   /** S5: incremental merge — append only rows whose key is not already present;
     * `overwrite=true` flips precedence to the incoming rows
@@ -228,10 +237,13 @@ object Relational {
                 dimKey: String, k: Int = 10): DataFrame = {
     val orphans = fact.join(dim.select(col(dimKey).as(factKey)).distinct(),
       Seq(factKey), "left_anti")
+    // the keySkewProfile shape: TakeOrdered to k rows FIRST, then rank the
+    // k survivors — ranking before limiting would single-partition-sort
+    // every distinct orphan key
     orphans.groupBy(col(factKey)).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col(factKey)).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_rows").desc, col(factKey))).cast("int"))
-      .filter(col("rank") <= k)
       .select(col("rank"), col(factKey), col("n_rows"))
   }
 

@@ -90,30 +90,36 @@ object Sketch {
         TextAnalysis.md5Long(concat(lit(s"bloom$j:"), key)) % mBits): _*)
     val bits = build
       .select(explode(positions(col(buildKey))).as("bit")).distinct()
+    // a key's d hashes can COLLIDE mod mBits (a member key then sets fewer
+    // than d distinct bits), so the verdict compares matched distinct bits
+    // against the key's OWN distinct-position count — comparing against the
+    // literal d would be a false negative exactly there
     val probeKeys = probe.select(col(probeKey).as("k")).distinct()
+      .withColumn("__npos", size(array_distinct(positions(col("k")))).cast("long"))
     val matched = probeKeys
-      .select(col("k"), explode(positions(col("k"))).as("bit"))
+      .select(col("k"), explode(positions(col("k"))).as("bit")).distinct()
       .join(broadcast(bits), Seq("bit"))
-      .groupBy(col("k")).agg(countDistinct(col("bit")).as("hits"))
+      .groupBy(col("k")).agg(count(lit(1)).as("hits"))
     val exact = build.select(col(buildKey).as("k")).distinct()
       .withColumn("is_member", lit(true))
     probeKeys
       .join(matched, Seq("k"), "left")
       .join(exact, Seq("k"), "left")
       .select(col("k").as(probeKey),
-        (coalesce(col("hits"), lit(0L)) === d).as("maybe_member"),
+        (coalesce(col("hits"), lit(0L)) === col("__npos")).as("maybe_member"),
         coalesce(col("is_member"), lit(false)).as("is_member"))
   }
 
   /** HyperLogLog distinct estimation (Flajolet et al. 2007) per group,
     * with the md5 hash so both engines see identical register values:
-    * bucket = h mod m, rank = leading-zero count of the remaining 54-bit
-    * suffix + 1 (via the length of the minimal binary string — a pure
-    * string op, no float log), registers = per-bucket max rank.
+    * bucket = h mod m, rank = leading-zero count of the remaining
+    * (60 − log2 m)-bit suffix + 1 (via the length of the minimal binary
+    * string — a pure string op, no float log), registers = per-bucket
+    * max rank.
     *
     * The harmonic denominator Σ 2^(−M_b) is accumulated as SCALED
-    * INTEGERS — Σ 2^(55−M_b) via bit shifts, exact and order-free in
-    * 64-bit (≤ m·2^55 = 2^61) — because a double-sum of tiny powers mixes
+    * INTEGERS — Σ 2^(maxRho−M_b) via bit shifts, exact and order-free in
+    * 64-bit (≤ m·2^maxRho = 2^61) — because a double-sum of tiny powers mixes
     * magnitudes across 55 binades and becomes partition-order-dependent
     * in the last bit. Empty buckets contribute rank 0 (the generate-
     * series left join). Exact COUNT(DISTINCT) rides along for comparison.
@@ -137,23 +143,29 @@ object Sketch {
     // division (h exceeds double's 53-bit mantissa, so h/m-then-cast
     // silently corrupts low bits)
     val shiftBits = java.lang.Integer.numberOfTrailingZeros(m)
+    // the suffix is (60 - shiftBits) bits, so the max rank (all-zero
+    // suffix) is 60 - shiftBits + 1 — for m = 64 that is the historical
+    // constant 55; smaller m widens the suffix and the constant MUST move
+    // with it or every register (and the scaled-integer harmonic sum)
+    // is off by log2(64/m)
+    val maxRho = 60 - shiftBits + 1
     val h = TextAnalysis.md5Long(concat(lit("hll:"), col(valCol).cast("string")))
     val regs = df
       .select(col(groupCol).as("g"), (h % m).as("b"),
         shiftright(h, shiftBits).as("suffix"))
       .withColumn("rho",
-        when(col("suffix") > 0, lit(55) - length(bin(col("suffix"))))
-          .otherwise(lit(55)))
+        when(col("suffix") > 0, lit(maxRho) - length(bin(col("suffix"))))
+          .otherwise(lit(maxRho)))
       .groupBy(col("g"), col("b")).agg(max(col("rho")).as("mb"))
     val groups = df.select(col(groupCol).as("g")).distinct()
     val full = groups
       .crossJoin(bucketDomain(df, m))
       .join(regs, Seq("g", "b"), "left")
       .withColumn("mb", coalesce(col("mb"), lit(0)))
-    val scale = math.pow(2.0, 55) * alpha * m * m
+    val scale = math.pow(2.0, maxRho) * alpha * m * m
     val est = full
       .groupBy(col("g"))
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mb)")).as("s"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - mb)")).as("s"))
       .select(col("g"),
         round(lit(scale) / col("s").cast("double"), 6).as("est_distinct"))
     val exact = df.groupBy(col(groupCol).as("g"))

@@ -40,16 +40,25 @@ object Stats {
         sum(dec(y)).cast("double").as("sy"),
         sum(dec(x * x)).cast("double").as("sxx"),
         sum(dec(x * y)).cast("double").as("sxy"),
-        sum(dec(y * y)).cast("double").as("syy"))
+        sum(dec(y * y)).cast("double").as("syy"),
+        min(x).as("mnx"), max(x).as("mxx"),
+        min(y).as("mny"), max(y).as("mxy"))
     val n = col("n").cast("double")
     val cov = n * col("sxy") - col("sx") * col("sy")
     val varx = n * col("sxx") - col("sx") * col("sx")
     val vary = n * col("syy") - col("sy") * col("sy")
+    // the degenerate-group test is min < max, NOT varx > 0: the variance
+    // is a double DIFFERENCE of products of the (exact) sums, so a
+    // constant non-dyadic column (x ≡ 0.1) leaves a tiny positive rounding
+    // residue that would pass `varx > 0` and emit slope = cov/noise
+    // instead of the documented NULL
+    val xVaries = col("mxx") > col("mnx")
+    val yVaries = col("mxy") > col("mny")
     s.select(col(groupCol), col("n"),
-        when(varx > 0, round(cov / varx, 6)).as("slope"),
-        when(varx > 0,
+        when(xVaries, round(cov / varx, 6)).as("slope"),
+        when(xVaries,
           round((col("sy") - (cov / varx) * col("sx")) / n, 6)).as("intercept"),
-        when(varx > 0 && vary > 0,
+        when(xVaries && yVaries,
           round((cov * cov) / (varx * vary), 6)).as("r2"))
   }
 
@@ -153,23 +162,34 @@ object Stats {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
     val base = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
       .filter(cols.map(col(_).isNotNull).reduceLeft(_ && _))
+    // per-column aliases are POSITIONAL (s_0, sp_3), not name-concatenated:
+    // sp_${a}_$b collides for underscore-bearing names ((x, y_z) and
+    // (x_y, z) both render sp_x_y_z → ambiguous reference)
+    val idx = cols.zipWithIndex.toMap
+    val pairList = cols.combinations(2).toSeq
     val sums =
       Seq(count(lit(1)).as("n")) ++
       cols.flatMap(c => Seq(
-        sum(dec(col(c))).cast("double").as(s"s_$c"),
-        sum(dec(col(c) * col(c))).cast("double").as(s"ss_$c"))) ++
-      cols.combinations(2).map { case Seq(a, b) =>
-        sum(dec(col(a) * col(b))).cast("double").as(s"sp_${a}_$b")
-      }.toSeq
+        sum(dec(col(c))).cast("double").as(s"s_${idx(c)}"),
+        sum(dec(col(c) * col(c))).cast("double").as(s"ss_${idx(c)}"),
+        min(col(c)).as(s"mn_${idx(c)}"), max(col(c)).as(s"mx_${idx(c)}"))) ++
+      pairList.zipWithIndex.map { case (Seq(a, b), p) =>
+        sum(dec(col(a) * col(b))).cast("double").as(s"sp_$p")
+      }
     val m = base.agg(sums.head, sums.tail: _*)
     val n = col("n").cast("double")
-    val pairs = cols.combinations(2).map { case Seq(a, b) =>
-      val cov = n * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
-      val va = n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
-      val vb = n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+    val pairs = pairList.zipWithIndex.map { case (Seq(a, b), p) =>
+      val cov = n * col(s"sp_$p") - col(s"s_${idx(a)}") * col(s"s_${idx(b)}")
+      val va = n * col(s"ss_${idx(a)}") -
+        col(s"s_${idx(a)}") * col(s"s_${idx(a)}")
+      val vb = n * col(s"ss_${idx(b)}") -
+        col(s"s_${idx(b)}") * col(s"s_${idx(b)}")
+      // exact degeneracy test (min < max), not the double variance residue
+      val varies = col(s"mx_${idx(a)}") > col(s"mn_${idx(a)}") &&
+        col(s"mx_${idx(b)}") > col(s"mn_${idx(b)}")
       m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
-        when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
-    }.toSeq
+        when(varies, round(cov / sqrt(va * vb), 6)).as("corr"))
+    }
     pairs.reduceLeft(_ unionAll _)
   }
 
@@ -237,21 +257,28 @@ object Stats {
       .groupBy(col(groupCol), col(variantCol).cast("int").as("__arm"))
       .agg(count(lit(1)).as("n"),
         sum(dec(v)).cast("double").as("sv"),
-        sum(dec(v * v)).cast("double").as("svv"))
+        sum(dec(v * v)).cast("double").as("svv"),
+        min(v).as("mn"), max(v).as("mx"))
     def armAgg(arm: Int, c: String, out: String) =
       max(when(col("__arm") === arm, col(c))).as(out)
     val p = s.groupBy(col(groupCol))
       .agg(armAgg(0, "n", "n0"), armAgg(0, "sv", "sv0"), armAgg(0, "svv", "svv0"),
-        armAgg(1, "n", "n1"), armAgg(1, "sv", "sv1"), armAgg(1, "svv", "svv1"))
+        armAgg(0, "mn", "mn0"), armAgg(0, "mx", "mx0"),
+        armAgg(1, "n", "n1"), armAgg(1, "sv", "sv1"), armAgg(1, "svv", "svv1"),
+        armAgg(1, "mn", "mn1"), armAgg(1, "mx", "mx1"))
     def mean(i: Int) = col(s"sv$i") / col(s"n$i").cast("double")
     // unbiased variance from sums: (Σv² − (Σv)²/n) / (n−1)
     def vr(i: Int) =
       (col(s"svv$i") - col(s"sv$i") * col(s"sv$i") / col(s"n$i").cast("double")) /
         (col(s"n$i").cast("double") - lit(1.0))
     val se2 = vr(0) / col("n0").cast("double") + vr(1) / col("n1").cast("double")
+    // degenerate test is exact min < max on at least one arm, not
+    // `se2 > 0` on doubles: two constant arms leave a rounding residue
+    // that would emit an astronomically large z instead of NULL
+    val varies = col("mx0") > col("mn0") || col("mx1") > col("mn1")
     p.select(col(groupCol), col("n0"), col("n1"),
       round(mean(0), 6).as("mean0"), round(mean(1), 6).as("mean1"),
-      when(col("n0") >= 2 && col("n1") >= 2 && se2 > 0,
+      when(col("n0") >= 2 && col("n1") >= 2 && varies,
         round((mean(1) - mean(0)) / sqrt(se2), 6)).as("welch_z"))
   }
 
@@ -310,7 +337,8 @@ object Stats {
     val aggs =
       Seq(count(lit(1)).as("n"),
         sum(dec(col("v"))).cast("double").as("s"),
-        sum(dec(col("v") * col("v"))).cast("double").as("ss")) ++
+        sum(dec(col("v") * col("v"))).cast("double").as("ss"),
+        min(col("v")).as("__mn"), max(col("v")).as("__mx")) ++
       (1 to maxLag).flatMap { l =>
         val vl = col(s"v$l")
         Seq(count(vl).as(s"n$l"),
@@ -327,8 +355,10 @@ object Stats {
       val num = col(s"sxy$l") - col("__m") * col(s"sx$l") -
         col("__m") * col(s"sy$l") +
         col(s"n$l").cast("double") * col("__m") * col("__m")
+      // exact zero-variance test (min < max) — the double residue of
+      // ss − n·m² on a constant non-dyadic series would pass `den > 0`
       d.withColumn(s"__r$l",
-        when(col("__den") > 0.0 && col(s"n$l") > 0,
+        when(col("__mx") > col("__mn") && col(s"n$l") > 0,
           round(num / col("__den"), 6)))
     }
     val stackArgs = (1 to maxLag).map(l => s"$l, n$l, __r$l").mkString(", ")

@@ -49,8 +49,7 @@ object QueriesAB {
     val decS = (e: String) => s"CAST(SUM(CAST(($e) AS DECIMAL(27,10))) AS DOUBLE)"
     def pair(a: String, b: String) =
       s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
-        CASE WHEN CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a > 0
-          AND CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b > 0 THEN
+        CASE WHEN mx_$a > mn_$a AND mx_$b > mn_$b THEN
           ROUND((CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b) /
             SQRT((CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a) *
               (CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)), 6) END AS corr
@@ -74,7 +73,9 @@ object QueriesAB {
           ${decS("hr")} AS s_hr, ${decS("hr * hr")} AS ss_hr,
           ${decS("dom")} AS s_dom, ${decS("dom * dom")} AS ss_dom,
           ${decS("v * hr")} AS sp_v_hr, ${decS("v * dom")} AS sp_v_dom,
-          ${decS("hr * dom")} AS sp_hr_dom
+          ${decS("hr * dom")} AS sp_hr_dom,
+          MIN(v) AS mn_v, MAX(v) AS mx_v, MIN(hr) AS mn_hr, MAX(hr) AS mx_hr,
+          MIN(dom) AS mn_dom, MAX(dom) AS mx_dom
           FROM b)
       ${pair("v", "hr")} UNION ALL ${pair("v", "dom")}
       UNION ALL ${pair("hr", "dom")}

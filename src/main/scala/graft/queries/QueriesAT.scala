@@ -43,7 +43,7 @@ object QueriesAT {
         }.mkString(",\n          ")
         val branches = (1 to maxLag).map { l =>
           s"""SELECT event_type, CAST($l AS INT) AS lag, n$l AS n_pairs,
-            CASE WHEN den > 0.0 AND n$l > 0
+            CASE WHEN mx > mn AND n$l > 0
               THEN ROUND((sxy$l - m * sx$l - m * sy$l +
                 CAST(n$l AS DOUBLE) * m * m) / den, 6) END AS acf
           FROM c"""
@@ -57,6 +57,7 @@ object QueriesAT {
           FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
           a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
             ${Ora.dsumSql("v")} AS s, ${Ora.dsumSql("v * v")} AS ss,
+            MIN(v) AS mn, MAX(v) AS mx,
           $lagAggs
           FROM l GROUP BY 1),
           b AS (SELECT *, s / CAST(n AS DOUBLE) AS m FROM a),

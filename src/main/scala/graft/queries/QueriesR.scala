@@ -218,12 +218,14 @@ object QueriesR {
         js AS (SELECT unnest($js) AS j),
         bits AS MATERIALIZED (SELECT DISTINCT ${bitSql("tok")} AS bit
           FROM ex CROSS JOIN js),
-        pm AS (SELECT tok, ${bitSql("tok")} AS bit FROM pt CROSS JOIN js),
-        hits AS (SELECT tok, COUNT(DISTINCT bit) AS nh
+        pm AS MATERIALIZED (SELECT DISTINCT tok, ${bitSql("tok")} AS bit
+          FROM pt CROSS JOIN js),
+        np AS (SELECT tok, COUNT(*) AS npos FROM pm GROUP BY tok),
+        hits AS (SELECT tok, COUNT(*) AS nh
           FROM pm JOIN bits USING (bit) GROUP BY tok)
-      SELECT p.tok, COALESCE(h.nh, 0) = $d AS maybe_member,
+      SELECT p.tok, COALESCE(h.nh, 0) = np.npos AS maybe_member,
         (e.tok IS NOT NULL) AS is_member
-      FROM pt p LEFT JOIN hits h USING (tok)
+      FROM pt p JOIN np USING (tok) LEFT JOIN hits h USING (tok)
       LEFT JOIN ex e ON e.tok = p.tok ORDER BY p.tok"""))
   }
 

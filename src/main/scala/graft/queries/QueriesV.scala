@@ -48,18 +48,18 @@ object QueriesV {
           value AS y
           FROM events),
         s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-          $sums
+          $sums,
+          MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy
           FROM b WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1)
       SELECT event_type, n,
-        CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+        CASE WHEN mxx > mnx THEN
           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
             (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END AS slope,
-        CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+        CASE WHEN mxx > mnx THEN
           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
               (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
             CAST(n AS DOUBLE), 6) END AS intercept,
-        CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
-          AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+        CASE WHEN mxx > mnx AND mxy > mny THEN
           ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy) *
               (CAST(n AS DOUBLE) * sxy - sx * sy)) /
             ((CAST(n AS DOUBLE) * sxx - sx * sx) *

@@ -123,18 +123,21 @@ object QueriesX {
           CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
         s AS (SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) AS sv,
-          CAST(SUM(CAST((v * v) AS DECIMAL(27,10))) AS DOUBLE) AS svv
+          CAST(SUM(CAST((v * v) AS DECIMAL(27,10))) AS DOUBLE) AS svv,
+          MIN(v) AS mn, MAX(v) AS mx
           FROM b GROUP BY 1, 2),
         p AS (SELECT event_type,
           ${armSql(0, "n")} AS n0, ${armSql(0, "sv")} AS sv0,
           ${armSql(0, "svv")} AS svv0,
+          ${armSql(0, "mn")} AS mn0, ${armSql(0, "mx")} AS mx0,
           ${armSql(1, "n")} AS n1, ${armSql(1, "sv")} AS sv1,
-          ${armSql(1, "svv")} AS svv1
+          ${armSql(1, "svv")} AS svv1,
+          ${armSql(1, "mn")} AS mn1, ${armSql(1, "mx")} AS mx1
           FROM s GROUP BY 1)
       SELECT event_type, n0, n1,
         ROUND(sv0 / CAST(n0 AS DOUBLE), 6) AS mean0,
         ROUND(sv1 / CAST(n1 AS DOUBLE), 6) AS mean1,
-        CASE WHEN n0 >= 2 AND n1 >= 2 AND $se2 > 0 THEN
+        CASE WHEN n0 >= 2 AND n1 >= 2 AND (mx0 > mn0 OR mx1 > mn1) THEN
           ROUND((sv1 / CAST(n1 AS DOUBLE) - sv0 / CAST(n0 AS DOUBLE)) /
             SQRT($se2), 6) END AS welch_z
       FROM p ORDER BY event_type"""))

@@ -99,7 +99,8 @@ class PlanShapeSpec extends SparkSpec {
     // window will fail this census instead of melting a cluster.
     val allow: Map[String, Int] = Map(
       "assoc_rules" -> 1,            // rank over the mined-rule relation
-      "dq_referential" -> 1,         // rank over orphan keys
+      "dq_referential" -> 1,         // rank over the k TakeOrdered survivors
+                                     // (limit-k precedes the window)
       "dq_skew_profile" -> 2,        // top-k keys + k-row cumulative share
       "graph_hits" -> 1,             // rank over the |V|-bounded node set
       "graph_item_jaccard" -> 1,     // rank over >=2-support item pairs

@@ -39,6 +39,19 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.upsert(old, nw, Seq("k")).count() == 3)
   }
 
+  test("upsert: the incoming row deterministically wins a key collision") {
+    // dropDuplicates(keys) kept an ARBITRARY row on collision — the
+    // precedence column pins incoming-wins at any partitioning
+    val old = df("k INT, v STRING", Seq(R(1, "old1"), R(2, "old2")))
+    val nw = df("k INT, v STRING", Seq(R(2, "NEW2"), R(3, "new3")))
+    Seq(1, 7).foreach { parts =>
+      val out = Relational.upsert(
+          old.repartition(parts), nw.repartition(parts), Seq("k"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(out == Map(1 -> "old1", 2 -> "NEW2", 3 -> "new3"), out.toString)
+    }
+  }
+
   test("wetPeriodFilter keeps whole qualifying hours") {
     val rows = Seq(
       R("s1", Timestamp.valueOf("2024-01-01 10:05:00"), 0.2),

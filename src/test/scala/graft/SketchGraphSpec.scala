@@ -98,6 +98,38 @@ class SketchGraphSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrune: member keys whose d hashes collide mod mBits are still found") {
+    import spark.implicits._
+    // mBits = 4 with d = 3 forces position collisions on most keys: a
+    // member with only 1-2 distinct positions must still be maybe_member
+    // (the verdict compares against the key's OWN distinct-position count,
+    // not the literal d — comparing to d was a false negative exactly here)
+    val keys = (1 to 200).map(i => s"ck$i").toDF("k")
+    val out = Sketch.bloomPrune(keys, "k", keys, "k", mBits = 4, d = 3)
+      .collect()
+    assert(out.length == 200)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_member"))
+      assert(r.getAs[Boolean]("maybe_member"),
+        s"false negative under position collision: $r")
+    }
+  }
+
+  test("hllDistinct: small register counts (m = 16, 32) estimate correctly") {
+    import spark.implicits._
+    // the rank constant must move with m (suffix width 60 − log2 m): a
+    // 55-hardcode understates every m = 16 register by 2 and the estimate
+    // by ~4× — these bounds catch any constant/scale mismatch
+    val df = (1 to 2000).map(i => ("g", s"v${i % 500}")).toDF("g", "v")
+    Seq(16, 32).foreach { m =>
+      val r = Sketch.hllDistinct(df, "g", "v", m = m).collect()(0)
+      val est = r.getAs[Double]("est_distinct")
+      // std error 1.04/√m (26 % at m=16); allow ~3σ
+      assert(math.abs(est - 500.0) <= 0.8 * 500.0,
+        s"m=$m estimate $est too far from 500")
+    }
+  }
+
   test("hllDistinct: estimate lands near truth and never needs the exact pass") {
     import spark.implicits._
     val df = (1 to 3000).map(i => (s"g${i % 3}", s"v${i % (250 * (i % 3 + 1))}"))

@@ -371,4 +371,45 @@ class StatsSpec extends SparkSpec {
       Stats.acf(d, "g", "t", "id", "v", maxLag = 0)
     }
   }
+
+  test("degenerate guards are exact: NON-DYADIC constants still yield NULL") {
+    // 0.1 is binary-inexact: n·Σx² − (Σx)² leaves a tiny positive double
+    // residue on a constant column, which a `var > 0` guard would pass —
+    // emitting a slope/z/corr made of rounding noise. The min<max guards
+    // must return the documented NULLs instead.
+    val ols = Stats.groupedOls(
+      df("g STRING, x DOUBLE, y DOUBLE",
+        Seq(R("g", 0.1, 1.0), R("g", 0.1, 2.0), R("g", 0.1, 3.0))),
+      "g", "x", "y").collect()(0)
+    assert(ols.isNullAt(2) && ols.isNullAt(3) && ols.isNullAt(4))
+    val z = Stats.abWelchZ(
+      df("g STRING, arm INT, v DOUBLE",
+        Seq(R("g", 0, 0.1), R("g", 0, 0.1), R("g", 1, 0.3), R("g", 1, 0.3))),
+      "g", "arm", "v").collect()(0)
+    assert(z.isNullAt(5), s"constant arms must give NULL z, got $z")
+    val corr = Stats.corrPairs(
+      df("a DOUBLE, b DOUBLE",
+        Seq(R(0.1, 1.0), R(0.1, 2.0), R(0.1, 3.0))), Seq("a", "b"))
+      .collect()(0)
+    assert(corr.isNullAt(3))
+    val acf1 = Stats.acf(
+      df("g STRING, t INT, id INT, v DOUBLE",
+        Seq(R("g", 1, 1, 0.1), R("g", 2, 2, 0.1), R("g", 3, 3, 0.1))),
+      "g", "t", "id", "v", maxLag = 1).collect()(0)
+    assert(acf1.isNullAt(3))
+  }
+
+  test("corrPairs works for underscore-bearing column names (alias collision)") {
+    // pairs (x, y_z) and (x_y, z) would both alias sp_x_y_z under
+    // name-concatenation; positional aliases must keep them distinct
+    val out = Stats.corrPairs(
+      df("x DOUBLE, y_z DOUBLE, x_y DOUBLE, z DOUBLE",
+        Seq(R(1.0, 2.0, 3.0, 4.0), R(2.0, 4.0, 5.0, 1.0),
+          R(3.0, 6.0, 7.0, -2.0))),
+      Seq("x", "y_z", "x_y", "z")).collect()
+    assert(out.length == 6)
+    val m = out.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(m(("x", "y_z")) == 1.0)   // y_z = 2x exactly
+    assert(m(("x_y", "z")) == -1.0)  // z = -linear in x_y
+  }
 }
