@@ -115,19 +115,24 @@ object Classify {
     val model = train.groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("v"))).cast("double").as("sv"),
-        sum(dec(col("v") * col("v"))).cast("double").as("svv"))
+        sum(dec(col("v") * col("v"))).cast("double").as("svv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
     val tot = train.agg(count(lit(1)).as("td"))
     val params = model.crossJoin(broadcast(tot)).select(
       col("label").as("cls"),
       log(col("n").cast("double") / col("td").cast("double")).as("prior"),
       (col("sv") / col("n").cast("double")).as("mu"),
       ((col("svv") - col("sv") * col("sv") / col("n").cast("double")) /
-        col("n").cast("double")).as("var"))
+        col("n").cast("double")).as("var"),
+      // exact constant-class test: the double residue of svv - sv^2/n on
+      // a constant non-dyadic class would pass `var > 0` and contribute
+      // ln(noise) instead of the documented prior-only fallback
+      (col("mx") > col("mn")).as("varies"))
     val test = base.filter(!col("is_train"))
     val scored = test.crossJoin(broadcast(params))
       .select(col(idCol), col("label"), col("cls"),
         round(col("prior") +
-          when(col("var") > 0,
+          when(col("varies"),
             lit(-0.5) * log(col("var")) -
               (col("v") - col("mu")) * (col("v") - col("mu")) /
                 (lit(2.0) * col("var")))

@@ -132,7 +132,11 @@ object Windows {
     val sq = sum((v * v).cast("decimal(27,10)")).over(w).cast("double")
     val mean = s / n
     val varS = (sq - s * s / n) / (n - lit(1.0))
-    val z = when(n >= minN && varS > 0.0,
+    // exact constant-frame test (min < max over the same frame): the
+    // double residue of sq − s²/n on a constant non-dyadic window would
+    // pass `varS > 0` and emit a rounding-noise z
+    val varies = max(v).over(w) > min(v).over(w)
+    val z = when(n >= minN && varies,
       round((v - mean) / sqrt(varS), 6))
     df.select(col(idCol), col(keyCol), col(tsCol), col(valCol), z.as("zscore"))
   }

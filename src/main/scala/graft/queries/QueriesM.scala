@@ -103,12 +103,13 @@ object QueriesM {
     Some("""WITH l AS (SELECT event_id, user_id, ts, value,
           COUNT(value) OVER w AS n,
           CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER w AS DOUBLE) AS s,
-          CAST(SUM(CAST(value * value AS DECIMAL(27,10))) OVER w AS DOUBLE) AS sq
+          CAST(SUM(CAST(value * value AS DECIMAL(27,10))) OVER w AS DOUBLE) AS sq,
+          MIN(value) OVER w AS mn, MAX(value) OVER w AS mx
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
       SELECT event_id, user_id, ts, value,
-        CASE WHEN n >= 3 AND ((sq - s*s/n) / (n - 1.0)) > 0.0
+        CASE WHEN n >= 3 AND mx > mn
              THEN ROUND((value - s/n) / SQRT((sq - s*s/n) / (n - 1.0)), 6)
              END AS zscore
       FROM l ORDER BY event_id"""))

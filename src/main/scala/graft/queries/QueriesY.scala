@@ -91,16 +91,18 @@ object QueriesY {
         FROM events WHERE value IS NOT NULL),
       m AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) AS sv,
-        CAST(SUM(CAST((v * v) AS DECIMAL(27,10))) AS DOUBLE) AS svv
+        CAST(SUM(CAST((v * v) AS DECIMAL(27,10))) AS DOUBLE) AS svv,
+        MIN(v) AS mn, MAX(v) AS mx
         FROM b WHERE is_train GROUP BY 1),
       t AS (SELECT CAST(COUNT(*) AS BIGINT) AS td FROM b WHERE is_train),
       p AS (SELECT label AS cls,
         LN(CAST(n AS DOUBLE) / CAST(td AS DOUBLE)) AS prior,
         sv / CAST(n AS DOUBLE) AS mu,
-        (svv - sv * sv / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vr
+        (svv - sv * sv / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vr,
+        mx > mn AS varies
         FROM m CROSS JOIN t),
       sc AS (SELECT b.event_id, b.label, p.cls,
-        ROUND(p.prior + CASE WHEN p.vr > 0 THEN
+        ROUND(p.prior + CASE WHEN p.varies THEN
           -0.5 * LN(p.vr) - (b.v - p.mu) * (b.v - p.mu) / (2.0 * p.vr)
           ELSE 0.0 END, 6) AS score
         FROM b CROSS JOIN p WHERE NOT is_train),
