@@ -406,8 +406,12 @@ object Curation {
       Dedup.shingles(df, idCol, textCol, n)
         .select(bucket(col("sh")).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as(as))
-    val ct = bucketCounts(target, "ct")
-    val cr = bucketCounts(corpus, "cr")
+    // each bucket-count relation is a corpus-scale shingle explode
+    // contracted to ≤nBuckets rows, and each feeds TWO consumers (the
+    // total agg and the ratio join) — materialize the contraction so the
+    // explode runs once per corpus, not twice
+    val ct = bucketCounts(target, "ct").localCheckpoint()
+    val cr = bucketCounts(corpus, "cr").localCheckpoint()
     val tot = ct.agg(sum(col("ct")).as("nt"))
       .crossJoin(cr.agg(sum(col("cr")).as("nr")))
     // per-bucket ln-ratio table: nBuckets rows at most, broadcast

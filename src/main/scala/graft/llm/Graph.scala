@@ -212,10 +212,11 @@ object Graph {
     // adjacency relation joins in (broadcast under the row guard, shuffle
     // on the vertex key above it), and only the |triangles| closing rows
     // materialize. Measured 7.3 s → ~1 s at sf0.1 vs the self-join form.
+    // materialized: the size probe plus BOTH join sides read it — lazy,
+    // the groupBy+collect_list over the edge set would run three times
     val adjRaw = e.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
-    val adj =
-      if (adjRaw.limit(5000001).count() <= 5000000L) broadcast(adjRaw)
-      else adjRaw
+      .localCheckpoint()
+    val adj = Dedup.maybeBroadcast(adjRaw)
     val tri = e
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
@@ -290,19 +291,24 @@ object Graph {
     val ed = edges.select(col("u"), col("i")).distinct().localCheckpoint()
     var auth = ed.select(col("i")).distinct().withColumn("a", lit(1.0))
     var hub = ed.select(col("u")).distinct().withColumn("h", lit(1.0))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val aRaw = ed.join(hub, Seq("u"))
         .groupBy(col("i")).agg(sum(dec(col("h"))).cast("double").as("ar"))
       val aMax = aRaw.agg(max(col("ar")).as("am"))
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("i"), (col("ar") / col("am")).as("a"))
         .localCheckpoint()
-      val hRaw = ed.join(auth, Seq("i"))
-        .groupBy(col("u")).agg(sum(dec(col("a"))).cast("double").as("hr"))
-      val hMax = hRaw.agg(max(col("hr")).as("hm"))
-      hub = hRaw.crossJoin(broadcast(hMax))
-        .select(col("u"), (col("hr") / col("hm")).as("h"))
-        .localCheckpoint()
+      // hub scores only feed the NEXT round's authority update and the
+      // function returns authorities — the final round's hub half-
+      // iteration (an |E| join + agg + checkpoint) would be dead work
+      if (it < iters) {
+        val hRaw = ed.join(auth, Seq("i"))
+          .groupBy(col("u")).agg(sum(dec(col("a"))).cast("double").as("hr"))
+        val hMax = hRaw.agg(max(col("hr")).as("hm"))
+        hub = hRaw.crossJoin(broadcast(hMax))
+          .select(col("u"), (col("hr") / col("hm")).as("h"))
+          .localCheckpoint()
+      }
     }
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("a").desc, col("i"))

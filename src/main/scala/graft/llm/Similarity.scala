@@ -308,7 +308,17 @@ object Similarity {
     val res = asn.join(broadcast(sd), col("ivf_cell") === col("__cell"))
       .select(col(idCol), col("ivf_cell").as("cell"),
         zip_with(col(vecCol), col("__cv"), (a, b) => a.cast("double") - b).as("r"))
-    val cw: Array[Array[Double]] = res.filter(isCodeword)
+    // the codeword collect runs the assignment+residual pipeline on ONLY
+    // the isCodeword rows (isCodeword is a CORPUS-column predicate) — an
+    // action on the full `res` here would execute the corpus-wide
+    // per-row-dominant assignment twice, once for this collect and once
+    // when `enc` runs inside the query job
+    val cwAsn = assignCells(corpus.filter(isCodeword), idCol, vecCol,
+      seeds, cellCol, cvecCol, dim)
+    val cw: Array[Array[Double]] = cwAsn
+      .join(broadcast(sd), col("ivf_cell") === col("__cell"))
+      .select(col(idCol),
+        zip_with(col(vecCol), col("__cv"), (a, b) => a.cast("double") - b).as("r"))
       .filter(col("r").isNotNull && !exists(col("r"), _.isNull))
       .select(col(idCol).cast("long"), col("r"))
       .collect()
@@ -489,11 +499,6 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
-  /** Persist a trained IVF layout: cell assignments as bucketed parquet ON
-    * THE CELL (so probe-time reads touch only the probed buckets — the
-    * partition-pruning shape an ANN index needs at 100 TB) plus the KMeans
-    * model for assigning future queries/vectors.
-    */
   /** Euclidean sibling of [[assignCells]] — KMeans layouts are L2, not
     * cosine, so index MAINTENANCE must assign with the fitted metric.
     * argmin ‖v−c‖² is ranked via the algebraic form 2·v·c − ‖c‖²
@@ -575,9 +580,14 @@ object Similarity {
     aligned
   }
 
+  /** Persist the assigned corpus partitioned by cell (directory-level
+    * partition pruning is the probe path's IO win) plus the fitted
+    * quantizer. Path-based parquet cannot carry bucket metadata
+    * (`bucketBy` needs a table catalog), so the layout is partition-only.
+    */
   def saveIndex(assigned: DataFrame,
                 model: org.apache.spark.ml.clustering.KMeansModel,
-                path: String, nBuckets: Int = 32): Unit = {
+                path: String): Unit = {
     assigned.write.mode("overwrite")
       .partitionBy("ivf_cell")
       .parquet(s"$path/cells")

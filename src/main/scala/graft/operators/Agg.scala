@@ -70,8 +70,13 @@ object Agg {
       .pivot(catCol, values)
       .agg(sum(w.cast("decimal(32,14)")).cast("double"))
     val total = values.map(v => coalesce(col(v), lit(0.0))).reduce(_ + _)
+    // a group with NO weight mass among the pivot values (all rows outside
+    // `values`, or all weights NaN/NULL) has total 0: its proportions are
+    // NULL, not 0/0 (silent NaN, or a DIVIDE_BY_ZERO job failure under
+    // ANSI) — the cosine zero-norm guard pattern
     val withProps = values.foldLeft(pivoted)((d, v) =>
-      d.withColumn(s"${catCol}_prop_$v", coalesce(col(v), lit(0.0)) / total))
+      d.withColumn(s"${catCol}_prop_$v",
+        when(total > 0, coalesce(col(v), lit(0.0)) / total)))
     withProps.drop(values: _*)
   }
 
@@ -485,6 +490,15 @@ object Agg {
         // to a misleading 0.0) and mean/std would be 0/0 — report NaN instead
         org.apache.spark.sql.Row(c, n, Double.NaN, Double.NaN, Double.NaN,
           Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+      } else if (m.isNullAt(m.fieldIndex(s"${c}__sum"))) {
+        // n > 0 but the sum is NULL: every row is NaN/±Inf (the decimal
+        // cast and the fast-path finite() both NULL those terms), so
+        // getAs[Double] would unbox to a silently-wrong mean 0.0 — report
+        // NaN mean/std, consistent with the NaN min/max the row carries
+        val Seq(p25, p50, p75) = pcts(c)
+        org.apache.spark.sql.Row(c, n, Double.NaN, Double.NaN,
+          r6(m.getAs[Double](s"${c}__min")), r6(p25), r6(p50), r6(p75),
+          r6(m.getAs[Double](s"${c}__max")))
       } else {
         val s1 = m.getAs[Double](s"${c}__sum")
         val s2 = m.getAs[Double](s"${c}__sum2")
@@ -521,18 +535,22 @@ object Agg {
     * floor((v − lo)/width) clamped into [0, nbins−1] and the bucket
     * counts roll up in one keyed agg — the classic two-pass profiling
     * histogram, nbins output rows at any input size. A constant column
-    * (width 0) lands entirely in bucket 0.
+    * (width 0) lands entirely in bucket 0. NaN rows are EXCLUDED like
+    * NULLs: one NaN would otherwise make max() (NaN-greatest in Spark)
+    * return NaN, the width NaN, and silently collapse every row into a
+    * single NaN-bounded bucket.
     */
   def histogram(df: DataFrame, valueCol: String, nbins: Int): DataFrame = {
     require(nbins > 0, s"histogram needs positive nbins; got $nbins")
     val v = col(valueCol).cast("double")
-    val bounds = df.agg(min(v).as("lo"), max(v).as("hi"))
+    val clean = df.filter(v.isNotNull && !isnan(v))
+    val bounds = clean.agg(min(v).as("lo"), max(v).as("hi"))
     val width = (col("hi") - col("lo")) / nbins.toDouble
     val bucket = when(col("__w") > 0.0,
         least(greatest(floor((v - col("lo")) / col("__w")), lit(0.0)),
           lit((nbins - 1).toDouble)))
       .otherwise(lit(0.0)).cast("int")
-    df.filter(v.isNotNull)
+    clean
       .crossJoin(broadcast(bounds.select(col("lo"), width.as("__w"))))
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"),

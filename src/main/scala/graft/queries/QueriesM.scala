@@ -122,13 +122,14 @@ object QueriesM {
     (s, dir) => graft.operators.Agg.histogram(t(s, dir, "events"),
         "value", nbins = 20)
       .orderBy(col("bucket")),
-    Some("""WITH b AS (SELECT MIN(CAST(value AS DOUBLE)) AS lo,
-            MAX(CAST(value AS DOUBLE)) AS hi FROM events),
+    Some("""WITH e AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+      b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM e),
       w AS (SELECT lo, (hi - lo) / 20.0 AS wv FROM b),
       k AS (SELECT CAST(CASE WHEN wv > 0.0
-              THEN LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - lo) / wv), 0.0), 19.0)
+              THEN LEAST(GREATEST(FLOOR((v - lo) / wv), 0.0), 19.0)
               ELSE 0.0 END AS INT) AS bucket, lo, wv
-        FROM events, w WHERE value IS NOT NULL)
+        FROM e, w)
       SELECT bucket, ROUND(lo + bucket * wv, 6) AS bucket_lo, COUNT(*) AS n
       FROM k GROUP BY bucket, lo, wv ORDER BY bucket"""))
 

@@ -253,6 +253,45 @@ class AggWindowsSpec extends SparkSpec {
     assert(const.toSeq == Seq((0, 2L)))  // width 0 → everything in bucket 0
   }
 
+  test("histogram: one NaN row cannot poison the bounds") {
+    // pre-fix: max = NaN under Spark's NaN-greatest ordering, width NaN,
+    // NaN > 0 passes the width guard, and every finite row collapsed into
+    // one NaN-bounded bucket
+    val d = df("v DOUBLE", (0 until 100).map(i => R(i.toDouble)) :+ R(Double.NaN))
+    val out = Agg.histogram(d, "v", nbins = 10).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet == (0 until 10).toSet)
+    assert(out.values.map(_._2).sum == 100L) // the NaN row is excluded
+    assert(out.values.forall(!_._1.isNaN))
+  }
+
+  test("summaryStats: an all-NaN column reports NaN mean/std, not unboxed zeros") {
+    val d = df("full DOUBLE, nan DOUBLE",
+      Seq(R(1.0, Double.NaN), R(2.0, Double.NaN), R(3.0, Double.NaN)))
+    val out = Agg.summaryStats(d, Seq("full", "nan")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("full").getDouble(2) == 2.0)
+    val e = out("nan")
+    assert(e.getLong(1) == 3) // NaN rows are non-null, so n counts them
+    assert(e.getDouble(2).isNaN && e.getDouble(3).isNaN,
+      s"mean/std must be NaN for an all-NaN column: $e")
+  }
+
+  test("weightedProportions: a group with zero weight mass yields NULL, not 0/0") {
+    val d = df("g STRING, cat STRING, w DOUBLE", Seq(
+      R("ok", "a", 2.0), R("ok", "b", 2.0),
+      R("dead", "other", 5.0),          // cat outside the pivot values
+      R("dead2", "a", Double.NaN)))     // only a NaN weight
+    val out = Agg.weightedProportions(d, Seq("g"), col("w"), "cat",
+        Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("ok").getDouble(1) == 0.5 && out("ok").getDouble(2) == 0.5)
+    Seq("dead", "dead2").foreach { g =>
+      assert(out(g).isNullAt(1) && out(g).isNullAt(2),
+        s"zero-mass group $g must be NULL: ${out(g)}")
+    }
+  }
+
   test("rollingZScore: abstains under minN and on zero variance, flags spikes") {
     val rows = Seq(1.0, 1.0, 1.0, 1.0, 100.0).zipWithIndex.map { case (v, i) =>
       R(i.toLong, 1L, new java.sql.Timestamp(i * 1000L), "t", v)
