@@ -58,7 +58,13 @@ object Core {
     */
   def readAny(spark: SparkSession, paths: String*): DataFrame = {
     require(paths.nonEmpty, "readAny needs at least one path")
-    if (paths.head.endsWith(".csv") || paths.head.endsWith(".csv.gz") || paths.head.endsWith(".csv.zip"))
+    // Hadoop has NO zip codec: dispatching a .zip to the csv reader would
+    // line-split the raw container bytes into silent garbage rows — fail
+    // loudly and point at the member-pruned zip scan instead
+    require(!paths.exists(_.endsWith(".zip")),
+      "readAny cannot decode .zip (no Hadoop codec); use " +
+        "graft.sources.Archive.prunedScan for zip archives")
+    if (paths.head.endsWith(".csv") || paths.head.endsWith(".csv.gz"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
     else
       spark.read.parquet(paths: _*)
@@ -268,7 +274,12 @@ object Core {
     val lines = scala.io.Source.fromFile(path).getLines().toSeq
     val sectionStack = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     lines.flatMap { raw =>
-      val noComment = raw.takeWhile(_ != '#')
+      // YAML comment rule: '#' opens a comment only at line start or after
+      // whitespace — a bare takeWhile(_ != '#') would silently truncate
+      // values that legitimately contain '#' (URL fragments, tokens)
+      val cut = raw.indices.find(i => raw(i) == '#' &&
+        (i == 0 || raw(i - 1) == ' ' || raw(i - 1) == '\t'))
+      val noComment = cut.map(raw.substring(0, _)).getOrElse(raw)
       val indent = noComment.takeWhile(_ == ' ').length
       val line = noComment.trim
       if (line.isEmpty) None

@@ -90,6 +90,12 @@ object Phys {
   /** F14: nearest-cadence floor of an epoch-seconds timestamp
     * (reference: common/utils.py:586-611 nearest_time).
     */
+  /** Domain contract: non-negative epochs (post-1970 timestamps — the
+    * data's domain). `%` truncates toward zero, so a pre-1970 epoch would
+    * round UP to the next boundary; both engines' mirrors share the same
+    * truncation, so the contract is symmetric, but interpolation weights
+    * built on it are only in [0,1] for ep >= 0.
+    */
   def floorToCadence(epochS: Column, stepS: Long): Column = epochS - (epochS % stepS)
 
   /** F16: Z-R proxy rain rate, Marshall-Palmer-style inversion

@@ -11,15 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, lowercased. `\\S+` extraction (rather than split on
-    * `\\s+`) avoids empty leading tokens on ragged input.
+  /** Whitespace tokens, lowercased. Non-whitespace-run extraction (rather
+    * than split) avoids empty leading tokens on ragged input; the
+    * whitespace class is EXPLICIT (`[ \t\n\r\f]`) because Java's `\s`
+    * includes U+000B while RE2's (DuckDB's) does not — the
+    * [[normalizeText]] portability rule, applied to every token site.
     */
   def tokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    regexp_extract_all(lower(text), lit("[^ \\t\\n\\r\\f]+"), lit(0))
 
-  /** BPE-ish sub-tokens: letter runs, digit runs, single punctuation. */
+  /** BPE-ish sub-tokens: letter runs, digit runs, single punctuation
+    * (explicit whitespace class — the [[tokens]] portability rule).
+    */
   def bpeishTokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"), lit(0))
 
   /** Canonical text normalization — the pass every web-scale pipeline runs
     * BEFORE dedup/shingling so byte-level variance (decomposed accents,
@@ -99,7 +105,7 @@ object TextAnalysis {
     val nTok = size(toks)
     val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
     val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
-    val nCharsNoWs = length(regexp_replace(text, "\\s", ""))
+    val nCharsNoWs = length(regexp_replace(text, "[ \\t\\n\\r\\f]", ""))
     graft.Core.fanOut(df).select(
       col(idCol),
       length(text).as("n_chars"),

@@ -21,6 +21,16 @@ object AsOf {
   /** Left as-of join: for each left row, attach `valueCols` from the latest
     * right row with right.ts <= left.ts (per key). Column name collisions are
     * the caller's responsibility (valueCols must not exist on the left).
+    *
+    * Tie contract: multiple right rows at the SAME (key, ts) resolve to the
+    * greatest value tuple (lexicographic max over valueCols) — the value
+    * struct itself is the FINAL window ordering key, so the tie-break rides
+    * the one sort the union technique already pays for (no extra exchange);
+    * without it, `last` over a (ts, side)-ordered window would attach
+    * whichever tied row the shuffle happened to order last (the repo's
+    * spell-the-tie-break rule; mirrors reduce with GROUP BY key,ts + MAX,
+    * which is equivalent because ties only reorder within one (ts, side)
+    * group and ascending order puts the max struct last).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                valueCols: Seq[String]): DataFrame = {
@@ -41,8 +51,16 @@ object AsOf {
                                else lit(null).cast(left.schema(c).dataType).as(c))
         :+ col("__side") :+ struct(valueCols.map(col): _*).as("__r"): _*)
     // order: at equal timestamps the right row sorts first (side 0) so a
-    // same-instant right observation is visible to the left row (<= semantics)
-    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
+    // same-instant right observation is visible to the left row (<= semantics);
+    // __r last so tied right rows end max-last (left rows' null __r sorts
+    // first within their group, which is inert — they share side 1). A map-
+    // valued valueCol makes the struct unorderable: fall back to (ts, side)
+    // and ties stay arbitrary for that caller (documented above).
+    val orderCols =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rStruct))
+        Seq(col(tsCol), col("__side"), col("__r"))
+      else Seq(col(tsCol), col("__side"))
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = tagged.unionByName(rightTagged)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))

@@ -49,9 +49,21 @@ case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
+  /** Tie contract (the repo's spell-the-tie-break rule): the merge keeps the
+    * LAST right row consumed at each (key, ts), so the right child's required
+    * ordering extends past (key, ts) to every remaining orderable column —
+    * ties then resolve to the lexicographic MAX of the right row, matching
+    * operators.AsOf.asofJoin's struct-max reduction, instead of whichever
+    * row the shuffle happened to order last. Extra sort keys only cost work
+    * within tie groups, which are empty in the common case.
+    */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    SortOrder(rightKey, Ascending) +: SortOrder(rightTs, Ascending) +:
+      right.output
+        .filterNot(a => a.exprId == rightKey.exprId || a.exprId == rightTs.exprId)
+        .filter(a => RowOrdering.isOrderable(a.dataType))
+        .map(a => SortOrder(a, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))

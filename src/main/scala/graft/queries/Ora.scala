@@ -41,7 +41,7 @@ private[queries] object Ora {
     s"CAST(CONCAT('0x', SUBSTRING(md5($e), 1, 15)) AS BIGINT)"
 
   /** DuckDB mirror of TextAnalysis.tokens over the documents.text column. */
-  val toksSql = "regexp_extract_all(lower(text), '\\S+')"
+  val toksSql = "regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')"
 
   /** DuckDB mirror of Dedup.shingles over documents (distinct word n-grams,
     * 1-based slices).

@@ -52,7 +52,7 @@ object QueriesAD {
           size(sents).as("n_sentences"),
           round(
             aggregate(sents, lit(0L),
-              (acc, x) => acc + size(split(x, "\\s+")))
+              (acc, x) => acc + size(split(x, "[ \\t\\n\\r\\f]+")))
               .cast("double") / greatest(size(sents), lit(1)).cast("double"),
             6).as("mean_sentence_words"))
         .orderBy(col("doc_id"))
@@ -62,7 +62,7 @@ object QueriesAD {
           x -> trim(x)) IF t <> ''] AS sents
         FROM documents)
     SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences,
-      ROUND(CAST(list_sum([CAST(len(string_split_regex(x, '\s+')) AS BIGINT)
+      ROUND(CAST(list_sum([CAST(len(string_split_regex(x, '[ \t\n\r\f]+')) AS BIGINT)
           FOR x IN sents]) AS DOUBLE) /
         CAST(GREATEST(len(sents), 1) AS DOUBLE), 6) AS mean_sentence_words
     FROM segs ORDER BY doc_id"""))

@@ -133,7 +133,8 @@ object QueriesB {
         .orderBy($"event_id")
     },
     Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-      p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      p AS (SELECT user_id, ts, MAX(value) AS value FROM events
+        WHERE event_type = 'purchase' GROUP BY 1, 2)
       SELECT c.event_id, c.user_id, p.value AS purchase_value
       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
       ORDER BY c.event_id"""))

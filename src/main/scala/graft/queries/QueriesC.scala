@@ -281,7 +281,7 @@ object QueriesC {
     Some(s"""WITH f AS (SELECT doc_id,
         CAST(LENGTH(text) AS INT) AS n_chars,
         CAST(LEN($toksSql) AS INT) AS n_tokens,
-        LENGTH(regexp_replace(text, '\\s', '', 'g')) AS n_chars_nows,
+        LENGTH(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS n_chars_nows,
         LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
         LEN(list_filter($toksSql,
           x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
@@ -302,7 +302,7 @@ object QueriesC {
       .orderBy(col("doc_id")),
     Some(s"""SELECT doc_id,
       CAST(LEN($toksSql) AS INT) AS n_ws_tokens,
-      CAST(LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpeish_tokens
+      CAST(LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]')) AS INT) AS n_bpeish_tokens
       FROM documents ORDER BY doc_id"""))
 
   /** Language-ID by marker-word voting. */

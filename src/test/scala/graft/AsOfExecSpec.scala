@@ -78,4 +78,30 @@ class AsOfExecSpec extends SparkSpec {
       assert(out(3).isEmpty)       // key v has no right rows
     }
   }
+
+  test("AsOfJoinExec resolves duplicate right rows at a tied (key, ts) to the max") {
+    withStrategy {
+      val left = df("k STRING, ts TIMESTAMP, lid INT", Seq(
+        R("u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1)))
+      // three right rows at the SAME (key, ts): the tie contract says the
+      // lexicographic max of the remaining columns attaches, not an
+      // arbitrary shuffle survivor
+      val right = df("k STRING, ts TIMESTAMP, v DOUBLE", Seq(
+        R("u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2.0),
+        R("u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7.0),
+        R("u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0)))
+        .repartition(4) // scatter the tied rows so only the contract, not
+                        // input order, can make the result deterministic
+      val out = AsOfJoinPlan.asofJoinExec(left, right, "k", "ts")
+        .select(col("lid"), col("v_r"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+      assert(out(1) == 7.0)
+
+      // and the composed asofJoin agrees (its struct-max reduction)
+      val composed = AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+        .select(col("lid"), col("v"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+      assert(composed(1) == 7.0)
+    }
+  }
 }
