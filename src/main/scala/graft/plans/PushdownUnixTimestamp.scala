@@ -14,11 +14,17 @@ import org.apache.spark.sql.types.{LongType, IntegerType, TimestampType}
   * down and every row group is scanned. This rule rewrites the comparison
   * onto the bare column, restoring PushedFilters / row-group pruning.
   *
-  * unix_timestamp() truncates sub-second parts, so for an integer literal v
-  * (seconds) the exact equivalences on a non-null timestamp are:
+  * unix_timestamp() truncates sub-second parts TOWARD ZERO (probed on
+  * Spark 4.1: '1969-12-31 23:59:59.5' → 0, not floor's −1), so for an
+  * integer literal v >= 1 the exact equivalences on a non-null timestamp
+  * are:
   *   trunc(ts) >= v  ⟺  ts >= v        trunc(ts) >  v  ⟺  ts >= v+1
   *   trunc(ts) <= v  ⟺  ts <  v+1      trunc(ts) <  v  ⟺  ts <  v
   *   trunc(ts) =  v  ⟺  v <= ts < v+1
+  * For v <= 0 the toward-zero truncation breaks them — trunc(ts) >= 0
+  * admits ts ∈ (−1 s, 0) which `ts >= 0` would drop — so literals below 1
+  * are left alone (no pushdown, still correct). The literal is also
+  * bounded so the seconds→micros scaling cannot overflow a Long.
   */
 object PushdownUnixTimestamp extends Rule[LogicalPlan] {
 
@@ -26,11 +32,14 @@ object PushdownUnixTimestamp extends Rule[LogicalPlan] {
     Literal(seconds * 1000000L, TimestampType) // micros
 
   private object SecondsLit {
+    // v+1 must also survive the micros scaling: bound by MaxValue/1e6 − 1
+    private val MaxSeconds = Long.MaxValue / 1000000L - 1
+    private def ok(v: Long): Option[Long] = if (v >= 1 && v <= MaxSeconds) Some(v) else None
     def unapply(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, LongType) => Some(v)
-      case Literal(v: Int, IntegerType) => Some(v.toLong)
-      case Cast(Literal(v: Long, LongType), _, _, _) => Some(v)
-      case Cast(Literal(v: Int, IntegerType), _, _, _) => Some(v.toLong)
+      case Literal(v: Long, LongType) => ok(v)
+      case Literal(v: Int, IntegerType) => ok(v.toLong)
+      case Cast(Literal(v: Long, LongType), _, _, _) => ok(v)
+      case Cast(Literal(v: Int, IntegerType), _, _, _) => ok(v.toLong)
       case _ => None
     }
   }

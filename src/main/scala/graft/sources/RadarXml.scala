@@ -39,12 +39,23 @@ object RadarXml {
     (0 until nl.getLength).map(nl.item).collect { case el: Element => el }
   }
 
+  /** DOM builder with DTDs disabled: status/VPR files never carry one, and a
+    * hostile file's external entities must not reach the filesystem (XXE).
+    */
+  private def secureBuilder() = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder()
+  }
+
   /** Parse a status XML string. Mirrors the reference's pre-parse
     * sanitization of malformed `-P/` tag fragments (io_data.py:83).
     */
   def parseStatus(xml: String): RadarStatus = {
     val cleaned = xml.replace("-P/", "-P_")
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val doc = secureBuilder()
       .parse(new ByteArrayInputStream(cleaned.getBytes("UTF-8")))
     val root = doc.getDocumentElement // <status>
     val sweeps = childElems(root).filter(_.getTagName == "sweep").map { sweep =>
@@ -118,7 +129,7 @@ object RadarXml {
     * radar's reference height (io_data.py:360-377).
     */
   def parseVpr(xml: String, radar: Char): VprProfile = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val doc = secureBuilder()
       .parse(new ByteArrayInputStream(xml.getBytes("UTF-8")))
     val root = doc.getDocumentElement // <VPR>
     val header = childElems(root).find(_.getTagName == "HEADER")

@@ -56,6 +56,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(!rewrittenPlan.toString.toLowerCase.contains("unix_timestamp"))
   }
 
+  test("PushdownUnixTimestamp leaves non-positive literals alone (toward-zero truncation)") {
+    import graft.plans.PushdownUnixTimestamp
+    // unix_timestamp truncates toward zero: ts = −0.5 s has trunc 0, so
+    // `trunc(ts) >= 0` must KEEP it — a floor-style rewrite to `ts >= 0`
+    // would drop it. The rule only fires for literals >= 1.
+    val preEpoch = df("ts TIMESTAMP", Seq(
+      R(new java.sql.Timestamp(-500)),     // 1969-12-31 23:59:59.5 → trunc 0
+      R(new java.sql.Timestamp(500))))     // 1970-01-01 00:00:00.5 → trunc 0
+    val pred = unix_timestamp(col("ts")) >= 0L
+    assert(preEpoch.filter(pred).count() == 2L)
+    val rewritten = PushdownUnixTimestamp(
+      preEpoch.filter(pred).queryExecution.analyzed)
+    assert(rewritten.toString.toLowerCase.contains("unix_timestamp"),
+      "v = 0 must not be rewritten")
+    assert(org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, rewritten).count() == 2L)
+  }
+
   test("UTMacroParser rewrites UT( before delegating to the real parser") {
     val parser = new UTMacroParser(spark.sessionState.sqlParser)
     val plan = parser.parsePlan("SELECT UT(ts) FROM tbl")

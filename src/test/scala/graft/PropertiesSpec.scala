@@ -201,4 +201,85 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: both as-of joins equal brute force on random data with ties") {
+    import graft.operators.AsOf
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    val prev = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = prev :+ AsOfJoinStrategy
+    try {
+      // tiny domains on purpose: key ∈ {a,b}, ts ∈ 0..6 s — collisions and
+      // exact (key, ts) ties are near-certain, exercising the tie contract
+      val side = Gen.nonEmptyListOf(Gen.zip(
+        Gen.oneOf("a", "b"), Gen.choose(0, 6), Gen.choose(0.0, 9.0)))
+      forAll2(side, side) { (ls, rs) =>
+        val lrows = ls.zipWithIndex.map { case ((k, t, _), i) =>
+          R(i.toLong, k, new java.sql.Timestamp(t * 1000L)) }
+        val left = df("lid BIGINT, k STRING, ts TIMESTAMP", lrows)
+        val right = df("k STRING, ts TIMESTAMP, v DOUBLE",
+          rs.map { case (k, t, v) => R(k, new java.sql.Timestamp(t * 1000L), v) })
+          .repartition(3) // only the contract may decide tie winners
+        // brute force: latest right ts <= left ts per key; max v on ties
+        val expect = ls.zipWithIndex.map { case ((k, t, _), i) =>
+          val cand = rs.filter(r => r._1 == k && r._2 <= t)
+          i.toLong -> (if (cand.isEmpty) None
+                       else { val mt = cand.map(_._2).max
+                              Some(cand.filter(_._2 == mt).map(_._3).max) })
+        }.toMap
+        val composed = AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+          .select(col("lid"), col("v"))
+          .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+        assert(composed == expect, "asofJoin != brute force")
+        val exec = AsOfJoinPlan.asofJoinExec(left, right, "k", "ts")
+          .select(col("lid"), col("v_r"))
+          .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+        assert(exec == expect, "AsOfJoinExec != brute force")
+      }
+    } finally spark.experimental.extraStrategies = prev
+  }
+
+  test("property: histQuantiles honors its a-priori bin-width error bound") {
+    import graft.operators.Sketch
+    val vals = Gen.nonEmptyListOf(Gen.choose(0.0, 50.0)) // < (128/4)² → unsaturated
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    forAll(vals) { vs =>
+      val d = df("g STRING, v DOUBLE", vs.map(R("g", _)))
+      val out = Sketch.histQuantiles(d, "g", "v", ps)
+        .collect().map(r => (r.getDouble(1),
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+      val sorted = vs.sorted
+      ps.foreach { p =>
+        val (est, lo, hi, sat) = out(p)
+        assert(!sat)
+        val exact = sorted(math.ceil(p * vs.size).toInt - 1) // lower order stat
+        assert(exact >= lo - 1e-9 && exact <= hi + 1e-9,
+          s"p=$p: exact $exact outside hit bin [$lo, $hi]")
+        assert(math.abs(est - exact) <= (hi - lo) + 1e-9,
+          s"p=$p: |$est - $exact| > bin width ${hi - lo}")
+      }
+    }
+  }
+
+  test("property: bucketized range join equals the naive theta join") {
+    import graft.operators.AsOf
+    val points = Gen.nonEmptyListOf(Gen.choose(0, 120))
+    val ivals = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 100), Gen.choose(0, 40)))
+    forAll2(points, ivals) { (pts, ivs) =>
+      val left = df("pid BIGINT, ts TIMESTAMP", pts.zipWithIndex.map {
+        case (t, i) => R(i.toLong, new java.sql.Timestamp(t * 1000L)) })
+      val right = df("iid BIGINT, lo TIMESTAMP, hi TIMESTAMP", ivs.zipWithIndex.map {
+        case ((s, len), i) =>
+          R(i.toLong, new java.sql.Timestamp(s * 1000L),
+            new java.sql.Timestamp((s + len) * 1000L)) })
+      val got = AsOf.rangeJoin(left, right, "ts", "lo", "hi", bucketSeconds = 30L)
+        .select(col("pid"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (t, i) <- pts.zipWithIndex
+        ((s, len), j) <- ivs.zipWithIndex
+        if t >= s && t <= s + len
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expect)
+    }
+  }
 }
