@@ -367,4 +367,110 @@ object Relational {
         max(unix_timestamp(col("__ts")) - unix_timestamp(col("__prev")))
           .as("max_gap_s"))
   }
+
+  /** Point-in-time read over an SCD2 history ([[scd2]] / [[cdcScd2]]
+    * output): the dimension exactly as it stood at `ts` — rows whose
+    * validity interval covers it (valid_from <= ts < valid_to, open
+    * valid_to = current). A pure codegen'd filter; on a history
+    * partitioned/sorted by validity date the predicate prunes row groups,
+    * so time travel costs a slice, not a scan.
+    */
+  def snapshotAt(history: DataFrame, ts: Column,
+                 fromCol: String = "valid_from",
+                 toCol: String = "valid_to"): DataFrame =
+    history.filter(col(fromCol) <= ts &&
+      (col(toCol).isNull || ts < col(toCol)))
+
+  /** Incremental aggregate maintenance with retraction semantics — the
+    * materialized-view primitive: fold a change batch (`opCol` = +1
+    * insert / −1 retract) into a maintained per-key aggregate state
+    * WITHOUT rescanning the base. At 100 TB a full groupBy of the base
+    * costs hours; a delta touches few keys, and this costs one groupBy
+    * of the DELTA plus one key-partitioned outer join of state-sized
+    * relations.
+    *
+    * State schema ([[buildAggState]]): keys…, `cnt` (COUNT(*) semantics),
+    * `sum_v` (DECIMAL(27,10) — exact, so retraction is exact and
+    * partition-order-free; mean = sum_v/cnt is the caller's division),
+    * `min_v`, `max_v`, `stale`.
+    *
+    * cnt and sum_v maintain EXACTLY under retraction (additive group).
+    * min/max only half-maintain: inserts can only tighten them, but
+    * retracting the stored extreme invalidates the value — such groups
+    * come back with `stale` = true and null min/max, and
+    * [[rescanExtremes]] repairs ONLY flagged groups against the current
+    * base (a semi-join; deletes are rare, so the repair set is small).
+    * The staleness test is conservative (a retraction EQUAL to the
+    * extreme flags the group even when another copy of that value
+    * survives — without a per-value multiset the engine cannot know),
+    * never the other way. Null values follow SQL aggregate semantics
+    * throughout: cnt counts all rows, sum/min/max skip nulls, so a
+    * null-valued retraction adjusts cnt only and never flags staleness.
+    * A retraction against a key absent from the state (caller error, or
+    * a delta batch applied twice) also flags the group stale rather
+    * than inventing extremes. Groups whose cnt reaches 0 are dropped —
+    * exactly what recomputation would produce.
+    */
+  def maintainAgg(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                  valCol: String, opCol: String): DataFrame = {
+    require(keys.nonEmpty, "maintainAgg needs at least one key")
+    val v = col(valCol).cast("decimal(27,10)")
+    val op = col(opCol).cast("long")
+    val d = delta.groupBy(keys.map(col): _*).agg(
+      sum(op).as("__dcnt"),
+      sum(when(v.isNotNull, op * v)).as("__dsum"),
+      min(when(op > 0, col(valCol))).as("__ins_min"),
+      max(when(op > 0, col(valCol))).as("__ins_max"),
+      min(when(op < 0, col(valCol))).as("__ret_min"),
+      max(when(op < 0, col(valCol))).as("__ret_max"))
+    val j = state.join(d, keys, "full_outer")
+    val newCnt = coalesce(col("cnt"), lit(0L)) + coalesce(col("__dcnt"), lit(0L))
+    val newSum = when(
+      col("sum_v").isNotNull || col("__dsum").isNotNull,
+      coalesce(col("sum_v"), lit(0).cast("decimal(27,10)")) +
+        coalesce(col("__dsum"), lit(0).cast("decimal(27,10)")))
+    // stale: a retraction at-or-beyond the stored extreme, or a
+    // retraction against a group the state never saw (min_v/max_v both
+    // tell the same story for absent groups — cnt null is the real test)
+    val hasRet = col("__ret_min").isNotNull || col("__ret_max").isNotNull
+    val becameStale = hasRet && (col("cnt").isNull ||
+      (col("__ret_min").isNotNull && (col("min_v").isNull || col("__ret_min") <= col("min_v"))) ||
+      (col("__ret_max").isNotNull && (col("max_v").isNull || col("__ret_max") >= col("max_v"))))
+    val stale = coalesce(col("stale"), lit(false)) || becameStale
+    val outMin = when(stale, lit(null)).otherwise(least(col("min_v"), col("__ins_min")))
+    val outMax = when(stale, lit(null)).otherwise(greatest(col("max_v"), col("__ins_max")))
+    j.select(keys.map(col) ++ Seq(
+        newCnt.as("cnt"), newSum.as("sum_v"),
+        outMin.as("min_v"), outMax.as("max_v"), stale.as("stale")): _*)
+      .filter(col("cnt") > 0)
+  }
+
+  /** Initial state for [[maintainAgg]]: one aggregation of the base. */
+  def buildAggState(base: DataFrame, keys: Seq[String], valCol: String): DataFrame =
+    base.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(valCol).cast("decimal(27,10)")).as("sum_v"),
+      min(col(valCol)).as("min_v"),
+      max(col(valCol)).as("max_v"),
+      lit(false).as("stale"))
+
+  /** Repair pass for [[maintainAgg]]: recompute min/max for the STALE
+    * groups only, against the current base. Cost is one semi-join of the
+    * base against the (small) stale key set plus a groupBy of the
+    * surviving rows — the whole point of the flag: the unaffected
+    * 99.9% of groups never rescan.
+    */
+  def rescanExtremes(state: DataFrame, base: DataFrame, keys: Seq[String],
+                     valCol: String): DataFrame = {
+    val staleKeys = state.filter(col("stale")).select(keys.map(col): _*)
+    val repaired = base.join(staleKeys, keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valCol)).as("__r_min"), max(col(valCol)).as("__r_max"))
+    state.join(repaired, keys, "left_outer")
+      .select(keys.map(col) ++ Seq(
+        col("cnt"), col("sum_v"),
+        when(col("stale"), col("__r_min")).otherwise(col("min_v")).as("min_v"),
+        when(col("stale"), col("__r_max")).otherwise(col("max_v")).as("max_v"),
+        lit(false).as("stale")): _*)
+  }
 }

@@ -360,6 +360,77 @@ object RT {
     }
   }
 
+  // ---- streaming materialized-aggregate maintenance ------------------------
+
+  /** Streaming materialized-view maintenance: fold each change micro-batch
+    * (`opCol` = +1 insert / −1 retract) into a persisted per-key aggregate
+    * state via [[graft.operators.Relational.maintainAgg]] — the serve-and-
+    * grow loop of the IVM family, usable as
+    * `changes.writeStream.foreachBatch(RT.aggMaintainBatch(...))`.
+    *
+    * State lives as VERSIONED parquet snapshots under `statePath`
+    * (`v<batchId>/` + an `_applied` marker naming the active version):
+    * the new state is written to a fresh directory BEFORE the marker
+    * flips, so a reader (or a crash) never sees a half-overwritten
+    * state, and the previous snapshot is pruned only after the flip.
+    * foreachBatch is at-least-once: a replayed batchId (<= the marker's)
+    * is a no-op, so retractions are never applied twice — the same
+    * marker discipline as [[dedupIngestBatch]]. A crash between the
+    * snapshot write and the marker flip leaves an orphan version that
+    * the replay overwrites; the unavoidable residue is re-doing work,
+    * never wrong state.
+    *
+    * min/max staleness accumulates in the state (a stream has no base to
+    * rescan against); repair offline with
+    * [[graft.operators.Relational.rescanExtremes]] against the current
+    * base table when extremes are needed — cnt/sum/mean stay exact
+    * forever without it.
+    */
+  def aggMaintainBatch(statePath: String, keys: Seq[String], valCol: String,
+                       opCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
+      val applied: Long =
+        if (!fs.exists(marker)) -1L
+        else {
+          val in = fs.open(marker)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      if (batchId > applied) {
+        val old =
+          if (applied < 0)
+            // empty state with the right schema: an aggregate of zero rows
+            graft.operators.Relational.buildAggState(
+              batch.filter(lit(false)), keys, valCol)
+          else spark.read.parquet(s"$statePath/v$applied")
+        graft.operators.Relational
+          .maintainAgg(old, batch, keys, valCol, opCol)
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        val out = fs.create(marker, true)
+        try out.write(batchId.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (applied >= 0)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$applied"), true)
+      }
+    }
+
+  /** The active maintained state written by [[aggMaintainBatch]]. */
+  def readAggState(spark: SparkSession, statePath: String): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker), s"no maintained state at $statePath")
+    val in = fs.open(marker)
+    val applied = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong finally in.close()
+    spark.read.parquet(s"$statePath/v$applied")
+  }
+
   // ---- streaming funnel ----------------------------------------------------
 
   final case class FunnelEvent(user_id: Long, tsUs: Long, event_type: String)

@@ -205,4 +205,94 @@ class RelationalSpec extends SparkSpec {
       (4L, 2, null, Some(t(3)), false),
       (4L, 3, "gold", None, true)), out.mkString(", "))
   }
+
+  test("snapshotAt returns the version covering the probe and drops deleted keys") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:0$m:00")
+    val d = df("uid BIGINT, eid BIGINT, ts TIMESTAMP, tier STRING, op STRING",
+      Seq(
+        R(1L, 1L, t(1), "gold", "I"), R(1L, 2L, t(3), "silver", "U"),
+        R(2L, 3L, t(1), "gold", "I"), R(2L, 4L, t(2), "gold", "D")))
+    val hist = Relational.cdcScd2(d, "uid", "tier", "ts", "eid", "op")
+    def snap(m: Int) = Relational.snapshotAt(hist, lit(t(m)))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(snap(1) == Set((1L, "gold"), (2L, "gold"))) // boundary inclusive
+    assert(snap(2) == Set((1L, "gold")))               // key 2 deleted at t2
+    assert(snap(4) == Set((1L, "silver")))             // key 1's newer version
+  }
+
+  test("maintainAgg: cnt/sum exact under retraction, min/max staleness + rescan") {
+    val base = df("k STRING, v DOUBLE", Seq(
+      R("a", 1.0), R("a", 5.0), R("a", 3.0),
+      R("b", 2.0), R("b", 7.0),
+      R("c", 9.0)))
+    val state0 = Relational.buildAggState(base, Seq("k"), "v")
+    // a: retract the min (5,3 remain) -> stale; b: insert 1.0 (tightens
+    // min, no staleness); c: retract its only row -> group disappears;
+    // d: brand new from inserts only
+    val delta = df("k STRING, v DOUBLE, op INT", Seq(
+      R("a", 1.0, -1),
+      R("b", 1.0, 1),
+      R("c", 9.0, -1),
+      R("d", 4.0, 1), R("d", 2.0, 1)))
+    val s1 = Relational.maintainAgg(state0, delta, Seq("k"), "v", "op")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue(), Option(r.get(3)),
+         Option(r.get(4)), r.getBoolean(5))).toMap
+    assert(s1.keySet == Set("a", "b", "d")) // c dropped at cnt 0
+    assert(s1("a") == ((2L, 8.0, None, None, true)))        // stale: extremes null
+    assert(s1("b") == ((3L, 10.0, Some(1.0), Some(7.0), false)))
+    assert(s1("d") == ((2L, 6.0, Some(2.0), Some(4.0), false)))
+
+    val current = df("k STRING, v DOUBLE", Seq(
+      R("a", 5.0), R("a", 3.0),
+      R("b", 2.0), R("b", 7.0), R("b", 1.0),
+      R("d", 4.0), R("d", 2.0)))
+    val s1df = Relational.maintainAgg(state0, delta, Seq("k"), "v", "op")
+    val fixed = Relational.rescanExtremes(s1df, current, Seq("k"), "v")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(3)), Option(r.get(4)), r.getBoolean(5))).toMap
+    assert(fixed("a") == ((Some(3.0), Some(5.0), false))) // repaired
+    assert(fixed("b") == ((Some(1.0), Some(7.0), false))) // untouched path
+  }
+
+  test("maintainAgg: retraction equal to a duplicated extreme is conservative, not wrong") {
+    val base = df("k STRING, v DOUBLE", Seq(R("a", 2.0), R("a", 2.0), R("a", 6.0)))
+    val delta = df("k STRING, v DOUBLE, op INT", Seq(R("a", 2.0, -1)))
+    val s1 = Relational.maintainAgg(
+      Relational.buildAggState(base, Seq("k"), "v"), delta, Seq("k"), "v", "op")
+    val row = s1.collect().head
+    assert(row.getBoolean(5)) // flagged even though a 2.0 survives
+    val fixed = Relational.rescanExtremes(s1,
+      df("k STRING, v DOUBLE", Seq(R("a", 2.0), R("a", 6.0))), Seq("k"), "v")
+      .collect().head
+    assert(fixed.getDouble(3) == 2.0 && fixed.getDouble(4) == 6.0)
+  }
+
+  test("property: maintainAgg + rescan equals direct recomputation on random op streams") {
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { _ =>
+      val keys = Seq("x", "y", "z")
+      val baseRows = Seq.fill(12)((keys(rnd.nextInt(3)), rnd.nextInt(10).toDouble))
+      // retract a random sample of base rows, insert fresh ones
+      val retracts = rnd.shuffle(baseRows).take(rnd.nextInt(baseRows.size))
+      val inserts = Seq.fill(6)((keys(rnd.nextInt(3)), rnd.nextInt(10).toDouble))
+      val currentRows = baseRows.diff(retracts) ++ inserts
+      val base = df("k STRING, v DOUBLE", baseRows.map { case (k, v) => R(k, v) })
+      val delta = df("k STRING, v DOUBLE, op INT",
+        inserts.map { case (k, v) => R(k, v, 1) } ++
+          retracts.map { case (k, v) => R(k, v, -1) })
+      val current = df("k STRING, v DOUBLE", currentRows.map { case (k, v) => R(k, v) })
+      val got = Relational.rescanExtremes(
+          Relational.maintainAgg(Relational.buildAggState(base, Seq("k"), "v"),
+            delta, Seq("k"), "v", "op"), current, Seq("k"), "v")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2).doubleValue(),
+           Option(r.get(3)), Option(r.get(4)))).toMap
+      val expect = currentRows.groupBy(_._1).map { case (k, rows) =>
+        val vs = rows.map(_._2)
+        k -> ((rows.size.toLong, vs.sum, Some(vs.min), Some(vs.max)))
+      }
+      assert(got == expect, s"base=$baseRows retracts=$retracts inserts=$inserts")
+    }
+  }
 }
