@@ -225,7 +225,7 @@ object Curation {
     * source sampling probability ∝ p^alpha where p is the source's share of
     * documents — alpha = 1 keeps natural proportions, alpha → 0 approaches
     * uniform, upsampling low-resource sources in between. One tiny groupBy
-    * (|sources| rows) materialized once via localCheckpoint, then two
+    * (|sources| rows) cached once (lazy persist), then two
     * broadcast scalar joins — the corpus is scanned exactly once however
     * large it is, and the double sums run through the decimal accumulator
     * so partial-aggregation order cannot perturb the published weights.
@@ -233,7 +233,8 @@ object Curation {
   def mixtureWeights(df: DataFrame, srcCol: String,
                      alpha: Double): DataFrame = {
     val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint() // tiny; one corpus scan feeds both scalar joins
+      .persist() // tiny; one corpus scan feeds both scalar joins — lazily
+                 // cached inside the one final job (the dsirWeights rule)
     val tot = counts.agg(sum(col("n_docs")).cast("double").as("__tot"))
     val smoothed = counts.crossJoin(broadcast(tot))
       .withColumn("p", col("n_docs").cast("double") / col("__tot"))

@@ -45,7 +45,8 @@ object Sketch {
     // explode and the d md5 evaluations run over distinct tokens instead
     // of every occurrence (the same restructure the DuckDB mirror got)
     val cand = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
-      .localCheckpoint() // consumed by cells AND the probe
+      .persist() // consumed by cells AND the probe — one final action, so
+                 // the lazy in-job cache reuses without an eager extra job
     val cells = cand
       .select(col("exact_cnt"),
         posexplode(array((0 until d).map(bucket): _*)).as(Seq("j", "b")))
@@ -217,11 +218,15 @@ object Sketch {
       .distinct()
     // TakeOrderedAndProject: per-partition top-k + driver merge, k rows out
     def kmin(h: DataFrame): DataFrame = h.orderBy(col("h")).limit(k)
-    val lh = hashes(left).localCheckpoint()   // consumed: own kmin + 2 probes
-    val rh = hashes(right).localCheckpoint()
+    // LAZY persist, not localCheckpoint: every consumer feeds the ONE
+    // final unionAll action, so the in-job cache gives the same reuse
+    // without three up-front materialization jobs (the dsirWeights
+    // lesson: eager checkpoints are for iterative lineage-cutting)
+    val lh = hashes(left).persist()   // consumed: own kmin + 2 probes
+    val rh = hashes(right).persist()
     val lk = kmin(lh)
     val rk = kmin(rh)
-    val uk = kmin(lh.unionAll(rh).distinct()).localCheckpoint()
+    val uk = kmin(lh.unionAll(rh).distinct()).persist()
     def est(sk: DataFrame): DataFrame = sk.agg(
       count(lit(1)).as("n_sketch"),
       when(count(lit(1)) < k, count(lit(1)).cast("double"))
