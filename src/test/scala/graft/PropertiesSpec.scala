@@ -260,6 +260,41 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: cdcScd2 equals a sequential fold of the changelog") {
+    import graft.operators.Relational
+    // random op streams over 2 keys: collisions, re-inserts after deletes,
+    // consecutive tombstones, null-valued updates all arise by volume
+    val opsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf(1L, 2L), Gen.oneOf("I", "U", "D"),
+      Gen.oneOf("gold", "silver", null: String)))
+    forAll(opsGen) { raw =>
+      val ops = raw.zipWithIndex.map { case ((k, op, attr), i) =>
+        (k, i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L),
+         if (op == "D") null else attr, op)
+      }
+      val d = df("uid BIGINT, eid BIGINT, ts TIMESTAMP, tier STRING, op STRING",
+        ops.map { case (k, e, t, a, o) => R(k, e, t, a, o) })
+      val got = Relational.cdcScd2(d, "uid", "tier", "ts", "eid", "op")
+        .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)),
+          r.getTimestamp(3), Option(r.getTimestamp(4)))).toSet
+
+      // driver fold: per key in (ts, eid) order, (alive, attr) change points
+      // open/close intervals; alive boundaries become versions
+      val expect = ops.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3.getTime, r._2))
+        val states = sorted.map(r => (r._3, r._5 != "D",
+          if (r._5 == "D") None else Option(r._4)))
+        val bounds = states.zipWithIndex.filter { case ((_, al, at), i) =>
+          i == 0 || (al, at) != (states(i - 1)._2, states(i - 1)._3) }
+        val withTo = bounds.zipWithIndex.map { case (((t, al, at), _), bi) =>
+          (t, al, at, bounds.lift(bi + 1).map(_._1._1)) }
+        withTo.filter(_._2).zipWithIndex.map { case ((t, _, at, to), vi) =>
+          (k, vi + 1, at, t, to) }
+      }.toSet
+      assert(got == expect, s"ops=$ops")
+    }
+  }
+
   test("property: bucketized range join equals the naive theta join") {
     import graft.operators.AsOf
     val points = Gen.nonEmptyListOf(Gen.choose(0, 120))
