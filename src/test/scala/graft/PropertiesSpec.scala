@@ -53,7 +53,7 @@ class PropertiesSpec extends SparkSpec {
   test("property: sessionize produces contiguous ids starting at 1, count = gaps + 1") {
     val gaps = Gen.listOfN(6, Gen.choose(1L, 5000L))
     forAll(gaps) { deltas =>
-      val times = deltas.scanLeft(1700000000L)(_ + _)
+      val times = deltas.scanLeft(1699999200L)(_ + _)
       val d = df("u STRING, ts TIMESTAMP",
         times.map(t => R("u", new java.sql.Timestamp(t * 1000))))
       val sessions = Windows.sessionize(d, "u", "ts", 1800L)
@@ -256,6 +256,62 @@ class PropertiesSpec extends SparkSpec {
           s"p=$p: exact $exact outside hit bin [$lo, $hi]")
         assert(math.abs(est - exact) <= (hi - lo) + 1e-9,
           s"p=$p: |$est - $exact| > bin width ${hi - lo}")
+      }
+    }
+  }
+
+  test("property: saltedJoin equals the plain join on skewed random data") {
+    import graft.operators.Relational
+    val rows = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("hot", "hot", "hot", "a", "b"), Gen.choose(0, 99)))
+    forAll2(rows, rows) { (ls, rs) =>
+      val left = df("k STRING, lv INT", ls.map { case (k, v) => R(k, v) })
+      val right = df("k STRING, rv INT", rs.map { case (k, v) => R(k, v) })
+      Seq("inner", "left", "left_semi", "left_anti").foreach { jt =>
+        val plain = left.join(right, Seq("k"), jt)
+          .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+        val salted = Relational.saltedJoin(left, right, Seq("k"), nSalts = 3, jt)
+          .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+        assert(salted == plain, s"joinType=$jt")
+      }
+    }
+  }
+
+  test("property: wordpiece segments reassemble to the word unless [UNK]") {
+    val docs = Core.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.llm.WordPiece.encode(docs, "text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val word = r.getString(0)
+      if (!r.getBoolean(2)) {
+        val seg = r.getString(4)
+        val rebuilt = seg.split('|').map(_.stripPrefix("##")).mkString
+        assert(rebuilt == word, s"$seg !~ $word")
+        assert(r.getInt(3) == seg.split('|').length)
+      }
+    }
+  }
+
+  test("property: interpolateJoin is exact at anchors and linear between them") {
+    import graft.operators.AsOf
+    val anchorVals = Gen.listOfN(4, Gen.choose(-10.0, 10.0))
+    forAll(anchorVals) { vs =>
+      val hourly = df("k STRING, h BIGINT, v DOUBLE",
+        vs.zipWithIndex.map { case (v, i) => R("s", 1699999200L + 3600L * i, v) })
+      // probe exactly at anchors and at half past each hour
+      val probes = (0 until vs.size).flatMap(i =>
+        Seq(1699999200L + 3600L * i, 1699999200L + 3600L * i + 1800L))
+      val pts = df("k STRING, ts TIMESTAMP",
+        probes.map(t => R("s", new java.sql.Timestamp(t * 1000L))))
+      val out = AsOf.interpolateJoin(pts, hourly, "k", "ts", "h", "v")
+        .collect().map(r => (r.getTimestamp(1).getTime / 1000L, r.getDouble(2))).toMap
+      vs.indices.foreach { i =>
+        val t0 = 1699999200L + 3600L * i
+        assert(math.abs(out(t0) - vs(i)) < 1e-9, s"anchor $i")
+        val expectedMid =
+          if (i + 1 < vs.size) (vs(i) + vs(i + 1)) / 2.0 // linear midpoint
+          else vs(i)                                     // one-sided: coalesce
+        assert(math.abs(out(t0 + 1800L) - expectedMid) < 1e-9, s"mid $i")
       }
     }
   }
