@@ -368,6 +368,50 @@ object Relational {
           .as("max_gap_s"))
   }
 
+  /** Changelog GENERATION — the inverse of [[cdcApply]]: diff two keyed
+    * snapshots into I/U/D change rows (the change-data-feed a lakehouse
+    * table format emits, derived here from plain snapshots). A key only
+    * in v2 inserts, only in v1 deletes (attribute columns null — the
+    * tombstone carries no payload), in both with any null-safe column
+    * difference updates; identical rows emit nothing. Round-trip
+    * contract (spec'd): applying the changelog to v1 — delete D keys,
+    * upsert I/U rows — reproduces v2 exactly.
+    *
+    * Scale shape: ONE full-outer key join, map-side classification,
+    * output sized by the CHANGE, not the table.
+    */
+  def diffToChangelog(v1: DataFrame, v2: DataFrame, keyCol: String,
+                      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "diffToChangelog needs at least one value column")
+    val a = v1.select((keyCol +: cols).map(c => col(c).as("a_" + c)): _*)
+    val b = v2.select((keyCol +: cols).map(c => col(c).as("b_" + c)): _*)
+    val differs = cols.map(c => !(col("a_" + c) <=> col("b_" + c)))
+      .reduceLeft(_ || _)
+    val op = when(col("a_" + keyCol).isNull, lit("I"))
+      .when(col("b_" + keyCol).isNull, lit("D"))
+      .when(differs, lit("U"))
+    a.join(b, col("a_" + keyCol) === col("b_" + keyCol), "full_outer")
+      .withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("b_" + keyCol), col("a_" + keyCol)).as(keyCol) +:
+        col("op") +:
+        cols.map(c => when(col("op") =!= "D", col("b_" + c)).as(c)): _*)
+  }
+
+  /** Apply a [[diffToChangelog]] changelog to the base snapshot: drop
+    * changed/deleted keys, append the I/U payloads — one anti join plus a
+    * union, the MERGE INTO shape. `applyChangelog(v1, diffToChangelog(v1,
+    * v2)) == v2` is the round-trip contract.
+    */
+  def applyChangelog(base: DataFrame, changelog: DataFrame, keyCol: String,
+                     cols: Seq[String]): DataFrame = {
+    val touched = changelog.select(col(keyCol))
+    base.select((keyCol +: cols).map(col): _*)
+      .join(touched, Seq(keyCol), "left_anti")
+      .unionByName(changelog.filter(col("op") =!= "D")
+        .select((keyCol +: cols).map(col): _*))
+  }
+
   /** Point-in-time read over an SCD2 history ([[scd2]] / [[cdcScd2]]
     * output): the dimension exactly as it stood at `ts` — rows whose
     * validity interval covers it (valid_from <= ts < valid_to, open

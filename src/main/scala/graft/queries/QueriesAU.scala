@@ -108,5 +108,44 @@ object QueriesAU {
         AND (valid_to IS NULL OR TIMESTAMP '2024-01-16 00:00:00' < valid_to)
       ORDER BY user_id"""))
 
-  val all: Seq[QueryDef] = Seq(ivmAggMaintenance, scd2SnapshotAt)
+  /** Changelog generation ([[Relational.diffToChangelog]]): diff two
+    * keyed per-user snapshots into the I/U/D change feed — the inverse of
+    * s16_cdc_apply, and the CDF a lakehouse format would emit. Snapshot
+    * v1 covers users with user_id % 7 != 0 aggregating even event_ids;
+    * v2 covers users with user_id % 5 != 0 aggregating all events — so
+    * inserts (%7=0, %5<>0), deletes (%5=0, %7<>0), updates (shared users
+    * whose even-only max differs from the overall max), and silent
+    * unchanged rows all occur. One full-outer key join; output sized by
+    * the change. D tombstones carry null payloads on both engines.
+    */
+  val cdfDiff: QueryDef = QueryDef(
+    "cdf_snapshot_diff",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val v1 = ev.filter(pmod(col("user_id"), lit(7)) =!= 0 &&
+          pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(col("user_id")).agg(max(col("value")).as("value"))
+      val v2 = ev.filter(pmod(col("user_id"), lit(5)) =!= 0)
+        .groupBy(col("user_id")).agg(max(col("value")).as("value"))
+      graft.operators.Relational.diffToChangelog(v1, v2, "user_id", Seq("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH v1 AS (SELECT user_id, MAX(value) AS value FROM events
+        WHERE user_id % 7 <> 0 AND event_id % 2 = 0 GROUP BY user_id),
+      v2 AS (SELECT user_id, MAX(value) AS value FROM events
+        WHERE user_id % 5 <> 0 GROUP BY user_id),
+      j AS (SELECT v1.user_id AS k1, v2.user_id AS k2,
+          v1.value AS a, v2.value AS b
+        FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id)
+      SELECT COALESCE(k2, k1) AS user_id,
+        CASE WHEN k1 IS NULL THEN 'I'
+             WHEN k2 IS NULL THEN 'D'
+             WHEN a IS DISTINCT FROM b THEN 'U' END AS op,
+        CASE WHEN k2 IS NOT NULL AND (k1 IS NULL OR a IS DISTINCT FROM b)
+             THEN b END AS value
+      FROM j
+      WHERE k1 IS NULL OR k2 IS NULL OR a IS DISTINCT FROM b
+      ORDER BY user_id"""))
+
+  val all: Seq[QueryDef] = Seq(ivmAggMaintenance, scd2SnapshotAt, cdfDiff)
 }

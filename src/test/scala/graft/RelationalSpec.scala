@@ -268,6 +268,53 @@ class RelationalSpec extends SparkSpec {
     assert(fixed.getDouble(3) == 2.0 && fixed.getDouble(4) == 6.0)
   }
 
+  test("diffToChangelog classifies I/U/D and round-trips through applyChangelog") {
+    val v1 = df("k BIGINT, a STRING, b DOUBLE", Seq(
+      R(1L, "keep", 1.0),           // unchanged
+      R(2L, "old", 2.0),            // updated
+      R(3L, "gone", 3.0),           // deleted
+      R(5L, null, 5.0)))            // null attr, unchanged
+    val v2 = df("k BIGINT, a STRING, b DOUBLE", Seq(
+      R(1L, "keep", 1.0),
+      R(2L, "new", 2.0),
+      R(4L, "fresh", 4.0),          // inserted
+      R(5L, null, 5.0)))
+    val log = Relational.diffToChangelog(v1, v2, "k", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.get(3)))).toSet
+    assert(log == Set(
+      (2L, "U", Some("new"), Some(2.0)),
+      (3L, "D", None, None),          // tombstone carries no payload
+      (4L, "I", Some("fresh"), Some(4.0))))
+
+    val rebuilt = Relational.applyChangelog(v1,
+        Relational.diffToChangelog(v1, v2, "k", Seq("a", "b")), "k", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    val expect = v2.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(rebuilt == expect)
+  }
+
+  test("property: applyChangelog(v1, diffToChangelog(v1, v2)) == v2 on random snapshots") {
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      def snap() = (0 to 9).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, rnd.nextInt(3).toString, rnd.nextInt(3).toDouble))
+      val s1 = snap(); val s2 = snap()
+      val v1 = df("k BIGINT, a STRING, b DOUBLE", s1.map { case (k, a, b) => R(k, a, b) })
+      val v2 = df("k BIGINT, a STRING, b DOUBLE", s2.map { case (k, a, b) => R(k, a, b) })
+      val rebuilt = Relational.applyChangelog(v1,
+          Relational.diffToChangelog(v1, v2, "k", Seq("a", "b")), "k", Seq("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rebuilt == s2.toSet, s"v1=$s1 v2=$s2")
+      // and the changelog is minimal: no row for unchanged keys
+      val log = Relational.diffToChangelog(v1, v2, "k", Seq("a", "b"))
+        .collect().map(_.getLong(0)).toSet
+      val unchanged = s1.toSet.intersect(s2.toSet).map(_._1)
+      assert(log.intersect(unchanged).isEmpty)
+    }
+  }
+
   test("property: maintainAgg + rescan equals direct recomputation on random op streams") {
     val rnd = new scala.util.Random(7)
     (1 to 4).foreach { _ =>
