@@ -316,6 +316,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: packSequences offsets are a contiguous exact tiling per shard") {
+    import graft.llm.Curation
+    val docs = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf(0, 1), Gen.choose(1, 9)))
+    forAll(docs) { ds =>
+      val rows = ds.zipWithIndex.map { case ((shard, nWords), i) =>
+        R(i.toLong, s"s$shard", Seq.fill(nWords)("w").mkString(" "))
+      }
+      val d = df("doc_id BIGINT, shard STRING, text STRING", rows)
+      val out = Curation.packSequences(d, "doc_id", "text", "shard", maxTokens = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      // per shard in id order: start offsets are the exact running sum,
+      // and bin/off_in_bin are its div/mod by maxTokens
+      out.groupBy(_._1).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._2)
+        var cum = 0L
+        sorted.foreach { case (_, _, nTok, start, bin, off) =>
+          assert(start == cum, s"start $start != cum $cum")
+          assert(bin == start / 5 && off == start % 5)
+          cum += nTok
+        }
+      }
+    }
+  }
+
   test("property: cdcScd2 equals a sequential fold of the changelog") {
     import graft.operators.Relational
     // random op streams over 2 keys: collisions, re-inserts after deletes,
