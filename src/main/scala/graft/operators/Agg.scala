@@ -123,10 +123,18 @@ object Agg {
     // estimate low instead of masking the contribution
     val valid = col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")) &&
       col(weightCol).isNotNull && !isnan(col(weightCol).cast("double"))
+    // emitted sums round in DECIMAL space (6 dp) BEFORE the double cast —
+    // the dsum6 rule: a raw scale-14 sum's unscaled value passes 2^53 once
+    // the sum exceeds ~90, and DuckDB's decimal→double cast double-rounds
+    // there (observed: last-ulp sum_w mismatches at sf0.1) where Spark
+    // rounds correctly; 6-dp decimals stay exactly representable. The
+    // estimate divides the SAME rounded sums so both engines divide
+    // bit-identical operands.
     all.filter(valid).groupBy(cellCols.map(col): _*)
-      .agg(sum((col(valueCol) * col(weightCol)).cast("decimal(32,14)"))
+      .agg(round(sum((col(valueCol) * col(weightCol)).cast("decimal(32,14)")), 6)
              .cast("double").as("sum_vw"),
-           sum(col(weightCol).cast("decimal(32,14)")).cast("double").as("sum_w"))
+           round(sum(col(weightCol).cast("decimal(32,14)")), 6)
+             .cast("double").as("sum_w"))
       .withColumn("estimate", col("sum_vw") / col("sum_w"))
   }
 

@@ -36,9 +36,16 @@ object Grid {
     // a cell with no valid contribution disappears, = NaN in collectGrid)
     val valid = col("v").isNotNull && !isnan(col("v").cast("double")) &&
       col("w").isNotNull && !isnan(col("w").cast("double"))
+    // sums round in DECIMAL space (6 dp) before the double cast — the
+    // dsum6 rule: a raw scale-14 sum's unscaled value passes 2^53 once the
+    // sum exceeds ~90 and DuckDB's decimal→double cast double-rounds there
+    // (last-ulp j5 mismatches at sf0.1); the ratio then divides the same
+    // exactly-representable operands on both engines
     contribs.filter(valid).groupBy(col("chx"), col("chy"))
-      .agg(sum((col("v") * col("w")).cast("decimal(32,14)")).cast("double").as("sum_vw"),
-           sum(col("w").cast("decimal(32,14)")).cast("double").as("sum_w"))
+      .agg(round(sum((col("v") * col("w")).cast("decimal(32,14)")), 6)
+             .cast("double").as("sum_vw"),
+           round(sum(col("w").cast("decimal(32,14)")), 6)
+             .cast("double").as("sum_w"))
       .withColumn("value", col("sum_vw") / col("sum_w"))
       .select("chx", "chy", "value")
   }

@@ -192,10 +192,14 @@ object QueriesAR {
         val b = graft.ml.Glm.logisticIrls(base, "y", "x1", "x2",
           iters = iters).collect()(0)
         val (b0, b1, b2) = (b.getDouble(1), b.getDouble(2), b.getDouble(3))
-        val p = round(lit(1.0) / (lit(1.0) +
-          exp(-(lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")))), 9)
-        base.select(col("doc_id"), round(p, 6).as("score"),
-            (p >= 0.5).as("predicted_pos"), (col("y") === 1.0).as("is_pos"))
+        // score = the LOGIT, not the sigmoid: monotone-equivalent (same
+        // ranking, predicted_pos = logit >= 0 ⟺ p >= 0.5) and pure
+        // arithmetic over 6-dp coefficient literals — identical IEEE bits
+        // on both engines, where exp()'s 1-ulp cross-engine divergence
+        // flipped one document's rounded sigmoid at sf0.1
+        val logit = lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")
+        base.select(col("doc_id"), round(logit, 6).as("score"),
+            (logit >= 0.0).as("predicted_pos"), (col("y") === 1.0).as("is_pos"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH base AS MATERIALIZED (SELECT doc_id,
@@ -208,9 +212,9 @@ object QueriesAR {
         fin AS (SELECT ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
           ROUND(b2, 6) AS b2 FROM bet$iters),
         sc AS (SELECT doc_id, y,
-          ROUND(1.0 / (1.0 + EXP(-(f.b0 + f.b1 * x1 + f.b2 * x2))), 9) AS p
+          f.b0 + f.b1 * x1 + f.b2 * x2 AS logit
           FROM base CROSS JOIN fin f)
-      SELECT doc_id, ROUND(p, 6) AS score, p >= 0.5 AS predicted_pos,
+      SELECT doc_id, ROUND(logit, 6) AS score, logit >= 0.0 AS predicted_pos,
         (y = 1.0) AS is_pos
       FROM sc ORDER BY doc_id"""))
   }

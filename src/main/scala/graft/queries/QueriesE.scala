@@ -232,8 +232,14 @@ object QueriesE {
         (lit(1.0) / (lit(1L) + $"event_id" % 5)).as("w"),
         ($"event_id" % 3).as("sweep"))
       val parts = (0 until 3).map(i => ev.filter($"sweep" === i).drop("sweep"))
+      // estimate emitted UNROUNDED: it divides two 6-dp-decimal sums that
+      // are bit-identical doubles on both engines, so the raw ratio is
+      // already deterministic — while a final ROUND would sit on exact
+      // half boundaries whenever the ratio terminates (sum_w is often an
+      // integer), where Spark (shortest-repr HALF_UP) and DuckDB (binary
+      // value) legitimately disagree
       graft.operators.Agg.weightedAccumulate(parts, Seq("cx"), "v", "w")
-        .select($"cx", $"sum_vw", $"sum_w", r6($"estimate").as("estimate"))
+        .select($"cx", $"sum_vw", $"sum_w", $"estimate")
         .orderBy($"cx")
     },
     Some("""WITH src AS (
@@ -243,11 +249,14 @@ object QueriesE {
           FROM events)
         -- mirror of weightedAccumulate's valid-contribution filter
         WHERE v IS NOT NULL AND NOT isnan(v) AND w IS NOT NULL AND NOT isnan(w))
+      -- sums round in DECIMAL space before the double cast (dsum6 rule):
+      -- the raw scale-14 sum's unscaled value passes 2^53 and DuckDB's
+      -- decimal->double cast double-rounds there
       SELECT cx,
-        CAST(SUM(CAST(v * w AS DECIMAL(32,14))) AS DOUBLE) AS sum_vw,
-        CAST(SUM(CAST(w AS DECIMAL(32,14))) AS DOUBLE) AS sum_w,
-        ROUND(CAST(SUM(CAST(v * w AS DECIMAL(32,14))) AS DOUBLE)
-              / CAST(SUM(CAST(w AS DECIMAL(32,14))) AS DOUBLE), 6) AS estimate
+        CAST(ROUND(SUM(CAST(v * w AS DECIMAL(32,14))), 6) AS DOUBLE) AS sum_vw,
+        CAST(ROUND(SUM(CAST(w AS DECIMAL(32,14))), 6) AS DOUBLE) AS sum_w,
+        CAST(ROUND(SUM(CAST(v * w AS DECIMAL(32,14))), 6) AS DOUBLE)
+          / CAST(ROUND(SUM(CAST(w AS DECIMAL(32,14))), 6) AS DOUBLE) AS estimate
       FROM src GROUP BY cx ORDER BY cx"""))
 
   /** J5/J6/J9: the polar→Cartesian LUT broadcast join + grid gather,
@@ -277,9 +286,12 @@ object QueriesE {
         "CAST(user_id % 360 AS INT) AS az_idx",
         "CAST((event_id DIV 3) % 100 AS INT) AS rng_idx",
         "value / 100.0 AS v")
+      // value emitted UNROUNDED (the a9 rationale: bit-identical 6-dp
+      // operands make the raw ratio deterministic; a final ROUND sits on
+      // exact half boundaries whenever the ratio terminates)
       graft.qpe.Grid.accumulate(
           graft.qpe.Grid.lutJoin(polar, lut).select($"chx", $"chy", $"v", $"w"))
-        .select($"chx", $"chy", r6($"value").as("value"))
+        .select($"chx", $"chy", $"value")
         .orderBy($"chx", $"chy")
     },
     Some("""WITH lut AS (
@@ -303,8 +315,8 @@ object QueriesE {
         -- LUT constant, never NULL/NaN)
         WHERE v IS NOT NULL AND NOT isnan(v))
       SELECT chx, chy,
-        ROUND(CAST(SUM(CAST(v * w AS DECIMAL(32,14))) AS DOUBLE)
-              / CAST(SUM(CAST(w AS DECIMAL(32,14))) AS DOUBLE), 6) AS value
+        CAST(ROUND(SUM(CAST(v * w AS DECIMAL(32,14))), 6) AS DOUBLE)
+          / CAST(ROUND(SUM(CAST(w AS DECIMAL(32,14))), 6) AS DOUBLE) AS value
       FROM polar JOIN lut USING (sweep, az_idx, rng_idx)
       GROUP BY chx, chy ORDER BY chx, chy"""))
 
