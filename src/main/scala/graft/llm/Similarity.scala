@@ -603,6 +603,77 @@ object Similarity {
     (spark.read.parquet(s"$path/cells"),
      org.apache.spark.ml.clustering.KMeansModel.load(s"$path/kmeans"))
 
+  /** Serve-path ANN over a PERSISTED [[saveIndex]] layout: probe cells are
+    * ranked with the saved quantizer's own centroids and metric (L2 — the
+    * metric [[appendToIndex]] maintains the layout with), then candidates
+    * inside the probed cells are ranked by cosine through the bounded TopK
+    * aggregator — the [[ivfTopK]] scoring stage unchanged. Unlike
+    * [[ivfTopK]] this never recomputes centroids from the corpus: the
+    * model is the index, so a serve call's corpus-side IO is ONLY the
+    * probed cell directories (the collected probe set is applied as a
+    * partition filter — explicit, not left to dynamic pruning).
+    *
+    * The probe-set collect is |Q|·nprobe-bounded and require-guarded:
+    * serving is a small-query-batch path by construction; a bulk
+    * all-queries rerank belongs on [[ivfTopK]].
+    */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, k: Int, nprobe: Int): DataFrame = {
+    requireIntegral(queries, idCol, "probeIndex")
+    val model = org.apache.spark.ml.clustering.KMeansModel.load(s"$path/kmeans")
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    require(cents.forall(_._2.length == dim),
+      s"probeIndex: saved centroid width ${cents.map(_._2.length).distinct.mkString(",")} != dim=$dim")
+    // nearest-nprobe cells per query under the layout metric: maximize
+    // 2·q·c − ‖c‖² (argmax ⇔ min L2, the assignCellsL2 identity) — one
+    // codegen'd projection per query row, centroids inlined as literals
+    val scored = array(cents.map { case (cell, cv) =>
+      val cNorm2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct((graft.plans.ArrayDot.arrayDot(col("qv"), lit(cv)) * 2.0 -
+          lit(cNorm2)).as("score"), lit(cell).as("cell"))
+    }: _*)
+    // mis-sized/null query vectors are dropped UP FRONT so the probe
+    // comparator below never sees a null score (null-vs-double compares
+    // would leave the sort order undefined)
+    val q = queries
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+    val probes = q
+      .select(col("qid"), col("qv"), explode(
+        slice(array_sort(scored, (a, b) =>
+          when(a.getField("score") > b.getField("score"), -1)
+            .when(a.getField("score") < b.getField("score"), 1)
+            .otherwise(when(a.getField("cell") < b.getField("cell"), -1)
+              .when(a.getField("cell") > b.getField("cell"), 1).otherwise(0))),
+          1, nprobe)).as("h"))
+      .filter(col("h.score").isNotNull)
+      .select(col("qid"), col("qv"), col("h.cell").as("ivf_cell"))
+      .localCheckpoint() // consumed twice: the cell collect + the join
+    val cellIds = probes.select(col("ivf_cell")).distinct()
+      .collect().map(_.getLong(0))
+    require(cellIds.length <= 4096,
+      s"probeIndex: ${cellIds.length} distinct probed cells exceed the 4096 " +
+        "serve-path bound; use ivfTopK for bulk search")
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("ivf_cell").isin(cellIds.map(Long.box): _*))
+      .select(col("ivf_cell").cast("long").as("ivf_cell"),
+        col(idCol).as("vb"), col(vecCol).as("eb"))
+    val cos = cosine("qv", "eb", dim)
+    val topk = udaf(new graft.functions.Aggregators.TopK(k))
+    broadcast(probes)
+      .join(graft.Core.fanOut(cells), Seq("ivf_cell"))
+      .filter(col("qid") =!= col("vb"))
+      .select(col("qid"), round(cos, 6).as("cos"), col("vb"))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("qid"))
+      .agg(topk(col("cos"), col("vb")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+              col("col.id").as("vb"), col("col.score").as("cos"))
+  }
+
   /** IVF-style ANN: coarse centroids from a partition column (label here; at
     * scale, k-means cluster ids), queries probe only the `nprobe` nearest
     * centroids, then brute-force within the probed partitions. Search cost

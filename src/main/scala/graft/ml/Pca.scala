@@ -1,0 +1,97 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Principal-component extraction over an `Array[Float]` embedding column,
+  * Spark-native: a one-pass distributed Gram matrix followed by a fixed
+  * number of relational power-iteration rounds. The reference ecosystem
+  * reaches for a local eigen-solver; at 100 TB the only distributed work
+  * is the single Gram pass — everything after runs on a d×d (=4096-value)
+  * relation.
+  *
+  * Determinism: every sum is accumulated in DECIMAL(27,10) (associative,
+  * partitioning-independent), all scalar double math is fixed-order IEEE,
+  * so the eigenvector is bit-identical across engines and partitionings —
+  * the same discipline as the rest of the repo's exact-hash queries.
+  */
+object Pca {
+
+  /** Gram matrix G_ij = Σ_rows x_i·x_j as an (i, j, g) relation, 1-based
+    * indices, BOTH triangles (keeps the matvec join unconditional).
+    *
+    * Scale shape: each row explodes to d² (i, j, x_i·x_j) tuples that are
+    * PIPELINED into a map-side hash aggregate of d² groups — the shuffle
+    * carries only partitions×d² partial decimal sums, never the exploded
+    * tuples. O(N·d²) multiply-adds is PCA's inherent cost; there is no
+    * second pass over the data. Rows whose vector is null or of the wrong
+    * length are excluded (the same guard every similarity operator applies).
+    */
+  def gram(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"gram needs dim > 0; got $dim")
+    val rows = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    rows
+      .select(posexplode(col(vecCol)).as(Seq("pi", "xi")), col(vecCol).as("__v"))
+      .select((col("pi") + 1).as("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("__v")).as(Seq("pj", "xj")))
+      .select(col("i"), (col("pj") + 1).as("j"),
+        (col("xi") * col("xj").cast("double")).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast("decimal(27,10)")).cast("double").as("g"))
+  }
+
+  /** Top principal eigenvector of a [[gram]] relation by `iters` power-
+    * iteration rounds from the uniform start v0 = 1/√dim: each round is
+    * w = G·v (per-i decimal sum) then v = w/‖w‖ (decimal sum of squares).
+    * Returns one row per component: (comp, loading, lambda) where the
+    * loadings are sign-normalized (the largest-|loading| component —
+    * smallest index on ties — is made positive, so the eigenvector's
+    * arbitrary sign cannot flip between runs) and lambda is the Rayleigh
+    * quotient vᵀGv at the final v, i.e. the variance captured.
+    *
+    * The per-round relations are 64-row; each round localCheckpoints its
+    * v (iterative lineage-cutting — v is consumed twice per round, so lazy
+    * lineage would double the plan per round). The Gram input is
+    * checkpointed once: it is the only relation derived from the corpus.
+    */
+  def powerIteration(gramDf: DataFrame, dim: Int, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"powerIteration needs 1..32 iters; got $iters")
+    val g = gramDf.localCheckpoint()
+    val spark = gramDf.sparkSession
+    import spark.implicits._
+    val v0 = spark.range(1, dim + 1L)
+      .select(col("id").cast("int").as("i"),
+        (lit(1.0) / sqrt(lit(dim.toDouble))).as("v"))
+    val vFinal = (1 to iters).foldLeft(v0.localCheckpoint()) { (v, _) =>
+      val w = g.join(v.withColumnRenamed("i", "j"), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum((col("g") * col("v")).cast("decimal(27,10)")).cast("double").as("w"))
+      val n2 = w.agg(
+        sum((col("w") * col("w")).cast("decimal(27,10)")).cast("double").as("n2"))
+      w.crossJoin(n2)
+        .select(col("i"), (col("w") / sqrt(col("n2"))).as("v"))
+        .localCheckpoint()
+    }
+    // the dsum6 rule: round the Rayleigh sum in DECIMAL space before the
+    // double cast, so neither engine's decimal→double conversion can
+    // double-round the emitted value
+    val lambda = g
+      .join(vFinal.select(col("i"), col("v").as("vi")), Seq("i"))
+      .join(vFinal.select(col("i").as("j"), col("v").as("vj")), Seq("j"))
+      .agg(round(sum((col("vi") * col("g") * col("vj")).cast("decimal(27,10)")), 6)
+        .cast("double").as("lambda"))
+    val sign = vFinal
+      .orderBy(abs(col("v")).desc, col("i"))
+      .limit(1)
+      .select(when(col("v") < 0, lit(-1.0)).otherwise(lit(1.0)).as("s"))
+    vFinal.crossJoin(sign).crossJoin(lambda)
+      .select(col("i").as("comp"),
+        round(col("v") * col("s"), 6).as("loading"),
+        col("lambda"))
+  }
+
+  /** One-call convenience: Gram pass + power iteration. */
+  def topComponent(df: DataFrame, vecCol: String, dim: Int,
+                   iters: Int): DataFrame =
+    powerIteration(gram(df, vecCol, dim), dim, iters)
+}

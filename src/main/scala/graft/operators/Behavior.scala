@@ -162,6 +162,100 @@ object Behavior {
     * path count; the ranking runs on the |distinct paths| relation,
     * bounded by |types|^len however many users exist.
     */
+  /** Length-3 sequential-pattern support (a PrefixSpan-style mining pass
+    * bounded by the type alphabet): pattern (ta, tb, tc) is supported by a
+    * user iff their event sequence — ordered by (ts, tie) — contains
+    * positions i < j < k with those types. The subsequence test contracts
+    * to "some tb event at position p has min-pos(ta) < p < max-pos(tc)",
+    * so it needs only each user's per-type min/max positions joined
+    * against their events: per-event fan-out is ≤ |types|², never the
+    * event count, and no per-user subsequence enumeration ever happens
+    * (a user with L events has O(L³) subsequences; this pass touches
+    * O(L·|types|²) rows). Support = distinct supporting users.
+    *
+    * Scale shape: one per-user position window (the per-key window
+    * contract), two user-keyed joins against |users|·|types|-row min/max
+    * relations, then a map-combinable distinct + count per pattern.
+    */
+  def sequencePatternSupport(events: DataFrame, userCol: String,
+                             tsCol: String, tieCol: String, typeCol: String,
+                             minSupport: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pos = events
+      .select(col(userCol).as("u"), col(typeCol).as("ty"),
+        row_number().over(w).as("p"))
+      .localCheckpoint() // consumed three times (middles + both extremes)
+    val extremes = pos.groupBy(col("u"), col("ty"))
+      .agg(min(col("p")).as("mnp"), max(col("p")).as("mxp"))
+    val supported = pos.select(col("u"), col("ty").as("tb"), col("p"))
+      .join(extremes.select(col("u"), col("ty").as("ta"), col("mnp")), Seq("u"))
+      .filter(col("mnp") < col("p"))
+      .join(extremes.select(col("u"), col("ty").as("tc"), col("mxp")), Seq("u"))
+      .filter(col("p") < col("mxp"))
+      .select(col("u"), col("ta"), col("tb"), col("tc"))
+      .distinct()
+    supported.groupBy(col("ta"), col("tb"), col("tc"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Multi-touch attribution: each conversion event distributes credit
+    * over the user's touch events (types in `touchTypes`) that happened
+    * strictly before it and within `windowDays` — linear credit 1/n per
+    * touch, last-touch credit 1 to the latest touch (ties → larger tie
+    * id). Conversions with no in-window touch credit the synthetic
+    * 'direct' channel in full. Returns per channel: conversions reached,
+    * linear credit (decimal-exact sum of the 1/n shares), last-touch
+    * credit.
+    *
+    * Scale shape: one user-keyed conversion×touch join whose fan-out is
+    * bounded by per-user activity inside the window, one window over each
+    * conversion's touch set (per-key contract), one map-combinable final
+    * agg. The no-touch remainder is an anti-join on the conversion key.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String, typeCol: String, convType: String,
+                  touchTypes: Seq[String], windowDays: Int): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "attribution needs touch types disjoint from the conversion type")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(tsCol).as("cts"),
+        col(tieCol).as("cid"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("u"), col(tsCol).as("tts"),
+        col(tieCol).as("tid"), col(typeCol).as("channel"))
+    val joined = conv.join(touch, Seq("u"))
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $windowDays DAYS"))
+    val wConv = Window.partitionBy(col("u"), col("cid"))
+    val wLast = wConv.orderBy(col("tts").desc, col("tid").desc)
+    val credited = joined
+      .withColumn("__n", count(lit(1)).over(wConv))
+      .withColumn("__rn", row_number().over(wLast))
+      .select(col("channel"), col("u"), col("cid"),
+        (lit(1.0) / col("__n").cast("double")).as("linear"),
+        when(col("__rn") === 1, lit(1L)).otherwise(lit(0L)).as("last"))
+    // two-stage: contract to one row per (channel, conversion) first —
+    // the conversion count is then a plain COUNT and the decimal shares
+    // stay exact through both stages
+    val perConv = credited.groupBy(col("channel"), col("u"), col("cid"))
+      .agg(sum(col("linear").cast("decimal(27,10)")).as("linear"),
+        max(col("last")).as("last"))
+    val attributed = perConv.groupBy(col("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        round(sum(col("linear")), 6).cast("double").as("linear_credit"),
+        sum(col("last")).as("last_touch_credit"))
+    val direct = conv
+      .join(credited.select(col("u"), col("cid")).distinct(),
+        Seq("u", "cid"), "left_anti")
+      .agg(count(lit(1)).as("conversions"))
+      .select(lit("direct").as("channel"), col("conversions"),
+        col("conversions").cast("double").as("linear_credit"),
+        col("conversions").as("last_touch_credit"))
+      .filter(col("conversions") > 0)
+    attributed.unionByName(direct)
+  }
+
   def pathTopK(events: DataFrame, userCol: String, tsCol: String,
                idCol: String, typeCol: String, len: Int = 3,
                k: Int = 10): DataFrame = {

@@ -368,4 +368,48 @@ object Stats {
       .select(col(groupCol), col("lag").cast("int").as("lag"),
         col("n_pairs"), col("acf"))
   }
+
+  /** Per-group CUSUM change-point detection: over each group's series
+    * ordered by (tsCol, tieCol), the cumulative sum of centered values
+    * S_i = Σ_{j≤i}(x_j − x̄) peaks in magnitude at the most likely mean
+    * shift. Returns per group: n, the change-point's ts/tie, the CUSUM
+    * statistic at the peak, and the magnitude — the classic offline CUSUM
+    * detector, exact.
+    *
+    * Determinism: the group mean comes from a full-partition decimal-sum
+    * window; each centered term is cast back to DECIMAL(27,10) before the
+    * running sum, so S_i is associative-exact and identical across
+    * engines; the argmax tie-breaks by earliest (ts, tie).
+    *
+    * Scale shape: ONE exchange — all three windows (mean, running sum,
+    * argmax rank) share the group partitioning; per-group data is sorted
+    * once. The repo-wide per-key window contract applies (a single
+    * group's rows fit one partition).
+    */
+  def cusumChangePoint(df: DataFrame, groupCol: String, tsCol: String,
+                       tieCol: String, valCol: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
+    val v = col(valCol).cast("double")
+    val wAll = Window.partitionBy(col(groupCol))
+    val wRun = wAll.orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the running sum STAYS decimal through the ranking and the final
+    // round (the dsum6 rule): ranking on a double cast would compare
+    // 1-ulp-ambiguous values, and rounding the cast double is ambiguous
+    // whenever the scale-10 sum terminates near a 6-dp half boundary
+    val cum = df.filter(v.isNotNull && !isnan(v))
+      .withColumn("__mean",
+        sum(dec(v)).over(wAll).cast("double") /
+          count(lit(1)).over(wAll).cast("double"))
+      .withColumn("__s", sum(dec(v - col("__mean"))).over(wRun))
+    val wRank = wAll.orderBy(abs(col("__s")).desc, col(tsCol), col(tieCol))
+    cum
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col("__n").as("n"),
+        col(tsCol).as("cp_ts"), col(tieCol).as("cp_id"),
+        round(col("__s"), 6).cast("double").as("cusum_stat"),
+        round(abs(col("__s")), 6).cast("double").as("cusum_abs"))
+  }
 }

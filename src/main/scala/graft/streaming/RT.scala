@@ -298,6 +298,55 @@ object RT {
       }
     }
 
+  /** Streaming ANN serve(-and-grow) against a persisted
+    * [[graft.llm.Similarity.saveIndex]] layout — the vector-database
+    * serve loop: each micro-batch of query vectors is answered from the
+    * index via [[graft.llm.Similarity.probeIndex]] (top-k per query
+    * appended to `outPath`), and — when `growIndex` — the batch's vectors
+    * are then APPENDED into the layout with the quantizer's own metric
+    * ([[graft.llm.Similarity.appendToIndex]]), so later batches retrieve
+    * earlier ones. Usage:
+    * `stream.writeStream.foreachBatch(annServeBatch(...)).start()`.
+    *
+    * Ordering is load-bearing exactly as in [[dedupIngestBatch]]: results
+    * are MATERIALIZED before the append, so a batch can never retrieve
+    * itself. Same at-least-once guard: the applied batchId is recorded in
+    * the index directory and replays are no-ops (a replayed append would
+    * duplicate every vector in its cell; a replayed serve would duplicate
+    * result rows).
+    */
+  def annServeBatch(indexPath: String, idCol: String, vecCol: String,
+                    dim: Int, k: Int, nprobe: Int, outPath: String,
+                    growIndex: Boolean): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val markerPath = new org.apache.hadoop.fs.Path(s"$indexPath/_serve_batch")
+      val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val applied: Long =
+        if (!fs.exists(markerPath)) -1L
+        else {
+          val in = fs.open(markerPath)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      if (batchId > applied) {
+        val b = batch.localCheckpoint() // streaming source frames may not
+                                        // be recomputable across actions
+        graft.llm.Similarity
+          .probeIndex(spark, indexPath, b, idCol, vecCol, dim, k, nprobe)
+          .write.mode("append").parquet(outPath)
+        if (growIndex)
+          graft.llm.Similarity.appendToIndex(spark, indexPath, b
+            .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+            .select(col(idCol), col(vecCol)), idCol, vecCol, dim)
+        val outS = fs.create(markerPath, true)
+        try outS.write(batchId.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally outS.close()
+      }
+    }
+
   // ---- streaming CDC apply -------------------------------------------------
 
   final case class CdcOp(key: Long, tsUs: Long, opId: Long, op: String,
