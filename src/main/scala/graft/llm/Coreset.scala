@@ -34,10 +34,15 @@ object Coreset {
                     dim: Int, k: Int): DataFrame = {
     require(k >= 1 && k <= 1024, s"kCenterSelect needs 1 <= k <= 1024; got $k")
     graft.Core.requireIntegral(df, idCol, "kCenterSelect")
+    // lazy, EVICTABLE persist — the corpus projection is re-read by every
+    // round's job, but pinning a corpus-sized localCheckpoint would trade
+    // a cheap columnar re-scan for executor storage at 100 TB; persist
+    // gives the reuse when memory allows and degrades to the re-scan when
+    // it doesn't (released before return — the chosen set is materialized)
     val base = df
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .localCheckpoint()
+      .persist()
     val seed = base
       .withColumn("n2", arrayDot(col("v"), col("v")))
       .orderBy(col("n2").desc, col("id"))
@@ -62,6 +67,7 @@ object Coreset {
         .select(lit(r).as("sel_order"), col("id"), col("v"), col("dist"))
       ch.unionByName(next).localCheckpoint()
     }
+    base.unpersist()
     chosen.select(col("sel_order"), col("id"), round(col("dist"), 6).as("dist"))
   }
 }

@@ -656,7 +656,9 @@ object Similarity {
     require(cellIds.length <= 4096,
       s"probeIndex: ${cellIds.length} distinct probed cells exceed the 4096 " +
         "serve-path bound; use ivfTopK for bulk search")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cellsRaw = spark.read.parquet(s"$path/cells")
+    requireIntegral(cellsRaw, idCol, "probeIndex") // TopK keys on Long
+    val cells = cellsRaw
       .filter(col("ivf_cell").isin(cellIds.map(Long.box): _*))
       .select(col("ivf_cell").cast("long").as("ivf_cell"),
         col(idCol).as("vb"), col(vecCol).as("eb"))

@@ -63,7 +63,9 @@ object Pca {
       .select(col("id").cast("int").as("i"),
         (lit(1.0) / sqrt(lit(dim.toDouble))).as("v"))
     val vFinal = (1 to iters).foldLeft(v0.localCheckpoint()) { (v, _) =>
-      val w = g.join(v.withColumnRenamed("i", "j"), Seq("j"))
+      // v is dim rows — broadcast it (post-checkpoint stats are unknown,
+      // so without the hint the planner sort-merges a 64-row join)
+      val w = g.join(broadcast(v.withColumnRenamed("i", "j")), Seq("j"))
         .groupBy(col("i"))
         .agg(sum((col("g") * col("v")).cast("decimal(27,10)")).cast("double").as("w"))
       val n2 = w.agg(
@@ -76,8 +78,8 @@ object Pca {
     // double cast, so neither engine's decimal→double conversion can
     // double-round the emitted value
     val lambda = g
-      .join(vFinal.select(col("i"), col("v").as("vi")), Seq("i"))
-      .join(vFinal.select(col("i").as("j"), col("v").as("vj")), Seq("j"))
+      .join(broadcast(vFinal.select(col("i"), col("v").as("vi"))), Seq("i"))
+      .join(broadcast(vFinal.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
       .agg(round(sum((col("vi") * col("g") * col("vj")).cast("decimal(27,10)")), 6)
         .cast("double").as("lambda"))
     val sign = vFinal

@@ -181,10 +181,14 @@ object Behavior {
                              tsCol: String, tieCol: String, typeCol: String,
                              minSupport: Long): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    // lazy persist, NOT localCheckpoint: all three consumers (middles +
+    // both extremes) feed ONE final action, so the in-job cache gives the
+    // reuse without scheduling an up-front materialization job (the
+    // dsirWeights lesson)
     val pos = events
       .select(col(userCol).as("u"), col(typeCol).as("ty"),
         row_number().over(w).as("p"))
-      .localCheckpoint() // consumed three times (middles + both extremes)
+      .persist()
     val extremes = pos.groupBy(col("u"), col("ty"))
       .agg(min(col("p")).as("mnp"), max(col("p")).as("mxp"))
     val supported = pos.select(col("u"), col("ty").as("tb"), col("p"))
@@ -224,9 +228,12 @@ object Behavior {
     val touch = events.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol).as("u"), col(tsCol).as("tts"),
         col(tieCol).as("tid"), col(typeCol).as("channel"))
+    // lazy persist: both the credit branch and the 'direct' anti-join
+    // consume this relation inside the one final action
     val joined = conv.join(touch, Seq("u"))
       .filter(col("tts") < col("cts") &&
         col("tts") >= col("cts") - expr(s"INTERVAL $windowDays DAYS"))
+      .persist()
     val wConv = Window.partitionBy(col("u"), col("cid"))
     val wLast = wConv.orderBy(col("tts").desc, col("tid").desc)
     val credited = joined
@@ -245,8 +252,11 @@ object Behavior {
       .agg(count(lit(1)).as("conversions"),
         round(sum(col("linear")), 6).cast("double").as("linear_credit"),
         sum(col("last")).as("last_touch_credit"))
+    // anti-join against the PRE-window join relation: the touched (u, cid)
+    // set is identical, and the second branch then never re-runs the
+    // per-conversion window
     val direct = conv
-      .join(credited.select(col("u"), col("cid")).distinct(),
+      .join(joined.select(col("u"), col("cid")).distinct(),
         Seq("u", "cid"), "left_anti")
       .agg(count(lit(1)).as("conversions"))
       .select(lit("direct").as("channel"), col("conversions"),
