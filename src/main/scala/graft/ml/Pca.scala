@@ -55,14 +55,21 @@ object Pca {
     * checkpointed once: it is the only relation derived from the corpus.
     */
   def powerIteration(gramDf: DataFrame, dim: Int, iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 32, s"powerIteration needs 1..32 iters; got $iters")
     val g = gramDf.localCheckpoint()
-    val spark = gramDf.sparkSession
-    import spark.implicits._
+    present(g, iterate(g, dim, iters))
+  }
+
+  /** The raw iteration: `iters` rounds from the uniform start, returning
+    * the final UNROUNDED (i, v) relation, checkpointed. Shared by the
+    * single-component and deflation paths.
+    */
+  private def iterate(g: DataFrame, dim: Int, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"powerIteration needs 1..32 iters; got $iters")
+    val spark = g.sparkSession
     val v0 = spark.range(1, dim + 1L)
       .select(col("id").cast("int").as("i"),
         (lit(1.0) / sqrt(lit(dim.toDouble))).as("v"))
-    val vFinal = (1 to iters).foldLeft(v0.localCheckpoint()) { (v, _) =>
+    (1 to iters).foldLeft(v0.localCheckpoint()) { (v, _) =>
       // v is dim rows — broadcast it (post-checkpoint stats are unknown,
       // so without the hint the planner sort-merges a 64-row join)
       val w = g.join(broadcast(v.withColumnRenamed("i", "j")), Seq("j"))
@@ -74,9 +81,27 @@ object Pca {
         .select(col("i"), (col("w") / sqrt(col("n2"))).as("v"))
         .localCheckpoint()
     }
-    // the dsum6 rule: round the Rayleigh sum in DECIMAL space before the
-    // double cast, so neither engine's decimal→double conversion can
-    // double-round the emitted value
+  }
+
+  /** The UNROUNDED Rayleigh quotient vᵀGv as a 1-row (lambdaRaw) relation —
+    * decimal-accumulated, cast to double with no rounding (used as the
+    * deflation coefficient, so it must be the exact value both engines
+    * agree on; magnitudes stay far below the decimal→double double-round
+    * regime at any realistic corpus scale).
+    */
+  private def rayleighRaw(g: DataFrame, v: DataFrame): DataFrame =
+    g.join(broadcast(v.select(col("i"), col("v").as("vi"))), Seq("i"))
+      .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
+      .agg(sum((col("vi") * col("g") * col("vj")).cast("decimal(27,10)"))
+        .cast("double").as("lambdaRaw"))
+
+  /** Sign-normalize and round a final eigenvector against its Gram:
+    * (comp, loading, lambda) — see [[powerIteration]].
+    */
+  private def present(g: DataFrame, vFinal: DataFrame): DataFrame = {
+    // the dsum6 rule: the EMITTED lambda rounds in DECIMAL space before
+    // the double cast, so neither engine's decimal→double conversion can
+    // double-round the output value
     val lambda = g
       .join(broadcast(vFinal.select(col("i"), col("v").as("vi"))), Seq("i"))
       .join(broadcast(vFinal.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
@@ -96,4 +121,38 @@ object Pca {
   def topComponent(df: DataFrame, vecCol: String, dim: Int,
                    iters: Int): DataFrame =
     powerIteration(gram(df, vecCol, dim), dim, iters)
+
+  /** Top `nComponents` principal components by Hotelling DEFLATION: after
+    * each converged component, G ← G − λ·v·vᵀ removes its variance and the
+    * next power iteration converges to the next component — still only ONE
+    * pass over the corpus (the Gram); every deflation step is d²-row
+    * arithmetic. Returns (pc, comp, loading, lambda), each component
+    * sign-normalized exactly as [[powerIteration]].
+    *
+    * The deflation coefficient is the UNROUNDED Rayleigh value (both
+    * engines compute the identical double); the emitted lambda column is
+    * the rounded presentation copy.
+    */
+  def topComponents(df: DataFrame, vecCol: String, dim: Int,
+                    nComponents: Int, iters: Int): DataFrame = {
+    require(nComponents >= 1 && nComponents <= 16,
+      s"topComponents needs 1..16 components; got $nComponents")
+    var g = gram(df, vecCol, dim).localCheckpoint()
+    val parts = (1 to nComponents).map { pc =>
+      val v = iterate(g, dim, iters)
+      val out = present(g, v).select(lit(pc).as("pc"), col("comp"),
+        col("loading"), col("lambda"))
+      if (pc < nComponents) {
+        g = g
+          .join(broadcast(v.select(col("i"), col("v").as("vi"))), Seq("i"))
+          .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
+          .crossJoin(rayleighRaw(g, v))
+          .select(col("i"), col("j"),
+            (col("g") - col("lambdaRaw") * col("vi") * col("vj")).as("g"))
+          .localCheckpoint()
+      }
+      out
+    }
+    parts.reduceLeft(_ unionByName _)
+  }
 }

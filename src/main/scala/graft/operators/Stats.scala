@@ -369,6 +369,61 @@ object Stats {
         col("n_pairs"), col("acf"))
   }
 
+  /** Per-group Theil–Sen slope estimator: the MEDIAN of all pairwise
+    * slopes (y_j−y_i)/(x_j−x_i) — the classic high-breakdown robust
+    * alternative to [[groupedOls]] (tolerates ~29% outliers). Vertical
+    * pairs (equal x) are excluded, per the standard definition. Returns
+    * per group: n (points), n_pairs (finite-slope pairs), slope
+    * (interpolated median, emitted UNROUNDED — see the in-body note).
+    *
+    * Scale shape: the pair join is per-GROUP (the fan-out is bounded by
+    * the per-key row count, the repo-wide per-key window contract — a
+    * group's O(n²) pairs are the estimator's inherent cost); the median
+    * comes from one partitioned rank window + a boundary-row filter, so
+    * only ≤2 rows per group survive to the final agg — never a global
+    * sort.
+    *
+    * Determinism: slopes are one IEEE divide on identical operands; the
+    * k-th order statistic is tie-order-independent (equal slopes are
+    * equal values); the even-m interpolation sums exactly two doubles.
+    */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String, tieCol: String,
+               yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val pts = df.filter(x.isNotNull && y.isNotNull && !isnan(y))
+      .select(col(groupCol).as("g"), col(tieCol).as("t"), x.as("x"), y.as("y"))
+    val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val pairs = pts.select(col("g"), col("t").as("ta"), col("x").as("xa"),
+        col("y").as("ya"))
+      .join(pts.select(col("g"), col("t").as("tb"), col("x").as("xb"),
+        col("y").as("yb")), Seq("g"))
+      .filter(col("ta") < col("tb") && col("xa") =!= col("xb"))
+      .select(col("g"),
+        ((col("yb") - col("ya")) / (col("xb") - col("xa"))).as("slope"))
+    val w = Window.partitionBy(col("g")).orderBy(col("slope"))
+    val wAll = Window.partitionBy(col("g"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(wAll))
+    val kLo = floor((col("m") + 1).cast("double") / 2.0).cast("long")
+    val kHi = floor(col("m").cast("double") / 2.0).cast("long") + 1
+    val med = ranked.filter(col("rn") === kLo || col("rn") === kHi)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__k"), sum(col("slope")).as("__s"),
+        max(col("m")).as("n_pairs"))
+      // RAW ratio, no final round: slopes are 2-dp-value diffs over
+      // integer-second diffs, so the median can terminate at exactly
+      // scale+1 digits — the one case engines legitimately disagree on
+      // rounding. The operands are bit-identical by construction, so the
+      // unrounded value is deterministic (the a9/j5 rule).
+      .select(col("g"), col("n_pairs"),
+        (col("__s") / col("__k").cast("double")).as("slope"))
+    n.join(med, Seq("g"), "left_outer")
+      .select(col("g").as(groupCol), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
+  }
+
   /** Per-group CUSUM change-point detection: over each group's series
     * ordered by (tsCol, tieCol), the cumulative sum of centered values
     * S_i = Σ_{j≤i}(x_j − x̄) peaks in magnitude at the most likely mean

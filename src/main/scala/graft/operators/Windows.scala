@@ -161,4 +161,43 @@ object Windows {
     df.select(col(idCol), col(keyCol), col(tsCol), col(valCol),
       round(med, 6).as("rolling_median"))
   }
+
+  /** Per-key interval-union coverage (gaps-and-islands): merge overlapping
+    * [start, end] intervals into maximal contiguous islands and report per
+    * key the interval count, island count, total covered seconds (the
+    * union length — double-counted overlap removed), and the longest
+    * island. Touching intervals (next.start == running max end) merge; a
+    * strictly greater start opens a new island.
+    *
+    * Scale shape: two key-partitioned windows over one sort order
+    * (running max end → island flag → running island id) + one
+    * map-combinable two-level aggregation. Pure integer epoch arithmetic —
+    * exact on any engine.
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+                       endCol: String, tieCol: String): DataFrame = {
+    val s = unix_timestamp(col(startCol))
+    val e = unix_timestamp(col(endCol))
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(tieCol))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        e >= s)
+      .select(col(keyCol), col(startCol), col(tieCol), s.as("__s"), e.as("__e"))
+      .withColumn("__pmax", max(col("__e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(wRun))
+    val perIsland = flagged.groupBy(col(keyCol), col("__island"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__s")).as("__a"),
+        max(col("__e")).as("__b"))
+    perIsland.groupBy(col(keyCol))
+      .agg(sum(col("__cnt")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__b") - col("__a")).as("covered_secs"),
+        max(col("__b") - col("__a")).as("longest_island_secs"))
+  }
 }

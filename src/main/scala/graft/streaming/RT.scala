@@ -469,6 +469,77 @@ object RT {
       }
     }
 
+  /** Streaming PCA-model maintenance: the Gram matrix is an additive
+    * decimal sum per (i, j), so each micro-batch of vectors folds into the
+    * maintained d²-row state with ONE d²-key aggregation — the corpus is
+    * never rescanned, and [[graft.ml.Pca.powerIteration]] over
+    * [[readGramState]] yields an up-to-date principal component at any
+    * moment (model freshness without a training pass). Same versioned
+    * write-then-flip layout and batchId replay guard as
+    * [[aggMaintainBatch]]; superseded versions are pruned.
+    *
+    * State schema: (i, j, gsum DECIMAL(38,10)) — kept in DECIMAL on disk
+    * so the fold stays associative-exact across any number of batches;
+    * [[readGramState]] casts to the (i, j, g double) relation
+    * powerIteration consumes.
+    */
+  def gramMaintainBatch(statePath: String, vecCol: String, dim: Int)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
+      val applied: Long =
+        if (!fs.exists(marker)) -1L
+        else {
+          val in = fs.open(marker)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      if (batchId > applied) {
+        val deltaRows = batch
+          .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+          .select(posexplode(col(vecCol)).as(Seq("pi", "xi")),
+            col(vecCol).as("__v"))
+          .select((col("pi") + 1).as("i"), col("xi").cast("double").as("xi"),
+            posexplode(col("__v")).as(Seq("pj", "xj")))
+          .select(col("i"), (col("pj") + 1).as("j"),
+            (col("xi") * col("xj").cast("double")).as("p"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("p").cast("decimal(27,10)"))
+            .cast("decimal(38,10)").as("gsum"))
+        val merged =
+          if (applied < 0) deltaRows
+          else spark.read.parquet(s"$statePath/v$applied")
+            .unionByName(deltaRows)
+            .groupBy(col("i"), col("j"))
+            .agg(sum(col("gsum")).cast("decimal(38,10)").as("gsum"))
+        merged.write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        val out = fs.create(marker, true)
+        try out.write(batchId.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (applied >= 0)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$applied"), true)
+      }
+    }
+
+  /** The maintained Gram written by [[gramMaintainBatch]], as the
+    * (i, j, g double) relation [[graft.ml.Pca.powerIteration]] consumes.
+    */
+  def readGramState(spark: SparkSession, statePath: String): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker), s"no maintained Gram at $statePath")
+    val in = fs.open(marker)
+    val applied = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong finally in.close()
+    spark.read.parquet(s"$statePath/v$applied")
+      .select(col("i"), col("j"), col("gsum").cast("double").as("g"))
+  }
+
   /** The active maintained state written by [[aggMaintainBatch]]. */
   def readAggState(spark: SparkSession, statePath: String): DataFrame = {
     val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")

@@ -36,7 +36,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // ts_acf: decimal sufficient-statistics sums per (group, lag);
     // the persisted dedup index: a DISK roundtrip (save→append→query)
     // written with 13 shuffle partitions must read back the same flags
-    "dedup_prefix_jaccard", "ts_acf", "dedup_index_incremental")
+    "dedup_prefix_jaccard", "ts_acf", "dedup_index_incremental",
+    // round-11 families: the decimal Gram + unrolled power iteration
+    // (matvec sums must not see partition order), greedy k-center's
+    // argmax-of-min selection, the Theil-Sen boundary-rank median, the
+    // CUSUM decimal ranking, and the interval-union island windows
+    "pca_deflation_top2", "sample_kcenter", "ts_theil_sen",
+    "ts_cusum_changepoint", "interval_coverage")
 
   test("representative queries are bit-identical under a different shuffle partitioning") {
     val alt = spark.newSession()

@@ -54,6 +54,36 @@ class PcaCoresetSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("topComponents: deflation recovers two planted orthogonal directions in variance order") {
+    import spark.implicits._
+    // two orthogonal planted directions; u1 carries ~3x the variance of u2
+    val u1 = Array.tabulate(dim)(d => if (d % 2 == 0) 1.0 else 0.0)
+    val u2 = Array.tabulate(dim)(d => if (d % 2 == 1) 1.0 else 0.0)
+    val rows = (0 until 300).map { i =>
+      val t1 = ((i % 13) - 6.0) * 3.0
+      val t2 = (i % 7) - 3.0
+      (i.toLong, Array.tabulate(dim)(d =>
+        (t1 * u1(d) + t2 * u2(d) + math.sin(i * 2.9 + d) * 0.02).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Pca.topComponents(rows, "embedding", dim, nComponents = 2, iters = 14)
+      .orderBy(col("pc"), col("comp")).collect()
+    assert(out.length == 2 * dim)
+    val v1 = out.filter(_.getInt(0) == 1).map(_.getDouble(2))
+    val v2 = out.filter(_.getInt(0) == 2).map(_.getDouble(2))
+    val l1 = out.find(_.getInt(0) == 1).get.getDouble(3)
+    val l2 = out.find(_.getInt(0) == 2).get.getDouble(3)
+    def cosTo(v: Array[Double], u: Array[Double]): Double = {
+      val un = math.sqrt(u.map(x => x * x).sum)
+      math.abs(v.zip(u).map { case (a, b) => a * b }.sum) / un
+    }
+    assert(cosTo(v1, u1) > 0.999, s"pc1 alignment ${cosTo(v1, u1)}")
+    assert(cosTo(v2, u2) > 0.999, s"pc2 alignment ${cosTo(v2, u2)}")
+    assert(l1 > l2 && l2 > 0, s"variance order: $l1 vs $l2")
+    // the two loading vectors are (near-)orthogonal
+    val dot12 = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-3, s"components not orthogonal: $dot12")
+  }
+
   test("kCenterSelect: seed is the max-norm point and clusters are covered one-per-cluster") {
     import spark.implicits._
     // 3 tight, well-separated clusters; cluster 2 carries the largest norms
