@@ -37,7 +37,10 @@ object Pca {
       .select(col("i"), (col("pj") + 1).as("j"),
         (col("xi") * col("xj").cast("double")).as("p"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("p").cast("decimal(27,10)")).cast("double").as("g"))
+      // round6-in-decimal before the double cast (the dsum6 rule): a raw
+      // scale-10 Gram sum passes 2^53 unscaled on a large corpus, where
+      // one engine's decimal→double cast double-rounds
+      .agg(round(sum(col("p").cast("decimal(27,10)")), 6).cast("double").as("g"))
   }
 
   /** Top principal eigenvector of a [[gram]] relation by `iters` power-
@@ -55,8 +58,23 @@ object Pca {
     * checkpointed once: it is the only relation derived from the corpus.
     */
   def powerIteration(gramDf: DataFrame, dim: Int, iters: Int): DataFrame = {
-    val g = gramDf.localCheckpoint()
-    present(g, iterate(g, dim, iters))
+    val (gn, s) = normalized(gramDf.localCheckpoint())
+    present(gn, s, iterate(gn, dim, iters))
+  }
+
+  /** Scale the Gram by its max |entry| so every downstream magnitude is
+    * CORPUS-SIZE-INDEPENDENT: normalized entries are ≤ 1, matvec values
+    * ≤ dim, norm sums ≤ dim³ — all far inside the range where a scale-10
+    * decimal→double cast is exact on every engine, at any data size. The
+    * eigenvectors are unchanged; eigenvalues scale by 1/s and the
+    * presentation stage multiplies s back in. Returns (ĝ, s-relation).
+    */
+  private def normalized(g: DataFrame): (DataFrame, DataFrame) = {
+    val s = g.agg(max(abs(col("g"))).as("s")).localCheckpoint()
+    val gn = g.crossJoin(broadcast(s))
+      .select(col("i"), col("j"), (col("g") / col("s")).as("g"))
+      .localCheckpoint()
+    (gn, s)
   }
 
   /** The raw iteration: `iters` rounds from the uniform start, returning
@@ -71,50 +89,53 @@ object Pca {
         (lit(1.0) / sqrt(lit(dim.toDouble))).as("v"))
     (1 to iters).foldLeft(v0.localCheckpoint()) { (v, _) =>
       // v is dim rows — broadcast it (post-checkpoint stats are unknown,
-      // so without the hint the planner sort-merges a 64-row join)
+      // so without the hint the planner sort-merges a 64-row join).
+      // Both decimal sums round to 6 dp before the cast (the dsum6 rule);
+      // on the normalized Gram their magnitudes are ≤ dim³ regardless of
+      // corpus size, so the rounded cast is exact everywhere.
       val w = g.join(broadcast(v.withColumnRenamed("i", "j")), Seq("j"))
         .groupBy(col("i"))
-        .agg(sum((col("g") * col("v")).cast("decimal(27,10)")).cast("double").as("w"))
+        .agg(round(sum((col("g") * col("v")).cast("decimal(27,10)")), 6)
+          .cast("double").as("w"))
       val n2 = w.agg(
-        sum((col("w") * col("w")).cast("decimal(27,10)")).cast("double").as("n2"))
+        round(sum((col("w") * col("w")).cast("decimal(27,10)")), 6)
+          .cast("double").as("n2"))
       w.crossJoin(n2)
         .select(col("i"), (col("w") / sqrt(col("n2"))).as("v"))
         .localCheckpoint()
     }
   }
 
-  /** The UNROUNDED Rayleigh quotient vᵀGv as a 1-row (lambdaRaw) relation —
-    * decimal-accumulated, cast to double with no rounding (used as the
-    * deflation coefficient, so it must be the exact value both engines
-    * agree on; magnitudes stay far below the decimal→double double-round
-    * regime at any realistic corpus scale).
+  /** The UNROUNDED normalized Rayleigh quotient vᵀĜv as a 1-row
+    * (lambdaRaw) relation — the deflation coefficient. On the normalized
+    * Gram its magnitude is ≤ dim, so the raw decimal→double cast is exact
+    * on every engine at any corpus size.
     */
-  private def rayleighRaw(g: DataFrame, v: DataFrame): DataFrame =
-    g.join(broadcast(v.select(col("i"), col("v").as("vi"))), Seq("i"))
+  private def rayleighRaw(gn: DataFrame, v: DataFrame): DataFrame =
+    gn.join(broadcast(v.select(col("i"), col("v").as("vi"))), Seq("i"))
       .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
       .agg(sum((col("vi") * col("g") * col("vj")).cast("decimal(27,10)"))
         .cast("double").as("lambdaRaw"))
 
-  /** Sign-normalize and round a final eigenvector against its Gram:
-    * (comp, loading, lambda) — see [[powerIteration]].
+  /** Sign-normalize and round a final eigenvector against its normalized
+    * Gram: (comp, loading, lambda) — lambda is the TRUE-scale variance
+    * (the normalized Rayleigh value times the scale factor s).
     */
-  private def present(g: DataFrame, vFinal: DataFrame): DataFrame = {
-    // the dsum6 rule: the EMITTED lambda rounds in DECIMAL space before
-    // the double cast, so neither engine's decimal→double conversion can
-    // double-round the output value
-    val lambda = g
+  private def present(gn: DataFrame, s: DataFrame,
+                      vFinal: DataFrame): DataFrame = {
+    val lamHat = gn
       .join(broadcast(vFinal.select(col("i"), col("v").as("vi"))), Seq("i"))
       .join(broadcast(vFinal.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
       .agg(round(sum((col("vi") * col("g") * col("vj")).cast("decimal(27,10)")), 6)
-        .cast("double").as("lambda"))
+        .cast("double").as("lamHat"))
     val sign = vFinal
       .orderBy(abs(col("v")).desc, col("i"))
       .limit(1)
-      .select(when(col("v") < 0, lit(-1.0)).otherwise(lit(1.0)).as("s"))
-    vFinal.crossJoin(sign).crossJoin(lambda)
+      .select(when(col("v") < 0, lit(-1.0)).otherwise(lit(1.0)).as("sg"))
+    vFinal.crossJoin(sign).crossJoin(lamHat).crossJoin(broadcast(s))
       .select(col("i").as("comp"),
-        round(col("v") * col("s"), 6).as("loading"),
-        col("lambda"))
+        round(col("v") * col("sg"), 6).as("loading"),
+        round(col("lamHat") * col("s"), 6).as("lambda"))
   }
 
   /** One-call convenience: Gram pass + power iteration. */
@@ -137,16 +158,18 @@ object Pca {
                     nComponents: Int, iters: Int): DataFrame = {
     require(nComponents >= 1 && nComponents <= 16,
       s"topComponents needs 1..16 components; got $nComponents")
-    var g = gram(df, vecCol, dim).localCheckpoint()
+    // normalize ONCE; deflation happens in normalized space (the scale
+    // factor is shared, so every eigenvalue re-scales by the same s)
+    var (gn, s) = normalized(gram(df, vecCol, dim).localCheckpoint())
     val parts = (1 to nComponents).map { pc =>
-      val v = iterate(g, dim, iters)
-      val out = present(g, v).select(lit(pc).as("pc"), col("comp"),
+      val v = iterate(gn, dim, iters)
+      val out = present(gn, s, v).select(lit(pc).as("pc"), col("comp"),
         col("loading"), col("lambda"))
       if (pc < nComponents) {
-        g = g
+        gn = gn
           .join(broadcast(v.select(col("i"), col("v").as("vi"))), Seq("i"))
           .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
-          .crossJoin(rayleighRaw(g, v))
+          .crossJoin(rayleighRaw(gn, v))
           .select(col("i"), col("j"),
             (col("g") - col("lambdaRaw") * col("vi") * col("vj")).as("g"))
           .localCheckpoint()

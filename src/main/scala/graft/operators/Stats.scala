@@ -424,6 +424,143 @@ object Stats {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
   }
 
+  /** Poisson(1) CDF thresholds for the hash-bootstrap weights, computed
+    * ONCE driver-side and embedded as identical literals in the Spark
+    * plan and any SQL mirror — cross-engine exp() drift cannot exist for
+    * a shared literal. P(X > 7) ≈ 1e-5 is folded into the top bucket.
+    */
+  private[graft] val poissonCdf: Array[Double] = {
+    val e = math.exp(-1.0)
+    (0 to 6).map { k =>
+      e * (0 to k).map(i => 1.0 / (1 to i).foldLeft(1.0)(_ * _)).sum
+    }.toArray
+  }
+
+  /** Deterministic Poisson bootstrap CI for the per-group mean: each of
+    * `reps` replicas weights every row by a Poisson(1) draw derived from
+    * a 60-bit md5 of (row id, replica) — the classic streaming bootstrap
+    * (resampling n-out-of-n ≈ independent Poisson(1) weights), made
+    * REPRODUCIBLE and engine-portable because the randomness is a content
+    * hash, not an RNG. Returns per group: n, n_reps (replicas with
+    * positive total weight), boot_mean (mean of replicate means), and the
+    * [tailK-th lowest, tailK-th highest] replicate means as the CI — all
+    * emitted unrounded (weighted means are decimal/integer ratios that
+    * can terminate on a round boundary; the operands are bit-identical).
+    *
+    * Scale shape: the explode is a pipelined ×reps flatMap into ONE
+    * map-combinable (group, rep) aggregation — state is reps rows per
+    * group, never the replicated data; the CI ranks reps values per
+    * group (bounded by construction).
+    */
+  def poissonBootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+                         valCol: String, reps: Int, tailK: Int): DataFrame = {
+    require(reps >= 4 && reps <= 256, s"poissonBootstrapCi: bad reps=$reps")
+    require(tailK >= 1 && tailK * 2 < reps, s"poissonBootstrapCi: bad tailK=$tailK")
+    val v = col(valCol).cast("double")
+    // NOTE: built against the post-rename schema (id, b) below
+    val u = graft.llm.TextAnalysis.md5Long(
+      concat(col("id").cast("string"), lit(":"), col("b").cast("string"))) /
+      lit(1152921504606846976.0) // 2^60, exact
+    val w = poissonCdf.zipWithIndex.foldRight(lit(7L): org.apache.spark.sql.Column) {
+      case ((c, k), acc) => when(u < lit(c), lit(k.toLong)).otherwise(acc)
+    }
+    val rep = df.filter(v.isNotNull && !isnan(v))
+      .select(col(groupCol).as("g"), col(idCol).as("id"), v.as("x"))
+      .select(col("g"), col("id"), col("x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("w", w)
+      .groupBy(col("g"), col("b"))
+      // round6-in-decimal before every decimal→double cast (the dsum6
+      // rule): a raw scale-10 cast double-rounds on one engine once the
+      // unscaled sum passes 2^53
+      .agg(sum(col("w")).as("wsum"),
+        round(sum((col("w").cast("double") * col("x")).cast("decimal(27,10)")), 6)
+          .cast("double").as("wx"),
+        count(lit(1)).as("n"))
+      .filter(col("wsum") > 0)
+      .withColumn("mb", col("wx") / col("wsum").cast("double"))
+    val wRank = Window.partitionBy(col("g")).orderBy(col("mb"), col("b"))
+    val wAll = Window.partitionBy(col("g"))
+    rep
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("nreps", count(lit(1)).over(wAll))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("nreps")).as("n_reps"),
+        round(sum(col("mb").cast("decimal(27,10)")), 6).as("__smb"),
+        max(when(col("rn") === tailK, col("mb"))).as("ci_lo"),
+        max(when(col("rn") === col("nreps") - tailK + 1, col("mb"))).as("ci_hi"))
+      .select(col("g").as(groupCol), col("n"), col("n_reps"),
+        (col("__smb").cast("double") / col("n_reps").cast("double"))
+          .as("boot_mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Split-conformal prediction intervals per group: fit OLS on the
+    * CALIBRATION half (`splitCol` true), take the conformal quantile of
+    * its absolute residuals (the k = ⌈(1−α)(n+1)⌉-th order statistic,
+    * clamped to n), and report the held-out coverage of ŷ ± q on the
+    * TEST half — the distribution-free interval with the finite-sample
+    * ≥ 1−α guarantee. Groups whose calibration x does not vary fall back
+    * to the mean predictor (slope 0), exactly as documented.
+    *
+    * All emitted statistics are unrounded raw doubles on bit-identical
+    * operands (decimal sufficient sums, fixed-order closed forms).
+    *
+    * Scale shape: one map-combinable sufficient-stats agg over the
+    * calibration half, one |groups|-row broadcast join back, one
+    * per-group residual-rank window (per-key contract), one final agg.
+    */
+  def conformalInterval(df: DataFrame, groupCol: String, xCol: String,
+                        tieCol: String, yCol: String, splitCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"conformalInterval: bad alpha=$alpha")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull && !isnan(y))
+      .select(col(groupCol).as("g"), col(tieCol).as("t"), x.as("x"),
+        y.as("y"), col(splitCol).as("cal"))
+    // sufficient sums round to 6 dp IN DECIMAL before the double cast
+    // (the dsum6 rule) — Σx² per group can push the scale-10 unscaled
+    // value past 2^53, where one engine's decimal→double cast
+    // double-rounds; the 6-dp definition is applied identically on both
+    val fit = base.filter(col("cal"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ncal"),
+        round(sum(dec(col("x"))), 6).cast("double").as("sx"),
+        round(sum(dec(col("y"))), 6).cast("double").as("sy"),
+        round(sum(dec(col("x") * col("x"))), 6).cast("double").as("sxx"),
+        round(sum(dec(col("x") * col("y"))), 6).cast("double").as("sxy"),
+        min(col("x")).as("mnx"), max(col("x")).as("mxx"))
+    val nD = col("ncal").cast("double")
+    val slope = when(col("mxx") > col("mnx"),
+      (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sxx") - col("sx") * col("sx"))).otherwise(lit(0.0))
+    val model = fit.select(col("g"), col("ncal"), slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / nD).as("icept"))
+    val kRank = ceil((lit(1.0) - alpha) * (col("ncal") + 1).cast("double"))
+      .cast("long")
+    val resid = base.filter(col("cal"))
+      .join(model, Seq("g"))
+      .withColumn("r", abs(col("y") - (col("icept") + col("slope") * col("x"))))
+    val wR = Window.partitionBy(col("g")).orderBy(col("r"), col("t"))
+    val q = resid
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") === least(kRank, col("ncal")))
+      .select(col("g"), col("r").as("q_hat"))
+    val test = base.filter(!col("cal"))
+      .join(model, Seq("g")).join(q, Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ntest"),
+        sum(when(abs(col("y") - (col("icept") + col("slope") * col("x"))) <=
+          col("q_hat"), 1L).otherwise(0L)).as("covered"))
+    model.join(q, Seq("g"), "left_outer").join(test, Seq("g"), "left_outer")
+      .select(col("g").as(groupCol), col("ncal"),
+        coalesce(col("ntest"), lit(0L)).as("ntest"), col("q_hat"),
+        (col("covered").cast("double") / col("ntest").cast("double"))
+          .as("coverage"))
+  }
+
   /** Per-group CUSUM change-point detection: over each group's series
     * ordered by (tsCol, tieCol), the cumulative sum of centered values
     * S_i = Σ_{j≤i}(x_j − x̄) peaks in magnitude at the most likely mean

@@ -24,14 +24,16 @@ object QueriesAV {
   private val pcaIters = 6
   private val pcaDim = 64
 
-  /** The unrolled w/n/v CTE chain of [[Pca.powerIteration]] — one decimal
-    * matvec + one decimal norm per round, token-identical arithmetic.
+  /** The unrolled w/n/v CTE chain of [[Pca.powerIteration]] over the
+    * NORMALIZED Gram — one decimal matvec + one decimal norm per round,
+    * both rounded 6 dp in decimal before the cast, token-identical
+    * arithmetic.
     */
   private def pcaRoundsSql(iters: Int): String =
     (1 to iters).map { r =>
-      s"""w$r AS (SELECT g.i, CAST(SUM(CAST(g.g * v.v AS DECIMAL(27,10))) AS DOUBLE) AS w
-          FROM g JOIN v${r - 1} v ON g.j = v.i GROUP BY g.i),
-        n$r AS (SELECT CAST(SUM(CAST(w * w AS DECIMAL(27,10))) AS DOUBLE) AS n2 FROM w$r),
+      s"""w$r AS (SELECT g.i, CAST(ROUND(SUM(CAST(g.g * v.v AS DECIMAL(27,10))), 6) AS DOUBLE) AS w
+          FROM gn g JOIN v${r - 1} v ON g.j = v.i GROUP BY g.i),
+        n$r AS (SELECT CAST(ROUND(SUM(CAST(w * w AS DECIMAL(27,10))), 6) AS DOUBLE) AS n2 FROM w$r),
         v$r AS (SELECT i, w / SQRT(n2) AS v FROM w$r CROSS JOIN n$r)"""
     }.mkString(",\n        ")
 
@@ -47,22 +49,25 @@ object QueriesAV {
       Pca.topComponent(t(s, dir, "embeddings"), "embedding", pcaDim, pcaIters)
         .orderBy(col("comp"))
     },
-    Some(s"""WITH g AS (
+    Some(s"""WITH g AS MATERIALIZED (
         SELECT gi.i, gj.j,
-          CAST(SUM(CAST(CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.embedding[gj.j] AS DOUBLE)
-            AS DECIMAL(27,10))) AS DOUBLE) AS g
+          CAST(ROUND(SUM(CAST(CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.embedding[gj.j] AS DOUBLE)
+            AS DECIMAL(27,10))), 6) AS DOUBLE) AS g
         FROM embeddings e, generate_series(1, $pcaDim) gi(i), generate_series(1, $pcaDim) gj(j)
         WHERE e.embedding IS NOT NULL AND len(e.embedding) = $pcaDim
         GROUP BY gi.i, gj.j),
+      sc AS (SELECT MAX(ABS(g)) AS s FROM g),
+      gn AS MATERIALIZED (SELECT i, j, g / s AS g FROM g CROSS JOIN sc),
       v0 AS (SELECT t.i, 1.0 / SQRT(${pcaDim.toDouble}) AS v
         FROM generate_series(1, $pcaDim) t(i)),
       ${pcaRoundsSql(pcaIters)},
-      lam AS (SELECT CAST(ROUND(SUM(CAST(vi.v * g.g * vj.v AS DECIMAL(27,10))), 6) AS DOUBLE) AS lambda
-        FROM g JOIN v$pcaIters vi ON g.i = vi.i JOIN v$pcaIters vj ON g.j = vj.i),
-      sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      lam AS (SELECT CAST(ROUND(SUM(CAST(vi.v * g.g * vj.v AS DECIMAL(27,10))), 6) AS DOUBLE) AS lamhat
+        FROM gn g JOIN v$pcaIters vi ON g.i = vi.i JOIN v$pcaIters vj ON g.j = vj.i),
+      sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
         FROM v$pcaIters ORDER BY ABS(v) DESC, i LIMIT 1)
-      SELECT v.i AS comp, ROUND(v.v * s, 6) AS loading, lambda
-      FROM v$pcaIters v CROSS JOIN sgn CROSS JOIN lam
+      SELECT v.i AS comp, ROUND(v.v * sg, 6) AS loading,
+        ROUND(lamhat * s, 6) AS lambda
+      FROM v$pcaIters v CROSS JOIN sgn CROSS JOIN lam CROSS JOIN sc
       ORDER BY comp"""))
 
   private val kcK = 5

@@ -99,9 +99,9 @@ object QueriesAW {
     val head = s"""${p}v0 AS (SELECT t.i, 1.0 / SQRT(${dim.toDouble}) AS v
         FROM generate_series(1, $dim) t(i))"""
     val rounds = (1 to iters).map { r =>
-      s"""${p}w$r AS (SELECT g.i, CAST(SUM(CAST(g.g * v.v AS DECIMAL(27,10))) AS DOUBLE) AS w
+      s"""${p}w$r AS (SELECT g.i, CAST(ROUND(SUM(CAST(g.g * v.v AS DECIMAL(27,10))), 6) AS DOUBLE) AS w
           FROM $g g JOIN ${p}v${r - 1} v ON g.j = v.i GROUP BY g.i),
-        ${p}n$r AS (SELECT CAST(SUM(CAST(w * w AS DECIMAL(27,10))) AS DOUBLE) AS n2 FROM ${p}w$r),
+        ${p}n$r AS (SELECT CAST(ROUND(SUM(CAST(w * w AS DECIMAL(27,10))), 6) AS DOUBLE) AS n2 FROM ${p}w$r),
         ${p}v$r AS (SELECT i, w / SQRT(n2) AS v FROM ${p}w$r CROSS JOIN ${p}n$r)"""
     }.mkString(",\n        ")
     s"$head,\n        $rounds"
@@ -112,12 +112,13 @@ object QueriesAW {
     * lambda) select — token-identical to [[Pca]]'s present().
     */
   private def presentSql(pc: Int, g: String, v: String, p: String): String =
-    s"""${p}lam AS (SELECT CAST(ROUND(SUM(CAST(vi.v * g.g * vj.v AS DECIMAL(27,10))), 6) AS DOUBLE) AS lambda
+    s"""${p}lam AS (SELECT CAST(ROUND(SUM(CAST(vi.v * g.g * vj.v AS DECIMAL(27,10))), 6) AS DOUBLE) AS lamhat
         FROM $g g JOIN $v vi ON g.i = vi.i JOIN $v vj ON g.j = vj.i),
-      ${p}sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      ${p}sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
         FROM $v ORDER BY ABS(v) DESC, i LIMIT 1),
-      ${p}out AS (SELECT $pc AS pc, v.i AS comp, ROUND(v.v * s, 6) AS loading, lambda
-        FROM $v v CROSS JOIN ${p}sgn CROSS JOIN ${p}lam)"""
+      ${p}out AS (SELECT $pc AS pc, v.i AS comp, ROUND(v.v * sg, 6) AS loading,
+        ROUND(lamhat * s, 6) AS lambda
+        FROM $v v CROSS JOIN ${p}sgn CROSS JOIN ${p}lam CROSS JOIN sc)"""
 
   /** Top-2 principal components by Hotelling deflation
     * ([[Pca.topComponents]]): after the first component converges,
@@ -136,17 +137,19 @@ object QueriesAW {
     // (DuckDB ran out of file handles at reference 15)
     Some(s"""WITH g AS MATERIALIZED (
         SELECT gi.i, gj.j,
-          CAST(SUM(CAST(CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.embedding[gj.j] AS DOUBLE)
-            AS DECIMAL(27,10))) AS DOUBLE) AS g
+          CAST(ROUND(SUM(CAST(CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.embedding[gj.j] AS DOUBLE)
+            AS DECIMAL(27,10))), 6) AS DOUBLE) AS g
         FROM embeddings e, generate_series(1, $dim) gi(i), generate_series(1, $dim) gj(j)
         WHERE e.embedding IS NOT NULL AND len(e.embedding) = $dim
         GROUP BY gi.i, gj.j),
-      ${roundsSql("g", "a")},
-      ${presentSql(1, "g", s"av$iters", "a")},
+      sc AS (SELECT MAX(ABS(g)) AS s FROM g),
+      gn AS MATERIALIZED (SELECT i, j, g / s AS g FROM g CROSS JOIN sc),
+      ${roundsSql("gn", "a")},
+      ${presentSql(1, "gn", s"av$iters", "a")},
       lamraw AS (SELECT CAST(SUM(CAST(vi.v * g.g * vj.v AS DECIMAL(27,10))) AS DOUBLE) AS l
-        FROM g JOIN av$iters vi ON g.i = vi.i JOIN av$iters vj ON g.j = vj.i),
+        FROM gn g JOIN av$iters vi ON g.i = vi.i JOIN av$iters vj ON g.j = vj.i),
       g2 AS MATERIALIZED (SELECT g.i, g.j, g.g - lr.l * vi.v * vj.v AS g
-        FROM g JOIN av$iters vi ON g.i = vi.i JOIN av$iters vj ON g.j = vj.i
+        FROM gn g JOIN av$iters vi ON g.i = vi.i JOIN av$iters vj ON g.j = vj.i
         CROSS JOIN lamraw lr),
       ${roundsSql("g2", "b")},
       ${presentSql(2, "g2", s"bv$iters", "b")}

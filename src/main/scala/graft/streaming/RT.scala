@@ -536,8 +536,12 @@ object RT {
     val in = fs.open(marker)
     val applied = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8).trim.toLong finally in.close()
+    // round6-then-cast, matching Pca.gram's emission exactly (the state
+    // keeps the full decimal so the FOLD stays exact; only the read
+    // narrows)
     spark.read.parquet(s"$statePath/v$applied")
-      .select(col("i"), col("j"), col("gsum").cast("double").as("g"))
+      .select(col("i"), col("j"),
+        round(col("gsum"), 6).cast("double").as("g"))
   }
 
   /** The active maintained state written by [[aggMaintainBatch]]. */
