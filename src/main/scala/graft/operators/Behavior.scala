@@ -266,6 +266,48 @@ object Behavior {
     attributed.unionByName(direct)
   }
 
+  /** Process-mining direct-follows graph: for every consecutive event
+    * pair inside a user's trace (ordered by ts, tie), the (from, to)
+    * edge with its frequency and gap statistics — the relation a process
+    * map renders. The median gap is EXACT via value counting: gaps are
+    * integer seconds, so per edge the (gap, count) contraction is bounded
+    * by the distinct-gap domain (not the event count), and the median is
+    * a cumulative-count selection over that contracted relation — no
+    * per-edge sort of raw events ever happens (an edge can hold half the
+    * corpus; its distinct gaps cannot).
+    */
+  def processDfg(events: DataFrame, userCol: String, tsCol: String,
+                 tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val edges = events
+      .select(col(userCol), col(typeCol).as("to_type"),
+        unix_timestamp(col(tsCol)).as("__t"),
+        lag(col(typeCol), 1).over(w).as("from_type"),
+        lag(unix_timestamp(col(tsCol)), 1).over(w).as("__pt"))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("to_type"),
+        (col("__t") - col("__pt")).as("gap"))
+    val counted = edges.groupBy(col("from_type"), col("to_type"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+    val wEdge = Window.partitionBy(col("from_type"), col("to_type"))
+    val wCum = wEdge.orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counted
+      .withColumn("m", sum(col("cnt")).over(wEdge))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+    val kLo = floor((col("m") + 1).cast("double") / 2.0).cast("long")
+    val kHi = floor(col("m").cast("double") / 2.0).cast("long") + 1
+    ranked.groupBy(col("from_type"), col("to_type"))
+      .agg(max(col("m")).as("n"),
+        min(col("gap")).as("min_gap_s"),
+        max(col("gap")).as("max_gap_s"),
+        min(when(col("cum") >= kLo, col("gap"))).as("__lo"),
+        min(when(col("cum") >= kHi, col("gap"))).as("__hi"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("min_gap_s"), col("max_gap_s"),
+        ((col("__lo") + col("__hi")).cast("double") / 2.0).as("median_gap_s"))
+  }
+
   def pathTopK(events: DataFrame, userCol: String, tsCol: String,
                idCol: String, typeCol: String, len: Int = 3,
                k: Int = 10): DataFrame = {

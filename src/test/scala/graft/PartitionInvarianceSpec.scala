@@ -42,7 +42,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // argmax-of-min selection, the Theil-Sen boundary-rank median, the
     // CUSUM decimal ranking, and the interval-union island windows
     "pca_deflation_top2", "sample_kcenter", "ts_theil_sen",
-    "ts_cusum_changepoint", "interval_coverage")
+    "ts_cusum_changepoint", "interval_coverage",
+    // the hash-bootstrap replicate ranking and the alternating
+    // ridge-solve fit (round6 decimal sums through six half-steps)
+    "m21_poisson_bootstrap", "als_factorize_2f")
 
   test("representative queries are bit-identical under a different shuffle partitioning") {
     val alt = spark.newSession()
