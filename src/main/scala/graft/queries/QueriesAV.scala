@@ -43,16 +43,25 @@ object QueriesAV {
     * rounds on the 64×64 Gram + sign normalization + Rayleigh lambda. The
     * mirror unrolls the identical rounds as CTEs.
     */
+  /** The corpus Gram, built + checkpointed ONCE per session — shared by
+    * pca_power_iteration and pca_deflation_top2 (the graph-family memo
+    * pattern; the Gram pass is both queries' only corpus-touching stage).
+    */
+  private[queries] def gramShared(s: SparkSession, dir: String): DataFrame =
+    Queries.memoRel(s, dir, s"pca_gram_$pcaDim") {
+      Pca.gram(t(s, dir, "embeddings"), "embedding", pcaDim)
+    }
+
   val pcaPowerIteration: QueryDef = QueryDef(
     "pca_power_iteration",
     (s, dir) => {
-      Pca.topComponent(t(s, dir, "embeddings"), "embedding", pcaDim, pcaIters)
+      Pca.powerIteration(gramShared(s, dir), pcaDim, pcaIters)
         .orderBy(col("comp"))
     },
     Some(s"""WITH g AS MATERIALIZED (
         SELECT gi.i, gj.j,
-          CAST(ROUND(SUM(CAST(CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.embedding[gj.j] AS DOUBLE)
-            AS DECIMAL(27,10))), 6) AS DOUBLE) AS g
+          CAST(CAST(SUM(CAST(FLOOR((CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.embedding[gj.j] AS DOUBLE))
+            * 1.0E8) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0E8 AS g
         FROM embeddings e, generate_series(1, $pcaDim) gi(i), generate_series(1, $pcaDim) gj(j)
         WHERE e.embedding IS NOT NULL AND len(e.embedding) = $pcaDim
         GROUP BY gi.i, gj.j),

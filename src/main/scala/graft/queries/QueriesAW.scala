@@ -128,7 +128,7 @@ object QueriesAW {
   val pcaDeflationTop2: QueryDef = QueryDef(
     "pca_deflation_top2",
     (s, dir) => {
-      Pca.topComponents(t(s, dir, "embeddings"), "embedding", dim,
+      Pca.topComponentsFromGram(QueriesAV.gramShared(s, dir), dim,
         nComponents = 2, iters = iters)
         .orderBy(col("pc"), col("comp"))
     },
@@ -137,8 +137,8 @@ object QueriesAW {
     // (DuckDB ran out of file handles at reference 15)
     Some(s"""WITH g AS MATERIALIZED (
         SELECT gi.i, gj.j,
-          CAST(ROUND(SUM(CAST(CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.embedding[gj.j] AS DOUBLE)
-            AS DECIMAL(27,10))), 6) AS DOUBLE) AS g
+          CAST(CAST(SUM(CAST(FLOOR((CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.embedding[gj.j] AS DOUBLE))
+            * 1.0E8) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0E8 AS g
         FROM embeddings e, generate_series(1, $dim) gi(i), generate_series(1, $dim) gj(j)
         WHERE e.embedding IS NOT NULL AND len(e.embedding) = $dim
         GROUP BY gi.i, gj.j),

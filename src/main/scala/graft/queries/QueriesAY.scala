@@ -32,13 +32,17 @@ object QueriesAY {
     */
   private def halfSql(outName: String, solveKey: String, givenKey: String,
                       givenName: String): String = {
-    val r6 = (e: String) =>
-      s"CAST(ROUND(SUM(CAST($e AS DECIMAL(27,10))), 6) AS DOUBLE)"
+    // the fixed-point long kernel (Als.fx/unfx): floor-quantized 1e-10
+    // terms summed as integers — order-independent like a decimal sum,
+    // primitive-speed; the inner CAST(... AS BIGINT) pins the exact
+    // integer before the (correctly-rounded) int→double conversion
+    val fx = (e: String) =>
+      s"CAST(CAST(SUM(CAST(FLOOR(($e) * 1.0E10) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0E10"
     val det = s"((s.a11 + $lam) * (s.a22 + $lam) - s.a12 * s.a12)"
     s"""${outName}s AS (SELECT $solveKey,
-          ${r6("f1 * f1")} AS a11, ${r6("f1 * f2")} AS a12,
-          ${r6("f2 * f2")} AS a22,
-          ${r6("r * f1")} AS b1, ${r6("r * f2")} AS b2
+          ${fx("f1 * f1")} AS a11, ${fx("f1 * f2")} AS a12,
+          ${fx("f2 * f2")} AS a22,
+          ${fx("r * f1")} AS b1, ${fx("r * f2")} AS b2
         FROM ratings JOIN $givenName USING ($givenKey)
         GROUP BY $solveKey),
       $outName AS (SELECT $solveKey,

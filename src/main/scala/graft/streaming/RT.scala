@@ -478,10 +478,11 @@ object RT {
     * write-then-flip layout and batchId replay guard as
     * [[aggMaintainBatch]]; superseded versions are pruned.
     *
-    * State schema: (i, j, gsum DECIMAL(38,10)) — kept in DECIMAL on disk
-    * so the fold stays associative-exact across any number of batches;
-    * [[readGramState]] casts to the (i, j, g double) relation
-    * powerIteration consumes.
+    * State schema: (i, j, gsum LONG) — the fixed-point integer sums of
+    * [[graft.ml.Pca.gram]]'s kernel, kept unscaled on disk so the fold
+    * stays associative-exact across any number of batches;
+    * [[readGramState]] divides down to the (i, j, g double) relation
+    * powerIteration consumes, bit-identical to a batch [[graft.ml.Pca.gram]].
     */
   def gramMaintainBatch(statePath: String, vecCol: String, dim: Int)
       : (DataFrame, Long) => Unit =
@@ -508,14 +509,14 @@ object RT {
           .select(col("i"), (col("pj") + 1).as("j"),
             (col("xi") * col("xj").cast("double")).as("p"))
           .groupBy(col("i"), col("j"))
-          .agg(sum(col("p").cast("decimal(27,10)"))
-            .cast("decimal(38,10)").as("gsum"))
+          .agg(sum(floor(col("p") * lit(graft.ml.Pca.gramQ)).cast("long"))
+            .as("gsum"))
         val merged =
           if (applied < 0) deltaRows
           else spark.read.parquet(s"$statePath/v$applied")
             .unionByName(deltaRows)
             .groupBy(col("i"), col("j"))
-            .agg(sum(col("gsum")).cast("decimal(38,10)").as("gsum"))
+            .agg(sum(col("gsum")).as("gsum"))
         merged.write.mode("overwrite").parquet(s"$statePath/v$batchId")
         val out = fs.create(marker, true)
         try out.write(batchId.toString
@@ -536,12 +537,12 @@ object RT {
     val in = fs.open(marker)
     val applied = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8).trim.toLong finally in.close()
-    // round6-then-cast, matching Pca.gram's emission exactly (the state
-    // keeps the full decimal so the FOLD stays exact; only the read
-    // narrows)
+    // divide down exactly as Pca.gram's emission (int64→double is
+    // correctly rounded; the state keeps the raw integers so the FOLD
+    // stays exact — only the read narrows)
     spark.read.parquet(s"$statePath/v$applied")
       .select(col("i"), col("j"),
-        round(col("gsum"), 6).cast("double").as("g"))
+        (col("gsum").cast("double") / lit(graft.ml.Pca.gramQ)).as("g"))
   }
 
   /** The active maintained state written by [[aggMaintainBatch]]. */
