@@ -279,7 +279,11 @@ object Behavior {
   def processDfg(events: DataFrame, userCol: String, tsCol: String,
                  tieCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    // null timestamps are dropped up front: engines disagree on NULL sort
+    // placement, so a null ts inside the lag window would make the edge
+    // relation engine-dependent
     val edges = events
+      .filter(col(tsCol).isNotNull)
       .select(col(userCol), col(typeCol).as("to_type"),
         unix_timestamp(col(tsCol)).as("__t"),
         lag(col(typeCol), 1).over(w).as("from_type"),

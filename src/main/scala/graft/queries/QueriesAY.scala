@@ -25,7 +25,7 @@ object QueriesAY {
     s"""${Ora.md5LongSql(s"CONCAT('$tag', ':', CAST(p AS VARCHAR))")}
         / ${java.lang.Double.toString(1152921504606846976.0)}"""
 
-  /** One ALS ridge half-step as SQL: five round6-decimal sums per
+  /** One ALS ridge half-step as SQL: five fixed-point long sums per
     * `solveKey` joined against `givenName`, then the 2×2 Cramer solve
     * with the det expression inlined — token-identical to
     * [[Als.halfStep]].
@@ -101,7 +101,7 @@ object QueriesAY {
           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t,
           LAG(event_type) OVER w AS from_type,
           LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS pt
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       ed AS (SELECT from_type, to_type, t - pt AS gap
         FROM e WHERE from_type IS NOT NULL),
