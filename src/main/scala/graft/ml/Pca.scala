@@ -157,6 +157,47 @@ object Pca {
                    iters: Int): DataFrame =
     powerIteration(gram(df, vecCol, dim), dim, iters)
 
+  /** PCA-based anomaly detection — the apply side of the trained
+    * component: project every vector onto the (rounded, sign-fixed)
+    * loadings and rank by RECONSTRUCTION ERROR ‖x‖² − score² (the energy
+    * the top component cannot explain; for a unit direction this is the
+    * squared residual norm). Returns the top `k` anomalies
+    * (rank, id, score, recon_err).
+    *
+    * Both the projection and the vector norm accumulate through the
+    * fixed-point long kernel over the per-element join with the
+    * 64-row loadings relation — order-independent, so SQL mirrors need no
+    * fold-order contract — and the ranking goes through the bounded TopK
+    * aggregator (|k| exchange rows per partition), never a global window.
+    */
+  def projectAnomalies(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, components: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"projectAnomalies: bad k=$k")
+    graft.Core.requireIntegral(df, idCol, "projectAnomalies")
+    val q = 1.0e10
+    val expl = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("id"), (col("pos") + 1).as("comp"),
+        col("x").cast("double").as("x"))
+    val scored = expl
+      .join(broadcast(components.select(col("comp"), col("loading"))), Seq("comp"))
+      .groupBy(col("id"))
+      .agg((sum(floor((col("x") * col("loading")) * lit(q)).cast("long"))
+          .cast("double") / lit(q)).as("score"),
+        (sum(floor((col("x") * col("x")) * lit(q)).cast("long"))
+          .cast("double") / lit(q)).as("n2"))
+      .select(col("id"), col("score"),
+        (col("n2") - col("score") * col("score")).as("err"))
+    val topk = udaf(new graft.functions.Aggregators.TopK(k))
+    scored
+      .agg(topk(col("err"), col("id")).as("hits"))
+      .select(posexplode(col("hits")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), col("col.score").as("recon_err"))
+  }
+
   /** Top `nComponents` principal components by Hotelling DEFLATION: after
     * each converged component, G ← G − λ·v·vᵀ removes its variance and the
     * next power iteration converges to the next component — still only ONE

@@ -79,6 +79,53 @@ object QueriesAV {
       FROM v$pcaIters v CROSS JOIN sgn CROSS JOIN lam CROSS JOIN sc
       ORDER BY comp"""))
 
+  /** PCA anomaly detection ([[Pca.projectAnomalies]]) — the APPLY side of
+    * the trained component: project every embedding onto the gated
+    * loadings and rank by reconstruction error through the bounded TopK
+    * aggregator. Train and apply share the one memoized session Gram.
+    * recon_err is emitted RAW: both operands are 1e-10-quantized
+    * rationals, so the error can terminate on a 6-dp half boundary — the
+    * one case engines round differently; the unrounded doubles are
+    * bit-identical by construction.
+    */
+  val pcaAnomalyTopk: QueryDef = QueryDef(
+    "pca_anomaly_topk",
+    (s, dir) => {
+      val comps = Pca.powerIteration(gramShared(s, dir), pcaDim, pcaIters)
+      Pca.projectAnomalies(t(s, dir, "embeddings"), "vec_id", "embedding",
+        pcaDim, comps, k = 20)
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH g AS MATERIALIZED (
+        SELECT gi.i, gj.j,
+          CAST(CAST(SUM(CAST(FLOOR((CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.embedding[gj.j] AS DOUBLE))
+            * 1.0E8) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0E8 AS g
+        FROM embeddings e, generate_series(1, $pcaDim) gi(i), generate_series(1, $pcaDim) gj(j)
+        WHERE e.embedding IS NOT NULL AND len(e.embedding) = $pcaDim
+        GROUP BY gi.i, gj.j),
+      sc AS (SELECT MAX(ABS(g)) AS s FROM g),
+      gn AS MATERIALIZED (SELECT i, j, g / s AS g FROM g CROSS JOIN sc),
+      v0 AS (SELECT t.i, 1.0 / SQRT(${pcaDim.toDouble}) AS v
+        FROM generate_series(1, $pcaDim) t(i)),
+      ${pcaRoundsSql(pcaIters)},
+      sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
+        FROM v$pcaIters ORDER BY ABS(v) DESC, i LIMIT 1),
+      ldg AS (SELECT v.i AS comp, ROUND(v.v * sg, 6) AS loading
+        FROM v$pcaIters v CROSS JOIN sgn),
+      expl AS (SELECT e.vec_id AS id, t.i AS comp,
+          CAST(e.embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings e, generate_series(1, $pcaDim) t(i)
+        WHERE e.embedding IS NOT NULL AND len(e.embedding) = $pcaDim),
+      pr AS (SELECT id,
+          CAST(CAST(SUM(CAST(FLOOR((x * loading) * 1.0E10) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0E10 AS score,
+          CAST(CAST(SUM(CAST(FLOOR((x * x) * 1.0E10) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0E10 AS n2
+        FROM expl JOIN ldg USING (comp) GROUP BY id),
+      er AS (SELECT id, n2 - score * score AS err FROM pr)
+      SELECT CAST(rank AS INT) AS rank, id, err AS recon_err FROM (
+        SELECT id, err, ROW_NUMBER() OVER (ORDER BY err DESC, id) AS rank
+        FROM er)
+      WHERE rank <= 20 ORDER BY rank"""))
+
   private val kcK = 5
   private val kcDim = 64
 
@@ -246,6 +293,6 @@ object QueriesAV {
         CAST((strt - (strt % 1000000)) / 1000000 AS BIGINT) AS bin
       FROM pl ORDER BY part, bin, file"""))
 
-  val all: Seq[QueryDef] = Seq(pcaPowerIteration, sampleKCenter, tsCusum,
+  val all: Seq[QueryDef] = Seq(pcaPowerIteration, pcaAnomalyTopk, sampleKCenter, tsCusum,
     seqPatternTriples, attributionCredit, layoutCompactionPlan)
 }

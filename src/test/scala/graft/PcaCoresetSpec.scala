@@ -54,6 +54,30 @@ class PcaCoresetSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("projectAnomalies ranks planted off-component outliers first") {
+    import spark.implicits._
+    // 95 vectors on one line, 5 with MODERATE off-direction energy — small
+    // enough that the line still dominates the variance (an off energy
+    // rivaling the line's would steal the top component and invert the
+    // ranking), large enough to own the reconstruction error
+    val u = Array.tabulate(dim)(d => math.cos(d * 1.1) + 1.2)
+    val rows = (0 until 100).map { i =>
+      val t = (i % 9) - 4.0
+      val off = if (i % 20 == 7) 3.0 else 0.0
+      (i.toLong, Array.tabulate(dim)(d =>
+        (t * u(d) + (if (d % 2 == 0) off else -off)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val comps = graft.ml.Pca.topComponent(rows, "embedding", dim, iters = 10)
+    val top = graft.ml.Pca.projectAnomalies(rows, "vec_id", "embedding",
+      dim, comps, k = 5).orderBy(col("rank")).collect()
+    assert(top.length == 5)
+    assert(top.map(_.getLong(1) % 20).toSet == Set(7L),
+      s"top anomalies ${top.map(_.getLong(1)).toSeq} are not the planted outliers")
+    // errors non-increasing down the ranking
+    val errs = top.map(_.getDouble(2))
+    assert(errs.zip(errs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("topComponents: deflation recovers two planted orthogonal directions in variance order") {
     import spark.implicits._
     // two orthogonal planted directions; u1 carries ~3x the variance of u2
