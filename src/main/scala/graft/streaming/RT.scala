@@ -545,6 +545,132 @@ object RT {
         (col("gsum").cast("double") / lit(graft.ml.Pca.gramQ)).as("g"))
   }
 
+  /** Streaming conformal monitoring, calibration side: fold each
+    * micro-batch of per-group absolute residuals into a maintained
+    * (group, bucket, count) state — residuals floor-quantize to 1e-6
+    * buckets, so the state is ADDITIVE (the Gram-maintenance physics) and
+    * per group is bounded by the distinct-bucket domain, not the
+    * calibration volume. Same versioned write-then-flip layout and
+    * batchId replay guard as [[aggMaintainBatch]].
+    *
+    * [[maintainedQuantile]] then answers the conformal threshold
+    * k = ⌈(1−α)(n+1)⌉ EXACTLY (over the quantized residuals) by
+    * cumulative-count selection — no calibration row is ever rescanned
+    * or sorted; [[conformalAlertBatch]] is the serve loop.
+    */
+  def residualFoldBatch(statePath: String, groupCol: String,
+                        residCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
+      val applied: Long =
+        if (!fs.exists(marker)) -1L
+        else {
+          val in = fs.open(marker)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      if (batchId > applied) {
+        val delta = batch
+          .filter(col(residCol).isNotNull &&
+            !isnan(col(residCol).cast("double")))
+          .select(col(groupCol).as("g"),
+            floor(abs(col(residCol).cast("double")) * lit(residQ))
+              .cast("long").as("rb"))
+          .groupBy(col("g"), col("rb"))
+          .agg(count(lit(1)).as("cnt"))
+        val merged =
+          if (applied < 0) delta
+          else spark.read.parquet(s"$statePath/v$applied")
+            .unionByName(delta)
+            .groupBy(col("g"), col("rb"))
+            .agg(sum(col("cnt")).as("cnt"))
+        merged.write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        val out = fs.create(marker, true)
+        try out.write(batchId.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (applied >= 0)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$applied"), true)
+      }
+    }
+
+  /** Residual fixed-point quantum (1e-6) shared by the fold, the
+    * quantile, and the alert comparison.
+    */
+  val residQ = 1.0e6
+
+  /** The conformal threshold per group from the maintained residual
+    * counts: the k = ⌈(1−α)(n+1)⌉-th smallest quantized |residual|
+    * (clamped to n) by cumulative-count selection over the contracted
+    * (group, bucket) relation. Returns (g, n_cal, q_hat).
+    */
+  def maintainedQuantile(spark: SparkSession, statePath: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"maintainedQuantile: bad alpha=$alpha")
+    val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker), s"no maintained residual state at $statePath")
+    val in = fs.open(marker)
+    val applied = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong finally in.close()
+    val st = spark.read.parquet(s"$statePath/v$applied")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val wCum = wAll.orderBy(col("rb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val k = least(
+      ceil((lit(1.0) - alpha) * (col("m") + 1).cast("double")).cast("long"),
+      col("m"))
+    st.withColumn("m", sum(col("cnt")).over(wAll))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .groupBy(col("g"))
+      .agg(max(col("m")).as("n_cal"),
+        (min(when(col("cum") >= k, col("rb"))).cast("double") / lit(residQ))
+          .as("q_hat"))
+  }
+
+  /** Streaming conformal serve loop: flag each micro-batch row whose
+    * quantized |residual| exceeds the maintained per-group threshold.
+    * Alert rows (the batch columns + q_hat + alert) append to `outPath`;
+    * the batchId marker in `outPath` makes replays no-ops. Groups with no
+    * calibration state get NULL q_hat and alert = null (unscoreable is
+    * explicit, never a silent pass).
+    */
+  def conformalAlertBatch(statePath: String, groupCol: String,
+                          residCol: String, alpha: Double,
+                          outPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val markerPath = new org.apache.hadoop.fs.Path(s"$outPath/_serve_batch")
+      val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val applied: Long =
+        if (!fs.exists(markerPath)) -1L
+        else {
+          val in = fs.open(markerPath)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      if (batchId > applied) {
+        val q = maintainedQuantile(spark, statePath, alpha)
+          .select(col("g").as(groupCol), col("q_hat"))
+        batch.localCheckpoint()
+          .join(broadcast(q), Seq(groupCol), "left_outer")
+          .withColumn("alert",
+            floor(abs(col(residCol).cast("double")) * lit(residQ)) >
+              floor(col("q_hat") * lit(residQ)))
+          .write.mode("append").parquet(outPath)
+        val out = fs.create(markerPath, true)
+        try out.write(batchId.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+
   /** The active maintained state written by [[aggMaintainBatch]]. */
   def readAggState(spark: SparkSession, statePath: String): DataFrame = {
     val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
