@@ -27,6 +27,17 @@ private[queries] object Ora {
   def dsum6Sql(expr: String): String =
     s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 6) AS DOUBLE)"
 
+  /** Coarser sibling of [[dsum6]] for LARGE-magnitude money sums: 2-dp
+    * decimal rounding keeps the decimal→double cast single-rounding up to
+    * |value| ≈ 9e13 (vs ≈ 9e9 at 6 dp) — the corpus-level revenue sums
+    * sit at ~6e9 at sf0.1 and scale linearly, so the 6-dp form would
+    * enter the probabilistic cast-divergence regime within one 10×.
+    */
+  def dsum2(c: Column): Column =
+    round(sum(c.cast("decimal(27,10)")), 2).cast("double")
+  def dsum2Sql(expr: String): String =
+    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 2) AS DOUBLE)"
+
   def dmean(c: Column): Column = dsum(c) / count(c)
   def dmeanSql(expr: String): String =
     s"(${dsumSql(expr)} / COUNT($expr))"

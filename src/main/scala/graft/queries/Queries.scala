@@ -122,16 +122,16 @@ object Queries {
       val li = t(s, dir, "lineitem")
       li.groupBy($"l_returnflag", $"l_linestatus").agg(
           dsum6($"l_quantity").as("sum_qty"),
-          dsum6($"l_extendedprice").as("sum_price"),
-          dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          dsum2($"l_extendedprice").as("sum_price"),
+          dsum2($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
           r6(dmean($"l_discount")).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some(s"""SELECT l_returnflag, l_linestatus,
       ${dsum6Sql("l_quantity")} AS sum_qty,
-      ${dsum6Sql("l_extendedprice")} AS sum_price,
-      ${dsum6Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      ${dsum2Sql("l_extendedprice")} AS sum_price,
+      ${dsum2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
       ROUND(${dmeanSql("l_discount")}, 6) AS avg_disc,
       COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -273,11 +273,11 @@ object Queries {
       o.join(li, o("o_orderkey") === li("l_orderkey"))
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"),
-             dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+             dsum2($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
         .orderBy($"o_orderpriority")
     },
     Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
-      ${dsum6Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      ${dsum2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
@@ -292,12 +292,12 @@ object Queries {
         .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
         .groupBy($"p_brand")
         .agg(count(lit(1)).as("n"),
-             dsum6($"l_extendedprice").as("sum_price"),
+             dsum2($"l_extendedprice").as("sum_price"),
              dsum6($"p_retailprice" * $"l_quantity").as("retail_value"))
         .orderBy($"p_brand")
     },
     Some(s"""SELECT p_brand, COUNT(*) AS n,
-      ${dsum6Sql("l_extendedprice")} AS sum_price,
+      ${dsum2Sql("l_extendedprice")} AS sum_price,
       ${dsum6Sql("p_retailprice * l_quantity")} AS retail_value
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
