@@ -84,6 +84,9 @@ object Als {
                  ratingCol: String, iters: Int,
                  lambda: Double): (DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 8, s"factorize2: bad iters=$iters")
+    // the ridge term is what guarantees det > 0 in the 2×2 Cramer solve;
+    // lambda <= 0 would silently emit Inf/NaN factors on rank-1 subspaces
+    require(lambda > 0, s"factorize2: bad lambda=$lambda (must be > 0)")
     // lazy evictable persist: each half-step is its own checkpointed job,
     // so without the cache the ratings join re-scans the source 2·iters
     // times; released before return (the factor relations are

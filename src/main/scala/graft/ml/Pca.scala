@@ -162,7 +162,8 @@ object Pca {
     * loadings and rank by RECONSTRUCTION ERROR ‖x‖² − score² (the energy
     * the top component cannot explain; for a unit direction this is the
     * squared residual norm). Returns the top `k` anomalies
-    * (rank, id, score, recon_err).
+    * (rank, id, recon_err) — the projection score is consumed by the
+    * error computation, not emitted.
     *
     * Both the projection and the vector norm accumulate through the
     * fixed-point long kernel over the per-element join with the

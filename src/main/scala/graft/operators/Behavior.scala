@@ -181,11 +181,11 @@ object Behavior {
                              tsCol: String, tieCol: String, typeCol: String,
                              minSupport: Long): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
-    // lazy persist, NOT localCheckpoint: all three consumers (middles +
-    // both extremes) feed ONE final action, so the in-job cache gives the
-    // reuse without scheduling an up-front materialization job (the
-    // dsirWeights lesson)
+    // null timestamps are dropped up front (the processDfg rule): engines
+    // disagree on NULL sort placement, so a null ts inside the position
+    // window would make the support relation engine-dependent
     val pos = events
+      .filter(col(tsCol).isNotNull)
       .select(col(userCol).as("u"), col(typeCol).as("ty"),
         row_number().over(w).as("p"))
       .persist()
@@ -198,9 +198,15 @@ object Behavior {
       .filter(col("p") < col("mxp"))
       .select(col("u"), col("ta"), col("tb"), col("tc"))
       .distinct()
-    supported.groupBy(col("ta"), col("tb"), col("tc"))
+    val result = supported.groupBy(col("ta"), col("tb"), col("tc"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
+    // the result is bounded by |types|³ — materialize it eagerly so the
+    // per-event cache can be released before returning (repeated query
+    // invocations must not accumulate pinned relations in executor storage)
+    val out = result.localCheckpoint()
+    pos.unpersist()
+    out
   }
 
   /** Multi-touch attribution: each conversion event distributes credit
@@ -263,7 +269,12 @@ object Behavior {
         col("conversions").cast("double").as("linear_credit"),
         col("conversions").as("last_touch_credit"))
       .filter(col("conversions") > 0)
-    attributed.unionByName(direct)
+    // per-channel result is tiny — materialize it eagerly so the join
+    // cache can be released before returning (repeated invocations must
+    // not accumulate pinned relations in executor storage)
+    val out = attributed.unionByName(direct).localCheckpoint()
+    joined.unpersist()
+    out
   }
 
   /** Process-mining direct-follows graph: for every consecutive event

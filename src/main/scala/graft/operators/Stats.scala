@@ -589,7 +589,10 @@ object Stats {
     // round (the dsum6 rule): ranking on a double cast would compare
     // 1-ulp-ambiguous values, and rounding the cast double is ambiguous
     // whenever the scale-10 sum terminates near a 6-dp half boundary
-    val cum = df.filter(v.isNotNull && !isnan(v))
+    // null timestamps dropped up front (the processDfg rule): the running
+    // sum and the argmax rank both order by ts, and engines disagree on
+    // NULL sort placement
+    val cum = df.filter(v.isNotNull && !isnan(v) && col(tsCol).isNotNull)
       .withColumn("__mean",
         sum(dec(v)).over(wAll).cast("double") /
           count(lit(1)).over(wAll).cast("double"))

@@ -182,7 +182,8 @@ object QueriesAV {
     Some("""WITH c AS (SELECT user_id, ts, event_id, value,
           CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER (PARTITION BY user_id) AS DOUBLE)
             / CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS m
-        FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
       s AS (SELECT user_id, ts, event_id,
           SUM(CAST(value - m AS DECIMAL(27,10))) OVER (PARTITION BY user_id
             ORDER BY ts, event_id
@@ -211,7 +212,7 @@ object QueriesAV {
     },
     Some("""WITH pos AS (SELECT user_id AS u, event_type AS ty,
           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       ext AS (SELECT u, ty, MIN(p) AS mnp, MAX(p) AS mxp FROM pos GROUP BY u, ty),
       sup AS (SELECT DISTINCT m.u, a.ty AS ta, m.ty AS tb, c.ty AS tc
         FROM pos m

@@ -606,7 +606,11 @@ object RT {
   /** The conformal threshold per group from the maintained residual
     * counts: the k = ⌈(1−α)(n+1)⌉-th smallest quantized |residual|
     * (clamped to n) by cumulative-count selection over the contracted
-    * (group, bucket) relation. Returns (g, n_cal, q_hat).
+    * (group, bucket) relation. Returns (g, n_cal, q_hat, q_bucket) —
+    * q_bucket is the raw long threshold bucket; serve-side comparisons
+    * use it directly (q_hat = q_bucket/residQ round-trips BELOW the
+    * bucket for many values, so floor(q_hat*residQ) would under-shoot
+    * the threshold and over-alert at the boundary).
     */
   def maintainedQuantile(spark: SparkSession, statePath: String,
                          alpha: Double): DataFrame = {
@@ -630,7 +634,8 @@ object RT {
       .groupBy(col("g"))
       .agg(max(col("m")).as("n_cal"),
         (min(when(col("cum") >= k, col("rb"))).cast("double") / lit(residQ))
-          .as("q_hat"))
+          .as("q_hat"),
+        min(when(col("cum") >= k, col("rb"))).as("q_bucket"))
   }
 
   /** Streaming conformal serve loop: flag each micro-batch row whose
@@ -657,12 +662,13 @@ object RT {
         }
       if (batchId > applied) {
         val q = maintainedQuantile(spark, statePath, alpha)
-          .select(col("g").as(groupCol), col("q_hat"))
+          .select(col("g").as(groupCol), col("q_hat"), col("q_bucket"))
         batch.localCheckpoint()
           .join(broadcast(q), Seq(groupCol), "left_outer")
           .withColumn("alert",
             floor(abs(col(residCol).cast("double")) * lit(residQ)) >
-              floor(col("q_hat") * lit(residQ)))
+              col("q_bucket"))
+          .drop("q_bucket")
           .write.mode("append").parquet(outPath)
         val out = fs.create(markerPath, true)
         try out.write(batchId.toString

@@ -60,9 +60,16 @@ class ConformalStreamSpec extends SparkSpec {
     }
     assert(got == expected, s"got $got\nexpected $expected")
 
-    // serve: rows strictly above the group threshold alert; ties do not
+    // serve: rows strictly above the group threshold alert; ties do not.
+    // Row 14 quantizes EXACTLY to the threshold bucket rb (resid =
+    // (rb+0.5)/residQ → floor = rb) while q_hat = rb/residQ can round-trip
+    // to rb−1 — the bucket-vs-bucket comparison must still treat it as a
+    // tie, not an exceedance (the floor(q_hat·residQ) re-derivation bug).
+    val rb1 = RT.maintainedQuantile(spark, statePath, alpha)
+      .where(col("g") === 1L).collect().head.getLong(3)
     val serveRows = Seq((1L, 10L, got(1L)._2 + 0.5), (1L, 11L, got(1L)._2),
-      (2L, 12L, 0.0), (3L, 13L, 99.0)) // group 3 has no calibration
+      (2L, 12L, 0.0), (3L, 13L, 99.0), // group 3 has no calibration
+      (1L, 14L, (rb1 + 0.5) / RT.residQ))
     val outPath = tmp("graft_conf_alerts")
     RT.conformalAlertBatch(statePath, "g", "resid", alpha, outPath)(
       serveRows.toDF("g", "id", "resid"), 0L)
@@ -73,11 +80,13 @@ class ConformalStreamSpec extends SparkSpec {
     assert(alerts(11L).contains(false), "a tie at the threshold must not alert")
     assert(alerts(12L).contains(false))
     assert(alerts(13L).isEmpty, "uncalibrated group must be explicitly unscoreable")
+    assert(alerts(14L).contains(false),
+      "a residual in exactly the threshold bucket must not alert")
 
     // replaying the same serve batchId is a no-op
     RT.conformalAlertBatch(statePath, "g", "resid", alpha, outPath)(
       serveRows.toDF("g", "id", "resid"), 0L)
-    assert(spark.read.parquet(outPath).count() == 4, "replay duplicated alerts")
+    assert(spark.read.parquet(outPath).count() == 5, "replay duplicated alerts")
 
     // replaying an applied calibration batch is a no-op too
     val before = spark.read.parquet(s"$statePath/v2").collect().toSet
