@@ -389,6 +389,28 @@ object Dedup {
         expr(s"stack($nb, ${(0 until nb).map(b => s"$b, sig$b").mkString(", ")}) as (band, sig)"))
   }
 
+  /** Drop (band, sig) buckets holding more than `maxBucket` members — the
+    * [[graft.llm.Multimodal.nearDupByHash64]] flood guard applied to the
+    * MinHash band relation. DEGENERATE signatures are common, not
+    * pathological: boilerplate shingle sets (a templated page, a repeated
+    * license header, > maxBucket exact copies of one document) collide on
+    * every band, and the candidate join over such a bucket goes QUADRATIC
+    * in its population. Over-populated buckets are dropped from the
+    * candidate stage instead; the recall consequence is that members of a
+    * flooded bucket report no pairs here — route mass-duplicated content
+    * through exact dedup (the content-hash groupBy), where it belongs.
+    * The count window is PARTITIONED BY (band, sig): its exchange is
+    * exactly the distribution the bucket join needs next, so the cap
+    * rides the shuffle the join pays anyway.
+    */
+  private[llm] def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    bands.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("sig"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
+  }
+
   /** Exact-Jaccard verification of LSH candidate pairs — the one shared
     * definition under [[minhashDedup]] and [[crossCorpusDedup]]: semi-join
     * each side's shingle relation down to its candidate documents BEFORE
@@ -416,15 +438,20 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: shingle → signature → band buckets →
     * candidate pairs (bucket self-join, NOT all-pairs) → exact Jaccard verify.
+    * Buckets past `maxBucket` members are dropped by [[capBuckets]] — the
+    * flood guard against boilerplate-identical signatures turning the
+    * self-join quadratic.
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 16, r: Int = 4,
                    minJaccard: Double = 0.5,
-                   hash: Column => Column = TextAnalysis.md5Long): DataFrame = {
+                   hash: Column => Column = TextAnalysis.md5Long,
+                   maxBucket: Int = 1000): DataFrame = {
     // four consumers of the shingle relation (signature, sizes, verify a/b)
     val sh = shingles(df, idCol, textCol, n).cache()
     try {
-      val bands = lshBands(minhashSignature(sh, idCol, k, hash), idCol, k, r)
+      val bands = capBuckets(
+        lshBands(minhashSignature(sh, idCol, k, hash), idCol, k, r), maxBucket)
       val ba = bands.select(col(idCol).as("da"), col("band"), col("sig"))
       val bb = bands.select(col(idCol).as("db"), col("band"), col("sig"))
       // eager: the candidate set is tiny but its subtree is the whole
@@ -453,13 +480,19 @@ object Dedup {
   def crossCorpusDedup(newDf: DataFrame, refDf: DataFrame, idCol: String,
                        textCol: String, n: Int = 3, k: Int = 16, r: Int = 4,
                        minJaccard: Double = 0.5,
-                       hash: Column => Column = TextAnalysis.md5Long): DataFrame = {
+                       hash: Column => Column = TextAnalysis.md5Long,
+                       maxBucket: Int = 1000): DataFrame = {
     val shNew = shingles(newDf, idCol, textCol, n).cache()
     val shRef = shingles(refDf, idCol, textCol, n).cache()
     try {
-      val bNew = lshBands(minhashSignature(shNew, idCol, k, hash), idCol, k, r)
+      // each side capped independently ([[capBuckets]]): the new×ref join
+      // over a bucket carries |new bucket|·|ref bucket| rows, so a flood
+      // on EITHER side is enough to go quadratic
+      val bNew = capBuckets(
+          lshBands(minhashSignature(shNew, idCol, k, hash), idCol, k, r), maxBucket)
         .select(col(idCol).as("da"), col("band"), col("sig"))
-      val bRef = lshBands(minhashSignature(shRef, idCol, k, hash), idCol, k, r)
+      val bRef = capBuckets(
+          lshBands(minhashSignature(shRef, idCol, k, hash), idCol, k, r), maxBucket)
         .select(col(idCol).as("db"), col("band"), col("sig"))
       val cand = bNew.join(bRef, Seq("band", "sig"))
         .select("da", "db").distinct().localCheckpoint()

@@ -163,20 +163,27 @@ object DedupIndex {
     * id) and `best_jac` (highest verified Jaccard) — the
     * [[Dedup.crossCorpusDedup]] output contract, computed from persisted
     * state. A probe id present in the index never matches itself.
+    * Both the probe bands and the loaded index bands go through
+    * [[Dedup.capBuckets]] — a boilerplate signature accumulated in the
+    * index over many appends would otherwise make every probe of that
+    * bucket quadratic; the index-side count window rides the same
+    * (band, sig) exchange the probe join needs.
     */
   def query(spark: SparkSession, path: String, probe: DataFrame,
             idCol: String, textCol: String, minJaccard: Double = 0.5,
-            hash: Column => Column = DefaultHash): DataFrame = {
+            hash: Column => Column = DefaultHash,
+            maxBucket: Int = 1000): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
     val m = readMeta(spark, path)
     requireSameHash(spark, m, hash)
     val shP = Dedup.shingles(probe, idCol, textCol, m.n).cache()
     try {
-      val bp = bandsOf(shP, idCol, m.k, m.r, hash)
+      val bp = Dedup.capBuckets(bandsOf(shP, idCol, m.k, m.r, hash), maxBucket)
         .select(col(idCol).as("da"), col("band"), col("sig"))
-      val idx = spark.read.parquet(s"$path/bands")
-        .select(col(m.idCol).as("db"), col("band"), col("sig"))
+      val idx = Dedup.capBuckets(spark.read.parquet(s"$path/bands")
+          .select(col(m.idCol).as("id"), col("band"), col("sig")), maxBucket)
+        .select(col("id").as("db"), col("band"), col("sig"))
       val cand = bp.join(idx, Seq("band", "sig"))
         .filter(col("da") =!= col("db"))
         .select(col("da"), col("db")).distinct()
