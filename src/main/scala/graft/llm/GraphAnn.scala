@@ -139,4 +139,78 @@ object GraphAnn {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("vb"), col("col.score").as("cos"))
   }
+
+  // ---- multi-layer HNSW -----------------------------------------------
+
+  /** Deterministic HNSW level per node from the md5 coin: level l with
+    * probability 4^{-l} (the geometric level draw of HNSW, Malkov &
+    * Yashunin 2016 §4 alg. 1, with p = 1/4 ≈ exp(−1/mL) — but from the
+    * node id's content hash instead of an RNG, so the hierarchy is a pure
+    * function of the id set and exactly mirrorable cross-engine).
+    * Returns (idCol, lvl).
+    */
+  def hnswLevels(nodes: DataFrame, idCol: String, maxLevel: Int): DataFrame = {
+    require(maxLevel >= 1 && maxLevel <= 8, s"bad maxLevel=$maxLevel")
+    val h = TextAnalysis.md5Long(col(idCol).cast("string"))
+    // fold LOW level first so the HIGHEST level's test ends up outermost:
+    // h % 16 == 0 implies h % 4 == 0, so a level-2 node must hit the
+    // level-2 branch before the level-1 branch can swallow it
+    val lvl = (1 to maxLevel).foldLeft(lit(0)) { (els, l) =>
+      when(h % lit(1L << (2 * l)) === 0, lit(l)).otherwise(els)
+    }
+    nodes.select(col(idCol), lvl.cast("int").as("lvl"))
+  }
+
+  /** Multi-layer HNSW search — the hierarchy over [[nswEdges]]/
+    * [[beamSearch]]: each layer l ≥ 1 is the sub-corpus at [[hnswLevels]]
+    * ≥ l with its OWN navigable graph (within-cell kNN + hub backbone over
+    * the members), descended from the top layer's global entry point
+    * (smallest member id) down to layer 1. Each upper layer runs one
+    * beam-1 expansion round and carries its top-`beam` visited nodes down
+    * as the next layer's entries — the ef-carry of HNSW (ef = beam > 1 on
+    * descent), which is what makes the hierarchy robust to a DECEPTIVE
+    * best-so-far: a greedy top-1 descent can park in a cluster whose hub
+    * happens to outscore the true cluster's hub, and a sparse upper layer
+    * gives it no edge to climb back out; carrying the runner-ups keeps the
+    * true cluster's representative alive for layer 0 to expand. Layer 0
+    * (everyone) then runs the full beam search. The zoom-out property is
+    * the classic one: upper layers are 4^l-sparser uniform samples, so a
+    * few cheap hops land the layer-0 search near the true neighborhood
+    * instead of at a fixed per-cell hub.
+    *
+    * Scale shape: level assignment is one codegen'd projection; layer-l
+    * graph build works on a 4^l-smaller relation (the layer-0 build, the
+    * expensive one, is exactly [[nswEdges]]); the descent adds L bounded
+    * beam-1 rounds. Every layer's search is deterministic (6-dp cosine,
+    * id tie-breaks), so the whole hierarchy unrolls into an exact SQL
+    * mirror. Upper layers must be non-empty — with 4^{-l} occupancy this
+    * holds for any real corpus; a corpus too small for the hierarchy
+    * should lower maxLevel (loud require, never a silent engine-divergent
+    * skip).
+    */
+  def hnswSearch(corpus: DataFrame, cells: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, cellCol: String, dim: Int,
+                 m: Int, maxLevel: Int, k: Int, beam: Int,
+                 rounds: Int): DataFrame = {
+    val layered = cells.join(hnswLevels(cells, idCol, maxLevel), Seq(idCol))
+      .localCheckpoint() // read per layer; cuts the assignCells lineage
+    val top = layered.filter(col("lvl") >= maxLevel)
+      .agg(min(col(idCol))).head()
+    require(!top.isNullAt(0),
+      s"hnswSearch: layer $maxLevel is empty — lower maxLevel for this corpus")
+    var entries = queries.select(col(idCol).as("qid"))
+      .crossJoin(broadcast(
+        layered.filter(col("lvl") >= maxLevel)
+          .agg(min(col(idCol)).as("node"))))
+    (maxLevel to 1 by -1).foreach { l =>
+      val memberCells = layered.filter(col("lvl") >= l)
+      val edgesL = nswEdges(memberCells, idCol, vecCol, cellCol, dim, m)
+      entries = beamSearch(corpus, edgesL, queries, idCol, vecCol, dim,
+          entries, k = beam, beam = 1, rounds = 1)
+        .select(col("qid"), col("vb").as("node"))
+    }
+    val edges0 = nswEdges(layered, idCol, vecCol, cellCol, dim, m)
+    beamSearch(corpus, edges0, queries, idCol, vecCol, dim, entries,
+      k = k, beam = beam, rounds = rounds)
+  }
 }

@@ -71,4 +71,68 @@ class GraphAnnSpec extends SparkSpec {
     assert(r2 == 1.0,
       s"recall@5 after 2 rounds = $r2 (expected exact on this navigable fixture)")
   }
+
+  test("hnswLevels: 4^-l occupancy shape, deterministic, bounded") {
+    val lv = GraphAnn.hnswLevels(emb, "vec_id", maxLevel = 2)
+    val byLvl = lv.groupBy(col("lvl")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byLvl.keySet.forall(l => l >= 0 && l <= 2))
+    assert(byLvl.values.sum == 120L)
+    // geometric thinning: each upper layer is a strict sub-population,
+    // and the apex is REACHABLE (h%16==0 must win over the h%4==0 branch)
+    assert(byLvl.getOrElse(1, 0L) + byLvl.getOrElse(2, 0L) <
+      byLvl.getOrElse(0, 0L))
+    assert(byLvl.getOrElse(2, 0L) > 0,
+      s"level 2 empty on 120 ids (expected ~120/16): $byLvl")
+    assert(byLvl.getOrElse(1, 0L) > byLvl.getOrElse(2, 0L), s"$byLvl")
+    // pure function of the id: re-evaluation is bit-identical
+    val again = GraphAnn.hnswLevels(emb, "vec_id", maxLevel = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == lv.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+
+  test("hnswSearch recall@5 >= single-layer beam search at equal layer-0 budget") {
+    val m = 6; val k = 5; val beam = 8; val rounds = 3
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", dim, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, hits) => q -> hits.map(_._2).toSet }
+    def recallOf(out: org.apache.spark.sql.DataFrame): Double = {
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, h) => q -> h.map(_._2).toSet }
+      val per = exact.map { case (q, ex) =>
+        got.get(q).map(g => (g & ex).size.toDouble / ex.size).getOrElse(0.0) }
+      per.sum / per.size
+    }
+    // single-layer baseline: entry at the query's own cell hub
+    val edges = GraphAnn.nswEdges(cells, "vec_id", "embedding", "ivf_cell",
+      dim, m = m).localCheckpoint()
+    val hubs = GraphAnn.hubs(cells, "vec_id", "ivf_cell")
+    val entries = cells.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("ivf_cell"))
+      .join(hubs, Seq("ivf_cell")).select(col("qid"), col("hub").as("node"))
+    val single = recallOf(GraphAnn.beamSearch(emb, edges, queries, "vec_id",
+      "embedding", dim, entries, k = k, beam = beam, rounds = rounds))
+    val hnsw = recallOf(GraphAnn.hnswSearch(emb, cells, queries, "vec_id",
+      "embedding", "ivf_cell", dim, m = m, maxLevel = 1, k = k,
+      beam = beam, rounds = rounds))
+    assert(hnsw >= single,
+      s"hierarchical entry lowered recall: hnsw $hnsw < single-layer $single")
+    assert(hnsw == 1.0, s"recall@5 = $hnsw on the navigable fixture")
+    // the deeper hierarchy (two upper layers, 16x-sparse apex) descends
+    // through BOTH layers and still lands the full neighborhood
+    val hnsw2 = recallOf(GraphAnn.hnswSearch(emb, cells, queries, "vec_id",
+      "embedding", "ivf_cell", dim, m = m, maxLevel = 2, k = k,
+      beam = beam, rounds = rounds))
+    assert(hnsw2 >= single,
+      s"2-layer descent lowered recall: $hnsw2 < single-layer $single")
+    // too-sparse corpora reject the hierarchy loudly instead of silently
+    // diverging from the unrolled mirror
+    intercept[IllegalArgumentException] {
+      GraphAnn.hnswSearch(emb.filter(col("vec_id") === 3), cells.limit(1),
+        queries, "vec_id", "embedding", "ivf_cell", dim, m = m,
+        maxLevel = 8, k = k, beam = beam, rounds = rounds)
+    }
+  }
 }
