@@ -147,5 +147,63 @@ object QueriesAZ {
       })
   }
 
-  val all: Seq[QueryDef] = Seq(simsearchHnsw)
+  /** Bitemporal SCD2 over the CDC changelog
+    * ([[graft.operators.Relational.cdcScd2Bitemporal]]): the cdc_scd2_e2e
+    * op mapping with a RECORD time derived from the op itself — the
+    * event's day plus an (event_id % 3)-day recording lag, so a third of
+    * the log arrives late and rewrites earlier beliefs. Each per-key
+    * transaction era carries the valid-time history known at that record
+    * time; the latest era equals plain cdcScd2. The mirror unrolls the
+    * same era join + boundary windows partitioned by (key, era).
+    */
+  val bitemporalSnapshot: QueryDef = QueryDef(
+    "bitemporal_snapshot",
+    (s, dir) => {
+      val ops = t(s, dir, "events").filter(col("user_id") < 40)
+        .withColumn("op",
+          when(col("event_type") === "signup", lit("I"))
+            .when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")))
+        .withColumn("tt", expr(
+          "timestampadd(DAY, CAST(event_id % 3 AS INT), date_trunc('DAY', ts))"))
+      graft.operators.Relational.cdcScd2Bitemporal(ops, "user_id",
+          "event_type", "ts", "tt", "event_id", "op")
+        .orderBy(col("user_id"), col("tx_from"), col("version"))
+    },
+    Some("""WITH ops AS (SELECT user_id, event_id, ts,
+          date_trunc('day', ts) + (event_id % 3) * INTERVAL 1 DAY AS tt,
+          CASE WHEN event_type = 'signup' THEN 'I'
+               WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          event_type
+        FROM events WHERE user_id < 40),
+      eras AS (SELECT user_id, tx_from,
+          LEAD(tx_from) OVER (PARTITION BY user_id ORDER BY tx_from) AS tx_to
+        FROM (SELECT DISTINCT user_id, tt AS tx_from FROM ops)),
+      kn AS (SELECT o.user_id, o.event_id, o.ts, o.op, o.event_type,
+          e.tx_from, e.tx_to
+        FROM ops o JOIN eras e ON o.user_id = e.user_id
+          AND o.tt <= e.tx_from),
+      st AS (SELECT user_id, tx_from, tx_to, ts, event_id,
+          CASE WHEN op = 'D' THEN NULL ELSE event_type END AS s,
+          LAG(CASE WHEN op = 'D' THEN NULL ELSE event_type END) OVER
+            (PARTITION BY user_id, tx_from ORDER BY ts, event_id) AS prev,
+          ROW_NUMBER() OVER
+            (PARTITION BY user_id, tx_from ORDER BY ts, event_id) AS rn
+        FROM kn),
+      ch AS (SELECT user_id, tx_from, tx_to, ts, event_id, s FROM st
+        WHERE rn = 1 OR s IS DISTINCT FROM prev),
+      iv AS (SELECT user_id, tx_from, tx_to, ts, event_id, s,
+          LEAD(ts) OVER (PARTITION BY user_id, tx_from
+            ORDER BY ts, event_id) AS valid_to
+        FROM ch)
+      SELECT user_id, tx_from, tx_to,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id, tx_from
+          ORDER BY ts, event_id) AS INT) AS version,
+        s AS event_type, ts AS valid_from, valid_to,
+        valid_to IS NULL AS is_current,
+        tx_to IS NULL AS is_latest
+      FROM iv WHERE s IS NOT NULL
+      ORDER BY user_id, tx_from, version"""))
+
+  val all: Seq[QueryDef] = Seq(simsearchHnsw, bitemporalSnapshot)
 }

@@ -206,6 +206,42 @@ class RelationalSpec extends SparkSpec {
       (4L, 3, "gold", None, true)), out.mkString(", "))
   }
 
+  test("cdcScd2Bitemporal: correction replay — late fix visible at new txTs, invisible at old") {
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // key 1: insert (valid d1, recorded d2), update (valid d5, recorded d6),
+    // then a LATE CORRECTION to the original valid time (valid d1, ord
+    // after the insert, recorded d10) that rewrites the first interval
+    val d = df(
+      "uid BIGINT, tier STRING, vts TIMESTAMP, tts TIMESTAMP, eid BIGINT, op STRING",
+      Seq(
+        R(1L, "gold", t(1), t(2), 1L, "I"),
+        R(1L, "silver", t(5), t(6), 2L, "U"),
+        R(1L, "platinum", t(1), t(10), 3L, "U")))
+    val hist = Relational.cdcScd2Bitemporal(d, "uid", "tier", "vts", "tts",
+      "eid", "op").localCheckpoint()
+    // three eras for key 1
+    assert(hist.select("tx_from").distinct().count() == 3)
+    def asOf(validD: Int, txD: Int): Set[String] =
+      Relational.snapshotAsOf(hist, lit(t(validD)), lit(t(txD)))
+        .collect().map(_.getString(4)).toSet
+    assert(asOf(3, 1) == Set(), "nothing recorded yet at tx d1")
+    assert(asOf(3, 2) == Set("gold"), "first era serves the insert")
+    assert(asOf(3, 7) == Set("gold"), "pre-correction belief unchanged")
+    assert(asOf(6, 7) == Set("silver"))
+    assert(asOf(3, 11) == Set("platinum"),
+      "the correction rewrites valid history from its record time on")
+    assert(asOf(6, 11) == Set("silver"),
+      "intervals after the correction's supersession point keep their state")
+    // the latest era (tx_to null) equals cdcScd2 of the full log
+    val latest = hist.filter(col("is_latest"))
+      .select("uid", "version", "tier", "valid_from", "valid_to",
+        "is_current")
+      .collect().map(_.toString).sorted.toSeq
+    val full = Relational.cdcScd2(d, "uid", "tier", "vts", "eid", "op")
+      .collect().map(_.toString).sorted.toSeq
+    assert(latest == full, s"latest era diverged:\n$latest\nvs\n$full")
+  }
+
   test("snapshotAt returns the version covering the probe and drops deleted keys") {
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:0$m:00")
     val d = df("uid BIGINT, eid BIGINT, ts TIMESTAMP, tier STRING, op STRING",
