@@ -347,6 +347,81 @@ object RT {
       }
     }
 
+  /** The streaming LLM ingest pipeline composed end to end — ONE
+    * foreachBatch function chaining the curation stages over shared
+    * persisted state:
+    *
+    *   quality filter → near-dup probe against everything accepted so far
+    *   → index growth → ANN serve-and-grow over the survivors' embeddings
+    *
+    * (exact cross-batch dedup runs UPSTREAM as the [[streamingDedup]]
+    * stream stage — digest state belongs to the engine's watermark
+    * machinery, not the batch function). Each stage appends its audit
+    * relation (`qualityOut` / `dedupOut` / `annOut`) and only its
+    * survivors flow on; the novel documents grow the dedup index and
+    * their vectors grow the ANN index, so later batches are probed
+    * against earlier survivors. Ordering inside the function is
+    * load-bearing exactly as in [[dedupIngestBatch]]/[[annServeBatch]]:
+    * every probe result is MATERIALIZED before the corresponding append,
+    * so a batch can never match or retrieve itself.
+    *
+    * Idempotence is pipeline-atomic: ONE applied-batchId marker (in the
+    * dedup index directory) covers all five stages, so an at-least-once
+    * replay of an applied batch is a full no-op — never a half-replay
+    * that re-appends bands but not vectors. LlmIngestE2ESpec proves
+    * flag-for-flag parity with a sequential driver-side fold of the
+    * batch operators over the same micro-batches, including a replay.
+    */
+  def llmIngestBatch(dedupIndexPath: String, annIndexPath: String,
+                     idCol: String, textCol: String, vecCol: String,
+                     dim: Int, minJaccard: Double, k: Int, nprobe: Int,
+                     qualityOut: String, dedupOut: String, annOut: String,
+                     minTokens: Int = 10): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val markerPath = new org.apache.hadoop.fs.Path(
+        s"$dedupIndexPath/_pipeline_batch")
+      val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val applied: Long =
+        if (!fs.exists(markerPath)) -1L
+        else {
+          val in = fs.open(markerPath)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      if (batchId > applied) {
+        val b = batch.localCheckpoint() // streaming source frames may not
+                                        // be recomputable across actions
+        val quality = graft.llm.Curation
+          .qualityFilter(b, idCol, textCol, minTokens = minTokens)
+          .localCheckpoint()
+        quality.write.mode("append").parquet(qualityOut)
+        val bq = b.join(quality.filter(col("keep")).select(col(idCol)),
+          Seq(idCol), "left_semi")
+        val flagged = graft.llm.DedupIndex
+          .query(spark, dedupIndexPath, bq, idCol, textCol, minJaccard)
+          .localCheckpoint()
+        flagged.write.mode("append").parquet(dedupOut)
+        val kept = bq.join(flagged.filter(col("keep")).select(col(idCol)),
+          Seq(idCol), "left_semi")
+        graft.llm.DedupIndex.append(spark, dedupIndexPath, kept, idCol,
+          textCol)
+        val kv = kept
+          .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+          .select(col(idCol), col(vecCol))
+        graft.llm.Similarity
+          .probeIndex(spark, annIndexPath, kv, idCol, vecCol, dim, k, nprobe)
+          .write.mode("append").parquet(annOut)
+        graft.llm.Similarity.appendToIndex(spark, annIndexPath, kv, idCol,
+          vecCol, dim)
+        val outS = fs.create(markerPath, true)
+        try outS.write(batchId.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally outS.close()
+      }
+    }
+
   // ---- streaming CDC apply -------------------------------------------------
 
   final case class CdcOp(key: Long, tsUs: Long, opId: Long, op: String,
