@@ -10,7 +10,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
 /** Catalyst extension registration (SURVEY.md §2.10): the `UT(` →
   * `UNIX_TIMESTAMP(` macro as a parser injection — the idiomatic variant of
   * the reference's pre-parse string rewrite (database.py:227-234) — plus the
-  * native searchsorted expression as a SQL function.
+  * native searchsorted expression as a SQL function, and the LLM operator
+  * family as table-valued functions ([[TableFunctions]], the reference's
+  * P1 everything-through-SQL gateway surface).
   *
   * Usage: SparkSession.builder().withExtensions(new GraftExtensions) — or
   * spark.sql.extensions=graft.plans.GraftExtensions.
@@ -24,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(NfcNormalize.descriptor)
     e.injectOptimizerRule(_ => PushdownUnixTimestamp)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // the LLM/analytics operator family as table-valued functions — the
+    // SQL-gateway surface (SELECT * FROM dedup_minhash('corpus', ...))
+    TableFunctions.descriptors.foreach(e.injectTableFunction)
   }
 }
 

@@ -81,4 +81,72 @@ class ExtensionsSpec extends SparkSpec {
     // identifiers untouched
     assert(parser.parseTableIdentifier("tbl").table == "tbl")
   }
+
+  test("LLM operators as table-valued functions: SQL round-trips equal the Scala API") {
+    import graft.plans.TableFunctions
+    // the GraftExtensions registration shape, applied to the live session
+    TableFunctions.descriptors.foreach { case (ident, _, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "scala_udf")
+    }
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      R(2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      R(3L, "completely different content with no overlap whatsoever here today"),
+      R(4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      R(5L, "tiny")))
+    docs.createOrReplaceTempView("tvf_docs")
+    val fresh = df("doc_id BIGINT, text STRING", Seq(
+      R(10L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      R(11L, "a wholly new document about spark shuffles and parquet files")))
+    fresh.createOrReplaceTempView("tvf_fresh")
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+
+    assert(rows(spark.sql("SELECT * FROM dedup_exact('tvf_docs', 'doc_id', 'text')"))
+      == rows(graft.llm.Dedup.exact(docs, "doc_id", "text")))
+    assert(rows(spark.sql(
+        "SELECT * FROM dedup_minhash('tvf_docs', 'doc_id', 'text', 0.5)"))
+      == rows(graft.llm.Dedup.minhashDedup(docs, "doc_id", "text",
+        minJaccard = 0.5)))
+    assert(rows(spark.sql(
+        "SELECT * FROM dedup_cross_corpus('tvf_fresh', 'tvf_docs', 'doc_id', 'text')"))
+      == rows(graft.llm.Dedup.crossCorpusDedup(fresh, docs, "doc_id", "text")))
+    assert(rows(spark.sql(
+        "SELECT * FROM quality_filter('tvf_docs', 'doc_id', 'text', 5)"))
+      == rows(graft.llm.Curation.qualityFilter(docs, "doc_id", "text",
+        minTokens = 5)))
+    assert(rows(spark.sql("SELECT * FROM text_features('tvf_docs', 'doc_id', 'text')"))
+      == rows(graft.llm.TextAnalysis.qualityFeatures(docs, "doc_id", "text")))
+
+    val emb = {
+      import spark.implicits._
+      (0 until 20).map(i => (i.toLong,
+        Array.tabulate(8)(d => math.sin(i * 1.3 + d).toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    emb.createOrReplaceTempView("tvf_emb")
+    emb.filter(col("vec_id") < 3).createOrReplaceTempView("tvf_q")
+    assert(rows(spark.sql(
+        "SELECT * FROM simsearch_topk('tvf_emb', 'tvf_q', 'vec_id', 'embedding', 8, 4)"))
+      == rows(graft.llm.Similarity.bruteForceTopKAgg(emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 8, 4)))
+
+    // the relation COMPOSES: a TVF inside a CTE, filtered and joined
+    val composed = spark.sql(
+      """WITH pairs AS (SELECT * FROM dedup_minhash('tvf_docs', 'doc_id', 'text', 0.5))
+        SELECT p.da, p.db, d.text FROM pairs p
+        JOIN tvf_docs d ON d.doc_id = p.db WHERE p.jac >= 0.9""")
+    assert(composed.count() >= 1)
+
+    // loud failures: non-literal table argument, wrong arity
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM dedup_exact(doc_id, 'doc_id', 'text')").collect())
+    assert(e1.getMessage.contains("string literal") ||
+      e1.getMessage.toLowerCase.contains("unresolved"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM dedup_exact('tvf_docs')").collect())
+    assert(e2.getMessage.contains("3 to 3") ||
+      e2.getMessage.toLowerCase.contains("argument"), e2.getMessage)
+  }
 }
