@@ -441,21 +441,41 @@ object Agg {
     * count / mean / std / min / p25 / p50 / p75 / max (reference:
     * database_10min/database.py:140-162 `.summary()`). Unlike Spark's
     * built-in summary (approximate percentiles, string output), this is
-    * exact and cross-engine reproducible: decimal-accumulated mean/std in
-    * ONE codegen'd aggregation pass for all columns (deliberately NOT fused
-    * onto the percentile pass — collect_list forces that one into
-    * interpreted ObjectHashAggregate, and dragging the decimal sums in with
-    * it measured 0.84 s → 2.3 s), then exact percentiles via the
-    * [[exactPercentilesMulti]] counting selection: a filtered sample pass
-    * and a fused verify+collect pass, no global sort, never a whole-column
-    * aggregation buffer.
+    * exact and cross-engine reproducible. The mean/std moments accumulate
+    * through the INTEGER/FRACTION LONG-SPLIT kernel: each term splits
+    * into floor(x) plus its 8-dp floor-quantized fraction, both summed as
+    * LONGS (order-independent, primitive codegen speed — the
+    * decimal(27,10)/decimal(32,14) accumulators this replaces are
+    * BigDecimal-backed past 18 digits and measured 5.6× slower over
+    * 600k×3 at sf0.1: 2.48 s vs 0.44 s), reconstructed as
+    * intSum + fracSum/1e8 on emit — int64→double is correctly rounded on
+    * every engine, so the mirror pins the identical value with the
+    * CAST(CAST(SUM(...) AS BIGINT) AS DOUBLE) pattern. FLOOR (never
+    * round) dodges the cross-engine round-half trap; the quantization IS
+    * the contract, identical in both engines. NaN/±Inf terms are NULLed
+    * (the same finite() guard both paths share) — anything finite beyond
+    * the long capacity fails LOUD under ANSI instead of wrapping.
+    *
+    * Headroom (the cast-audit rule): the fraction and x²-fraction sums
+    * carry < 1e8 per row, so long capacity 2^63 holds to ~9e10 rows; the
+    * x² integer sum carries |x|² per row — for 1e5-magnitude money
+    * columns that is 1e10/row, capacity ~9e8 rows (lineitem sf≈150).
+    * Past that the sum overflows loudly; profile-scale summaries of
+    * bigger corpora belong on [[graft.operators.Sketch.histQuantiles]]-
+    * style sketches, not a wider accumulator.
+    *
+    * The moments stay ONE codegen'd aggregation pass for all columns
+    * (deliberately NOT fused onto the percentile pass — collect_list
+    * forces that one into interpreted ObjectHashAggregate, and dragging
+    * the sums in with it measured 0.84 s → 2.3 s), then exact percentiles
+    * via the [[exactPercentilesMulti]] counting selection: a filtered
+    * sample pass and a fused verify+collect pass, no global sort, never a
+    * whole-column aggregation buffer.
     */
   def summaryStats(df: DataFrame, cols: Seq[String],
                    fast: Boolean = false): DataFrame = {
     // fast=true is the profiling path: the mean/std moments accumulate in
-    // plain DOUBLE (whole-stage codegen) instead of the wide decimals,
-    // which are BigDecimal-backed past 18 digits and measured 8× slower
-    // per row (1.6 s vs 0.2 s over 600k×3 at sf0.1). Percentiles stay the
+    // plain DOUBLE (no split, no quantization). Percentiles stay the
     // SAME exact counting selection on both paths — a GK
     // percentile_approx sketch was measured SLOWER than the exact
     // selection at every local scale (interpreted ObjectHashAggregate per
@@ -463,27 +483,42 @@ object Agg {
     // negative speed. The only fast-path concession: double summation is
     // merge-order dependent, so mean/std can wobble in the last bits
     // between runs — don't diff two fast sweeps bit-for-bit; the default
-    // exact path is the oracle-gated, run-deterministic semantics.
-    // NaN/±Inf terms are NULLed on the fast path the same way the decimal
-    // cast drops them on the exact path — without the guard one NaN row
-    // would poison the whole fast mean/std instead of being skipped, a
-    // structural divergence rather than the documented last-bit wobble.
+    // exact long-split path is the oracle-gated, run-deterministic
+    // semantics. NaN/±Inf terms are NULLed on BOTH paths by the shared
+    // finite() guard — without it one NaN row would poison the whole
+    // mean/std (or ANSI-error the long cast) instead of being skipped.
     def finite(x: Column): Column =
       when(!isnan(x) && abs(x) <= lit(Double.MaxValue), x)
+    // integer + 8-dp-floor-quantized fraction, both LONG (floor() on a
+    // double column already returns LongType; the fraction re-subtracts
+    // the long cast back to double exactly — |floor(x)| < 2^53 here)
+    def intPart(x: Column): Column = floor(x)
+    def fracPart(x: Column): Column =
+      floor((x - floor(x).cast("double")) * lit(1.0e8))
     val aggs = cols.flatMap { c =>
       val v = col(c).cast("double")
-      Seq(
+      val g = finite(v)
+      val base = Seq(
         count(v).as(s"${c}__n"),
-        (if (fast) sum(finite(v))
-         else sum(v.cast("decimal(27,10)")).cast("double"))
-          .as(s"${c}__sum"),
-        (if (fast) sum(finite(v * v))
-         else sum((v * v).cast("decimal(32,14)")).cast("double"))
-          .as(s"${c}__sum2"),
         min(v).as(s"${c}__min"),
         max(v).as(s"${c}__max"))
+      val moments =
+        if (fast) Seq(sum(g).as(s"${c}__sum"), sum(g * g).as(s"${c}__sum2"))
+        else Seq(
+          sum(intPart(g)).as(s"${c}__si"),
+          sum(fracPart(g)).as(s"${c}__sf"),
+          sum(intPart(g * g)).as(s"${c}__s2i"),
+          sum(fracPart(g * g)).as(s"${c}__s2f"))
+      base ++ moments
     }
     val m = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def longSum(name: String): Double = m.getAs[Long](name).toDouble
+    def sumOf(c: String): Double =
+      if (fast) m.getAs[Double](s"${c}__sum")
+      else longSum(s"${c}__si") + longSum(s"${c}__sf") / 1.0e8
+    def sum2Of(c: String): Double =
+      if (fast) m.getAs[Double](s"${c}__sum2")
+      else longSum(s"${c}__s2i") + longSum(s"${c}__s2f") / 1.0e8
     // identical to Spark SQL round(): BigDecimal HALF_UP at scale 6
     def r6(x: Double): Double =
       if (x.isNaN || x.isInfinite) x
@@ -498,7 +533,8 @@ object Agg {
         // to a misleading 0.0) and mean/std would be 0/0 — report NaN instead
         org.apache.spark.sql.Row(c, n, Double.NaN, Double.NaN, Double.NaN,
           Double.NaN, Double.NaN, Double.NaN, Double.NaN)
-      } else if (m.isNullAt(m.fieldIndex(s"${c}__sum"))) {
+      } else if (m.isNullAt(m.fieldIndex(
+          if (fast) s"${c}__sum" else s"${c}__si"))) {
         // n > 0 but the sum is NULL: every row is NaN/±Inf (the decimal
         // cast and the fast-path finite() both NULL those terms), so
         // getAs[Double] would unbox to a silently-wrong mean 0.0 — report
@@ -508,8 +544,8 @@ object Agg {
           r6(m.getAs[Double](s"${c}__min")), r6(p25), r6(p50), r6(p75),
           r6(m.getAs[Double](s"${c}__max")))
       } else {
-        val s1 = m.getAs[Double](s"${c}__sum")
-        val s2 = m.getAs[Double](s"${c}__sum2")
+        val s1 = sumOf(c)
+        val s2 = sum2Of(c)
         val Seq(p25, p50, p75) = pcts(c)
         org.apache.spark.sql.Row(c, n,
           r6(s1 / n),

@@ -119,29 +119,41 @@ object QueriesF {
 
   /** A12: the deterministic `df.summary()` surface — exact percentiles
     * (Spark `percentile` ↔ DuckDB `quantile_cont`, both exact interpolated)
-    * and decimal-accumulated mean/std, one row per column.
+    * and mean/std through the integer/fraction LONG-SPLIT kernel
+    * ([[graft.operators.Agg.summaryStats]]): floor(x) and the 8-dp
+    * floor-quantized fraction summed as BIGINTs (order-independent,
+    * primitive speed — replaced the 5.6×-slower BigDecimal accumulators),
+    * reconstructed int + frac/1e8 on emit; int64→double is correctly
+    * rounded on both engines, so the values pin exactly.
     */
   val a12Summary: QueryDef = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    // the long-split moment sums, mirrored token for token: DuckDB
+    // SUM(BIGINT) returns HUGEINT, so the inner CAST(... AS BIGINT) pins
+    // the int64 value (loud on overflow) before the double cast
+    def splitSum(e: String): String =
+      s"""CAST(CAST(SUM(CAST(FLOOR($e) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        + CAST(CAST(SUM(CAST(FLOOR(($e - FLOOR($e)) * 1.0E8) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0E8"""
     QueryDef(
       "a12_summary",
       (s, dir) => graft.operators.Agg.summaryStats(
           Core.table(s, dir, "lineitem"), cols)
         .orderBy(col("column")),
       Some(cols.map { c =>
-        s"""SELECT '$c' AS "column", COUNT($c) AS n,
-          ROUND(CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT($c), 6) AS mean,
-          ROUND(SQRT(GREATEST(0.0,
-            (CAST(SUM(CAST((CAST($c AS DOUBLE) * CAST($c AS DOUBLE)) AS DECIMAL(32,14))) AS DOUBLE)
-             - CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
-               * CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT($c))
-            / (COUNT($c) - 1))), 6) AS std,
-          ROUND(MIN(CAST($c AS DOUBLE)), 6) AS min,
-          ROUND(quantile_cont(CAST($c AS DOUBLE), 0.25), 6) AS p25,
-          ROUND(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS p50,
-          ROUND(quantile_cont(CAST($c AS DOUBLE), 0.75), 6) AS p75,
-          ROUND(MAX(CAST($c AS DOUBLE)), 6) AS max
-        FROM lineitem"""
+        val v = s"CAST($c AS DOUBLE)"
+        s"""SELECT "column", n,
+          ROUND(s1 / n, 6) AS mean,
+          ROUND(SQRT(GREATEST(0.0, (s2 - s1 * s1 / n) / (n - 1))), 6) AS std,
+          min, p25, p50, p75, max
+        FROM (SELECT '$c' AS "column", COUNT($c) AS n,
+          ${splitSum(v)} AS s1,
+          ${splitSum(s"($v * $v)")} AS s2,
+          ROUND(MIN($v), 6) AS min,
+          ROUND(quantile_cont($v, 0.25), 6) AS p25,
+          ROUND(quantile_cont($v, 0.5), 6) AS p50,
+          ROUND(quantile_cont($v, 0.75), 6) AS p75,
+          ROUND(MAX($v), 6) AS max
+        FROM lineitem)"""
       }.mkString("", " UNION ALL ", " ORDER BY \"column\"")))
   }
 
