@@ -102,35 +102,47 @@ object GraphAnn {
     // ONCE (the explored set): without the exclusion the frontier
     // re-selects the same stable top-beam every round and the search
     // stalls at the entry neighborhood instead of advancing through the
-    // graph. `visited` is localCheckpoint-ed per round — it is referenced
-    // TWICE by the next round (frontier + candidate union), so an
-    // un-cut lineage duplicates the whole previous-round subtree per
-    // reference (O(2^rounds) plan text; measured SLOWER than the eager
-    // checkpoint job even at 2 rounds, and the plan census unreadable).
-    // frontier is persist()-ed (referenced by both the explored union and
-    // the expansion join). Every intermediate cached/checkpointed handle
-    // is released before returning — the final round's checkpoint, the
-    // only relation the returned ranking reads, is the one kept — so
-    // repeated searches in one session don't accumulate blocks.
+    // graph. For MULTI-round searches `visited` is localCheckpoint-ed per
+    // round — it is referenced TWICE by the next round (frontier +
+    // candidate union), so an un-cut lineage duplicates the whole
+    // previous-round subtree per reference (O(2^rounds) plan text;
+    // measured SLOWER than the eager checkpoint job even at 2 rounds, and
+    // the plan census unreadable) — and frontier is persist()-ed
+    // (referenced by both the explored union and the expansion join).
+    // A SINGLE-round search skips all of it: the duplication is one extra
+    // score(entries) subtree, and staying lazy collapses the search into
+    // the consumer's one job — the HNSW descent calls this per layer, and
+    // the eager-per-layer barriers were the dominant fixed cost there.
+    // Every intermediate cached/checkpointed handle is released before
+    // returning — the final round's checkpoint, the only relation the
+    // returned ranking reads, is the one kept — so repeated searches in
+    // one session don't accumulate blocks.
+    val eager = rounds > 1
     val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
-    var visited = score(entries.select(col("qid"), col("node"))).persist()
+    var visited = {
+      val v0 = score(entries.select(col("qid"), col("node")))
+      if (eager) v0.persist() else v0
+    }
     var explored = visited.select(col("qid"), col("node")).limit(0)
     (1 to rounds).foreach { _ =>
-      toFree += visited
-      val frontier = visited
-        .join(explored, Seq("qid", "node"), "left_anti")
-        .groupBy(col("qid"))
-        .agg(topb(col("cos"), col("node")).as("h"))
-        .select(col("qid"), explode(col("h")).as("x"))
-        .select(col("qid"), col("x.id").as("node"))
-        .persist()
-      toFree += frontier
+      if (eager) toFree += visited
+      val frontier = {
+        val f = visited
+          .join(explored, Seq("qid", "node"), "left_anti")
+          .groupBy(col("qid"))
+          .agg(topb(col("cos"), col("node")).as("h"))
+          .select(col("qid"), explode(col("h")).as("x"))
+          .select(col("qid"), col("x.id").as("node"))
+        if (eager) f.persist() else f
+      }
+      if (eager) toFree += frontier
       explored = explored.unionByName(frontier)
       val expanded = frontier.join(edges, col("node") === col("src"))
         .select(col("qid"), col("dst").as("node"))
       val cand = visited.select(col("qid"), col("node"))
         .unionByName(expanded).distinct()
-      visited = score(cand).localCheckpoint() // eager: deps safe to free
+      val scored = score(cand)
+      visited = if (eager) scored.localCheckpoint() else scored
     }
     toFree.foreach(_.unpersist())
     visited.filter(col("node") =!= col("qid"))
@@ -202,14 +214,20 @@ object GraphAnn {
       .crossJoin(broadcast(
         layered.filter(col("lvl") >= maxLevel)
           .agg(min(col(idCol)).as("node"))))
+    // each layer's edge list is read once per beam round — checkpoint it
+    // so the within-cell kNN self-join + TopK subtree is built ONCE per
+    // layer, not re-evaluated by every round's expansion join (the same
+    // move the simsearch_graph_beam query makes on its single edge list)
     (maxLevel to 1 by -1).foreach { l =>
       val memberCells = layered.filter(col("lvl") >= l)
       val edgesL = nswEdges(memberCells, idCol, vecCol, cellCol, dim, m)
+        .localCheckpoint()
       entries = beamSearch(corpus, edgesL, queries, idCol, vecCol, dim,
           entries, k = beam, beam = 1, rounds = 1)
         .select(col("qid"), col("vb").as("node"))
     }
     val edges0 = nswEdges(layered, idCol, vecCol, cellCol, dim, m)
+      .localCheckpoint()
     beamSearch(corpus, edges0, queries, idCol, vecCol, dim, entries,
       k = k, beam = beam, rounds = rounds)
   }
