@@ -203,7 +203,8 @@ object GraphAnn {
   def hnswSearch(corpus: DataFrame, cells: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, cellCol: String, dim: Int,
                  m: Int, maxLevel: Int, k: Int, beam: Int,
-                 rounds: Int): DataFrame = {
+                 rounds: Int,
+                 prebuiltEdges0: Option[DataFrame] = None): DataFrame = {
     val layered = cells.join(hnswLevels(cells, idCol, maxLevel), Seq(idCol))
       .localCheckpoint() // read per layer; cuts the assignCells lineage
     val top = layered.filter(col("lvl") >= maxLevel)
@@ -226,8 +227,12 @@ object GraphAnn {
           entries, k = beam, beam = 1, rounds = 1)
         .select(col("qid"), col("vb").as("node"))
     }
-    val edges0 = nswEdges(layered, idCol, vecCol, cellCol, dim, m)
-      .localCheckpoint()
+    // layer 0 is everyone, so its edge list equals nswEdges over the bare
+    // cell assignment — a caller that already built it (e.g. for a
+    // single-layer beam search over the same corpus and m) passes it in
+    // instead of paying the build twice
+    val edges0 = prebuiltEdges0.getOrElse(
+      nswEdges(layered, idCol, vecCol, cellCol, dim, m).localCheckpoint())
     beamSearch(corpus, edges0, queries, idCol, vecCol, dim, entries,
       k = k, beam = beam, rounds = rounds)
   }

@@ -145,21 +145,35 @@ object QueriesAS {
     * query's own cell hub, then 2 beam-search rounds — the whole
     * build→navigate→rank path against the exact unrolled DuckDB mirror.
     */
+  /** The fixed-seed cell assignment + m=4 navigable edge list the graph-ANN
+    * family shares (simsearch_graph_beam's single-layer search and
+    * simsearch_hnsw's layer 0 are the SAME relation) — built + shuffled once
+    * per session via [[Queries.memoRel]], the co-purchase/Gram precedent.
+    */
+  private[queries] def nswCellsShared(s: SparkSession, dir: String): DataFrame =
+    Queries.memoRel(s, dir, "nsw_cells_seed8") {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      graft.llm.Similarity.assignCells(emb, "vec_id", "embedding",
+        seeds, "cell", "cv", dim = 64)
+    }
+
+  private[queries] def nswEdgesShared(s: SparkSession, dir: String): DataFrame =
+    Queries.memoRel(s, dir, "nsw_edges_m4") {
+      graft.llm.GraphAnn.nswEdges(nswCellsShared(s, dir), "vec_id",
+        "embedding", "ivf_cell", dim = 64, m = 4)
+    }
+
   val simsearchGraphBeam: QueryDef = {
     val m = 4; val beam = 3; val rounds = 2; val k = 5
     QueryDef(
       "simsearch_graph_beam",
       (s, dir) => {
-        import graft.llm.{GraphAnn, Similarity}
+        import graft.llm.GraphAnn
         val emb = t(s, dir, "embeddings")
-        val seeds = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-        val cells = Similarity.assignCells(emb, "vec_id", "embedding",
-            seeds, "cell", "cv", dim = 64)
-          .localCheckpoint() // read by edges, hubs, entries; cuts lineage
-        val edges = GraphAnn.nswEdges(cells, "vec_id", "embedding",
-            "ivf_cell", dim = 64, m = m)
-          .localCheckpoint() // read once per beam round; cuts lineage
+        val cells = nswCellsShared(s, dir)
+        val edges = nswEdgesShared(s, dir)
         val hubs = GraphAnn.hubs(cells, "vec_id", "ivf_cell")
         val entries = cells.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("ivf_cell"))

