@@ -162,11 +162,39 @@ class LlmIngestE2ESpec extends SparkSpec {
       s"b1 survivor must retrieve only the seeded corpus (probe before append): $got10")
 
     // replaying an applied batch is a FULL no-op across all three audits
+    val applied = {
+      val p = new org.apache.hadoop.fs.Path(s"$dedupIdx/_pipeline_batch")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try new String(in.readAllBytes()).trim.toLong finally in.close()
+    }
     val (nq, nd, na) = (rowsOf(qualityOut).size, rowsOf(dedupOut).size,
       rowsOf(annOut).size)
-    fn(batches.last.toDF("doc_id", "ts", "text", "embedding"), 2L)
+    fn(batches.last.toDF("doc_id", "ts", "text", "embedding"), applied)
     assert(rowsOf(qualityOut).size == nq &&
       rowsOf(dedupOut).size == nd && rowsOf(annOut).size == na,
       "replay of an applied batch wrote audit rows")
+
+    // a batch where EVERY stage drops everything (quality kills both
+    // docs) must not crash any append path, and the pipeline must keep
+    // working afterwards: indexes unchanged, next batch still probes
+    val allDropped = Seq(
+      (90L, t(30), "nope", vec(0, 600)),
+      (91L, t(31), "also no", vec(1, 601)))
+      .toDF("doc_id", "ts", "text", "embedding")
+    fn(allDropped, applied + 1)
+    assert(rowsOf(dedupOut).size == nd && rowsOf(annOut).size == na,
+      "a fully-dropped batch must write no dedup/ann rows")
+    val qAfter = spark.read.parquet(qualityOut)
+      .filter(col("doc_id") >= 90L).collect()
+    assert(qAfter.length == 2 && qAfter.forall(!_.getAs[Boolean]("keep")),
+      "the quality audit must still record the dropped docs")
+    val next = Seq((95L, t(40), longC.toUpperCase, vec(2, 602)))
+      .toDF("doc_id", "ts", "text", "embedding")
+    fn(next, applied + 2)
+    val d95 = spark.read.parquet(dedupOut).filter(col("doc_id") === 95L)
+      .collect().head
+    assert(!d95.getAs[Boolean]("keep") && d95.getLong(1) == 31L,
+      s"post-empty-batch probe must still see the grown index: $d95")
   }
 }

@@ -39,7 +39,9 @@ class PlanVariationInvarianceSpec extends SparkSpec {
     "als_factorize_2f",          // fixed-point kernel, 6 half-steps
     "pca_anomaly_topk",          // gram memo + fixed-point + TopK agg
     "m21_poisson_bootstrap",     // md5-uniform + rank selection
-    "sketch_quantile_hist")      // sqrt-binned sketch
+    "sketch_quantile_hist",      // sqrt-binned sketch
+    "simsearch_hnsw",            // multi-layer descent + beam rounds (r12)
+    "bitemporal_snapshot")       // tx-era join + (key, era) windows (r12)
 
   /** The NO_CODEGEN variation cannot run queries built on the custom
     * Aggregators: Spark's INTERPRETED encoder path fails to construct
@@ -51,7 +53,8 @@ class PlanVariationInvarianceSpec extends SparkSpec {
     * fails). The variation swaps them for window/kernel-based covers of
     * the same custom expressions.
     */
-  private val udafBased = Set("simsearch_ivfpq_rerank", "pca_anomaly_topk")
+  private val udafBased = Set("simsearch_ivfpq_rerank", "pca_anomaly_topk",
+    "simsearch_hnsw")
   private val interpretedPick =
     picked.filterNot(udafBased) :+ "dedup_embedding_cosine"
 
