@@ -396,6 +396,26 @@ object Relational {
       .filter(col(fromCol) <= validTs &&
         (col(toCol).isNull || validTs < col(toCol)))
 
+  /** Bitemporal point read PUSHED DOWN to the ops log: the state at
+    * (`validTs`, `txTs`) computed directly from the changelog instead of
+    * probing a materialized [[cdcScd2Bitemporal]] history — the record-
+    * time filter lands BEFORE any window, so the cost is one linear
+    * key-partitioned SCD2 pass over the sub-log known at `txTs`, never
+    * the |ops|·|eras| era fan-out. Equivalent to
+    * `snapshotAsOf(cdcScd2Bitemporal(ops, ...), validTs, txTs)` row for
+    * row (property-pinned); use this for ad-hoc point reads over huge
+    * logs and the materialized history when many (validTs, txTs) probes
+    * amortize one build.
+    */
+  def snapshotAsOfLog(ops: DataFrame, keyCol: String, attrCol: String,
+                      validTsCol: String, txTsCol: String, ordCol: String,
+                      opCol: String, validTs: Column,
+                      txTs: Column): DataFrame =
+    snapshotAt(
+      cdcScd2(ops.filter(col(txTsCol) <= txTs), keyCol, attrCol,
+        validTsCol, ordCol, opCol),
+      validTs)
+
   /** Snapshot diff between two versions of a keyed table: FULL OUTER join
     * on the key, classify each key as added / removed / changed /
     * unchanged, and report counts grouped by (status, changed-column

@@ -377,6 +377,67 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: every bitemporal era equals cdcScd2 of the ops known at its record time") {
+    import graft.operators.Relational
+    // random op streams over 2 keys with a SMALL record-time domain (3
+    // batch times) so late arrivals, rewrites, and multi-op eras all
+    // arise by volume; the semantic definition of cdcScd2Bitemporal is
+    // checked DIRECTLY: for each (key, era), the era's rows must equal
+    // the plain cdcScd2 of the sub-log recorded up to that era
+    val opsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf(1L, 2L), Gen.oneOf("I", "U", "D"),
+      Gen.oneOf("gold", "silver"), Gen.choose(0, 2)))
+    forAll(opsGen) { raw =>
+      val ops = raw.zipWithIndex.map { case ((k, op, attr, lag), i) =>
+        (k, i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L),
+         new java.sql.Timestamp(1700000000000L + lag * 86400000L),
+         if (op == "D") null else attr, op)
+      }
+      val d = df(
+        "uid BIGINT, eid BIGINT, vts TIMESTAMP, tts TIMESTAMP, tier STRING, op STRING",
+        ops.map { case (k, e, v, t, a, o) => R(k, e, v, t, a, o) })
+      val hist = Relational.cdcScd2Bitemporal(d, "uid", "tier", "vts",
+        "tts", "eid", "op").collect()
+      val byEra = hist.groupBy(r => (r.getLong(0), r.getTimestamp(1)))
+      // eras are exactly each key's distinct record times
+      val eraKeys = ops.map(o => (o._1, o._4)).toSet
+      assert(byEra.keySet == eraKeys,
+        s"eras ${byEra.keySet} != record times $eraKeys")
+      eraKeys.foreach { case (k, tt) =>
+        val sub = ops.filter(o => o._1 == k && !o._4.after(tt))
+        val subDf = df(
+          "uid BIGINT, eid BIGINT, vts TIMESTAMP, tier STRING, op STRING",
+          sub.map { case (kk, e, v, _, a, o) => R(kk, e, v, a, o) })
+        val expect = Relational.cdcScd2(subDf, "uid", "tier", "vts", "eid", "op")
+          .collect().map(r => (r.getInt(1), Option(r.getString(2)),
+            r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+          .toSet
+        val got = byEra((k, tt)).map(r => (r.getInt(3), Option(r.getString(4)),
+          r.getTimestamp(5), Option(r.getTimestamp(6)), r.getBoolean(7))).toSet
+        assert(got == expect, s"era ($k, $tt) diverged: $got vs $expect\nops=$ops")
+      }
+      // open-tx rows are exactly the rows of each key's LAST era
+      hist.filter(_.getBoolean(8)).foreach { r =>
+        val k = r.getLong(0)
+        val last = ops.filter(_._1 == k).map(_._4).maxBy(_.getTime)
+        assert(r.getTimestamp(1) == last, s"is_latest off-era for key $k")
+      }
+      // the pushed-down log point read equals probing the materialized
+      // history, at a probe inside the generated domain
+      val vProbe = new java.sql.Timestamp(1700000000000L + 90000L)
+      val tProbe = new java.sql.Timestamp(1700000000000L + 86400000L)
+      val viaLog = Relational.snapshotAsOfLog(d, "uid", "tier", "vts",
+          "tts", "eid", "op", lit(vProbe), lit(tProbe))
+        .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      val histDf = Relational.cdcScd2Bitemporal(d, "uid", "tier", "vts",
+        "tts", "eid", "op")
+      val viaHist = Relational.snapshotAsOf(histDf, lit(vProbe), lit(tProbe))
+        .collect().map(r => (r.getLong(0), Option(r.getString(4)))).toSet
+      assert(viaLog == viaHist,
+        s"pushdown diverged: $viaLog vs $viaHist\nops=$ops")
+    }
+  }
+
   test("property: bucketized range join equals the naive theta join") {
     import graft.operators.AsOf
     val points = Gen.nonEmptyListOf(Gen.choose(0, 120))
