@@ -38,7 +38,21 @@ object GraphAnn {
     * kNN edges, directed node→hub edges, and the symmetric hub backbone.
     */
   def nswEdges(cells: DataFrame, idCol: String, vecCol: String,
-               cellCol: String, dim: Int, m: Int): DataFrame = {
+               cellCol: String, dim: Int, m: Int): DataFrame =
+    cellEdges(cells, idCol, vecCol, cellCol, dim, m).select("src", "dst")
+      .unionByName(hubBackbone(cells, idCol, cellCol))
+      .distinct()
+
+  /** The CELL-LOCAL part of the navigable graph — symmetric pruned
+    * within-cell kNN plus node→hub edges, tagged with the owning cell.
+    * Every edge here stays inside one cell, so the relation decomposes
+    * per cell: rebuilding one cell's membership rebuilds exactly its
+    * slice, which is what makes the persisted index's incremental append
+    * ([[GraphAnnIndex]]) equal to a from-scratch rebuild.
+    * [[nswEdges]] = this (projected) ∪ [[hubBackbone]].
+    */
+  def cellEdges(cells: DataFrame, idCol: String, vecCol: String,
+                cellCol: String, dim: Int, m: Int): DataFrame = {
     require(m > 0, "m must be positive")
     val topm = udaf(new graft.functions.Aggregators.TopK(m))
     val a = cells.select(col(cellCol).as("__cell"), col(idCol).as("src"),
@@ -46,36 +60,44 @@ object GraphAnn {
     val b = cells.select(col(cellCol).as("__cell"), col(idCol).as("dst"),
       col(vecCol).as("vb"))
     val knn = a.join(b, Seq("__cell")).filter(col("src") =!= col("dst"))
-      .select(col("src"),
+      .select(col("__cell"), col("src"),
         round(Similarity.cosine("va", "vb", dim), 6).as("cos"), col("dst"))
       .filter(col("cos").isNotNull)
-      .groupBy(col("src")).agg(topm(col("cos"), col("dst")).as("hits"))
-      .select(col("src"), explode(col("hits")).as("h"))
-      .select(col("src"), col("h.score").as("cos"), col("h.id").as("dst"))
+      .groupBy(col("__cell"), col("src"))
+      .agg(topm(col("cos"), col("dst")).as("hits"))
+      .select(col("__cell"), col("src"), explode(col("hits")).as("h"))
+      .select(col("__cell"), col("src"), col("h.score").as("cos"),
+        col("h.id").as("dst"))
     // symmetrize, then PRUNE to 2m per node (the HNSW Mmax = 2M
     // neighbor-select step): without the cap a popular node's out-degree
     // grows with its reverse-kNN in-degree, which nothing bounds; capping
     // at m alone cuts the reverse edges navigability depends on
     val sym = knn
-      .unionByName(knn.select(col("dst").as("src"), col("cos"),
-        col("src").as("dst")))
+      .unionByName(knn.select(col("__cell"), col("dst").as("src"),
+        col("cos"), col("src").as("dst")))
       .distinct()
     val top2m = udaf(new graft.functions.Aggregators.TopK(2 * m))
-    val pruned = sym.groupBy(col("src"))
+    val pruned = sym.groupBy(col("__cell"), col("src"))
       .agg(top2m(col("cos"), col("dst")).as("hits"))
-      .select(col("src"), explode(col("hits")).as("h"))
-      .select(col("src"), col("h.id").as("dst"))
+      .select(col("__cell"), col("src"), explode(col("hits")).as("h"))
+      .select(col("__cell"), col("src"), col("h.id").as("dst"))
     val hb = hubs(cells, idCol, cellCol)
     val nodeHub = cells.select(col(cellCol), col(idCol).as("src"))
       .join(hb, Seq(cellCol)).filter(col("src") =!= col("hub"))
-      .select(col("src"), col("hub").as("dst"))
-    val hubHub = hb.select(col("hub").as("src"))
+      .select(col(cellCol).as("__cell"), col("src"), col("hub").as("dst"))
+    pruned.unionByName(nodeHub).distinct()
+      .withColumnRenamed("__cell", cellCol)
+  }
+
+  /** The fully-connected hub backbone (one hub per cell, smallest id) —
+    * the only cross-cell edges in the graph; |cells|² rows per layer.
+    */
+  def hubBackbone(cells: DataFrame, idCol: String,
+                  cellCol: String): DataFrame = {
+    val hb = hubs(cells, idCol, cellCol)
+    hb.select(col("hub").as("src"))
       .crossJoin(hb.select(col("hub").as("dst")))
       .filter(col("src") =!= col("dst"))
-    pruned
-      .unionByName(nodeHub)
-      .unionByName(hubHub)
-      .distinct()
   }
 
   /** Beam search from per-query entry nodes over the edge list: R rounds
@@ -211,7 +233,7 @@ object GraphAnn {
       .agg(min(col(idCol))).head()
     require(!top.isNullAt(0),
       s"hnswSearch: layer $maxLevel is empty — lower maxLevel for this corpus")
-    var entries = queries.select(col(idCol).as("qid"))
+    val entries = queries.select(col(idCol).as("qid"))
       .crossJoin(broadcast(
         layered.filter(col("lvl") >= maxLevel)
           .agg(min(col(idCol)).as("node"))))
@@ -219,13 +241,9 @@ object GraphAnn {
     // so the within-cell kNN self-join + TopK subtree is built ONCE per
     // layer, not re-evaluated by every round's expansion join (the same
     // move the simsearch_graph_beam query makes on its single edge list)
-    (maxLevel to 1 by -1).foreach { l =>
-      val memberCells = layered.filter(col("lvl") >= l)
-      val edgesL = nswEdges(memberCells, idCol, vecCol, cellCol, dim, m)
-        .localCheckpoint()
-      entries = beamSearch(corpus, edgesL, queries, idCol, vecCol, dim,
-          entries, k = beam, beam = 1, rounds = 1)
-        .select(col("qid"), col("vb").as("node"))
+    val upperEdges = (maxLevel to 1 by -1).map { l =>
+      nswEdges(layered.filter(col("lvl") >= l), idCol, vecCol, cellCol,
+        dim, m).localCheckpoint()
     }
     // layer 0 is everyone, so its edge list equals nswEdges over the bare
     // cell assignment — a caller that already built it (e.g. for a
@@ -233,6 +251,28 @@ object GraphAnn {
     // instead of paying the build twice
     val edges0 = prebuiltEdges0.getOrElse(
       nswEdges(layered, idCol, vecCol, cellCol, dim, m).localCheckpoint())
+    hnswSearchPrebuilt(corpus, queries, idCol, vecCol, dim, upperEdges,
+      edges0, entries, k, beam, rounds)
+  }
+
+  /** The descent + layer-0 search over PREBUILT layer graphs — the shared
+    * tail of [[hnswSearch]] (in-memory build) and [[GraphAnnIndex.probe]]
+    * (persisted layout). `upperEdges` lists the layer edge relations TOP
+    * layer first; `entries` seeds every query at the apex entry point
+    * (qid, node). Identical semantics to the in-memory path by
+    * construction — the same beamSearch calls over the same relations.
+    */
+  def hnswSearchPrebuilt(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, dim: Int,
+                         upperEdges: Seq[DataFrame], edges0: DataFrame,
+                         entries0: DataFrame, k: Int, beam: Int,
+                         rounds: Int): DataFrame = {
+    var entries = entries0
+    upperEdges.foreach { edgesL =>
+      entries = beamSearch(corpus, edgesL, queries, idCol, vecCol, dim,
+          entries, k = beam, beam = 1, rounds = 1)
+        .select(col("qid"), col("vb").as("node"))
+    }
     beamSearch(corpus, edges0, queries, idCol, vecCol, dim, entries,
       k = k, beam = beam, rounds = rounds)
   }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{GraphAnn, GraphAnnIndex, Similarity}
+
+/** Persisted HNSW layout: disk roundtrip parity with the in-memory
+  * search, the EXACT append contract (appended index == from-scratch
+  * rebuild on the union, probe-for-probe), growth visibility, and the
+  * guards (duplicate id, empty apex, missing index).
+  */
+class GraphAnnIndexSpec extends SparkSpec {
+
+  private val dim = 8
+  private val m = 4
+  private val maxLevel = 1
+  private val (k, beam, rounds) = (5, 8, 3)
+
+  private def tmp(name: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"), name)
+    val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    f.getAbsolutePath
+  }
+
+  private def vec(cluster: Int, i: Int): Array[Float] =
+    Array.tabulate(dim)(d =>
+      (math.sin(cluster * 2.1 + d) * 2.0 +
+        math.sin(i * i * 1.3 + d * (1.0 + i % 5)) * 0.2).toFloat)
+
+  private lazy val corpus = {
+    import spark.implicits._
+    (0 until 120).map(i => (i.toLong, vec(i % 4, i)))
+      .toDF("vec_id", "embedding")
+  }
+  private lazy val centroids = corpus.filter(col("vec_id") < 4)
+    .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+
+  private def probeRows(path: String,
+                        queries: org.apache.spark.sql.DataFrame): Seq[String] =
+    GraphAnnIndex.probe(spark, path, queries, "vec_id", "embedding",
+        k, beam, rounds)
+      .collect().map(_.toString).sorted.toSeq
+
+  test("save + probe reproduces the in-memory hnswSearch exactly") {
+    val path = tmp("graft_gann_idx")
+    GraphAnnIndex.save(spark, corpus, centroids, "vec_id", "embedding",
+      "cell", "cv", dim, m, maxLevel, path)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val viaIndex = probeRows(path, queries)
+    val cells = Similarity.assignCells(corpus, "vec_id", "embedding",
+      centroids, "cell", "cv", dim).localCheckpoint()
+    val direct = GraphAnn.hnswSearch(corpus, cells, queries, "vec_id",
+        "embedding", "ivf_cell", dim, m, maxLevel, k, beam, rounds)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex == direct,
+      s"index probe diverged from in-memory search:\n$viaIndex\nvs\n$direct")
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("append == from-scratch rebuild on the union, and appends are retrievable") {
+    import spark.implicits._
+    val grown = tmp("graft_gann_grow")
+    val scratch = tmp("graft_gann_scratch")
+    GraphAnnIndex.save(spark, corpus, centroids, "vec_id", "embedding",
+      "cell", "cv", dim, m, maxLevel, grown)
+    // two appended batches (cluster-2- and cluster-0-flavored new ids)
+    val b1 = (200L until 210L).map(i => (i, vec(2, i.toInt))).toDF("vec_id", "embedding")
+    val b2 = (300L until 306L).map(i => (i, vec(0, i.toInt))).toDF("vec_id", "embedding")
+    GraphAnnIndex.append(spark, grown, b1, "vec_id", "embedding")
+    GraphAnnIndex.append(spark, grown, b2, "vec_id", "embedding")
+    GraphAnnIndex.save(spark, corpus.unionByName(b1).unionByName(b2),
+      centroids, "vec_id", "embedding", "cell", "cv", dim, m, maxLevel,
+      scratch)
+    // the persisted STATE agrees, not just one probe: edge sets and node
+    // sets are identical
+    def edgeSet(p: String) = spark.read.parquet(s"$p/edges")
+      .select("lvl", "cell", "src", "dst").collect().map(_.toString).toSet
+    def nodeSet(p: String) = spark.read.parquet(s"$p/nodes")
+      .select("id", "lvl", "cell").collect().map(_.toString).toSet
+    assert(nodeSet(grown) == nodeSet(scratch), "node sets diverged")
+    assert(edgeSet(grown) == edgeSet(scratch),
+      s"appended edge slices != from-scratch rebuild: " +
+        s"${edgeSet(grown).diff(edgeSet(scratch)).take(5)} extra, " +
+        s"${edgeSet(scratch).diff(edgeSet(grown)).take(5)} missing")
+    def bbSet(p: String) = spark.read.parquet(s"$p/backbone")
+      .collect().map(_.toString).toSet
+    assert(bbSet(grown) == bbSet(scratch), "backbones diverged")
+    // probe parity on external queries (ids disjoint from the corpus)
+    val queries = Seq((900L, vec(2, 205)), (901L, vec(0, 17)))
+      .toDF("vec_id", "embedding")
+    assert(probeRows(grown, queries) == probeRows(scratch, queries))
+    // growth visibility: an identical-vector query retrieves its append
+    val hit = GraphAnnIndex.probe(spark, grown,
+        Seq((902L, vec(2, 205))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k, beam, rounds)
+      .filter(col("rank") === 1).head()
+    assert(hit.getLong(2) == 205L && hit.getDouble(3) == 1.0,
+      s"appended vector not retrieved first: $hit")
+  }
+
+  test("guards: duplicate append id, missing index, empty apex") {
+    import spark.implicits._
+    val path = tmp("graft_gann_guard")
+    GraphAnnIndex.save(spark, corpus, centroids, "vec_id", "embedding",
+      "cell", "cv", dim, m, maxLevel, path)
+    intercept[IllegalArgumentException] {
+      GraphAnnIndex.append(spark, path,
+        Seq((5L, vec(0, 5))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    intercept[IllegalArgumentException] {
+      GraphAnnIndex.readMeta(spark, tmp("graft_gann_nowhere"))
+    }
+    intercept[IllegalArgumentException] {
+      // 3 ids: P(level >= 6) = 4^-6 each — apex empty, loud at save time
+      GraphAnnIndex.save(spark, corpus.filter(col("vec_id") < 3),
+        centroids, "vec_id", "embedding", "cell", "cv", dim, m,
+        maxLevel = 6, tmp("graft_gann_empty_apex"))
+    }
+  }
+}
