@@ -347,6 +347,53 @@ object RT {
       }
     }
 
+  /** Streaming serve(-and-grow) against a persisted
+    * [[graft.llm.GraphAnnIndex]] layout — the graph-index sibling of
+    * [[annServeBatch]]: each micro-batch of query vectors is answered by
+    * the hierarchical descent + beam search over the persisted layer
+    * graphs (top-k per query appended to `outPath`), and — when
+    * `growIndex` — the batch's vectors are appended with the EXACT
+    * incremental rebuild of the touched (layer, cell) slices, so later
+    * batches search a graph identical to a from-scratch build over
+    * everything so far. Same ordering and idempotence contract as the
+    * other serve loops: results materialize (via the parquet write)
+    * BEFORE the append, so a batch never retrieves itself, and the
+    * applied batchId recorded in the index directory makes replays
+    * no-ops.
+    */
+  def graphAnnServeBatch(indexPath: String, idCol: String, vecCol: String,
+                         k: Int, beam: Int, rounds: Int, outPath: String,
+                         growIndex: Boolean): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val markerPath = new org.apache.hadoop.fs.Path(s"$indexPath/_serve_batch")
+      val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val applied: Long =
+        if (!fs.exists(markerPath)) -1L
+        else {
+          val in = fs.open(markerPath)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      if (batchId > applied) {
+        val b = batch.localCheckpoint() // streaming source frames may not
+                                        // be recomputable across actions
+        val meta = graft.llm.GraphAnnIndex.readMeta(spark, indexPath)
+        graft.llm.GraphAnnIndex
+          .probe(spark, indexPath, b, idCol, vecCol, k, beam, rounds)
+          .write.mode("append").parquet(outPath)
+        if (growIndex)
+          graft.llm.GraphAnnIndex.append(spark, indexPath, b
+            .filter(col(vecCol).isNotNull && size(col(vecCol)) === meta.dim)
+            .select(col(idCol), col(vecCol)), idCol, vecCol)
+        val outS = fs.create(markerPath, true)
+        try outS.write(batchId.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally outS.close()
+      }
+    }
+
   /** The streaming LLM ingest pipeline composed end to end — ONE
     * foreachBatch function chaining the curation stages over shared
     * persisted state:
