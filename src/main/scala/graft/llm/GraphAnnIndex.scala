@@ -132,8 +132,14 @@ object GraphAnnIndex {
     val meta = readMeta(spark, path)
     val nodes = loadNodes(spark, path).localCheckpoint()
     val corpus = nodes.select(col("id").as(idCol), col("vec").as(vecCol))
-    val edges = spark.read.parquet(s"$path/edges")
-    val backbone = spark.read.parquet(s"$path/backbone")
+    // explicit schemas: a degenerate corpus (one vector per cell) writes
+    // ZERO edge files, and a schema-less directory would fail inference
+    val edges = spark.read
+      .schema("src LONG, dst LONG, lvl INT, cell LONG")
+      .parquet(s"$path/edges")
+    val backbone = spark.read
+      .schema("src LONG, dst LONG, lvl INT")
+      .parquet(s"$path/backbone")
     def layerEdges(l: Int): DataFrame =
       edges.filter(col("lvl") === l).select(col("src").cast("long"),
           col("dst").cast("long"))

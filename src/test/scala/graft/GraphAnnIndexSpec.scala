@@ -99,6 +99,22 @@ class GraphAnnIndexSpec extends SparkSpec {
       s"appended vector not retrieved first: $hit")
   }
 
+  test("a degenerate one-vector-per-cell corpus still saves and probes (no edge files)") {
+    import spark.implicits._
+    val path = tmp("graft_gann_degenerate")
+    // 4 vectors, 4 cells: every cell has one member, every layer graph is
+    // edgeless except the backbone — the search degrades to hub hopping
+    val tiny = corpus.filter(col("vec_id") < 4)
+    GraphAnnIndex.save(spark, tiny, centroids, "vec_id", "embedding",
+      "cell", "cv", dim, m, maxLevel, path)
+    val out = GraphAnnIndex.probe(spark, path,
+        Seq((900L, vec(1, 17))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k, beam, rounds)
+      .collect()
+    assert(out.nonEmpty, "degenerate index must still answer queries")
+    assert(out.map(_.getLong(2)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+  }
+
   test("guards: duplicate append id, missing index, empty apex") {
     import spark.implicits._
     val path = tmp("graft_gann_guard")
