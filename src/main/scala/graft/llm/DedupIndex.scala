@@ -172,7 +172,8 @@ object DedupIndex {
   def query(spark: SparkSession, path: String, probe: DataFrame,
             idCol: String, textCol: String, minJaccard: Double = 0.5,
             hash: Column => Column = DefaultHash,
-            maxBucket: Int = 1000): DataFrame = {
+            maxBucket: Int = 1000,
+            excludeIds: Option[DataFrame] = None): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
     val m = readMeta(spark, path)
@@ -181,8 +182,16 @@ object DedupIndex {
     try {
       val bp = Dedup.capBuckets(bandsOf(shP, idCol, m.k, m.r, hash), maxBucket)
         .select(col(idCol).as("da"), col("band"), col("sig"))
-      val idx = Dedup.capBuckets(spark.read.parquet(s"$path/bands")
-          .select(col(m.idCol).as("id"), col("band"), col("sig")), maxBucket)
+      // excludeIds drops index entries BEFORE the cap — the crash-retry
+      // guard for ingest loops: a batch replayed after a partial append
+      // excludes its OWN ids, so the probe sees exactly the index state
+      // the first run saw and flags identically
+      val idxRaw = spark.read.parquet(s"$path/bands")
+        .select(col(m.idCol).as("id"), col("band"), col("sig"))
+      val idxFiltered = excludeIds.fold(idxRaw)(ex =>
+        idxRaw.join(ex.select(col(ex.columns.head).as("id")),
+          Seq("id"), "left_anti"))
+      val idx = Dedup.capBuckets(idxFiltered, maxBucket)
         .select(col("id").as("db"), col("band"), col("sig"))
       val cand = bp.join(idx, Seq("band", "sig"))
         .filter(col("da") =!= col("db"))

@@ -233,10 +233,10 @@ object GraphAnn {
       .agg(min(col(idCol))).head()
     require(!top.isNullAt(0),
       s"hnswSearch: layer $maxLevel is empty — lower maxLevel for this corpus")
+    // the require already collected the apex — seed it as a literal
+    // instead of re-running the min aggregation inside the search job
     val entries = queries.select(col(idCol).as("qid"))
-      .crossJoin(broadcast(
-        layered.filter(col("lvl") >= maxLevel)
-          .agg(min(col(idCol)).as("node"))))
+      .withColumn("node", lit(top.get(0)))
     // each layer's edge list is read once per beam round — checkpoint it
     // so the within-cell kNN self-join + TopK subtree is built ONCE per
     // layer, not re-evaluated by every round's expansion join (the same

@@ -146,11 +146,15 @@ object GraphAnnIndex {
         .unionByName(backbone.filter(col("lvl") === l)
           .select(col("src").cast("long"), col("dst").cast("long")))
         .distinct()
-    val apex = members(nodes, meta.maxLevel).agg(min(col("id")).as("node"))
-    require(!apex.head().isNullAt(0),
+    val apexRow = members(nodes, meta.maxLevel)
+      .agg(min(col("id")).as("node")).head()
+    require(!apexRow.isNullAt(0),
       s"probe: empty apex layer at $path (corrupt index?)")
+    // reuse the collected apex as a literal — the require already paid
+    // for the aggregation job; re-aggregating inside the search would
+    // run it a second time per probe call
     val entries = queries.select(col(idCol).as("qid"))
-      .crossJoin(broadcast(apex))
+      .withColumn("node", lit(apexRow.getLong(0)))
     GraphAnn.hnswSearchPrebuilt(corpus, queries, idCol, vecCol, meta.dim,
       (meta.maxLevel to 1 by -1).map(layerEdges),
       layerEdges(0).localCheckpoint(), entries, k, beam, rounds)
@@ -176,35 +180,43 @@ object GraphAnnIndex {
           assigned.select(col(idCol).as("id")), "id", meta.maxLevel),
         Seq("id"))
       .localCheckpoint()
-    // duplicate ids would silently shadow rows at probe time
-    val existingIds = loadNodes(spark, path).select("id")
-    require(newNodes.join(existingIds, Seq("id"), "left_semi")
-      .limit(1).count() == 0,
-      "append: a new id already exists in the index")
-    newNodes.select("id", "vec", "lvl", "cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$path/nodes")
-    // touched slices: (layer l, cell c) where a new node has lvl >= l —
-    // contracted distributively to the DISTINCT pairs (bounded by
-    // (maxLevel+1)·|cells|) before the driver sees them
-    val touched = newNodes
-      .select(explode(sequence(lit(0),
-          least(col("lvl"), lit(meta.maxLevel)))).as("l"), col("cell"))
-      .distinct().collect()
-      .map(r => (r.getAs[Int]("l"), r.getAs[Long]("cell"))).toSet
-    require(touched.size <= 65536,
-      s"append touches ${touched.size} (layer, cell) slices — batch smaller")
-    val all = loadNodes(spark, path).localCheckpoint() // post-append state
-    val rebuilt = touched.groupBy(_._1).toSeq.map { case (l, cs) =>
-      val cells = cs.map(_._2).toSeq
-      GraphAnn.cellEdges(
-          members(all, l).filter(col("cell").isin(cells: _*)),
-          "id", "vec", "cell", meta.dim, meta.m)
-        .withColumn("lvl", lit(l))
-    }.reduce(_ unionByName _)
-    rebuilt.select("src", "dst", "lvl", "cell")
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("lvl", "cell").parquet(s"$path/edges")
-    layerBackbones(all, meta).select("src", "dst", "lvl")
-      .write.mode("overwrite").parquet(s"$path/backbone")
+    // an empty batch (everything upstream dropped, or a filtered replay)
+    // is a NO-OP, never an empty-reduce crash that wedges a serve loop
+    if (newNodes.limit(1).count() > 0) {
+      // duplicate ids — against the index OR within the batch — would
+      // silently shadow rows at probe time
+      val existingIds = loadNodes(spark, path).select("id")
+      require(newNodes.join(existingIds, Seq("id"), "left_semi")
+        .limit(1).count() == 0,
+        "append: a new id already exists in the index")
+      require(newNodes.groupBy(col("id")).count()
+        .filter(col("count") > 1).limit(1).count() == 0,
+        "append: duplicate ids within the batch")
+      newNodes.select("id", "vec", "lvl", "cell")
+        .write.mode("append").partitionBy("cell").parquet(s"$path/nodes")
+      // touched slices: (layer l, cell c) where a new node has lvl >= l —
+      // contracted distributively to the DISTINCT pairs (bounded by
+      // (maxLevel+1)·|cells|) before the driver sees them
+      val touched = newNodes
+        .select(explode(sequence(lit(0),
+            least(col("lvl"), lit(meta.maxLevel)))).as("l"), col("cell"))
+        .distinct().collect()
+        .map(r => (r.getAs[Int]("l"), r.getAs[Long]("cell"))).toSet
+      require(touched.size <= 65536,
+        s"append touches ${touched.size} (layer, cell) slices — batch smaller")
+      val all = loadNodes(spark, path).localCheckpoint() // post-append state
+      val rebuilt = touched.groupBy(_._1).toSeq.map { case (l, cs) =>
+        val cells = cs.map(_._2).toSeq
+        GraphAnn.cellEdges(
+            members(all, l).filter(col("cell").isin(cells: _*)),
+            "id", "vec", "cell", meta.dim, meta.m)
+          .withColumn("lvl", lit(l))
+      }.reduce(_ unionByName _)
+      rebuilt.select("src", "dst", "lvl", "cell")
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lvl", "cell").parquet(s"$path/edges")
+      layerBackbones(all, meta).select("src", "dst", "lvl")
+        .write.mode("overwrite").parquet(s"$path/backbone")
+    }
   }
 }

@@ -616,10 +616,16 @@ object Similarity {
     * The probe-set collect is |Q|·nprobe-bounded and require-guarded:
     * serving is a small-query-batch path by construction; a bulk
     * all-queries rerank belongs on [[ivfTopK]].
+    *
+    * `excludeIds` drops the given CANDIDATE ids from the index side —
+    * the crash-retry guard for serve-and-grow loops: a batch replayed
+    * after a partial append can exclude its OWN ids and retrieve exactly
+    * what the first run did, instead of finding its batch-mates.
     */
   def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                  queries: DataFrame, idCol: String, vecCol: String,
-                 dim: Int, k: Int, nprobe: Int): DataFrame = {
+                 dim: Int, k: Int, nprobe: Int,
+                 excludeIds: Option[DataFrame] = None): DataFrame = {
     requireIntegral(queries, idCol, "probeIndex")
     val model = org.apache.spark.ml.clustering.KMeansModel.load(s"$path/kmeans")
     val cents = model.clusterCenters.zipWithIndex
@@ -658,10 +664,14 @@ object Similarity {
         "serve-path bound; use ivfTopK for bulk search")
     val cellsRaw = spark.read.parquet(s"$path/cells")
     requireIntegral(cellsRaw, idCol, "probeIndex") // TopK keys on Long
-    val cells = cellsRaw
+    val cellsKept = cellsRaw
       .filter(col("ivf_cell").isin(cellIds.map(Long.box): _*))
       .select(col("ivf_cell").cast("long").as("ivf_cell"),
         col(idCol).as("vb"), col(vecCol).as("eb"))
+    val cells = excludeIds.fold(cellsKept)(ex =>
+      cellsKept.join(
+        ex.select(col(ex.columns.head).cast("long").as("vb")),
+        Seq("vb"), "left_anti"))
     val cos = cosine("qv", "eb", dim)
     val topk = udaf(new graft.functions.Aggregators.TopK(k))
     broadcast(probes)

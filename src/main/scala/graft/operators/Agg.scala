@@ -452,9 +452,12 @@ object Agg {
     * every engine, so the mirror pins the identical value with the
     * CAST(CAST(SUM(...) AS BIGINT) AS DOUBLE) pattern. FLOOR (never
     * round) dodges the cross-engine round-half trap; the quantization IS
-    * the contract, identical in both engines. NaN/±Inf terms are NULLed
-    * (the same finite() guard both paths share) — anything finite beyond
-    * the long capacity fails LOUD under ANSI instead of wrapping.
+    * the contract, identical in both engines. NaN/±Inf terms are NULLed —
+    * the finite() guard both paths share, applied to the SQUARE as well
+    * (a finite 1e200 squares to +Inf) — a finite term at or past 2^62
+    * fails LOUD via an in-plan assert (Spark's floor raw-converts past
+    * 2^63, silently clamping), and an overflowing aggregate fails LOUD
+    * under ANSI.
     *
     * Headroom (the cast-audit rule): the fraction and x²-fraction sums
     * carry < 1e8 per row, so long capacity 2^63 holds to ~9e10 rows; the
@@ -491,24 +494,36 @@ object Agg {
       when(!isnan(x) && abs(x) <= lit(Double.MaxValue), x)
     // integer + 8-dp-floor-quantized fraction, both LONG (floor() on a
     // double column already returns LongType; the fraction re-subtracts
-    // the long cast back to double exactly — |floor(x)| < 2^53 here)
-    def intPart(x: Column): Column = floor(x)
+    // the long cast back to double exactly — |floor(x)| < 2^53 here).
+    // Spark's floor(double) does a RAW Double→Long conversion, which
+    // silently clamps at Long.MaxValue past 2^63 — the assert makes a
+    // finite-but-too-big term LOUD instead (null terms pass through;
+    // assert_true(NULL) would throw).
+    def intPart(x: Column): Column =
+      when(assert_true(x.isNull || abs(x) < lit(4.6e18),
+        lit("summaryStats: |term| >= 2^62 — beyond the long-split " +
+          "kernel's per-term range")).isNull, floor(x))
     def fracPart(x: Column): Column =
       floor((x - floor(x).cast("double")) * lit(1.0e8))
     val aggs = cols.flatMap { c =>
       val v = col(c).cast("double")
       val g = finite(v)
+      // the SQUARE gets its own finite() guard: a finite 1e200 passes the
+      // value guard but squares to +Inf, which would poison the fast sum
+      // and raw-convert to garbage in the long kernel — an Inf square is
+      // NULLed (skipped) exactly like an Inf value
+      val g2 = finite(g * g)
       val base = Seq(
         count(v).as(s"${c}__n"),
         min(v).as(s"${c}__min"),
         max(v).as(s"${c}__max"))
       val moments =
-        if (fast) Seq(sum(g).as(s"${c}__sum"), sum(g * g).as(s"${c}__sum2"))
+        if (fast) Seq(sum(g).as(s"${c}__sum"), sum(g2).as(s"${c}__sum2"))
         else Seq(
           sum(intPart(g)).as(s"${c}__si"),
           sum(fracPart(g)).as(s"${c}__sf"),
-          sum(intPart(g * g)).as(s"${c}__s2i"),
-          sum(fracPart(g * g)).as(s"${c}__s2f"))
+          sum(intPart(g2)).as(s"${c}__s2i"),
+          sum(fracPart(g2)).as(s"${c}__s2f"))
       base ++ moments
     }
     val m = df.agg(aggs.head, aggs.tail: _*).collect()(0)

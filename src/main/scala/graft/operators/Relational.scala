@@ -347,9 +347,15 @@ object Relational {
   def cdcScd2Bitemporal(ops: DataFrame, keyCol: String, attrCol: String,
                         validTsCol: String, txTsCol: String,
                         ordCol: String, opCol: String): DataFrame = {
-    val o = ops.select(col(keyCol).as("__k"), col(attrCol).as("__a"),
-      col(validTsCol).as("__vt"), col(txTsCol).as("__tt"),
-      col(ordCol).as("__o"), col(opCol).as("__op"))
+    // null timestamps dropped up front (the processDfg rule): a null
+    // valid ts makes the (key, era) window ordering engine-dependent
+    // (NULLS FIRST vs LAST), and a null record ts silently vanishes from
+    // every era (NULL <= tx_from) while corrupting the era lead()
+    val o = ops
+      .filter(col(validTsCol).isNotNull && col(txTsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(attrCol).as("__a"),
+        col(validTsCol).as("__vt"), col(txTsCol).as("__tt"),
+        col(ordCol).as("__o"), col(opCol).as("__op"))
     val wEra = Window.partitionBy(col("__k")).orderBy(col("tx_from"))
     val eras = o.select(col("__k"), col("__tt").as("tx_from")).distinct()
       .withColumn("tx_to", lead(col("tx_from"), 1).over(wEra))

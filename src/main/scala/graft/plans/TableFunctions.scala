@@ -41,8 +41,8 @@ object TableFunctions {
   private def intOf(fn: String, args: Seq[Expression], pos: Int): Int =
     args(pos) match {
       case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
-      case other => fail(fn, pos, "an integer literal", other)
+      case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+      case other => fail(fn, pos, "an Int-ranged integer literal", other)
     }
 
   private def dbl(fn: String, args: Seq[Expression], pos: Int): Double =

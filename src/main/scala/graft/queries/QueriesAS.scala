@@ -159,11 +159,16 @@ object QueriesAS {
         seeds, "cell", "cv", dim = 64)
     }
 
-  private[queries] def nswEdgesShared(s: SparkSession, dir: String): DataFrame =
+  private[queries] def nswEdgesShared(s: SparkSession, dir: String): DataFrame = {
+    // resolve the cells memo BEFORE entering the edges memo closure:
+    // computeIfAbsent nested inside computeIfAbsent on the same map is a
+    // documented ConcurrentHashMap recursive-update hazard
+    val cells = nswCellsShared(s, dir)
     Queries.memoRel(s, dir, "nsw_edges_m4") {
-      graft.llm.GraphAnn.nswEdges(nswCellsShared(s, dir), "vec_id",
+      graft.llm.GraphAnn.nswEdges(cells, "vec_id",
         "embedding", "ivf_cell", dim = 64, m = 4)
     }
+  }
 
   val simsearchGraphBeam: QueryDef = {
     val m = 4; val beam = 3; val rounds = 2; val k = 5

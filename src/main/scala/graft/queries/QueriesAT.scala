@@ -148,9 +148,16 @@ object QueriesAT {
       sig AS (SELECT doc_id, i // 4 AS band,
                      string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
               FROM mh GROUP BY 1, 2),
+      sigp AS (SELECT doc_id, band, sig FROM (
+            SELECT doc_id, band, sig,
+              COUNT(*) OVER (PARTITION BY band, sig) AS n
+            FROM sig WHERE doc_id % 5 = 0) WHERE n <= 1000),
+      sigi AS (SELECT doc_id, band, sig FROM (
+            SELECT doc_id, band, sig,
+              COUNT(*) OVER (PARTITION BY band, sig) AS n
+            FROM sig WHERE doc_id % 5 <> 0) WHERE n <= 1000),
       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-               FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-               WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+               FROM sigp a JOIN sigi b ON a.band = b.band AND a.sig = b.sig),
       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
       common AS (SELECT c.da, c.db, COUNT(*) AS c
                  FROM cand c JOIN sh a ON a.doc_id = c.da

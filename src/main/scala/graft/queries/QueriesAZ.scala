@@ -175,7 +175,7 @@ object QueriesAZ {
           CASE WHEN event_type = 'signup' THEN 'I'
                WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
           event_type
-        FROM events WHERE user_id < 40),
+        FROM events WHERE user_id < 40 AND ts IS NOT NULL),
       eras AS (SELECT user_id, tx_from,
           LEAD(tx_from) OVER (PARTITION BY user_id ORDER BY tx_from) AS tx_to
         FROM (SELECT DISTINCT user_id, tt AS tx_from FROM ops)),

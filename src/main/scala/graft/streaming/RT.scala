@@ -383,10 +383,22 @@ object RT {
         graft.llm.GraphAnnIndex
           .probe(spark, indexPath, b, idCol, vecCol, k, beam, rounds)
           .write.mode("append").parquet(outPath)
-        if (growIndex)
-          graft.llm.GraphAnnIndex.append(spark, indexPath, b
+        if (growIndex) {
+          val kv = b
             .filter(col(vecCol).isNotNull && size(col(vecCol)) === meta.dim)
-            .select(col(idCol), col(vecCol)), idCol, vecCol)
+            .select(col(idCol), col(vecCol))
+          // a crash between the append and the marker replays the batch —
+          // the anti-join makes the re-append a no-op instead of tripping
+          // the duplicate-id guard and wedging the stream (the probe
+          // residue of such a retry is documented: batch-mates may appear
+          // in the replayed results; self-matches never do)
+          val fresh = kv.join(
+            spark.read.parquet(s"$indexPath/nodes")
+              .select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
+          graft.llm.GraphAnnIndex.append(spark, indexPath, fresh, idCol,
+            vecCol)
+        }
         val outS = fs.create(markerPath, true)
         try outS.write(batchId.toString
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -412,12 +424,20 @@ object RT {
     * every probe result is MATERIALIZED before the corresponding append,
     * so a batch can never match or retrieve itself.
     *
-    * Idempotence is pipeline-atomic: ONE applied-batchId marker (in the
-    * dedup index directory) covers all five stages, so an at-least-once
-    * replay of an applied batch is a full no-op — never a half-replay
-    * that re-appends bands but not vectors. LlmIngestE2ESpec proves
-    * flag-for-flag parity with a sequential driver-side fold of the
-    * batch operators over the same micro-batches, including a replay.
+    * Idempotence: ONE applied-batchId marker (in the dedup index
+    * directory) covers all five stages, so an at-least-once replay of an
+    * APPLIED batch is a full no-op — never a half-replay that re-appends
+    * bands but not vectors. A crash INSIDE the window between the first
+    * append and the marker (the unavoidable residue of non-transactional
+    * parquet appends, same as [[dedupIngestBatch]]) replays the whole
+    * batch; both probes then EXCLUDE the batch's own ids from the index
+    * side, so the retry flags and retrieves exactly what the first run
+    * did — the kept set is stable and the only residue is duplicated
+    * rows in the audit logs and index state (harmless to later probes:
+    * candidates are distinct-ed and per-doc aggregates are min/max).
+    * LlmIngestE2ESpec proves flag-for-flag parity with a sequential
+    * driver-side fold of the batch operators over the same
+    * micro-batches, including a replay.
     */
   def llmIngestBatch(dedupIndexPath: String, annIndexPath: String,
                      idCol: String, textCol: String, vecCol: String,
@@ -447,7 +467,8 @@ object RT {
         val bq = b.join(quality.filter(col("keep")).select(col(idCol)),
           Seq(idCol), "left_semi")
         val flagged = graft.llm.DedupIndex
-          .query(spark, dedupIndexPath, bq, idCol, textCol, minJaccard)
+          .query(spark, dedupIndexPath, bq, idCol, textCol, minJaccard,
+            excludeIds = Some(b.select(col(idCol))))
           .localCheckpoint()
         flagged.write.mode("append").parquet(dedupOut)
         val kept = bq.join(flagged.filter(col("keep")).select(col(idCol)),
@@ -458,7 +479,8 @@ object RT {
           .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
           .select(col(idCol), col(vecCol))
         graft.llm.Similarity
-          .probeIndex(spark, annIndexPath, kv, idCol, vecCol, dim, k, nprobe)
+          .probeIndex(spark, annIndexPath, kv, idCol, vecCol, dim, k, nprobe,
+            excludeIds = Some(b.select(col(idCol))))
           .write.mode("append").parquet(annOut)
         graft.llm.Similarity.appendToIndex(spark, annIndexPath, kv, idCol,
           vecCol, dim)

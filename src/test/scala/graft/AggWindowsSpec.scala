@@ -51,6 +51,24 @@ class AggWindowsSpec extends SparkSpec {
     assert((2 to 8).forall(i => e.getDouble(i).isNaN))
   }
 
+  test("summaryStats: terms past the long-split range fail LOUD; fast path stays finite") {
+    // exact path: 1e10 squares to 1e20 >= 2^62 — the in-plan assert must
+    // reject it (Spark's floor raw-converts past 2^63, silently clamping;
+    // the old decimal(32,14) accumulator capped x^2 near 1e18 too)
+    val big = df("v DOUBLE", Seq(R(1.0), R(1.0e10)))
+    val e = intercept[Exception](Agg.summaryStats(big, Seq("v")).collect())
+    assert(e.getMessage.contains("long-split") ||
+      Option(e.getCause).exists(_.getMessage.contains("long-split")),
+      s"expected the loud per-term guard, got: ${e.getMessage}")
+    // a finite 1e200 squares to +Inf: the fast path NULLs the square (the
+    // shared finite() guard) instead of poisoning sum2 with Infinity
+    val huge = df("v DOUBLE", Seq(R(1.0), R(2.0), R(1.0e200)))
+    val fp = Agg.summaryStats(huge, Seq("v"), fast = true).collect()(0)
+    assert(!fp.getDouble(3).isNaN && !fp.getDouble(3).isInfinite,
+      s"fast std poisoned: ${fp.getDouble(3)}")
+    assert(fp.getDouble(8) == 1.0e200) // max still reports the value
+  }
+
   test("summaryStats fast path: double moments within FP tolerance, exact quantiles") {
     import scala.util.Random
     val rnd = new Random(11)

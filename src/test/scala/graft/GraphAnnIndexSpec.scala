@@ -125,6 +125,19 @@ class GraphAnnIndexSpec extends SparkSpec {
         Seq((5L, vec(0, 5))).toDF("vec_id", "embedding"),
         "vec_id", "embedding")
     }
+    intercept[IllegalArgumentException] { // duplicate WITHIN one batch
+      GraphAnnIndex.append(spark, path,
+        Seq((700L, vec(0, 700)), (700L, vec(1, 701)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    // an EMPTY batch is a no-op, never an empty-reduce crash (the
+    // serve-loop wedge): index state unchanged, probes still answer
+    val before = spark.read.parquet(s"$path/edges").count()
+    GraphAnnIndex.append(spark, path,
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(spark.read.parquet(s"$path/edges").count() == before)
     intercept[IllegalArgumentException] {
       GraphAnnIndex.readMeta(spark, tmp("graft_gann_nowhere"))
     }
