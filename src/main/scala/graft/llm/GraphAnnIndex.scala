@@ -64,6 +64,22 @@ object GraphAnnIndex {
   private def members(nodes: DataFrame, lvl: Int): DataFrame =
     nodes.filter(col("lvl") >= lvl)
 
+  /** Assign + level a vector batch into canonical (id, vec, cell, lvl)
+    * node rows — the one build save and append share, checkpointed
+    * (read once per layer downstream).
+    */
+  private def nodesOf(vectors: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String, cellCol: String,
+                      cvCol: String, dim: Int, maxLevel: Int): DataFrame = {
+    val assigned = Similarity.assignCells(vectors, idCol, vecCol,
+      centroids, cellCol, cvCol, dim, outCol = "cell")
+    assigned
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
+      .join(GraphAnn.hnswLevels(
+          assigned.select(col(idCol).as("id")), "id", maxLevel), Seq("id"))
+      .localCheckpoint()
+  }
+
   /** The cell-local edge slices for every layer a member set spans,
     * stacked with their `lvl` tag — the relation `edges/` persists.
     */
@@ -91,13 +107,8 @@ object GraphAnnIndex {
            dim: Int, m: Int, maxLevel: Int, path: String): Unit = {
     require(maxLevel >= 1 && maxLevel <= 8, s"bad maxLevel=$maxLevel")
     val meta = Meta(m, maxLevel, dim)
-    val assigned = Similarity.assignCells(vectors, idCol, vecCol,
-      centroids, cellCol, cvCol, dim, outCol = "cell")
-    val nodes = assigned
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
-      .join(GraphAnn.hnswLevels(
-          assigned.select(col(idCol).as("id")), "id", maxLevel), Seq("id"))
-      .localCheckpoint() // read once per layer below
+    val nodes = nodesOf(vectors, centroids, idCol, vecCol, cellCol,
+      cvCol, dim, maxLevel)
     require(members(nodes, maxLevel).limit(1).count() > 0,
       s"save: layer $maxLevel is empty — lower maxLevel for this corpus")
     nodes.select("id", "vec", "lvl", "cell")
@@ -172,14 +183,8 @@ object GraphAnnIndex {
              idCol: String, vecCol: String): Unit = {
     val meta = readMeta(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
-    val assigned = Similarity.assignCells(newVectors, idCol, vecCol,
-      cents, "cell", "cv", meta.dim, outCol = "cell")
-    val newNodes = assigned
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
-      .join(GraphAnn.hnswLevels(
-          assigned.select(col(idCol).as("id")), "id", meta.maxLevel),
-        Seq("id"))
-      .localCheckpoint()
+    val newNodes = nodesOf(newVectors, cents, idCol, vecCol, "cell",
+      "cv", meta.dim, meta.maxLevel)
     // an empty batch (everything upstream dropped, or a filtered replay)
     // is a NO-OP, never an empty-reduce crash that wedges a serve loop
     if (newNodes.limit(1).count() > 0) {

@@ -15,6 +15,30 @@ import org.apache.spark.sql.types.StructType
   */
 object RT {
 
+  /** The applied-batchId marker every foreachBatch loop in this file
+    * shares: read returns −1 when absent; write replaces atomically-enough
+    * for the single-writer streaming contract. One definition so the
+    * at-least-once replay guard cannot drift between loops.
+    */
+  private def readAppliedMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                marker: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+
+  private def writeAppliedMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                 marker: org.apache.hadoop.fs.Path,
+                                 batchId: Long): Unit = {
+    val out = fs.create(marker, true)
+    try out.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** R1: file source + 5-min processing trigger
     * (reference: qpe_rt_daemon.py:865-873 sleep-to-next-slot loop).
     */
@@ -272,14 +296,7 @@ object RT {
       val markerPath = new org.apache.hadoop.fs.Path(
         s"$indexPath/_ingest_batch")
       val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val applied: Long =
-        if (!fs.exists(markerPath)) -1L
-        else {
-          val in = fs.open(markerPath)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+      val applied = readAppliedMarker(fs, markerPath)
       if (batchId > applied) {
         val b = batch.localCheckpoint() // consumed by probe + kept below;
                                         // a streaming source frame may not
@@ -291,10 +308,7 @@ object RT {
         val kept = b.join(flagged.filter(col("keep")).select(col(idCol)),
           Seq(idCol), "left_semi")
         graft.llm.DedupIndex.append(spark, indexPath, kept, idCol, textCol)
-        val outS = fs.create(markerPath, true)
-        try outS.write(batchId.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally outS.close()
+        writeAppliedMarker(fs, markerPath, batchId)
       }
     }
 
@@ -322,14 +336,7 @@ object RT {
       val spark = batch.sparkSession
       val markerPath = new org.apache.hadoop.fs.Path(s"$indexPath/_serve_batch")
       val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val applied: Long =
-        if (!fs.exists(markerPath)) -1L
-        else {
-          val in = fs.open(markerPath)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+      val applied = readAppliedMarker(fs, markerPath)
       if (batchId > applied) {
         val b = batch.localCheckpoint() // streaming source frames may not
                                         // be recomputable across actions
@@ -340,10 +347,7 @@ object RT {
           graft.llm.Similarity.appendToIndex(spark, indexPath, b
             .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
             .select(col(idCol), col(vecCol)), idCol, vecCol, dim)
-        val outS = fs.create(markerPath, true)
-        try outS.write(batchId.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally outS.close()
+        writeAppliedMarker(fs, markerPath, batchId)
       }
     }
 
@@ -368,14 +372,7 @@ object RT {
       val spark = batch.sparkSession
       val markerPath = new org.apache.hadoop.fs.Path(s"$indexPath/_serve_batch")
       val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val applied: Long =
-        if (!fs.exists(markerPath)) -1L
-        else {
-          val in = fs.open(markerPath)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+      val applied = readAppliedMarker(fs, markerPath)
       if (batchId > applied) {
         val b = batch.localCheckpoint() // streaming source frames may not
                                         // be recomputable across actions
@@ -399,10 +396,7 @@ object RT {
           graft.llm.GraphAnnIndex.append(spark, indexPath, fresh, idCol,
             vecCol)
         }
-        val outS = fs.create(markerPath, true)
-        try outS.write(batchId.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally outS.close()
+        writeAppliedMarker(fs, markerPath, batchId)
       }
     }
 
@@ -449,14 +443,7 @@ object RT {
       val markerPath = new org.apache.hadoop.fs.Path(
         s"$dedupIndexPath/_pipeline_batch")
       val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val applied: Long =
-        if (!fs.exists(markerPath)) -1L
-        else {
-          val in = fs.open(markerPath)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+      val applied = readAppliedMarker(fs, markerPath)
       if (batchId > applied) {
         val b = batch.localCheckpoint() // streaming source frames may not
                                         // be recomputable across actions
@@ -464,11 +451,12 @@ object RT {
           .qualityFilter(b, idCol, textCol, minTokens = minTokens)
           .localCheckpoint()
         quality.write.mode("append").parquet(qualityOut)
+        val batchIds = b.select(col(idCol))
         val bq = b.join(quality.filter(col("keep")).select(col(idCol)),
           Seq(idCol), "left_semi")
         val flagged = graft.llm.DedupIndex
           .query(spark, dedupIndexPath, bq, idCol, textCol, minJaccard,
-            excludeIds = Some(b.select(col(idCol))))
+            excludeIds = Some(batchIds))
           .localCheckpoint()
         flagged.write.mode("append").parquet(dedupOut)
         val kept = bq.join(flagged.filter(col("keep")).select(col(idCol)),
@@ -480,14 +468,11 @@ object RT {
           .select(col(idCol), col(vecCol))
         graft.llm.Similarity
           .probeIndex(spark, annIndexPath, kv, idCol, vecCol, dim, k, nprobe,
-            excludeIds = Some(b.select(col(idCol))))
+            excludeIds = Some(batchIds))
           .write.mode("append").parquet(annOut)
         graft.llm.Similarity.appendToIndex(spark, annIndexPath, kv, idCol,
           vecCol, dim)
-        val outS = fs.create(markerPath, true)
-        try outS.write(batchId.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally outS.close()
+        writeAppliedMarker(fs, markerPath, batchId)
       }
     }
 
@@ -586,14 +571,7 @@ object RT {
       val fs = new org.apache.hadoop.fs.Path(statePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
-      val applied: Long =
-        if (!fs.exists(marker)) -1L
-        else {
-          val in = fs.open(marker)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+      val applied = readAppliedMarker(fs, marker)
       if (batchId > applied) {
         val old =
           if (applied < 0)
@@ -604,10 +582,7 @@ object RT {
         graft.operators.Relational
           .maintainAgg(old, batch, keys, valCol, opCol)
           .write.mode("overwrite").parquet(s"$statePath/v$batchId")
-        val out = fs.create(marker, true)
-        try out.write(batchId.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        writeAppliedMarker(fs, marker, batchId)
         if (applied >= 0)
           fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$applied"), true)
       }
@@ -635,14 +610,7 @@ object RT {
       val fs = new org.apache.hadoop.fs.Path(statePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
-      val applied: Long =
-        if (!fs.exists(marker)) -1L
-        else {
-          val in = fs.open(marker)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+      val applied = readAppliedMarker(fs, marker)
       if (batchId > applied) {
         val deltaRows = batch
           .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
@@ -662,10 +630,7 @@ object RT {
             .groupBy(col("i"), col("j"))
             .agg(sum(col("gsum")).as("gsum"))
         merged.write.mode("overwrite").parquet(s"$statePath/v$batchId")
-        val out = fs.create(marker, true)
-        try out.write(batchId.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        writeAppliedMarker(fs, marker, batchId)
         if (applied >= 0)
           fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$applied"), true)
       }
@@ -678,9 +643,7 @@ object RT {
     val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(marker), s"no maintained Gram at $statePath")
-    val in = fs.open(marker)
-    val applied = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong finally in.close()
+    val applied = readAppliedMarker(fs, marker)
     // divide down exactly as Pca.gram's emission (int64→double is
     // correctly rounded; the state keeps the raw integers so the FOLD
     // stays exact — only the read narrows)
@@ -709,14 +672,7 @@ object RT {
       val fs = new org.apache.hadoop.fs.Path(statePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
-      val applied: Long =
-        if (!fs.exists(marker)) -1L
-        else {
-          val in = fs.open(marker)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+      val applied = readAppliedMarker(fs, marker)
       if (batchId > applied) {
         val delta = batch
           .filter(col(residCol).isNotNull &&
@@ -733,10 +689,7 @@ object RT {
             .groupBy(col("g"), col("rb"))
             .agg(sum(col("cnt")).as("cnt"))
         merged.write.mode("overwrite").parquet(s"$statePath/v$batchId")
-        val out = fs.create(marker, true)
-        try out.write(batchId.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        writeAppliedMarker(fs, marker, batchId)
         if (applied >= 0)
           fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$applied"), true)
       }
@@ -762,9 +715,7 @@ object RT {
     val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(marker), s"no maintained residual state at $statePath")
-    val in = fs.open(marker)
-    val applied = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong finally in.close()
+    val applied = readAppliedMarker(fs, marker)
     val st = spark.read.parquet(s"$statePath/v$applied")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
     val wCum = wAll.orderBy(col("rb"))
@@ -777,9 +728,10 @@ object RT {
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .groupBy(col("g"))
       .agg(max(col("m")).as("n_cal"),
-        (min(when(col("cum") >= k, col("rb"))).cast("double") / lit(residQ))
-          .as("q_hat"),
         min(when(col("cum") >= k, col("rb"))).as("q_bucket"))
+      .select(col("g"), col("n_cal"),
+        (col("q_bucket").cast("double") / lit(residQ)).as("q_hat"),
+        col("q_bucket"))
   }
 
   /** Streaming conformal serve loop: flag each micro-batch row whose
@@ -796,14 +748,7 @@ object RT {
       val spark = batch.sparkSession
       val markerPath = new org.apache.hadoop.fs.Path(s"$outPath/_serve_batch")
       val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val applied: Long =
-        if (!fs.exists(markerPath)) -1L
-        else {
-          val in = fs.open(markerPath)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+      val applied = readAppliedMarker(fs, markerPath)
       if (batchId > applied) {
         val q = maintainedQuantile(spark, statePath, alpha)
           .select(col("g").as(groupCol), col("q_hat"), col("q_bucket"))
@@ -814,10 +759,7 @@ object RT {
               col("q_bucket"))
           .drop("q_bucket")
           .write.mode("append").parquet(outPath)
-        val out = fs.create(markerPath, true)
-        try out.write(batchId.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        writeAppliedMarker(fs, markerPath, batchId)
       }
     }
 
@@ -826,9 +768,7 @@ object RT {
     val marker = new org.apache.hadoop.fs.Path(s"$statePath/_applied")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(marker), s"no maintained state at $statePath")
-    val in = fs.open(marker)
-    val applied = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong finally in.close()
+    val applied = readAppliedMarker(fs, marker)
     spark.read.parquet(s"$statePath/v$applied")
   }
 
