@@ -134,6 +134,51 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  // ---- serve-path TVFs over PERSISTED index layouts ---------------------
+
+  /** dedup_index_probe(path, probeTable, idCol, textCol[, minJaccard]) →
+    * [[graft.llm.DedupIndex.query]] (id, dup_of, best_jac, keep) against
+    * the persisted band index at `path`.
+    */
+  private def dedupIndexProbe(args: Seq[Expression]): LogicalPlan = {
+    arity("dedup_index_probe", args, 4, 5)
+    val minJ = if (args.length > 4) dbl("dedup_index_probe", args, 4) else 0.5
+    graft.llm.DedupIndex.query(SparkSession.active,
+        str("dedup_index_probe", args, 0),
+        table("dedup_index_probe", args, 1),
+        str("dedup_index_probe", args, 2),
+        str("dedup_index_probe", args, 3), minJaccard = minJ)
+      .queryExecution.logical
+  }
+
+  /** ann_probe(path, queriesTable, idCol, vecCol, dim, k, nprobe) →
+    * [[graft.llm.Similarity.probeIndex]] (qid, rank, vb, cos) against the
+    * persisted IVF layout at `path`.
+    */
+  private def annProbe(args: Seq[Expression]): LogicalPlan = {
+    arity("ann_probe", args, 7, 7)
+    graft.llm.Similarity.probeIndex(SparkSession.active,
+        str("ann_probe", args, 0), table("ann_probe", args, 1),
+        str("ann_probe", args, 2), str("ann_probe", args, 3),
+        intOf("ann_probe", args, 4), intOf("ann_probe", args, 5),
+        intOf("ann_probe", args, 6))
+      .queryExecution.logical
+  }
+
+  /** graph_ann_probe(path, queriesTable, idCol, vecCol, k, beam, rounds)
+    * → [[graft.llm.GraphAnnIndex.probe]] (qid, rank, vb, cos) against the
+    * persisted HNSW layout at `path`.
+    */
+  private def graphAnnProbe(args: Seq[Expression]): LogicalPlan = {
+    arity("graph_ann_probe", args, 7, 7)
+    graft.llm.GraphAnnIndex.probe(SparkSession.active,
+        str("graph_ann_probe", args, 0), table("graph_ann_probe", args, 1),
+        str("graph_ann_probe", args, 2), str("graph_ann_probe", args, 3),
+        intOf("graph_ann_probe", args, 4), intOf("graph_ann_probe", args, 5),
+        intOf("graph_ann_probe", args, 6))
+      .queryExecution.logical
+  }
+
   /** The (identifier, info, builder) tuples [[GraftExtensions]] injects —
     * also registrable at runtime on an existing session via
     * `spark.sessionState.tableFunctionRegistry`.
@@ -145,7 +190,10 @@ object TableFunctions {
     ("dedup_cross_corpus", dedupCrossCorpus _),
     ("quality_filter", qualityFilter _),
     ("text_features", textFeatures _),
-    ("simsearch_topk", simsearchTopK _)
+    ("simsearch_topk", simsearchTopK _),
+    ("dedup_index_probe", dedupIndexProbe _),
+    ("ann_probe", annProbe _),
+    ("graph_ann_probe", graphAnnProbe _)
   ).map { case (name, builder) =>
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft.plans.TableFunctions", name), builder)

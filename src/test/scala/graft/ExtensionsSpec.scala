@@ -149,4 +149,62 @@ class ExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("3 to 3") ||
       e2.getMessage.toLowerCase.contains("argument"), e2.getMessage)
   }
+
+  test("serve-path TVFs: persisted dedup/IVF/HNSW indexes probed from SQL") {
+    import graft.plans.TableFunctions
+    import graft.llm.{DedupIndex, GraphAnnIndex, Similarity}
+    TableFunctions.descriptors.foreach { case (ident, _, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "scala_udf")
+    }
+    def tmp(name: String): String = {
+      val f = new java.io.File(sys.props("java.io.tmpdir"), name)
+      val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      f.getAbsolutePath
+    }
+    // dedup index
+    val ref = df("doc_id BIGINT, text STRING", Seq(
+      R(1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      R(2L, "completely different content with no overlap whatsoever here today")))
+    val dPath = tmp("graft_tvf_dedup_idx")
+    DedupIndex.save(ref, "doc_id", "text", dPath)
+    df("doc_id BIGINT, text STRING", Seq(
+      R(10L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      R(11L, "a wholly new document about spark shuffles and row groups")))
+      .createOrReplaceTempView("tvf_probe_docs")
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(rows(spark.sql(
+        s"SELECT * FROM dedup_index_probe('$dPath', 'tvf_probe_docs', 'doc_id', 'text')"))
+      == rows(DedupIndex.query(spark, dPath,
+        spark.table("tvf_probe_docs"), "doc_id", "text")))
+
+    // IVF + HNSW layouts over one vector corpus
+    val vecs = {
+      import spark.implicits._
+      (0 until 40).map(i => (i.toLong,
+        Array.tabulate(8)(d => math.sin(i % 4 * 2.1 + d).toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    val cents = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    vecs.filter(col("vec_id") >= 36).createOrReplaceTempView("tvf_q_vecs")
+    val (assigned, model) = Similarity.kmeansIndex(vecs, "vec_id",
+      "embedding", nlist = 4)
+    val aPath = tmp("graft_tvf_ann_idx")
+    Similarity.saveIndex(assigned, model, aPath)
+    assert(rows(spark.sql(
+        s"SELECT * FROM ann_probe('$aPath', 'tvf_q_vecs', 'vec_id', 'embedding', 8, 3, 2)"))
+      == rows(Similarity.probeIndex(spark, aPath,
+        spark.table("tvf_q_vecs"), "vec_id", "embedding", 8, 3, 2)))
+    val gPath = tmp("graft_tvf_gann_idx")
+    GraphAnnIndex.save(spark, vecs, cents, "vec_id", "embedding",
+      "cell", "cv", dim = 8, m = 3, maxLevel = 1, gPath)
+    val viaSql = rows(spark.sql(
+      s"SELECT * FROM graph_ann_probe('$gPath', 'tvf_q_vecs', 'vec_id', 'embedding', 3, 4, 2)"))
+    assert(viaSql == rows(GraphAnnIndex.probe(spark, gPath,
+      spark.table("tvf_q_vecs"), "vec_id", "embedding", 3, 4, 2)))
+    assert(viaSql.nonEmpty)
+  }
 }
