@@ -377,6 +377,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: the MinHash bucket cap is the identity when no bucket exceeds it") {
+    // random small corpora with duplicated sentences: bucket populations
+    // stay far below the cap, so the capped pipeline must equal the
+    // effectively-uncapped one pair for pair (the flood spec covers the
+    // firing case; this pins that a non-firing cap changes NOTHING)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docGen = Gen.nonEmptyListOf(
+      Gen.listOfN(8, Gen.oneOf(words)).map(_.mkString(" ")))
+    forAll(docGen, cases = 3) { texts =>
+      val d = df("doc_id BIGINT, text STRING",
+        texts.zipWithIndex.map { case (t, i) => R(i.toLong, t) })
+      val capped = Dedup.minhashDedup(d, "doc_id", "text",
+          minJaccard = 0.3, maxBucket = texts.length + 1)
+        .collect().map(_.toString).toSet
+      val open = Dedup.minhashDedup(d, "doc_id", "text",
+          minJaccard = 0.3, maxBucket = 1000000)
+        .collect().map(_.toString).toSet
+      assert(capped == open, s"non-firing cap changed pairs on $texts")
+    }
+  }
+
   test("property: every bitemporal era equals cdcScd2 of the ops known at its record time") {
     import graft.operators.Relational
     // random op streams over 2 keys with a SMALL record-time domain (3
