@@ -66,7 +66,12 @@ object GraphAnnIndex {
 
   /** Assign + level a vector batch into canonical (id, vec, cell, lvl)
     * node rows — the one build save and append share, checkpointed
-    * (read once per layer downstream).
+    * (read once per layer downstream). `cell` is pinned to LONG here so
+    * every path that touches it — the partition column round-trip in
+    * [[loadNodes]], the centroid table whatever integral type the caller
+    * used, and [[append]]'s touched-slice collect (getAs[Long]) — shares
+    * one type instead of whichever width the quantizer table happened to
+    * carry.
     */
   private def nodesOf(vectors: DataFrame, centroids: DataFrame,
                       idCol: String, vecCol: String, cellCol: String,
@@ -74,7 +79,8 @@ object GraphAnnIndex {
     val assigned = Similarity.assignCells(vectors, idCol, vecCol,
       centroids, cellCol, cvCol, dim, outCol = "cell")
     assigned
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("cell").cast("long").as("cell"))
       .join(GraphAnn.hnswLevels(
           assigned.select(col(idCol).as("id")), "id", maxLevel), Seq("id"))
       .localCheckpoint()
@@ -113,7 +119,10 @@ object GraphAnnIndex {
       s"save: layer $maxLevel is empty — lower maxLevel for this corpus")
     nodes.select("id", "vec", "lvl", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/nodes")
-    centroids.select(col(cellCol).as("cell"), col(cvCol).as("cv"))
+    // cell pinned LONG on disk (the nodesOf contract): the caller's
+    // centroid table may carry any integral width
+    centroids.select(col(cellCol).cast("long").as("cell"),
+        col(cvCol).as("cv"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     layerCellEdges(nodes, meta, 0 to maxLevel)
       .select("src", "dst", "lvl", "cell")
@@ -132,6 +141,95 @@ object GraphAnnIndex {
       .select(col("id").cast("long"), col("vec"),
         col("lvl").cast("int").as("lvl"), col("cell").cast("long").as("cell"))
 
+  // ---- append intent: crash-repairable multi-write appends ---------------
+
+  /** An [[append]] is three separate parquet writes (nodes append, edge
+    * slice dynamic overwrite, backbone overwrite) — not a transaction. A
+    * crash between them would leave new ids in `nodes/` whose (layer,
+    * cell) edge slices are stale, and a serve loop's replay guard (the
+    * fresh anti-join in [[graft.streaming.RT.graphAnnServeBatch]]) would
+    * then skip the re-append entirely, freezing the corruption in place.
+    * So every append records its touched slice set in an INTENT file
+    * BEFORE the first write and deletes it after the last; any entry
+    * point that finds a leftover intent re-runs the slice + backbone
+    * rebuild from the CURRENT node state first. Edges are a pure function
+    * of the node relation, so the repair is idempotent at every crash
+    * point: before the node append it rewrites identical slices, after
+    * it it completes exactly the missing rebuild — either way the layout
+    * ends bit-identical to a from-scratch build.
+    */
+  private def intentPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_append_intent")
+
+  private def writeIntent(spark: SparkSession, path: String,
+                          touched: Set[(Int, Long)]): Unit = {
+    val p = intentPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(touched.toSeq.sorted.map { case (l, c) => s"$l,$c" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def clearIntent(spark: SparkSession, path: String): Unit = {
+    val p = intentPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  /** Complete a half-applied [[append]] if an intent file is present —
+    * called on entry by both [[probe]] and [[append]], so neither a serve
+    * nor the next grow step can ever read/extend a layout whose edge
+    * slices predate its nodes. No intent → one fs.exists, no jobs.
+    */
+  def repairIfNeeded(spark: SparkSession, path: String): Unit = {
+    val p = intentPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val body = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val touched = body.split("\n").iterator.filter(_.nonEmpty).map { s =>
+        val Array(l, c) = s.split(",", 2)
+        (l.toInt, c.toLong)
+      }.toSet
+      if (touched.nonEmpty)
+        rebuildSlices(spark, path, readMeta(spark, path), touched)
+      clearIntent(spark, path)
+    }
+  }
+
+  /** Rebuild the given (layer, cell) edge slices plus every layer's
+    * backbone from the CURRENT node state. Slices are rebuilt in
+    * `maxSlicesPerWrite`-bounded chunks — each chunk is an independent
+    * dynamic partition overwrite and slices are disjoint, so any chunking
+    * yields the same layout (the union property); an append touching more
+    * slices than one write comfortably plans simply takes several writes
+    * instead of failing.
+    */
+  private def rebuildSlices(spark: SparkSession, path: String, meta: Meta,
+                            touched: Set[(Int, Long)],
+                            maxSlicesPerWrite: Int = 65536,
+                            failpointAfter: Int = 0): Unit = {
+    require(maxSlicesPerWrite > 0, s"bad maxSlicesPerWrite=$maxSlicesPerWrite")
+    val all = loadNodes(spark, path).localCheckpoint()
+    touched.toSeq.sorted.grouped(maxSlicesPerWrite).foreach { chunk =>
+      val rebuilt = chunk.groupBy(_._1).toSeq.map { case (l, cs) =>
+        val cells = cs.map(_._2)
+        GraphAnn.cellEdges(
+            members(all, l).filter(col("cell").isin(cells: _*)),
+            "id", "vec", "cell", meta.dim, meta.m)
+          .withColumn("lvl", lit(l))
+      }.reduce(_ unionByName _)
+      rebuilt.select("src", "dst", "lvl", "cell")
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lvl", "cell").parquet(s"$path/edges")
+    }
+    if (failpointAfter == 3)
+      throw new IllegalStateException("injected crash after stage 3")
+    layerBackbones(all, meta).select("src", "dst", "lvl")
+      .write.mode("overwrite").parquet(s"$path/backbone")
+  }
+
   /** Serve queries from the persisted layout: load each layer's graph
     * (cell slices ∪ backbone, partition-pruned by `lvl`), seed at the
     * apex entry, run the [[GraphAnn.hnswSearchPrebuilt]] descent + layer-0
@@ -141,6 +239,7 @@ object GraphAnnIndex {
             idCol: String, vecCol: String, k: Int, beam: Int,
             rounds: Int): DataFrame = {
     val meta = readMeta(spark, path)
+    repairIfNeeded(spark, path) // never search stale slices after a crash
     val nodes = loadNodes(spark, path).localCheckpoint()
     val corpus = nodes.select(col("id").as(idCol), col("vec").as(vecCol))
     // explicit schemas: a degenerate corpus (one vector per cell) writes
@@ -178,10 +277,28 @@ object GraphAnnIndex {
     * overwrite, plus every layer's (tiny) hub backbone, since a new
     * smallest id can re-seat a hub. The result equals a from-scratch
     * [[save]] on the union, bit for bit.
+    *
+    * Crash safety: the touched set is recorded as an intent file before
+    * the first write and cleared after the last, so a crash anywhere
+    * inside the three-write sequence is REPAIRED (not frozen) by the next
+    * probe/append — see [[repairIfNeeded]]. Oversized appends never fail
+    * on slice count: the rebuild chunks itself (`maxSlicesPerWrite` per
+    * dynamic overwrite), each chunk independently correct by slice
+    * disjointness.
+    *
+    * `failpointAfter` is a TEST-ONLY crash injector (0 = off): throw after
+    * the Nth write (1 = intent, 2 = nodes, 3 = edges) so the repair path
+    * is provable without process murder.
     */
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
-             idCol: String, vecCol: String): Unit = {
+             idCol: String, vecCol: String,
+             maxSlicesPerWrite: Int = 65536,
+             failpointAfter: Int = 0): Unit = {
     val meta = readMeta(spark, path)
+    repairIfNeeded(spark, path)
+    def crash(stage: Int): Unit =
+      if (failpointAfter == stage)
+        throw new IllegalStateException(s"injected crash after stage $stage")
     val cents = spark.read.parquet(s"$path/centroids")
     val newNodes = nodesOf(newVectors, cents, idCol, vecCol, "cell",
       "cv", meta.dim, meta.maxLevel)
@@ -197,31 +314,23 @@ object GraphAnnIndex {
       require(newNodes.groupBy(col("id")).count()
         .filter(col("count") > 1).limit(1).count() == 0,
         "append: duplicate ids within the batch")
-      newNodes.select("id", "vec", "lvl", "cell")
-        .write.mode("append").partitionBy("cell").parquet(s"$path/nodes")
       // touched slices: (layer l, cell c) where a new node has lvl >= l —
       // contracted distributively to the DISTINCT pairs (bounded by
-      // (maxLevel+1)·|cells|) before the driver sees them
+      // (maxLevel+1)·|cells| — the assignCells quantizer bound keeps this
+      // driver-small) before the driver sees them
       val touched = newNodes
         .select(explode(sequence(lit(0),
             least(col("lvl"), lit(meta.maxLevel)))).as("l"), col("cell"))
         .distinct().collect()
         .map(r => (r.getAs[Int]("l"), r.getAs[Long]("cell"))).toSet
-      require(touched.size <= 65536,
-        s"append touches ${touched.size} (layer, cell) slices — batch smaller")
-      val all = loadNodes(spark, path).localCheckpoint() // post-append state
-      val rebuilt = touched.groupBy(_._1).toSeq.map { case (l, cs) =>
-        val cells = cs.map(_._2).toSeq
-        GraphAnn.cellEdges(
-            members(all, l).filter(col("cell").isin(cells: _*)),
-            "id", "vec", "cell", meta.dim, meta.m)
-          .withColumn("lvl", lit(l))
-      }.reduce(_ unionByName _)
-      rebuilt.select("src", "dst", "lvl", "cell")
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("lvl", "cell").parquet(s"$path/edges")
-      layerBackbones(all, meta).select("src", "dst", "lvl")
-        .write.mode("overwrite").parquet(s"$path/backbone")
+      writeIntent(spark, path, touched)
+      crash(1)
+      newNodes.select("id", "vec", "lvl", "cell")
+        .write.mode("append").partitionBy("cell").parquet(s"$path/nodes")
+      crash(2)
+      rebuildSlices(spark, path, meta, touched, maxSlicesPerWrite,
+        failpointAfter)
+      clearIntent(spark, path)
     }
   }
 }

@@ -325,9 +325,15 @@ object RT {
     * Ordering is load-bearing exactly as in [[dedupIngestBatch]]: results
     * are MATERIALIZED before the append, so a batch can never retrieve
     * itself. Same at-least-once guard: the applied batchId is recorded in
-    * the index directory and replays are no-ops (a replayed append would
-    * duplicate every vector in its cell; a replayed serve would duplicate
-    * result rows).
+    * the index directory and replays are no-ops. A crash-REPLAY (failure
+    * between the append and the marker) re-enters the function, so the
+    * grow step anti-joins the batch against the ids already in the layout
+    * — [[graft.llm.Similarity.appendToIndex]] has no duplicate-id guard
+    * of its own, and a re-appended vector would surface at multiple ranks
+    * in every later probe of its cell, displacing genuine neighbors. The
+    * replayed serve still appends duplicate RESULT rows to `outPath`
+    * (documented residue of the append-mode audit log; the composed
+    * [[llmIngestBatch]] closes even that with per-batch partitions).
     */
   def annServeBatch(indexPath: String, idCol: String, vecCol: String,
                     dim: Int, k: Int, nprobe: Int, outPath: String,
@@ -343,13 +349,27 @@ object RT {
         graft.llm.Similarity
           .probeIndex(spark, indexPath, b, idCol, vecCol, dim, k, nprobe)
           .write.mode("append").parquet(outPath)
-        if (growIndex)
-          graft.llm.Similarity.appendToIndex(spark, indexPath, b
+        if (growIndex) {
+          val kv = b
             .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-            .select(col(idCol), col(vecCol)), idCol, vecCol, dim)
+            .select(col(idCol), col(vecCol))
+          graft.llm.Similarity.appendToIndex(spark, indexPath,
+            freshAgainstIvf(spark, indexPath, kv, idCol), idCol, vecCol, dim)
+        }
         writeAppliedMarker(fs, markerPath, batchId)
       }
     }
+
+  /** The crash-replay append guard for IVF layouts: drop rows whose id is
+    * already in the persisted cells — shared by [[annServeBatch]] and
+    * [[llmIngestBatch]] (the graph sibling has the same guard inline in
+    * [[graphAnnServeBatch]]).
+    */
+  private def freshAgainstIvf(spark: SparkSession, indexPath: String,
+                              kv: DataFrame, idCol: String): DataFrame =
+    kv.join(
+      spark.read.parquet(s"$indexPath/cells").select(col(idCol)),
+      Seq(idCol), "left_anti")
 
   /** Streaming serve(-and-grow) against a persisted
     * [[graft.llm.GraphAnnIndex]] layout — the graph-index sibling of
@@ -422,16 +442,28 @@ object RT {
     * directory) covers all five stages, so an at-least-once replay of an
     * APPLIED batch is a full no-op — never a half-replay that re-appends
     * bands but not vectors. A crash INSIDE the window between the first
-    * append and the marker (the unavoidable residue of non-transactional
-    * parquet appends, same as [[dedupIngestBatch]]) replays the whole
-    * batch; both probes then EXCLUDE the batch's own ids from the index
-    * side, so the retry flags and retrieves exactly what the first run
-    * did — the kept set is stable and the only residue is duplicated
-    * rows in the audit logs and index state (harmless to later probes:
-    * candidates are distinct-ed and per-doc aggregates are min/max).
+    * write and the marker replays the whole batch, and every stage is
+    * replay-idempotent, so the retry converges to exactly the first
+    * run's state with NO residue:
+    *   - audit relations land in per-batch `applied_batch=<id>`
+    *     partitions via dynamic overwrite — a replay rewrites its own
+    *     partition with the identical rows instead of appending
+    *     duplicates (the [[aggMaintainBatch]] write-then-flip discipline,
+    *     expressed as partition overwrite);
+    *   - both probes EXCLUDE the batch's own ids from the index side, so
+    *     the retry flags and retrieves exactly what the first run did
+    *     even when the crash fell after an index append;
+    *   - both index appends anti-join the survivors against the ids
+    *     already persisted — without the ANN-side guard a re-appended
+    *     vector would surface at multiple ranks in every later probe of
+    *     its cell ([[graft.llm.Similarity.probeIndex]]'s TopK does not
+    *     dedupe candidate ids), and the dedup-side guard keeps replayed
+    *     bands from accumulating in hot buckets.
     * LlmIngestE2ESpec proves flag-for-flag parity with a sequential
-    * driver-side fold of the batch operators over the same
-    * micro-batches, including a replay.
+    * driver-side fold of the batch operators over the same micro-batches,
+    * including a replay of an applied batch AND a crash-replay (marker
+    * deleted after a full run) asserting bit-identical audit and index
+    * state.
     */
   def llmIngestBatch(dedupIndexPath: String, annIndexPath: String,
                      idCol: String, textCol: String, vecCol: String,
@@ -447,10 +479,15 @@ object RT {
       if (batchId > applied) {
         val b = batch.localCheckpoint() // streaming source frames may not
                                         // be recomputable across actions
+        def audit(df: DataFrame, outPath: String): Unit = df
+          .withColumn("applied_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("applied_batch").parquet(outPath)
         val quality = graft.llm.Curation
           .qualityFilter(b, idCol, textCol, minTokens = minTokens)
           .localCheckpoint()
-        quality.write.mode("append").parquet(qualityOut)
+        audit(quality, qualityOut)
         val batchIds = b.select(col(idCol))
         val bq = b.join(quality.filter(col("keep")).select(col(idCol)),
           Seq(idCol), "left_semi")
@@ -458,20 +495,23 @@ object RT {
           .query(spark, dedupIndexPath, bq, idCol, textCol, minJaccard,
             excludeIds = Some(batchIds))
           .localCheckpoint()
-        flagged.write.mode("append").parquet(dedupOut)
+        audit(flagged, dedupOut)
         val kept = bq.join(flagged.filter(col("keep")).select(col(idCol)),
           Seq(idCol), "left_semi")
-        graft.llm.DedupIndex.append(spark, dedupIndexPath, kept, idCol,
+        val keptFresh = kept.join(
+          spark.read.parquet(s"$dedupIndexPath/docsets").select(col(idCol)),
+          Seq(idCol), "left_anti")
+        graft.llm.DedupIndex.append(spark, dedupIndexPath, keptFresh, idCol,
           textCol)
         val kv = kept
           .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
           .select(col(idCol), col(vecCol))
-        graft.llm.Similarity
+        audit(graft.llm.Similarity
           .probeIndex(spark, annIndexPath, kv, idCol, vecCol, dim, k, nprobe,
-            excludeIds = Some(batchIds))
-          .write.mode("append").parquet(annOut)
-        graft.llm.Similarity.appendToIndex(spark, annIndexPath, kv, idCol,
-          vecCol, dim)
+            excludeIds = Some(batchIds)), annOut)
+        graft.llm.Similarity.appendToIndex(spark, annIndexPath,
+          freshAgainstIvf(spark, annIndexPath, kv, idCol), idCol, vecCol,
+          dim)
         writeAppliedMarker(fs, markerPath, batchId)
       }
     }

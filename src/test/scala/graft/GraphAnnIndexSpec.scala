@@ -115,6 +115,82 @@ class GraphAnnIndexSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
   }
 
+  test("a crash at every append stage is repaired to the from-scratch state; chunked rebuilds are identical") {
+    import spark.implicits._
+    val b1 = (200L until 210L).map(i => (i, vec(2, i.toInt)))
+      .toDF("vec_id", "embedding")
+    val scratch = tmp("graft_gann_crash_scratch")
+    GraphAnnIndex.save(spark, corpus.unionByName(b1), centroids, "vec_id",
+      "embedding", "cell", "cv", dim, m, maxLevel, scratch)
+    def stateOf(p: String): (Set[String], Set[String], Set[String]) = (
+      spark.read.parquet(s"$p/nodes").select("id", "lvl", "cell")
+        .collect().map(_.toString).toSet,
+      spark.read.parquet(s"$p/edges").select("lvl", "cell", "src", "dst")
+        .collect().map(_.toString).toSet,
+      spark.read.parquet(s"$p/backbone").collect().map(_.toString).toSet)
+    val want = stateOf(scratch)
+    val queries = Seq((900L, vec(2, 205)), (901L, vec(0, 17)))
+      .toDF("vec_id", "embedding")
+    val wantProbe = probeRows(scratch, queries)
+    // stage 1 = after the intent write (nodes not yet appended),
+    // stage 2 = after the node append (edge slices stale — the frozen-
+    // corruption scenario the repair exists for), stage 3 = after the
+    // edge rebuild (backbone stale)
+    Seq(1, 2, 3).foreach { stage =>
+      val path = tmp(s"graft_gann_crash_$stage")
+      GraphAnnIndex.save(spark, corpus, centroids, "vec_id", "embedding",
+        "cell", "cv", dim, m, maxLevel, path)
+      intercept[IllegalStateException] {
+        GraphAnnIndex.append(spark, path, b1, "vec_id", "embedding",
+          failpointAfter = stage)
+      }
+      // a PROBE on the crashed index repairs first — it must never search
+      // slices that predate the nodes (and for stage 1 must simply serve
+      // the pre-append index; either way, deterministic correct answers)
+      if (stage == 2)
+        assert(probeRows(path, queries) == wantProbe,
+          "probe after a stage-2 crash served stale edge slices")
+      // the serve loop's crash-replay: anti-join the batch against the
+      // persisted node ids (RT.graphAnnServeBatch's fresh guard), then
+      // append whatever is genuinely new — the repair completes the
+      // half-applied write either way
+      val fresh = b1.join(spark.read.parquet(s"$path/nodes")
+        .select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
+      GraphAnnIndex.append(spark, path, fresh, "vec_id", "embedding")
+      assert(stateOf(path) == want,
+        s"stage-$stage crash did not repair to the from-scratch state")
+      assert(probeRows(path, queries) == wantProbe)
+    }
+    // an oversized append self-chunks (maxSlicesPerWrite=1 forces one
+    // dynamic overwrite per touched slice) and still lands bit-identical
+    val chunked = tmp("graft_gann_chunked")
+    GraphAnnIndex.save(spark, corpus, centroids, "vec_id", "embedding",
+      "cell", "cv", dim, m, maxLevel, chunked)
+    GraphAnnIndex.append(spark, chunked, b1, "vec_id", "embedding",
+      maxSlicesPerWrite = 1)
+    assert(stateOf(chunked) == want,
+      "slice-chunked append diverged from the from-scratch state")
+  }
+
+  test("an Int-cell centroid table saves, appends, and probes (cell pinned LONG)") {
+    import spark.implicits._
+    val path = tmp("graft_gann_intcell")
+    val intCents = centroids.select(col("cell").cast("int").as("cell"),
+      col("cv"))
+    GraphAnnIndex.save(spark, corpus, intCents, "vec_id", "embedding",
+      "cell", "cv", dim, m, maxLevel, path)
+    val b1 = (200L until 206L).map(i => (i, vec(2, i.toInt)))
+      .toDF("vec_id", "embedding")
+    GraphAnnIndex.append(spark, path, b1, "vec_id", "embedding")
+    val longPath = tmp("graft_gann_longcell")
+    GraphAnnIndex.save(spark, corpus, centroids, "vec_id", "embedding",
+      "cell", "cv", dim, m, maxLevel, longPath)
+    GraphAnnIndex.append(spark, longPath, b1, "vec_id", "embedding")
+    val queries = Seq((900L, vec(2, 203))).toDF("vec_id", "embedding")
+    assert(probeRows(path, queries) == probeRows(longPath, queries),
+      "Int-cell index diverged from the Long-cell index")
+  }
+
   test("guards: duplicate append id, missing index, empty apex") {
     import spark.implicits._
     val path = tmp("graft_gann_guard")

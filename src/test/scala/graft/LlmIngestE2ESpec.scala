@@ -99,8 +99,11 @@ class LlmIngestE2ESpec extends SparkSpec {
       .start()
     try q.processAllAvailable() finally q.stop()
 
+    // audit relations carry their applied_batch provenance partition —
+    // dropped here so the comparison stays against the bare operator rows
     def rowsOf(path: String): Seq[String] =
-      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+      spark.read.parquet(path).drop("applied_batch")
+        .collect().map(_.toString).sorted.toSeq
 
     // ---- sequential driver-side fold of the same batch operators ----
     val seenDigests = scala.collection.mutable.Set.empty[String]
@@ -196,5 +199,41 @@ class LlmIngestE2ESpec extends SparkSpec {
       .collect().head
     assert(!d95.getAs[Boolean]("keep") && d95.getLong(1) == 31L,
       s"post-empty-batch probe must still see the grown index: $d95")
+
+    // CRASH-replay: a failure between the last write and the marker
+    // re-enters the function with the SAME batchId and data while the
+    // marker still names the previous batch — simulated by deleting the
+    // marker after a fully-applied batch whose document was KEPT (so the
+    // replay exercises both index-append guards, not just the audit
+    // writes). Every stage must be idempotent: audit relations and BOTH
+    // index states come out bit-identical — no duplicate audit rows,
+    // bands, docsets, or vectors.
+    val novel = Seq((96L, t(50),
+        "an entirely different closing paragraph about join reordering and"
+          + " dynamic partition pruning strategies", vec(3, 700)))
+      .toDF("doc_id", "ts", "text", "embedding")
+    fn(novel, applied + 3)
+    def stateOf(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(spark.read.parquet(dedupOut).filter(col("doc_id") === 96L)
+      .collect().head.getAs[Boolean]("keep"),
+      "the crash-replay fixture doc must be KEPT (it must grow both indexes)")
+    val preQ = stateOf(qualityOut); val preD = stateOf(dedupOut)
+    val preA = stateOf(annOut)
+    val preCells = stateOf(s"$annIdx/cells")
+    val preBands = stateOf(s"$dedupIdx/bands")
+    val preSets = stateOf(s"$dedupIdx/docsets")
+    val markerP = new org.apache.hadoop.fs.Path(s"$dedupIdx/_pipeline_batch")
+    markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(markerP, false)
+    fn(novel, applied + 3)
+    assert(stateOf(qualityOut) == preQ && stateOf(dedupOut) == preD &&
+      stateOf(annOut) == preA,
+      "crash-replay duplicated or altered audit rows")
+    assert(stateOf(s"$annIdx/cells") == preCells,
+      "crash-replay duplicated vectors in the ANN index")
+    assert(stateOf(s"$dedupIdx/bands") == preBands &&
+      stateOf(s"$dedupIdx/docsets") == preSets,
+      "crash-replay duplicated bands/docsets in the dedup index")
   }
 }
