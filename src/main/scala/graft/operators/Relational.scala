@@ -342,11 +342,18 @@ object Relational {
     * feeds (batch record times: daily loads, replayed fixes), where eras
     * per key stay small however large the corpus. A feed recording every
     * op at its own microsecond should coarsen txTsCol to the batch
-    * boundary before calling.
+    * boundary before calling — and `maxErasPerKey` makes forgetting that
+    * LOUD: any key opening more eras fails the job (an executing-side
+    * assert riding the era window's own shuffle, the capBuckets
+    * precedent) instead of going silently quadratic. Dropping eras here
+    * would rewrite history semantics, so unlike the dedup cap the guard
+    * rejects rather than trims.
     */
   def cdcScd2Bitemporal(ops: DataFrame, keyCol: String, attrCol: String,
                         validTsCol: String, txTsCol: String,
-                        ordCol: String, opCol: String): DataFrame = {
+                        ordCol: String, opCol: String,
+                        maxErasPerKey: Int = 1000): DataFrame = {
+    require(maxErasPerKey > 0, s"bad maxErasPerKey=$maxErasPerKey")
     // null timestamps dropped up front (the processDfg rule): a null
     // valid ts makes the (key, era) window ordering engine-dependent
     // (NULLS FIRST vs LAST), and a null record ts silently vanishes from
@@ -357,7 +364,20 @@ object Relational {
         col(validTsCol).as("__vt"), col(txTsCol).as("__tt"),
         col(ordCol).as("__o"), col(opCol).as("__op"))
     val wEra = Window.partitionBy(col("__k")).orderBy(col("tx_from"))
+    // the era-count guard is the VALUE expression of tx_from (the
+    // assert_true-in-when move from Agg.summaryStats), so column pruning
+    // can never drop it; the count window shares wEra's key partitioning
     val eras = o.select(col("__k"), col("__tt").as("tx_from")).distinct()
+      .withColumn("__eraN", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .withColumn("tx_from",
+        when(assert_true(col("__eraN") <= lit(maxErasPerKey),
+          concat(lit("cdcScd2Bitemporal: key "), col("__k").cast("string"),
+            lit(" opens "), col("__eraN").cast("string"),
+            lit(s" transaction eras (> maxErasPerKey=$maxErasPerKey) — the " +
+              s"era join is quadratic per key; coarsen $txTsCol to the " +
+              "batch boundary or raise maxErasPerKey"))).isNull,
+          col("tx_from")))
+      .drop("__eraN")
       .withColumn("tx_to", lead(col("tx_from"), 1).over(wEra))
     val known = o.join(eras, Seq("__k")).filter(col("__tt") <= col("tx_from"))
     // the cdcScd2 boundary machinery, partitioned by (key, era)

@@ -242,6 +242,34 @@ class RelationalSpec extends SparkSpec {
     assert(latest == full, s"latest era diverged:\n$latest\nvs\n$full")
   }
 
+  test("cdcScd2Bitemporal: a high-churn key (per-op record times) fails LOUD, not quadratic") {
+    import spark.implicits._
+    // one key recording every op at its own second: N ops -> N eras ->
+    // |ops|*|eras| fan-out. The guard must reject it at the era window
+    // (executing side), and raising the cap must accept the same feed.
+    val n = 40
+    val churn = (1 to n).map { i =>
+      (7L, s"v$i", Timestamp.valueOf("2024-01-01 10:00:00"),
+        new Timestamp(Timestamp.valueOf("2024-02-01 00:00:00").getTime
+          + i * 1000L), i.toLong, "U")
+    }.toDF("uid", "tier", "vts", "tts", "eid", "op")
+    val e = intercept[Exception] {
+      Relational.cdcScd2Bitemporal(churn, "uid", "tier", "vts", "tts",
+        "eid", "op", maxErasPerKey = n - 1).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(e).contains("maxErasPerKey"),
+      s"wrong failure: ${rootMsg(e)}")
+    // at the cap exactly, the same feed computes (and the era count is n)
+    val ok = Relational.cdcScd2Bitemporal(churn, "uid", "tier", "vts",
+      "tts", "eid", "op", maxErasPerKey = n)
+    assert(ok.select("tx_from").distinct().count() == n)
+  }
+
   test("snapshotAt returns the version covering the probe and drops deleted keys") {
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:0$m:00")
     val d = df("uid BIGINT, eid BIGINT, ts TIMESTAMP, tier STRING, op STRING",
