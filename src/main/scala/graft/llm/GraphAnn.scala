@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph-based ANN (the HNSW/NSW family, next to the IVF family in
@@ -100,6 +100,107 @@ object GraphAnn {
       .filter(col("src") =!= col("dst"))
   }
 
+  // ---- all-layers-in-one-job builds -----------------------------------
+  //
+  // A node at level L is a member of layers minLevel..L, so every layer's
+  // graph can come out of ONE aggregation pass: tag each within-cell
+  // candidate pair with the layers BOTH endpoints belong to (explode up
+  // to min(lvl_a, lvl_b) — an avg fan-out of Σ4^-l ≈ 4/3 rows, since
+  // occupancy is geometric) and run the same kNN→symmetrize→prune
+  // selection per (layer, cell, node). Bit-identical to building each
+  // layer separately ([[cellEdges]] over the lvl >= l members): the
+  // per-layer candidate multisets and the deterministic TopK selections
+  // are the same — only the orchestration collapses from one
+  // build-and-materialize job per layer to one shuffle for all layers
+  // (the fixed ~1 s/layer cost that dominated the in-memory HNSW build
+  // regardless of member count).
+
+  /** Every layer's [[hubs]] from leveled nodes: (lvl, cellCol, hub). */
+  def hubsLayered(nodes: DataFrame, idCol: String, cellCol: String,
+                  lvlCol: String, minLevel: Int, maxLevel: Int): DataFrame =
+    nodes.filter(col(lvlCol) >= minLevel)
+      .select(explode(sequence(lit(minLevel),
+          least(col(lvlCol), lit(maxLevel)))).as("lvl"),
+        col(cellCol), col(idCol).as("id"))
+      .groupBy(col("lvl"), col(cellCol))
+      .agg(min(col("id")).as("hub"))
+
+  /** Every layer's [[cellEdges]] in one pass over leveled nodes
+    * (idCol, vecCol, cellCol, lvlCol): (cellCol, src, dst, lvl) for each
+    * lvl in [minLevel, maxLevel], slice-for-slice identical to the
+    * per-layer build.
+    */
+  def cellEdgesLayered(nodes: DataFrame, idCol: String, vecCol: String,
+                       cellCol: String, lvlCol: String, dim: Int, m: Int,
+                       minLevel: Int, maxLevel: Int): DataFrame = {
+    require(m > 0, "m must be positive")
+    require(minLevel >= 0 && maxLevel >= minLevel,
+      s"bad layer range [$minLevel, $maxLevel]")
+    val topm = udaf(new graft.functions.Aggregators.TopK(m))
+    val top2m = udaf(new graft.functions.Aggregators.TopK(2 * m))
+    // the minLevel membership filter sits BELOW the pair join: a pair
+    // only reaches any layer >= minLevel when BOTH endpoints do, and at
+    // minLevel=1 (the layer-0-prebuilt path) each filtered side is 4x
+    // smaller, the pair relation 16x — filtering after the join would
+    // re-pay the full layer-0 join for layers that never see those rows
+    val mem = nodes.filter(col(lvlCol) >= minLevel)
+    val a = mem.select(col(cellCol).as("__cell"), col(idCol).as("src"),
+      col(vecCol).as("va"), col(lvlCol).as("__la"))
+    val b = mem.select(col(cellCol).as("__cell"), col(idCol).as("dst"),
+      col(vecCol).as("vb"), col(lvlCol).as("__lb"))
+    val knn = a.join(b, Seq("__cell")).filter(col("src") =!= col("dst"))
+      .withColumn("__ml", least(col("__la"), col("__lb"), lit(maxLevel)))
+      .filter(col("__ml") >= minLevel) // sequence(hi, lo) would DESCEND
+      .select(explode(sequence(lit(minLevel), col("__ml"))).as("lvl"),
+        col("__cell"), col("src"),
+        round(Similarity.cosine("va", "vb", dim), 6).as("cos"), col("dst"))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("lvl"), col("__cell"), col("src"))
+      .agg(topm(col("cos"), col("dst")).as("hits"))
+      .select(col("lvl"), col("__cell"), col("src"),
+        explode(col("hits")).as("h"))
+      .select(col("lvl"), col("__cell"), col("src"),
+        col("h.score").as("cos"), col("h.id").as("dst"))
+    val sym = knn
+      .unionByName(knn.select(col("lvl"), col("__cell"),
+        col("dst").as("src"), col("cos"), col("src").as("dst")))
+      .distinct()
+    val pruned = sym.groupBy(col("lvl"), col("__cell"), col("src"))
+      .agg(top2m(col("cos"), col("dst")).as("hits"))
+      .select(col("lvl"), col("__cell"), col("src"),
+        explode(col("hits")).as("h"))
+      .select(col("lvl"), col("__cell"), col("src"), col("h.id").as("dst"))
+    val hubsL = hubsLayered(nodes, idCol, cellCol, lvlCol, minLevel,
+        maxLevel)
+      .withColumnRenamed(cellCol, "__cell")
+    val nodeHub = nodes.filter(col(lvlCol) >= minLevel)
+      .select(explode(sequence(lit(minLevel),
+          least(col(lvlCol), lit(maxLevel)))).as("lvl"),
+        col(cellCol).as("__cell"), col(idCol).as("src"))
+      .join(hubsL, Seq("lvl", "__cell")).filter(col("src") =!= col("hub"))
+      .select(col("lvl"), col("__cell"), col("src"), col("hub").as("dst"))
+    pruned.unionByName(nodeHub).distinct()
+      .withColumnRenamed("__cell", cellCol)
+  }
+
+  /** Every layer's [[nswEdges]] in one pass: (src, dst, lvl), each lvl
+    * slice identical to `nswEdges` over that layer's members.
+    */
+  def nswEdgesLayered(nodes: DataFrame, idCol: String, vecCol: String,
+                      cellCol: String, lvlCol: String, dim: Int, m: Int,
+                      minLevel: Int, maxLevel: Int): DataFrame = {
+    val hubsL = hubsLayered(nodes, idCol, cellCol, lvlCol, minLevel,
+      maxLevel)
+    val backbone = hubsL.select(col("lvl"), col("hub").as("src"))
+      .join(hubsL.select(col("lvl"), col("hub").as("dst")), Seq("lvl"))
+      .filter(col("src") =!= col("dst"))
+    cellEdgesLayered(nodes, idCol, vecCol, cellCol, lvlCol, dim, m,
+        minLevel, maxLevel)
+      .select(col("src"), col("dst"), col("lvl"))
+      .unionByName(backbone.select(col("src"), col("dst"), col("lvl")))
+      .distinct()
+  }
+
   /** Beam search from per-query entry nodes over the edge list: R rounds
     * of expand → rescore → reselect, then the exact top-k of the visited
     * set (self-matches excluded). Output (qid, rank, vb, cos) like the
@@ -183,16 +284,24 @@ object GraphAnn {
     * function of the id set and exactly mirrorable cross-engine).
     * Returns (idCol, lvl).
     */
-  def hnswLevels(nodes: DataFrame, idCol: String, maxLevel: Int): DataFrame = {
+  def hnswLevels(nodes: DataFrame, idCol: String, maxLevel: Int): DataFrame =
+    nodes.select(col(idCol), hnswLevelCol(col(idCol), maxLevel).as("lvl"))
+
+  /** The level draw as a bare COLUMN — a pure function of the id, so
+    * leveling a relation is a projection (`withColumn`), never a join
+    * back against [[hnswLevels]]: the id-keyed self-join it replaces was
+    * a full extra shuffle of the corpus for a value computable in the
+    * scan's own codegen stage.
+    */
+  def hnswLevelCol(id: Column, maxLevel: Int): Column = {
     require(maxLevel >= 1 && maxLevel <= 8, s"bad maxLevel=$maxLevel")
-    val h = TextAnalysis.md5Long(col(idCol).cast("string"))
+    val h = TextAnalysis.md5Long(id.cast("string"))
     // fold LOW level first so the HIGHEST level's test ends up outermost:
     // h % 16 == 0 implies h % 4 == 0, so a level-2 node must hit the
     // level-2 branch before the level-1 branch can swallow it
-    val lvl = (1 to maxLevel).foldLeft(lit(0)) { (els, l) =>
+    (1 to maxLevel).foldLeft(lit(0)) { (els, l) =>
       when(h % lit(1L << (2 * l)) === 0, lit(l)).otherwise(els)
-    }
-    nodes.select(col(idCol), lvl.cast("int").as("lvl"))
+    }.cast("int")
   }
 
   /** Multi-layer HNSW search — the hierarchy over [[nswEdges]]/
@@ -227,8 +336,12 @@ object GraphAnn {
                  m: Int, maxLevel: Int, k: Int, beam: Int,
                  rounds: Int,
                  prebuiltEdges0: Option[DataFrame] = None): DataFrame = {
-    val layered = cells.join(hnswLevels(cells, idCol, maxLevel), Seq(idCol))
-      .localCheckpoint() // read per layer; cuts the assignCells lineage
+    // leveling is a projection (no join, no checkpoint): `cells` is
+    // typically already materialized by the caller (memoized assignment
+    // or a persisted index), and the two consumers below — the apex
+    // aggregate and the one layered edge build — each fold the level
+    // column into their own scan
+    val layered = cells.withColumn("lvl", hnswLevelCol(col(idCol), maxLevel))
     val top = layered.filter(col("lvl") >= maxLevel)
       .agg(min(col(idCol))).head()
     require(!top.isNullAt(0),
@@ -237,20 +350,27 @@ object GraphAnn {
     // instead of re-running the min aggregation inside the search job
     val entries = queries.select(col(idCol).as("qid"))
       .withColumn("node", lit(top.get(0)))
-    // each layer's edge list is read once per beam round — checkpoint it
-    // so the within-cell kNN self-join + TopK subtree is built ONCE per
-    // layer, not re-evaluated by every round's expansion join (the same
-    // move the simsearch_graph_beam query makes on its single edge list)
-    val upperEdges = (maxLevel to 1 by -1).map { l =>
-      nswEdges(layered.filter(col("lvl") >= l), idCol, vecCol, cellCol,
-        dim, m).localCheckpoint()
-    }
-    // layer 0 is everyone, so its edge list equals nswEdges over the bare
-    // cell assignment — a caller that already built it (e.g. for a
-    // single-layer beam search over the same corpus and m) passes it in
-    // instead of paying the build twice
-    val edges0 = prebuiltEdges0.getOrElse(
-      nswEdges(layered, idCol, vecCol, cellCol, dim, m).localCheckpoint())
+    // ALL layers' edge lists come out of one [[nswEdgesLayered]] job,
+    // checkpointed once — each layer's slice is then a cheap filter over
+    // the materialized relation, read as often as the beam rounds need.
+    // The per-layer orchestration this replaces paid a fixed build-and-
+    // materialize job per layer regardless of member count, which was
+    // the dominant cost of the whole search. (Folding the build lazily
+    // into the descent job via persist() was measured SLOWER — the two
+    // slice consumers re-plan the whole build subtree and the descent
+    // job's plan doubles; the eager checkpoint is the right barrier
+    // here, exactly one job for all layers.) Layer 0 is everyone, so its
+    // slice equals nswEdges over the bare cell assignment — a caller
+    // that already built it (e.g. for a single-layer beam search over
+    // the same corpus and m) passes it in and the layered build skips
+    // layer 0 entirely (its pairs dominate the pass).
+    val lo = if (prebuiltEdges0.isDefined) 1 else 0
+    val allEdges = nswEdgesLayered(layered, idCol, vecCol, cellCol, "lvl",
+      dim, m, lo, maxLevel).localCheckpoint()
+    def layerE(l: Int): DataFrame =
+      allEdges.filter(col("lvl") === l).select(col("src"), col("dst"))
+    val upperEdges = (maxLevel to 1 by -1).map(layerE)
+    val edges0 = prebuiltEdges0.getOrElse(layerE(0))
     hnswSearchPrebuilt(corpus, queries, idCol, vecCol, dim, upperEdges,
       edges0, entries, k, beam, rounds)
   }
@@ -273,7 +393,17 @@ object GraphAnn {
           entries, k = beam, beam = 1, rounds = 1)
         .select(col("qid"), col("vb").as("node"))
     }
-    beamSearch(corpus, edges0, queries, idCol, vecCol, dim, entries,
+    // ONE checkpoint between the descent and the layer-0 search. The
+    // descent stays lazy per layer (an eager barrier per layer was
+    // measured slower), but each lazy layer references its predecessor's
+    // plan several times, so L layers multiply the subtree into the
+    // layer-0 rounds — measured: a 2-layer descent left ~600 exchanges /
+    // ~900 KB of plan text in round 2, and Catalyst planning (not
+    // compute) dominated the whole search. The materialization is
+    // |Q|·beam rows.
+    val seed =
+      if (upperEdges.isEmpty) entries else entries.localCheckpoint()
+    beamSearch(corpus, edges0, queries, idCol, vecCol, dim, seed,
       k = k, beam = beam, rounds = rounds)
   }
 }

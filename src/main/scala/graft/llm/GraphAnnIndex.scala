@@ -80,28 +80,29 @@ object GraphAnnIndex {
       centroids, cellCol, cvCol, dim, outCol = "cell")
     assigned
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        col("cell").cast("long").as("cell"))
-      .join(GraphAnn.hnswLevels(
-          assigned.select(col(idCol).as("id")), "id", maxLevel), Seq("id"))
+        col("cell").cast("long").as("cell"),
+        GraphAnn.hnswLevelCol(col(idCol), maxLevel).as("lvl"))
       .localCheckpoint()
   }
 
   /** The cell-local edge slices for every layer a member set spans,
-    * stacked with their `lvl` tag — the relation `edges/` persists.
+    * stacked with their `lvl` tag — the relation `edges/` persists. One
+    * [[GraphAnn.cellEdgesLayered]] pass, slice-identical to per-layer
+    * [[GraphAnn.cellEdges]] builds (which [[append]]'s touched-slice
+    * rebuild still uses — the bit-identity spec pins the two paths to
+    * each other).
     */
-  private def layerCellEdges(nodes: DataFrame, meta: Meta,
-                             layers: Seq[Int]): DataFrame =
-    layers.map { l =>
-      GraphAnn.cellEdges(members(nodes, l), "id", "vec", "cell",
-          meta.dim, meta.m)
-        .withColumn("lvl", lit(l))
-    }.reduce(_ unionByName _)
+  private def layerCellEdges(nodes: DataFrame, meta: Meta): DataFrame =
+    GraphAnn.cellEdgesLayered(nodes, "id", "vec", "cell", "lvl",
+      meta.dim, meta.m, 0, meta.maxLevel)
 
-  private def layerBackbones(nodes: DataFrame, meta: Meta): DataFrame =
-    (0 to meta.maxLevel).map { l =>
-      GraphAnn.hubBackbone(members(nodes, l), "id", "cell")
-        .withColumn("lvl", lit(l))
-    }.reduce(_ unionByName _)
+  private def layerBackbones(nodes: DataFrame, meta: Meta): DataFrame = {
+    val hubsL = GraphAnn.hubsLayered(nodes, "id", "cell", "lvl", 0,
+      meta.maxLevel)
+    hubsL.select(col("lvl"), col("hub").as("src"))
+      .join(hubsL.select(col("lvl"), col("hub").as("dst")), Seq("lvl"))
+      .filter(col("src") =!= col("dst"))
+  }
 
   /** Build + persist the full layout. `vectors` is the corpus
     * (idCol, vecCol); `centroids` the quantizer (cellCol, cvCol) —
@@ -124,7 +125,7 @@ object GraphAnnIndex {
     centroids.select(col(cellCol).cast("long").as("cell"),
         col(cvCol).as("cv"))
       .write.mode("overwrite").parquet(s"$path/centroids")
-    layerCellEdges(nodes, meta, 0 to maxLevel)
+    layerCellEdges(nodes, meta)
       .select("src", "dst", "lvl", "cell")
       .write.mode("overwrite").partitionBy("lvl", "cell")
       .parquet(s"$path/edges")

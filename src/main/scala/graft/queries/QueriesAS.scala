@@ -159,16 +159,33 @@ object QueriesAS {
         seeds, "cell", "cv", dim = 64)
     }
 
-  private[queries] def nswEdgesShared(s: SparkSession, dir: String): DataFrame = {
+  /** The graph-ANN pair's ONE edge build: every HNSW layer's edge list
+    * (src, dst, lvl for lvl 0..2) from a single
+    * [[graft.llm.GraphAnn.nswEdgesLayered]] pass. simsearch_graph_beam's
+    * single-layer list IS the lvl=0 slice (bit-identical to
+    * [[graft.llm.GraphAnn.nswEdges]] — spec-pinned), and simsearch_hnsw
+    * reads all three, so the suite pays the within-cell kNN build exactly
+    * once for the whole family.
+    */
+  private[queries] val NswMaxLevel = 2
+  private[queries] def nswEdgesLayeredShared(s: SparkSession,
+                                             dir: String): DataFrame = {
     // resolve the cells memo BEFORE entering the edges memo closure:
     // computeIfAbsent nested inside computeIfAbsent on the same map is a
     // documented ConcurrentHashMap recursive-update hazard
     val cells = nswCellsShared(s, dir)
-    Queries.memoRel(s, dir, "nsw_edges_m4") {
-      graft.llm.GraphAnn.nswEdges(cells, "vec_id",
-        "embedding", "ivf_cell", dim = 64, m = 4)
+    Queries.memoRel(s, dir, "nsw_edges_layered_m4_L2") {
+      graft.llm.GraphAnn.nswEdgesLayered(
+        cells.withColumn("lvl",
+          graft.llm.GraphAnn.hnswLevelCol(col("vec_id"), NswMaxLevel)),
+        "vec_id", "embedding", "ivf_cell", "lvl", dim = 64, m = 4,
+        minLevel = 0, maxLevel = NswMaxLevel)
     }
   }
+
+  private[queries] def nswEdgesShared(s: SparkSession, dir: String): DataFrame =
+    nswEdgesLayeredShared(s, dir).filter(col("lvl") === 0)
+      .select(col("src"), col("dst"))
 
   val simsearchGraphBeam: QueryDef = {
     val m = 4; val beam = 3; val rounds = 2; val k = 5
