@@ -179,6 +179,257 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  // ---- list-typed literal arguments --------------------------------------
+
+  /** Comma-separated string-list literal ('w1,w2,w3' → Seq). */
+  private def csv(fn: String, args: Seq[Expression], pos: Int): Seq[String] = {
+    val items = str(fn, args, pos).split(",").map(_.trim).filter(_.nonEmpty)
+    if (items.isEmpty) fail(fn, pos, "a non-empty 'a,b,c' list literal",
+      args(pos))
+    items.toSeq
+  }
+
+  /** 'name:weight,name:weight' literal → ordered (name, Double) pairs. */
+  private def kvDoubles(fn: String, args: Seq[Expression],
+                        pos: Int): Seq[(String, Double)] =
+    csv(fn, args, pos).map { item =>
+      item.split(":", 2) match {
+        case Array(k, v) if k.nonEmpty =>
+          try k -> v.trim.toDouble
+          catch { case _: NumberFormatException =>
+            fail(fn, pos, s"a 'name:weight' list literal (bad weight in '$item')",
+              args(pos)) }
+        case _ =>
+          fail(fn, pos, s"a 'name:weight' list literal (bad item '$item')",
+            args(pos))
+      }
+    }
+
+  /** A timestamp-valued string literal, as the Column the point-read
+    * operators take ('2024-03-01 10:00:00' → cast literal).
+    */
+  private def tsLit(fn: String, args: Seq[Expression],
+                    pos: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.lit(str(fn, args, pos)).cast("timestamp")
+
+  // ---- curation / text-analysis TVFs --------------------------------------
+
+  /** chunk_documents(table, idCol, textCol, chunkSize, overlap) →
+    * [[graft.llm.Curation.chunkDocuments]] (id, chunk_id, chunk).
+    */
+  private def chunkDocuments(args: Seq[Expression]): LogicalPlan = {
+    arity("chunk_documents", args, 5, 5)
+    graft.llm.Curation.chunkDocuments(table("chunk_documents", args, 0),
+        str("chunk_documents", args, 1), str("chunk_documents", args, 2),
+        intOf("chunk_documents", args, 3), intOf("chunk_documents", args, 4))
+      .queryExecution.logical
+  }
+
+  /** text_langid(table, idCol, textCol) → [[graft.llm.TextAnalysis.langId]]. */
+  private def textLangid(args: Seq[Expression]): LogicalPlan = {
+    arity("text_langid", args, 3, 3)
+    graft.llm.TextAnalysis.langId(table("text_langid", args, 0),
+        str("text_langid", args, 1), str("text_langid", args, 2))
+      .queryExecution.logical
+  }
+
+  /** text_normalize(table, idCol, textCol) →
+    * [[graft.llm.TextAnalysis.normalizeText]].
+    */
+  private def textNormalize(args: Seq[Expression]): LogicalPlan = {
+    arity("text_normalize", args, 3, 3)
+    graft.llm.TextAnalysis.normalizeText(table("text_normalize", args, 0),
+        str("text_normalize", args, 1), str("text_normalize", args, 2))
+      .queryExecution.logical
+  }
+
+  /** text_strip_markup(table, idCol, textCol) →
+    * [[graft.llm.TextAnalysis.stripMarkup]].
+    */
+  private def textStripMarkup(args: Seq[Expression]): LogicalPlan = {
+    arity("text_strip_markup", args, 3, 3)
+    graft.llm.TextAnalysis.stripMarkup(table("text_strip_markup", args, 0),
+        str("text_strip_markup", args, 1), str("text_strip_markup", args, 2))
+      .queryExecution.logical
+  }
+
+  /** text_tfidf(table, idCol, textCol) → [[graft.llm.TextAnalysis.tfidf]]
+    * (id, tok, tf, df, n_corpus, tfidf).
+    */
+  private def textTfidf(args: Seq[Expression]): LogicalPlan = {
+    arity("text_tfidf", args, 3, 3)
+    graft.llm.TextAnalysis.tfidf(table("text_tfidf", args, 0),
+        str("text_tfidf", args, 1), str("text_tfidf", args, 2))
+      .queryExecution.logical
+  }
+
+  /** text_bm25(table, idCol, textCol, 'term1,term2'[, k1, b]) →
+    * [[graft.llm.TextAnalysis.bm25]] per-document scores.
+    */
+  private def textBm25(args: Seq[Expression]): LogicalPlan = {
+    arity("text_bm25", args, 4, 6)
+    val k1 = if (args.length > 4) dbl("text_bm25", args, 4) else 1.2
+    val b = if (args.length > 5) dbl("text_bm25", args, 5) else 0.75
+    graft.llm.TextAnalysis.bm25(table("text_bm25", args, 0),
+        str("text_bm25", args, 1), str("text_bm25", args, 2),
+        csv("text_bm25", args, 3), k1, b)
+      .queryExecution.logical
+  }
+
+  /** text_fingerprint(table, idCol, textCol[, n]) →
+    * [[graft.llm.TextAnalysis.fingerprint]] rolling-hash doc fingerprints.
+    */
+  private def textFingerprint(args: Seq[Expression]): LogicalPlan = {
+    arity("text_fingerprint", args, 3, 4)
+    val n = if (args.length > 3) intOf("text_fingerprint", args, 3) else 5
+    graft.llm.TextAnalysis.fingerprint(table("text_fingerprint", args, 0),
+        str("text_fingerprint", args, 1), str("text_fingerprint", args, 2), n)
+      .queryExecution.logical
+  }
+
+  /** pii_redact(table, idCol, textCol) → [[graft.llm.Curation.redactPii]]
+    * per-document PII counts + redacted text.
+    */
+  private def piiRedact(args: Seq[Expression]): LogicalPlan = {
+    arity("pii_redact", args, 3, 3)
+    graft.llm.Curation.redactPii(table("pii_redact", args, 0),
+        str("pii_redact", args, 1), str("pii_redact", args, 2))
+      .queryExecution.logical
+  }
+
+  /** dedup_exact_digest(table, idCol, textCol) →
+    * [[graft.llm.Dedup.exactByDigest]] (keep_id, n_copies).
+    */
+  private def dedupExactDigest(args: Seq[Expression]): LogicalPlan = {
+    arity("dedup_exact_digest", args, 3, 3)
+    graft.llm.Dedup.exactByDigest(table("dedup_exact_digest", args, 0),
+        str("dedup_exact_digest", args, 1), str("dedup_exact_digest", args, 2))
+      .queryExecution.logical
+  }
+
+  /** curation_domain_cap(table, idCol, domainCol, scoreCol, cap) →
+    * [[graft.llm.Curation.domainCap]].
+    */
+  private def curationDomainCap(args: Seq[Expression]): LogicalPlan = {
+    arity("curation_domain_cap", args, 5, 5)
+    graft.llm.Curation.domainCap(table("curation_domain_cap", args, 0),
+        str("curation_domain_cap", args, 1),
+        str("curation_domain_cap", args, 2),
+        str("curation_domain_cap", args, 3),
+        intOf("curation_domain_cap", args, 4))
+      .queryExecution.logical
+  }
+
+  /** curation_wordlist_screen(table, idCol, textCol, 'w1,w2', maxFraction)
+    * → [[graft.llm.Curation.wordlistScreen]].
+    */
+  private def curationWordlistScreen(args: Seq[Expression]): LogicalPlan = {
+    arity("curation_wordlist_screen", args, 5, 5)
+    graft.llm.Curation.wordlistScreen(
+        table("curation_wordlist_screen", args, 0),
+        str("curation_wordlist_screen", args, 1),
+        str("curation_wordlist_screen", args, 2),
+        csv("curation_wordlist_screen", args, 3),
+        dbl("curation_wordlist_screen", args, 4))
+      .queryExecution.logical
+  }
+
+  /** curation_pack_sequences(table, idCol, textCol, shardCol, maxTokens) →
+    * [[graft.llm.Curation.packSequences]].
+    */
+  private def curationPackSequences(args: Seq[Expression]): LogicalPlan = {
+    arity("curation_pack_sequences", args, 5, 5)
+    graft.llm.Curation.packSequences(
+        table("curation_pack_sequences", args, 0),
+        str("curation_pack_sequences", args, 1),
+        str("curation_pack_sequences", args, 2),
+        str("curation_pack_sequences", args, 3),
+        intOf("curation_pack_sequences", args, 4))
+      .queryExecution.logical
+  }
+
+  // ---- sampling TVFs -------------------------------------------------------
+
+  /** sample_split_assign(table, idCol, 'train:0.8,val:0.1,test:0.1'
+    * [, salt]) → [[graft.llm.Curation.splitAssign]].
+    */
+  private def sampleSplitAssign(args: Seq[Expression]): LogicalPlan = {
+    arity("sample_split_assign", args, 3, 4)
+    val salt = if (args.length > 3) str("sample_split_assign", args, 3)
+               else "graft"
+    graft.llm.Curation.splitAssign(table("sample_split_assign", args, 0),
+        str("sample_split_assign", args, 1),
+        kvDoubles("sample_split_assign", args, 2), salt)
+      .queryExecution.logical
+  }
+
+  /** sample_stratified(table, idCol, strataCol, 'a:0.5,b:0.1', defaultRate
+    * [, salt]) → [[graft.llm.Curation.stratifiedSample]].
+    */
+  private def sampleStratified(args: Seq[Expression]): LogicalPlan = {
+    arity("sample_stratified", args, 5, 6)
+    val salt = if (args.length > 5) str("sample_stratified", args, 5)
+               else "graft"
+    graft.llm.Curation.stratifiedSample(table("sample_stratified", args, 0),
+        str("sample_stratified", args, 1), str("sample_stratified", args, 2),
+        kvDoubles("sample_stratified", args, 3).toMap,
+        dbl("sample_stratified", args, 4), salt)
+      .queryExecution.logical
+  }
+
+  // ---- CDC / dimension-history TVFs ---------------------------------------
+
+  /** cdc_apply(table, keyCol, tsCol, ordCol, opCol) →
+    * [[graft.operators.Relational.cdcApply]] latest live row per key.
+    */
+  private def cdcApplyFn(args: Seq[Expression]): LogicalPlan = {
+    arity("cdc_apply", args, 5, 5)
+    graft.operators.Relational.cdcApply(table("cdc_apply", args, 0),
+        str("cdc_apply", args, 1), str("cdc_apply", args, 2),
+        str("cdc_apply", args, 3), str("cdc_apply", args, 4))
+      .queryExecution.logical
+  }
+
+  /** scd2(table, keyCol, attrCol, tsCol, ordCol, opCol) →
+    * [[graft.operators.Relational.cdcScd2]] versioned dimension history.
+    */
+  private def scd2Fn(args: Seq[Expression]): LogicalPlan = {
+    arity("scd2", args, 6, 6)
+    graft.operators.Relational.cdcScd2(table("scd2", args, 0),
+        str("scd2", args, 1), str("scd2", args, 2), str("scd2", args, 3),
+        str("scd2", args, 4), str("scd2", args, 5))
+      .queryExecution.logical
+  }
+
+  /** scd2_snapshot_at(historyTable, 'ts') →
+    * [[graft.operators.Relational.snapshotAt]] point read of an SCD2
+    * history (valid_from/valid_to columns).
+    */
+  private def scd2SnapshotAt(args: Seq[Expression]): LogicalPlan = {
+    arity("scd2_snapshot_at", args, 2, 2)
+    graft.operators.Relational.snapshotAt(
+        table("scd2_snapshot_at", args, 0),
+        tsLit("scd2_snapshot_at", args, 1))
+      .queryExecution.logical
+  }
+
+  /** snapshot_as_of_log(opsTable, keyCol, attrCol, validTsCol, txTsCol,
+    * ordCol, opCol, 'validTs', 'txTs') →
+    * [[graft.operators.Relational.snapshotAsOfLog]] — the bitemporal
+    * point read pushed down to the changelog.
+    */
+  private def snapshotAsOfLogFn(args: Seq[Expression]): LogicalPlan = {
+    arity("snapshot_as_of_log", args, 9, 9)
+    graft.operators.Relational.snapshotAsOfLog(
+        table("snapshot_as_of_log", args, 0),
+        str("snapshot_as_of_log", args, 1), str("snapshot_as_of_log", args, 2),
+        str("snapshot_as_of_log", args, 3), str("snapshot_as_of_log", args, 4),
+        str("snapshot_as_of_log", args, 5), str("snapshot_as_of_log", args, 6),
+        tsLit("snapshot_as_of_log", args, 7),
+        tsLit("snapshot_as_of_log", args, 8))
+      .queryExecution.logical
+  }
+
   /** The (identifier, info, builder) tuples [[GraftExtensions]] injects —
     * also registrable at runtime on an existing session via
     * `spark.sessionState.tableFunctionRegistry`.
@@ -193,7 +444,25 @@ object TableFunctions {
     ("simsearch_topk", simsearchTopK _),
     ("dedup_index_probe", dedupIndexProbe _),
     ("ann_probe", annProbe _),
-    ("graph_ann_probe", graphAnnProbe _)
+    ("graph_ann_probe", graphAnnProbe _),
+    ("chunk_documents", chunkDocuments _),
+    ("text_langid", textLangid _),
+    ("text_normalize", textNormalize _),
+    ("text_strip_markup", textStripMarkup _),
+    ("text_tfidf", textTfidf _),
+    ("text_bm25", textBm25 _),
+    ("text_fingerprint", textFingerprint _),
+    ("pii_redact", piiRedact _),
+    ("dedup_exact_digest", dedupExactDigest _),
+    ("curation_domain_cap", curationDomainCap _),
+    ("curation_wordlist_screen", curationWordlistScreen _),
+    ("curation_pack_sequences", curationPackSequences _),
+    ("sample_split_assign", sampleSplitAssign _),
+    ("sample_stratified", sampleStratified _),
+    ("cdc_apply", cdcApplyFn _),
+    ("scd2", scd2Fn _),
+    ("scd2_snapshot_at", scd2SnapshotAt _),
+    ("snapshot_as_of_log", snapshotAsOfLogFn _)
   ).map { case (name, builder) =>
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft.plans.TableFunctions", name), builder)

@@ -150,6 +150,111 @@ class ExtensionsSpec extends SparkSpec {
       e2.getMessage.toLowerCase.contains("argument"), e2.getMessage)
   }
 
+  test("widened TVF gateway: curation/text/sampling/CDC operators round-trip the Scala API") {
+    import graft.plans.TableFunctions
+    import graft.llm.{Curation, Dedup, TextAnalysis}
+    import graft.operators.Relational
+    TableFunctions.descriptors.foreach { case (ident, _, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "scala_udf")
+    }
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    val docs = df("doc_id BIGINT, dom STRING, score DOUBLE, text STRING", Seq(
+      R(1L, "a.com", 0.9, "the quick brown fox jumps over the lazy dog near the river bank"),
+      R(2L, "a.com", 0.7, "the quick brown fox jumps over the lazy dog near the river bend"),
+      R(3L, "b.org", 0.8, "completely different content with no overlap whatsoever here today"),
+      R(4L, "a.com", 0.6, "the quick brown fox jumps over the lazy dog near the river bank"),
+      R(5L, "b.org", 0.5, "Visit https://x.io or mail me at a@b.com <b>now</b> today!")))
+    docs.createOrReplaceTempView("tvf_w_docs")
+
+    assert(rows(spark.sql(
+        "SELECT * FROM chunk_documents('tvf_w_docs', 'doc_id', 'text', 20, 5)"))
+      == rows(Curation.chunkDocuments(docs, "doc_id", "text", 20, 5)))
+    assert(rows(spark.sql("SELECT * FROM text_langid('tvf_w_docs', 'doc_id', 'text')"))
+      == rows(TextAnalysis.langId(docs, "doc_id", "text")))
+    assert(rows(spark.sql(
+        "SELECT * FROM text_normalize('tvf_w_docs', 'doc_id', 'text')"))
+      == rows(TextAnalysis.normalizeText(docs, "doc_id", "text")))
+    assert(rows(spark.sql(
+        "SELECT * FROM text_strip_markup('tvf_w_docs', 'doc_id', 'text')"))
+      == rows(TextAnalysis.stripMarkup(docs, "doc_id", "text")))
+    assert(rows(spark.sql("SELECT * FROM text_tfidf('tvf_w_docs', 'doc_id', 'text')"))
+      == rows(TextAnalysis.tfidf(docs, "doc_id", "text")))
+    assert(rows(spark.sql(
+        "SELECT * FROM text_bm25('tvf_w_docs', 'doc_id', 'text', 'fox,river', 1.2, 0.75)"))
+      == rows(TextAnalysis.bm25(docs, "doc_id", "text", Seq("fox", "river"))))
+    assert(rows(spark.sql(
+        "SELECT * FROM text_fingerprint('tvf_w_docs', 'doc_id', 'text', 5)"))
+      == rows(TextAnalysis.fingerprint(docs, "doc_id", "text", 5)))
+    assert(rows(spark.sql("SELECT * FROM pii_redact('tvf_w_docs', 'doc_id', 'text')"))
+      == rows(Curation.redactPii(docs, "doc_id", "text")))
+    assert(rows(spark.sql(
+        "SELECT * FROM dedup_exact_digest('tvf_w_docs', 'doc_id', 'text')"))
+      == rows(Dedup.exactByDigest(docs, "doc_id", "text")))
+    assert(rows(spark.sql(
+        "SELECT * FROM curation_domain_cap('tvf_w_docs', 'doc_id', 'dom', 'score', 2)"))
+      == rows(Curation.domainCap(docs, "doc_id", "dom", "score", 2)))
+    assert(rows(spark.sql(
+        "SELECT * FROM curation_wordlist_screen('tvf_w_docs', 'doc_id', 'text', 'fox,dog', 0.2)"))
+      == rows(Curation.wordlistScreen(docs, "doc_id", "text",
+        Seq("fox", "dog"), 0.2)))
+    assert(rows(spark.sql(
+        "SELECT * FROM curation_pack_sequences('tvf_w_docs', 'doc_id', 'text', 'dom', 16)"))
+      == rows(Curation.packSequences(docs, "doc_id", "text", "dom", 16)))
+    assert(rows(spark.sql(
+        "SELECT * FROM sample_split_assign('tvf_w_docs', 'doc_id', 'train:0.8,val:0.1,test:0.1')"))
+      == rows(Curation.splitAssign(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))))
+    assert(rows(spark.sql(
+        "SELECT * FROM sample_stratified('tvf_w_docs', 'doc_id', 'dom', 'a.com:0.9', 0.5, 's')"))
+      == rows(Curation.stratifiedSample(docs, "doc_id", "dom",
+        Map("a.com" -> 0.9), 0.5, "s")))
+
+    // CDC / dimension history
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val ops = df("uid BIGINT, tier STRING, vts TIMESTAMP, tts TIMESTAMP, eid BIGINT, op STRING",
+      Seq(
+        R(1L, "gold", t(1), t(2), 1L, "I"),
+        R(1L, "silver", t(5), t(6), 2L, "U"),
+        R(2L, "gold", t(2), t(3), 3L, "I"),
+        R(2L, null, t(4), t(5), 4L, "D")))
+    ops.createOrReplaceTempView("tvf_w_ops")
+    assert(rows(spark.sql(
+        "SELECT * FROM cdc_apply('tvf_w_ops', 'uid', 'vts', 'eid', 'op')"))
+      == rows(Relational.cdcApply(ops, "uid", "vts", "eid", "op")))
+    assert(rows(spark.sql(
+        "SELECT * FROM scd2('tvf_w_ops', 'uid', 'tier', 'vts', 'eid', 'op')"))
+      == rows(Relational.cdcScd2(ops, "uid", "tier", "vts", "eid", "op")))
+    Relational.cdcScd2(ops, "uid", "tier", "vts", "eid", "op")
+      .createOrReplaceTempView("tvf_w_hist")
+    assert(rows(spark.sql(
+        "SELECT * FROM scd2_snapshot_at('tvf_w_hist', '2024-01-03 10:00:00')"))
+      == rows(Relational.snapshotAt(spark.table("tvf_w_hist"),
+        lit("2024-01-03 10:00:00").cast("timestamp"))))
+    val viaLog = rows(spark.sql(
+      """SELECT * FROM snapshot_as_of_log('tvf_w_ops', 'uid', 'tier', 'vts',
+        'tts', 'eid', 'op', '2024-01-03 10:00:00', '2024-01-04 10:00:00')"""))
+    assert(viaLog == rows(Relational.snapshotAsOfLog(ops, "uid", "tier",
+      "vts", "tts", "eid", "op",
+      lit("2024-01-03 10:00:00").cast("timestamp"),
+      lit("2024-01-04 10:00:00").cast("timestamp"))))
+    assert(viaLog.nonEmpty)
+
+    // list-literal failures stay loud
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM sample_split_assign('tvf_w_docs', 'doc_id', 'train0.8')")
+      .collect())
+    assert(e1.getMessage.contains("name:weight"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM text_bm25('tvf_w_docs', 'doc_id', 'text', '')").collect())
+    assert(e2.getMessage.contains("list literal"), e2.getMessage)
+    // ≥20-TVF gateway contract (the reference's P1 exposes every operator
+    // via SQL; this pins the Spark gateway's breadth)
+    assert(TableFunctions.descriptors.size >= 20,
+      s"TVF gateway shrank: ${TableFunctions.descriptors.size}")
+  }
+
   test("serve-path TVFs: persisted dedup/IVF/HNSW indexes probed from SQL") {
     import graft.plans.TableFunctions
     import graft.llm.{DedupIndex, GraphAnnIndex, Similarity}
