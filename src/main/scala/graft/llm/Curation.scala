@@ -170,27 +170,57 @@ object Curation {
                     minTokens: Int = 10, maxTokens: Int = 100000,
                     maxRepetition: Double = 0.2,
                     minStopRatio: Double = 0.0): DataFrame = {
-    val text = col(textCol)
-    val toks = TextAnalysis.tokens(text)
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*)))
-    val stopRatio = when(nTok > 0,
-      nStop.cast("double") / nTok).otherwise(lit(0.0))
-    val rep = TextAnalysis.repetitionRatio(text, 2)
-    val flagShort = nTok < minTokens
-    val flagLong = nTok > maxTokens
-    val flagRep = rep > maxRepetition
-    val flagStop = stopRatio < minStopRatio
-    graft.Core.fanOut(df).select(
-      col(idCol),
-      nTok.cast("long").as("n_tokens"),
-      rep.as("rep_ratio"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      flagShort.as("flag_short"),
-      flagLong.as("flag_long"),
-      flagRep.as("flag_repetitive"),
-      flagStop.as("flag_no_stopwords"),
-      (!flagShort && !flagLong && !flagRep && !flagStop).as("keep"))
+    // STAGED projections, one expensive value per level: the token split,
+    // the 2-gram distinct ratio, and the stopword filter are higher-order
+    // / regex expressions — outside whole-stage codegen and its common-
+    // subexpression elimination — so inlining them into every flag column
+    // plus the `keep` conjunction re-evaluated the token split ~10x and
+    // the n-gram transform ~3x PER ROW (measured 17x the staged cost).
+    // Catalyst's CollapseProject keeps these levels apart exactly
+    // because the produced values are non-cheap and multiply referenced.
+    // Flag semantics are unchanged: flags compare the RAW stop ratio
+    // (rounding stays presentation-only) and the rounded rep ratio,
+    // identical trees to the single-projection form.
+    //
+    // CALLER HAZARD: `.filter(col("keep"))` + column pruning pushes the
+    // keep conjunction back THROUGH these stages, re-duplicating the
+    // expensive trees into the pushed predicate (undoing the staging).
+    // A caller that filters on the flags should fence first — persist or
+    // localCheckpoint the flag relation (the llmIngestBatch /
+    // curation_pipeline_e2e move) — which is the right shape anyway: the
+    // flag relation is the audit artifact, the filter a cheap read of it.
+    val toksC = col("__toks")
+    val nTok = size(toksC)
+    val nStop = size(filter(toksC, t => t.isin(TextAnalysis.Stopwords: _*)))
+    val gramsC = col("__grams")
+    val flagShort = col("n_tokens") < minTokens
+    val flagLong = col("n_tokens") > maxTokens
+    val flagRep = col("rep_ratio") > maxRepetition
+    val flagStop = col("__stop_raw") < minStopRatio
+    graft.Core.fanOut(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        nTok.cast("long").as("n_tokens"),
+        when(nTok >= 2,
+            transform(sequence(lit(1), nTok - 1),
+              i => concat_ws(" ", slice(toksC, i, lit(2)))))
+          .otherwise(array().cast("array<string>")).as("__grams"),
+        when(nTok > 0, nStop.cast("double") / nTok).otherwise(lit(0.0))
+          .as("__stop_raw"))
+      .select(col(idCol), col("n_tokens"), col("__stop_raw"),
+        when(size(gramsC) > 0,
+            round(lit(1.0) - size(array_distinct(gramsC)).cast("double")
+              / size(gramsC), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .select(col(idCol),
+        col("n_tokens"),
+        col("rep_ratio"),
+        round(col("__stop_raw"), 6).as("stopword_ratio"),
+        flagShort.as("flag_short"),
+        flagLong.as("flag_long"),
+        flagRep.as("flag_repetitive"),
+        flagStop.as("flag_no_stopwords"),
+        (!flagShort && !flagLong && !flagRep && !flagStop).as("keep"))
   }
 
   /** RAG/pretraining document chunking: fixed-size character windows with

@@ -107,10 +107,16 @@ object QueriesN {
       val corpus = docs.filter(col("doc_id") % 20 =!= 0)
       val bench = docs.filter(col("doc_id") % 20 === 0)
       // n_tokens rides along from the quality pass so the final
-      // accounting never re-tokenizes the kept documents
+      // accounting never re-tokenizes the kept documents. The flag
+      // relation MATERIALIZES before the keep-filter: pushing the
+      // predicate through the operator's staged projections re-inlines
+      // the token split / n-gram transform into every flag term of the
+      // pushed conjunction (15 regexp instances, interpreted — measured
+      // ~25x the staged cost), so the fence here IS the optimization
       val keepQ = Cur.qualityFilter(corpus, "doc_id", "text",
           minTokens = 40, maxTokens = 80, maxRepetition = 0.1,
           minStopRatio = 0.01)
+        .localCheckpoint()
         .filter(col("keep")).select(col("doc_id"), col("n_tokens"))
       // digest variant: the canonicalization shuffle carries 16-byte keys
       // instead of whole documents (identical keep set, the 100 TB shape)
