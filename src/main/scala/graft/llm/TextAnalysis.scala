@@ -100,19 +100,24 @@ object TextAnalysis {
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // staged: the token split is a regex outside codegen's subexpression
+    // elimination, and three ratio columns reference it — inlined, it
+    // re-evaluated per column per row (the qualityFilter lesson; same
+    // values, one evaluation). CollapseProject keeps the levels apart
+    // (non-cheap producer, multiple consumers).
     val text = col(textCol)
-    val toks = tokens(text)
-    val nTok = size(toks)
-    val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
-    val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
-    val nCharsNoWs = length(regexp_replace(text, "[ \\t\\n\\r\\f]", ""))
-    graft.Core.fanOut(df).select(
-      col(idCol),
-      length(text).as("n_chars"),
-      nTok.as("n_tokens"),
-      round(nCharsNoWs.cast("double") / nTok, 6).as("mean_tok_len"),
-      round(nPunct.cast("double") / length(text), 6).as("punct_ratio"),
-      round(nStop.cast("double") / nTok, 6).as("stopword_ratio"))
+    val nTok = size(col("__toks"))
+    val nStop = size(filter(col("__toks"), t => t.isin(Stopwords: _*)))
+    val nPunct = size(regexp_extract_all(col("__text"), lit("[.,;:!?]"), lit(0)))
+    val nCharsNoWs = length(regexp_replace(col("__text"), "[ \\t\\n\\r\\f]", ""))
+    graft.Core.fanOut(df)
+      .select(col(idCol), text.as("__text"), tokens(text).as("__toks"))
+      .select(col(idCol),
+        length(col("__text")).as("n_chars"),
+        nTok.as("n_tokens"),
+        round(nCharsNoWs.cast("double") / nTok, 6).as("mean_tok_len"),
+        round(nPunct.cast("double") / length(col("__text")), 6).as("punct_ratio"),
+        round(nStop.cast("double") / nTok, 6).as("stopword_ratio"))
   }
 
   /** Language-ID by marker-word voting: count marker hits per language,
