@@ -43,14 +43,21 @@ object Dedup {
     * not tokenize serially on one core).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    // the token split STAGES into its own projection before the lambda:
+    // a higher-order function's body re-evaluates every non-attribute
+    // child PER ELEMENT (no codegen, no CSE inside lambdas), so inlining
+    // the regex split made shingling O(tokens²) regex evaluations per
+    // document — measured 5-6x slower on real documents, identical rows
+    val toks = col("__toks")
     // guard: sequence(1, x) DESCENDS for x < 1 (step defaults to -1), so a
     // doc shorter than n tokens must yield an empty shingle list explicitly
     val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<int>"))
     // distinct-within-doc via array_distinct BEFORE the explode: the (id, sh)
     // relation is identical, but the global distinct() shuffle disappears
-    graft.Core.fanOut(df).select(col(idCol), explode(array_distinct(
+    graft.Core.fanOut(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(array_distinct(
         transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))).as("sh"))
   }
 
@@ -92,10 +99,13 @@ object Dedup {
     */
   def shingleSizesProjection(df: DataFrame, idCol: String, textCol: String,
                              n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    // staged token split — the shingles() lambda rule
+    val toks = col("__toks")
     val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    graft.Core.fanOut(df).select(col(idCol), size(array_distinct(
+    graft.Core.fanOut(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(array_distinct(
         transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))).cast("long").as("sz"))
       .filter(col("sz") > 0)
   }
@@ -622,12 +632,15 @@ object Dedup {
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, maxDocs: Int = 1): DataFrame = {
     require(n > 0, s"removeDupSpans needs a positive segment size; got $n")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // staged token split — the shingles() lambda rule
+    val toks = col("__toks")
     // non-overlapping segment starts 1, n+1, 2n+1, … (1-based slice);
     // sequence() needs the empty-doc guard (see shingles)
     val starts = when(size(toks) >= 1, sequence(lit(1), size(toks), lit(n)))
       .otherwise(array().cast("array<int>"))
-    val seg = graft.Core.fanOut(df).select(col(idCol),
+    val seg = graft.Core.fanOut(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
         posexplode(transform(starts, st => concat_ws(" ", slice(toks, st, lit(n))))))
       .select(col(idCol), col("pos"), col("col").as("seg"))
     val freq = seg.groupBy(col("seg"))

@@ -157,8 +157,19 @@ object TextAnalysis {
     * (1 − distinct/total) — the Gopher-style within-doc repetition quality
     * signal. Pure column arithmetic: no explode, no shuffle.
     */
-  def repetitionRatio(text: Column, n: Int = 2): Column = {
-    val toks = tokens(text)
+  def repetitionRatio(text: Column, n: Int = 2): Column =
+    // PERF HAZARD when `text` is not an attribute: the lambda below
+    // re-evaluates it per element. Stage the token split into its own
+    // projection and call [[repetitionRatioOfTokens]] instead (the
+    // Dedup.shingles rule); this form is kept for single-use callers.
+    repetitionRatioOfTokens(tokens(text), n)
+
+  /** [[repetitionRatio]] over an already-split token array — pass an
+    * ATTRIBUTE (a staged `tokens(...)` column), so the n-gram lambda's
+    * per-element evaluation touches an in-memory array, never re-runs
+    * the split.
+    */
+  def repetitionRatioOfTokens(toks: Column, n: Int = 2): Column = {
     val grams = org.apache.spark.sql.functions.when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
@@ -417,12 +428,15 @@ object TextAnalysis {
     require(words.length >= 2, s"phraseTopK wants a multi-word phrase; got '$phrase'")
     val key = words.mkString(" ")
     val n = words.length
-    val toks = tokens(col(textCol))
+    // staged token split — the Dedup.shingles lambda rule (a lambda body
+    // re-evaluates non-attribute children per element)
+    val toks = col("__toks")
     val grams = when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
     val counts = graft.Core.fanOut(df)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(grams).as("g"))
       .filter(col("g") === key)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_occur"))
@@ -525,7 +539,8 @@ object TextAnalysis {
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 5,
                   hash: Column => Column = md5Long): DataFrame = {
-    val toks = tokens(col(textCol))
+    // staged token split — the Dedup.shingles lambda rule
+    val toks = col("__toks")
     val grams = when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
@@ -535,7 +550,9 @@ object TextAnalysis {
     // An in-row `array_min(transform(grams, hash))` variant avoids the
     // explode but evaluates the hash INTERPRETED (higher-order-function
     // lambdas don't codegen): measured 3× slower once scans parallelize.
-    graft.Core.fanOut(df).select(col(idCol), explode(grams).as("g"))
+    graft.Core.fanOut(df)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(grams).as("g"))
       .groupBy(col(idCol))
       .agg(min(hash(col("g"))).as("fingerprint"))
   }

@@ -102,8 +102,12 @@ object QueriesF {
   val textRepetition: QueryDef = QueryDef(
     "text_repetition",
     (s, dir) => Core.table(s, dir, "documents")
+      // staged token split (the Dedup.shingles lambda rule)
       .select(col("doc_id"),
-        graft.llm.TextAnalysis.repetitionRatio(col("text"), 2).as("rep_ratio"))
+        graft.llm.TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.repetitionRatioOfTokens(col("__toks"), 2)
+          .as("rep_ratio"))
       .orderBy(col("doc_id")),
     Some("""WITH g AS (
         SELECT doc_id,
