@@ -454,11 +454,15 @@ object Multimodal {
     val starts = when(n >= size,
         sequence(lit(1), n - (size - 1), lit(stride)))
       .otherwise(array(lit(1)))
+    // the chunk array stages into its own projection (the Dedup.shingles
+    // lambda rule): three consumers of an inlined transform would build
+    // the window array three times per row
     val chunks = transform(starts, s => text.substr(s, lit(size)))
-    df.select(col(idCol),
-      org.apache.spark.sql.functions.size(chunks).as("n_chunks"),
-      element_at(chunks, 1).as("chunk_first"),
-      element_at(chunks, -1).as("chunk_last"))
+    df.select(col(idCol), chunks.as("__chunks"))
+      .select(col(idCol),
+        org.apache.spark.sql.functions.size(col("__chunks")).as("n_chunks"),
+        element_at(col("__chunks"), 1).as("chunk_first"),
+        element_at(col("__chunks"), -1).as("chunk_last"))
   }
 
   /** Frame-sampling stub as pure column expressions (start / middle / end
