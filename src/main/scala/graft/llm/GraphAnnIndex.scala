@@ -189,12 +189,25 @@ object GraphAnnIndex {
       val in = fs.open(p)
       val body = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      val touched = body.split("\n").iterator.filter(_.nonEmpty).map { s =>
-        val Array(l, c) = s.split(",", 2)
-        (l.toInt, c.toLong)
-      }.toSet
+      val meta = readMeta(spark, path)
+      // a truncated/corrupt intent (crash DURING the intent write) must
+      // not wedge the repair loop forever: fall back to rebuilding EVERY
+      // slice the node relation spans — more work, same bit-identical
+      // result (edges are a pure function of nodes)
+      val touched = scala.util.Try {
+        body.split("\n").iterator.filter(_.nonEmpty).map { s =>
+          val Array(l, c) = s.split(",", 2)
+          (l.toInt, c.toLong)
+        }.toSet
+      }.getOrElse {
+        loadNodes(spark, path)
+          .select(explode(sequence(lit(0),
+              least(col("lvl"), lit(meta.maxLevel)))).as("l"), col("cell"))
+          .distinct().collect()
+          .map(r => (r.getAs[Int]("l"), r.getAs[Long]("cell"))).toSet
+      }
       if (touched.nonEmpty)
-        rebuildSlices(spark, path, readMeta(spark, path), touched)
+        rebuildSlices(spark, path, meta, touched)
       clearIntent(spark, path)
     }
   }

@@ -206,11 +206,20 @@ object TableFunctions {
     }
 
   /** A timestamp-valued string literal, as the Column the point-read
-    * operators take ('2024-03-01 10:00:00' → cast literal).
+    * operators take ('2024-03-01 10:00:00' or '2024-03-01' → cast
+    * literal). Parse-validated at analysis time: an unparseable string
+    * cast to timestamp yields NULL, and a NULL point read silently
+    * returns an EMPTY snapshot — a typo must fail loud instead.
     */
   private def tsLit(fn: String, args: Seq[Expression],
-                    pos: Int): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.lit(str(fn, args, pos)).cast("timestamp")
+                    pos: Int): org.apache.spark.sql.Column = {
+    val s = str(fn, args, pos)
+    val ok = scala.util.Try(java.sql.Timestamp.valueOf(s)).isSuccess ||
+      scala.util.Try(java.time.LocalDate.parse(s)).isSuccess
+    if (!ok) fail(fn, pos,
+      "a 'yyyy-MM-dd[ HH:mm:ss[.f]]' timestamp literal", args(pos))
+    org.apache.spark.sql.functions.lit(s).cast("timestamp")
+  }
 
   // ---- curation / text-analysis TVFs --------------------------------------
 
@@ -413,6 +422,24 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** scd2_bitemporal(table, keyCol, attrCol, validTsCol, txTsCol, ordCol,
+    * opCol[, maxErasPerKey]) →
+    * [[graft.operators.Relational.cdcScd2Bitemporal]] transaction-era
+    * dimension history.
+    */
+  private def scd2BitemporalFn(args: Seq[Expression]): LogicalPlan = {
+    arity("scd2_bitemporal", args, 7, 8)
+    val maxEras = if (args.length > 7) intOf("scd2_bitemporal", args, 7)
+                  else 1000
+    graft.operators.Relational.cdcScd2Bitemporal(
+        table("scd2_bitemporal", args, 0),
+        str("scd2_bitemporal", args, 1), str("scd2_bitemporal", args, 2),
+        str("scd2_bitemporal", args, 3), str("scd2_bitemporal", args, 4),
+        str("scd2_bitemporal", args, 5), str("scd2_bitemporal", args, 6),
+        maxEras)
+      .queryExecution.logical
+  }
+
   /** snapshot_as_of_log(opsTable, keyCol, attrCol, validTsCol, txTsCol,
     * ordCol, opCol, 'validTs', 'txTs') →
     * [[graft.operators.Relational.snapshotAsOfLog]] — the bitemporal
@@ -461,6 +488,7 @@ object TableFunctions {
     ("sample_stratified", sampleStratified _),
     ("cdc_apply", cdcApplyFn _),
     ("scd2", scd2Fn _),
+    ("scd2_bitemporal", scd2BitemporalFn _),
     ("scd2_snapshot_at", scd2SnapshotAt _),
     ("snapshot_as_of_log", snapshotAsOfLogFn _)
   ).map { case (name, builder) =>

@@ -232,6 +232,10 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT * FROM scd2_snapshot_at('tvf_w_hist', '2024-01-03 10:00:00')"))
       == rows(Relational.snapshotAt(spark.table("tvf_w_hist"),
         lit("2024-01-03 10:00:00").cast("timestamp"))))
+    assert(rows(spark.sql(
+        "SELECT * FROM scd2_bitemporal('tvf_w_ops', 'uid', 'tier', 'vts', 'tts', 'eid', 'op')"))
+      == rows(Relational.cdcScd2Bitemporal(ops, "uid", "tier", "vts",
+        "tts", "eid", "op")))
     val viaLog = rows(spark.sql(
       """SELECT * FROM snapshot_as_of_log('tvf_w_ops', 'uid', 'tier', 'vts',
         'tts', 'eid', 'op', '2024-01-03 10:00:00', '2024-01-04 10:00:00')"""))
@@ -249,6 +253,11 @@ class ExtensionsSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "SELECT * FROM text_bm25('tvf_w_docs', 'doc_id', 'text', '')").collect())
     assert(e2.getMessage.contains("list literal"), e2.getMessage)
+    // an unparseable timestamp literal must fail at analysis, never
+    // silently return an empty snapshot (cast-to-NULL filter)
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT * FROM scd2_snapshot_at('tvf_w_hist', '03/01/2024')").collect())
+    assert(e3.getMessage.contains("timestamp literal"), e3.getMessage)
     // ≥20-TVF gateway contract (the reference's P1 exposes every operator
     // via SQL; this pins the Spark gateway's breadth)
     assert(TableFunctions.descriptors.size >= 20,

@@ -170,6 +170,26 @@ class GraphAnnIndexSpec extends SparkSpec {
       maxSlicesPerWrite = 1)
     assert(stateOf(chunked) == want,
       "slice-chunked append diverged from the from-scratch state")
+
+    // a CORRUPT intent file (crash mid-intent-write) must not wedge the
+    // repair: the fallback rebuilds every slice from current nodes —
+    // same bit-identical end state
+    val corrupt = tmp("graft_gann_corrupt_intent")
+    GraphAnnIndex.save(spark, corpus, centroids, "vec_id", "embedding",
+      "cell", "cv", dim, m, maxLevel, corrupt)
+    intercept[IllegalStateException] {
+      GraphAnnIndex.append(spark, corrupt, b1, "vec_id", "embedding",
+        failpointAfter = 2) // nodes written, edges stale, intent present
+    }
+    val ip = new org.apache.hadoop.fs.Path(s"$corrupt/_append_intent")
+    val ifs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = ifs.create(ip, true)
+    out.write("0,".getBytes("UTF-8")) // truncated line: no cell id
+    out.close()
+    GraphAnnIndex.repairIfNeeded(spark, corrupt)
+    assert(stateOf(corrupt) == want,
+      "corrupt-intent repair diverged from the from-scratch state")
+    assert(!ifs.exists(ip), "repair must clear the intent")
   }
 
   test("an Int-cell centroid table saves, appends, and probes (cell pinned LONG)") {
