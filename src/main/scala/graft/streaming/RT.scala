@@ -39,6 +39,21 @@ object RT {
     finally out.close()
   }
 
+  /** The audit-log write every serve loop shares: rows land in a
+    * per-batch `applied_batch=<id>` partition via dynamic overwrite, so
+    * an at-least-once CRASH-REPLAY (failure between this write and the
+    * applied marker) rewrites its own partition instead of appending
+    * duplicate rows — the [[aggMaintainBatch]] write-then-flip
+    * discipline expressed as partition overwrite. The partition column
+    * doubles as provenance: which batch produced each audit row.
+    */
+  private def auditWrite(df: DataFrame, outPath: String,
+                         batchId: Long): Unit = df
+    .withColumn("applied_batch", lit(batchId))
+    .write.mode("overwrite")
+    .option("partitionOverwriteMode", "dynamic")
+    .partitionBy("applied_batch").parquet(outPath)
+
   /** R1: file source + 5-min processing trigger
     * (reference: qpe_rt_daemon.py:865-873 sleep-to-next-slot loop).
     */
@@ -279,14 +294,15 @@ object RT {
     * the bands its own batch is about to write.
     *
     * foreachBatch is at-least-once: after a failure between the batch
-    * function and the checkpoint commit, the SAME batchId replays. A
-    * replayed append would duplicate every survivor's bands (making docs
-    * their own near-dups) and write contradictory audit rows, so the
-    * last applied batchId is recorded IN the index directory and a
-    * replay of an already-applied id is a no-op. The marker is written
-    * after the append — a crash inside the window between them still
-    * replays, which is the unavoidable residue of non-transactional
-    * parquet appends (a lakehouse table format closes it).
+    * function and the checkpoint commit, the SAME batchId replays. An
+    * APPLIED batchId (recorded in the index directory) replays as a full
+    * no-op; a CRASH-replay (failure before the marker) is idempotent
+    * stage by stage — the probe excludes the batch's own ids from the
+    * index side (so flags match the first run even after a partial
+    * append), the audit lands in a per-batch partition via
+    * [[auditWrite]] (rewritten identically, never duplicated), and the
+    * append anti-joins against the persisted doc ids (bands can never
+    * accumulate twice).
     */
   def dedupIngestBatch(indexPath: String, idCol: String, textCol: String,
                        minJaccard: Double, outPath: String)
@@ -302,12 +318,17 @@ object RT {
                                         // a streaming source frame may not
                                         // be recomputable across actions
         val flagged = graft.llm.DedupIndex
-          .query(spark, indexPath, b, idCol, textCol, minJaccard)
+          .query(spark, indexPath, b, idCol, textCol, minJaccard,
+            excludeIds = Some(b.select(col(idCol))))
           .localCheckpoint()
-        flagged.write.mode("append").parquet(outPath)
+        auditWrite(flagged, outPath, batchId)
         val kept = b.join(flagged.filter(col("keep")).select(col(idCol)),
           Seq(idCol), "left_semi")
-        graft.llm.DedupIndex.append(spark, indexPath, kept, idCol, textCol)
+        val keptFresh = kept.join(
+          spark.read.parquet(s"$indexPath/docsets").select(col(idCol)),
+          Seq(idCol), "left_anti")
+        graft.llm.DedupIndex.append(spark, indexPath, keptFresh, idCol,
+          textCol)
         writeAppliedMarker(fs, markerPath, batchId)
       }
     }
@@ -325,15 +346,19 @@ object RT {
     * Ordering is load-bearing exactly as in [[dedupIngestBatch]]: results
     * are MATERIALIZED before the append, so a batch can never retrieve
     * itself. Same at-least-once guard: the applied batchId is recorded in
-    * the index directory and replays are no-ops. A crash-REPLAY (failure
-    * between the append and the marker) re-enters the function, so the
-    * grow step anti-joins the batch against the ids already in the layout
-    * — [[graft.llm.Similarity.appendToIndex]] has no duplicate-id guard
-    * of its own, and a re-appended vector would surface at multiple ranks
-    * in every later probe of its cell, displacing genuine neighbors. The
-    * replayed serve still appends duplicate RESULT rows to `outPath`
-    * (documented residue of the append-mode audit log; the composed
-    * [[llmIngestBatch]] closes even that with per-batch partitions).
+    * the index directory and replays are no-ops — and a CRASH-replay
+    * (failure between a write and the marker) is idempotent stage by
+    * stage. When growing, the probe excludes the batch's own ids from
+    * the index side (growth REQUIRES batch ids be new, so the exclusion
+    * reconstructs exactly the pre-batch index view on a replay after a
+    * partial append); the audit lands in a per-batch partition via
+    * [[auditWrite]] (rewritten identically, never duplicated); and the
+    * grow step anti-joins the batch against the ids already in the
+    * layout — [[graft.llm.Similarity.appendToIndex]] has no duplicate-id
+    * guard of its own, and a re-appended vector would surface at
+    * multiple ranks in every later probe of its cell. A serve-ONLY loop
+    * (growIndex = false) probes without the exclusion, so indexed ids
+    * may be probed for their neighbors.
     */
   def annServeBatch(indexPath: String, idCol: String, vecCol: String,
                     dim: Int, k: Int, nprobe: Int, outPath: String,
@@ -346,9 +371,10 @@ object RT {
       if (batchId > applied) {
         val b = batch.localCheckpoint() // streaming source frames may not
                                         // be recomputable across actions
-        graft.llm.Similarity
-          .probeIndex(spark, indexPath, b, idCol, vecCol, dim, k, nprobe)
-          .write.mode("append").parquet(outPath)
+        val exclude = if (growIndex) Some(b.select(col(idCol))) else None
+        auditWrite(graft.llm.Similarity
+          .probeIndex(spark, indexPath, b, idCol, vecCol, dim, k, nprobe,
+            excludeIds = exclude), outPath, batchId)
         if (growIndex) {
           val kv = b
             .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
@@ -397,9 +423,17 @@ object RT {
         val b = batch.localCheckpoint() // streaming source frames may not
                                         // be recomputable across actions
         val meta = graft.llm.GraphAnnIndex.readMeta(spark, indexPath)
-        graft.llm.GraphAnnIndex
-          .probe(spark, indexPath, b, idCol, vecCol, k, beam, rounds)
-          .write.mode("append").parquet(outPath)
+        // per-batch audit partition: a crash-replay rewrites this batch's
+        // slice instead of appending duplicates. Unlike the IVF loop the
+        // rewritten rows are the RETRY's view — after a partial append
+        // the graph itself differs (new nodes join the traversal), so
+        // batch-mates may appear in the replayed results; self-matches
+        // never do. Bit-identical replay audits would need versioned
+        // graph reads; the recorded contract is "the batch's last
+        // attempt".
+        auditWrite(graft.llm.GraphAnnIndex
+          .probe(spark, indexPath, b, idCol, vecCol, k, beam, rounds),
+          outPath, batchId)
         if (growIndex) {
           val kv = b
             .filter(col(vecCol).isNotNull && size(col(vecCol)) === meta.dim)
@@ -479,11 +513,8 @@ object RT {
       if (batchId > applied) {
         val b = batch.localCheckpoint() // streaming source frames may not
                                         // be recomputable across actions
-        def audit(df: DataFrame, outPath: String): Unit = df
-          .withColumn("applied_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("applied_batch").parquet(outPath)
+        def audit(df: DataFrame, outPath: String): Unit =
+          auditWrite(df, outPath, batchId)
         val quality = graft.llm.Curation
           .qualityFilter(b, idCol, textCol, minTokens = minTokens)
           .localCheckpoint()

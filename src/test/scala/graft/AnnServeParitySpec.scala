@@ -95,5 +95,30 @@ class AnnServeParitySpec extends SparkSpec {
     val got200 = (1 to 3).flatMap(r => streamed.get((200L, r))).map(_._1)
     assert(!got200.exists(v => v >= 200L),
       s"batch-1 query retrieved its own batch: $got200")
+
+    // CRASH-replay idempotence: a direct batch applied once, marker
+    // deleted, re-invoked with the same batchId — audit log and index
+    // cells must come out bit-identical (the probe excludes the batch's
+    // own ids, the grow step anti-joins against persisted ids)
+    def stateOf(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    val markerP = new org.apache.hadoop.fs.Path(s"$idxStream/_serve_batch")
+    val mfs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastApplied = {
+      val in = mfs.open(markerP)
+      try new String(in.readAllBytes()).trim.toLong finally in.close()
+    }
+    val novel = Seq((400L, vec(1, 77))).toDF("vec_id", "embedding")
+    val fn = RT.annServeBatch(idxStream, "vec_id", "embedding", dim,
+      k = 3, nprobe = 2, outPath, growIndex = true)
+    fn(novel, lastApplied + 1)
+    val preOut = stateOf(outPath)
+    val preCells = stateOf(s"$idxStream/cells")
+    mfs.delete(markerP, false)
+    fn(novel, lastApplied + 1)
+    assert(stateOf(outPath) == preOut,
+      "crash-replay duplicated or altered serve results")
+    assert(stateOf(s"$idxStream/cells") == preCells,
+      "crash-replay duplicated vectors in the index")
   }
 }

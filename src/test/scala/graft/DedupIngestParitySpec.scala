@@ -94,5 +94,35 @@ class DedupIngestParitySpec extends SparkSpec {
     assert(streamed(31L) == ((Some(21L), false))) // dup of a batch-2 survivor
     assert(streamed(30L) == ((Some(2L), false)))  // dup of the seed
     assert(streamed(11L)._2 && streamed(21L)._2)  // the survivors themselves
+
+    // CRASH-replay idempotence: apply a fresh KEPT batch directly, delete
+    // the marker (simulating a failure just before it), re-invoke with
+    // the same batchId — audit log, bands, and docsets must all come out
+    // bit-identical (no duplicate rows, no duplicate bands)
+    def stateOf(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    val markerP = new org.apache.hadoop.fs.Path(s"$idxPath/_ingest_batch")
+    val mfs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastApplied = {
+      val in = mfs.open(markerP)
+      try new String(in.readAllBytes()).trim.toLong finally in.close()
+    }
+    val novel = Seq((40L,
+        "a closing paragraph about join reordering and dynamic pruning"))
+      .toDF("doc_id", "text")
+    val fn = RT.dedupIngestBatch(idxPath, "doc_id", "text", 0.5, outPath)
+    fn(novel, lastApplied + 1)
+    assert(spark.read.parquet(outPath).filter(col("doc_id") === 40L)
+      .collect().head.getBoolean(3), "crash-replay fixture doc must be KEPT")
+    val preOut = stateOf(outPath)
+    val preBands = stateOf(s"$idxPath/bands")
+    val preSets = stateOf(s"$idxPath/docsets")
+    mfs.delete(markerP, false)
+    fn(novel, lastApplied + 1)
+    assert(stateOf(outPath) == preOut,
+      "crash-replay duplicated or altered audit rows")
+    assert(stateOf(s"$idxPath/bands") == preBands &&
+      stateOf(s"$idxPath/docsets") == preSets,
+      "crash-replay duplicated bands/docsets")
   }
 }
