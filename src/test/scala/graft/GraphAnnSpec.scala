@@ -72,6 +72,55 @@ class GraphAnnSpec extends SparkSpec {
       s"recall@5 after 2 rounds = $r2 (expected exact on this navigable fixture)")
   }
 
+  test("property: nswEdgesLayered slices == per-layer nswEdges, every layer, varied corpora") {
+    import spark.implicits._
+    // varied corpus shapes (size, cluster count, maxLevel) — the layered
+    // one-pass build must be slice-for-slice identical to building each
+    // layer's graph from its own member set
+    Seq((34, 3, 1, 11L), (120, 4, 2, 7L), (75, 2, 2, 23L)).foreach {
+      case (nVec, nCls, maxLevel, seed) =>
+        val corpus = (0 until nVec).map { i =>
+          val c = i % nCls
+          (i.toLong + seed * 1000, Array.tabulate(dim)(d =>
+            (math.sin(c * 2.1 + d + seed) * 2.0 +
+              math.sin(i * i * 1.3 + d * (1.0 + i % 5)) * 0.2).toFloat))
+        }.toDF("vec_id", "embedding")
+        val seeds = corpus.limit(nCls)
+          .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+        val asn = Similarity.assignCells(corpus, "vec_id", "embedding",
+          seeds, "cell", "cv", dim).localCheckpoint()
+        val layered = asn.withColumn("lvl",
+          GraphAnn.hnswLevelCol(col("vec_id"), maxLevel))
+        val all = GraphAnn.nswEdgesLayered(layered, "vec_id", "embedding",
+          "ivf_cell", "lvl", dim, m = 3, minLevel = 0,
+          maxLevel = maxLevel).localCheckpoint()
+        (0 to maxLevel).foreach { l =>
+          val slice = all.filter(col("lvl") === l).select("src", "dst")
+            .collect().map(_.toString).sorted.toSeq
+          val direct = GraphAnn.nswEdges(layered.filter(col("lvl") >= l),
+              "vec_id", "embedding", "ivf_cell", dim, m = 3)
+            .collect().map(_.toString).sorted.toSeq
+          assert(slice == direct,
+            s"layer $l diverged at (n=$nVec, cls=$nCls, maxLevel=$maxLevel)")
+        }
+        // the mid-range build (layer-0 prebuilt elsewhere) agrees too
+        if (maxLevel >= 1) {
+          val upper = GraphAnn.nswEdgesLayered(layered, "vec_id",
+            "embedding", "ivf_cell", "lvl", dim, m = 3, minLevel = 1,
+            maxLevel = maxLevel)
+          (1 to maxLevel).foreach { l =>
+            val slice = upper.filter(col("lvl") === l).select("src", "dst")
+              .collect().map(_.toString).sorted.toSeq
+            val fullSlice = all.filter(col("lvl") === l)
+              .select("src", "dst")
+              .collect().map(_.toString).sorted.toSeq
+            assert(slice == fullSlice,
+              s"minLevel=1 build diverged at layer $l (n=$nVec)")
+          }
+        }
+    }
+  }
+
   test("hnswLevels: 4^-l occupancy shape, deterministic, bounded") {
     val lv = GraphAnn.hnswLevels(emb, "vec_id", maxLevel = 2)
     val byLvl = lv.groupBy(col("lvl")).count().collect()
