@@ -457,6 +457,179 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  // ---- second widening wave: dedup variants / vocab / sampling /
+  // ---- sessionization / sketches ------------------------------------------
+
+  /** dedup_simhash(table, idCol, textCol) → [[graft.llm.Dedup.simhash16]]
+    * per-document 16-bit simhash fingerprints.
+    */
+  private def dedupSimhash(args: Seq[Expression]): LogicalPlan = {
+    arity("dedup_simhash", args, 3, 3)
+    graft.llm.Dedup.simhash16(table("dedup_simhash", args, 0),
+        str("dedup_simhash", args, 1), str("dedup_simhash", args, 2))
+      .queryExecution.logical
+  }
+
+  /** dedup_prefix_jaccard(table, idCol, textCol[, n, minJaccard]) →
+    * [[graft.llm.Dedup.prefixJaccardPairs]] exact verified pairs.
+    */
+  private def dedupPrefixJaccard(args: Seq[Expression]): LogicalPlan = {
+    arity("dedup_prefix_jaccard", args, 3, 5)
+    val n = if (args.length > 3) intOf("dedup_prefix_jaccard", args, 3) else 3
+    val mj = if (args.length > 4) dbl("dedup_prefix_jaccard", args, 4) else 0.5
+    graft.llm.Dedup.prefixJaccardPairs(table("dedup_prefix_jaccard", args, 0),
+        str("dedup_prefix_jaccard", args, 1),
+        str("dedup_prefix_jaccard", args, 2), n, mj)
+      .queryExecution.logical
+  }
+
+  /** dedup_containment(table, idCol, textCol[, n, minContainment, maxDf])
+    * → [[graft.llm.Dedup.containmentPairs]].
+    */
+  private def dedupContainment(args: Seq[Expression]): LogicalPlan = {
+    arity("dedup_containment", args, 3, 6)
+    val n = if (args.length > 3) intOf("dedup_containment", args, 3) else 3
+    val mc = if (args.length > 4) dbl("dedup_containment", args, 4) else 0.8
+    val maxDf = if (args.length > 5) intOf("dedup_containment", args, 5)
+                else 1000
+    graft.llm.Dedup.containmentPairs(table("dedup_containment", args, 0),
+        str("dedup_containment", args, 1), str("dedup_containment", args, 2),
+        n, mc, maxDf)
+      .queryExecution.logical
+  }
+
+  /** dedup_clusters(pairsTable[, aCol, bCol]) →
+    * [[graft.llm.Dedup.resolveClusters]] (doc_id, cluster_id) connected
+    * components over a near-dup pair relation.
+    */
+  private def dedupClusters(args: Seq[Expression]): LogicalPlan = {
+    arity("dedup_clusters", args, 1, 3)
+    val a = if (args.length > 1) str("dedup_clusters", args, 1) else "da"
+    val b = if (args.length > 2) str("dedup_clusters", args, 2) else "db"
+    graft.llm.Dedup.resolveClusters(table("dedup_clusters", args, 0), a, b)
+      .queryExecution.logical
+  }
+
+  /** dedup_canonicalize(table, clustersTable, idCol) →
+    * [[graft.llm.Dedup.canonicalize]] — keep one doc per cluster.
+    */
+  private def dedupCanonicalize(args: Seq[Expression]): LogicalPlan = {
+    arity("dedup_canonicalize", args, 3, 3)
+    graft.llm.Dedup.canonicalize(table("dedup_canonicalize", args, 0),
+        table("dedup_canonicalize", args, 1),
+        str("dedup_canonicalize", args, 2))
+      .queryExecution.logical
+  }
+
+  /** text_vocabulary(table, idCol, textCol[, topN]) →
+    * [[graft.llm.TextAnalysis.vocabulary]].
+    */
+  private def textVocabulary(args: Seq[Expression]): LogicalPlan = {
+    arity("text_vocabulary", args, 3, 4)
+    val n = if (args.length > 3) intOf("text_vocabulary", args, 3) else 100
+    graft.llm.TextAnalysis.vocabulary(table("text_vocabulary", args, 0),
+        str("text_vocabulary", args, 1), str("text_vocabulary", args, 2), n)
+      .queryExecution.logical
+  }
+
+  /** text_zipf_fit(table, textCol[, topN]) →
+    * [[graft.llm.TextAnalysis.zipfFit]] corpus-health slope.
+    */
+  private def textZipfFit(args: Seq[Expression]): LogicalPlan = {
+    arity("text_zipf_fit", args, 2, 3)
+    val n = if (args.length > 2) intOf("text_zipf_fit", args, 2) else 100
+    graft.llm.TextAnalysis.zipfFit(table("text_zipf_fit", args, 0),
+        str("text_zipf_fit", args, 1), n)
+      .queryExecution.logical
+  }
+
+  /** sample_reservoir(table, idCol, strataCol, k[, salt]) →
+    * [[graft.llm.Curation.hashReservoir]] deterministic per-stratum
+    * reservoir.
+    */
+  private def sampleReservoir(args: Seq[Expression]): LogicalPlan = {
+    arity("sample_reservoir", args, 4, 5)
+    val salt = if (args.length > 4) str("sample_reservoir", args, 4)
+               else "graft"
+    graft.llm.Curation.hashReservoir(table("sample_reservoir", args, 0),
+        str("sample_reservoir", args, 1), str("sample_reservoir", args, 2),
+        intOf("sample_reservoir", args, 3), salt)
+      .queryExecution.logical
+  }
+
+  /** sample_weighted(table, idCol, weightCol, k[, salt]) →
+    * [[graft.llm.Curation.weightedSample]].
+    */
+  private def sampleWeighted(args: Seq[Expression]): LogicalPlan = {
+    arity("sample_weighted", args, 4, 5)
+    val salt = if (args.length > 4) str("sample_weighted", args, 4)
+               else "graft"
+    graft.llm.Curation.weightedSample(table("sample_weighted", args, 0),
+        str("sample_weighted", args, 1), str("sample_weighted", args, 2),
+        intOf("sample_weighted", args, 3), salt)
+      .queryExecution.logical
+  }
+
+  /** corpus_mixture(table, srcCol, alpha) →
+    * [[graft.llm.Curation.mixtureWeights]] temperature-scaled source
+    * sampling weights.
+    */
+  private def corpusMixture(args: Seq[Expression]): LogicalPlan = {
+    arity("corpus_mixture", args, 3, 3)
+    graft.llm.Curation.mixtureWeights(table("corpus_mixture", args, 0),
+        str("corpus_mixture", args, 1), dbl("corpus_mixture", args, 2))
+      .queryExecution.logical
+  }
+
+  /** corpus_shuffle(table, idCol, numShards[, salt]) →
+    * [[graft.llm.Curation.shuffleShards]] deterministic corpus shuffle.
+    */
+  private def corpusShuffle(args: Seq[Expression]): LogicalPlan = {
+    arity("corpus_shuffle", args, 3, 4)
+    val salt = if (args.length > 3) str("corpus_shuffle", args, 3) else ""
+    graft.llm.Curation.shuffleShards(table("corpus_shuffle", args, 0),
+        str("corpus_shuffle", args, 1), intOf("corpus_shuffle", args, 2),
+        salt)
+      .queryExecution.logical
+  }
+
+  /** sessionize(table, keyCol, tsCol, maxGapSeconds) →
+    * [[graft.operators.Windows.sessionize]].
+    */
+  private def sessionizeFn(args: Seq[Expression]): LogicalPlan = {
+    arity("sessionize", args, 4, 4)
+    graft.operators.Windows.sessionize(table("sessionize", args, 0),
+        str("sessionize", args, 1), str("sessionize", args, 2),
+        intOf("sessionize", args, 3).toLong)
+      .queryExecution.logical
+  }
+
+  /** sketch_hll_distinct(table, groupCol, valCol[, m]) →
+    * [[graft.operators.Sketch.hllDistinct]].
+    */
+  private def sketchHllDistinct(args: Seq[Expression]): LogicalPlan = {
+    arity("sketch_hll_distinct", args, 3, 4)
+    val m = if (args.length > 3) intOf("sketch_hll_distinct", args, 3)
+            else 64
+    graft.operators.Sketch.hllDistinct(table("sketch_hll_distinct", args, 0),
+        str("sketch_hll_distinct", args, 1),
+        str("sketch_hll_distinct", args, 2), m)
+      .queryExecution.logical
+  }
+
+  /** sketch_cms_topk(table, textCol[, d, width, k]) →
+    * [[graft.operators.Sketch.cmsTopK]].
+    */
+  private def sketchCmsTopK(args: Seq[Expression]): LogicalPlan = {
+    arity("sketch_cms_topk", args, 2, 5)
+    val d = if (args.length > 2) intOf("sketch_cms_topk", args, 2) else 3
+    val w = if (args.length > 3) intOf("sketch_cms_topk", args, 3) else 256
+    val k = if (args.length > 4) intOf("sketch_cms_topk", args, 4) else 20
+    graft.operators.Sketch.cmsTopK(table("sketch_cms_topk", args, 0),
+        str("sketch_cms_topk", args, 1), d, w, k)
+      .queryExecution.logical
+  }
+
   /** The (identifier, info, builder) tuples [[GraftExtensions]] injects —
     * also registrable at runtime on an existing session via
     * `spark.sessionState.tableFunctionRegistry`.
@@ -490,7 +663,21 @@ object TableFunctions {
     ("scd2", scd2Fn _),
     ("scd2_bitemporal", scd2BitemporalFn _),
     ("scd2_snapshot_at", scd2SnapshotAt _),
-    ("snapshot_as_of_log", snapshotAsOfLogFn _)
+    ("snapshot_as_of_log", snapshotAsOfLogFn _),
+    ("dedup_simhash", dedupSimhash _),
+    ("dedup_prefix_jaccard", dedupPrefixJaccard _),
+    ("dedup_containment", dedupContainment _),
+    ("dedup_clusters", dedupClusters _),
+    ("dedup_canonicalize", dedupCanonicalize _),
+    ("text_vocabulary", textVocabulary _),
+    ("text_zipf_fit", textZipfFit _),
+    ("sample_reservoir", sampleReservoir _),
+    ("sample_weighted", sampleWeighted _),
+    ("corpus_mixture", corpusMixture _),
+    ("corpus_shuffle", corpusShuffle _),
+    ("sessionize", sessionizeFn _),
+    ("sketch_hll_distinct", sketchHllDistinct _),
+    ("sketch_cms_topk", sketchCmsTopK _)
   ).map { case (name, builder) =>
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft.plans.TableFunctions", name), builder)

@@ -264,6 +264,72 @@ class ExtensionsSpec extends SparkSpec {
       s"TVF gateway shrank: ${TableFunctions.descriptors.size}")
   }
 
+  test("second TVF wave: dedup variants / vocab / sampling / sessionize / sketches round-trip") {
+    import graft.plans.TableFunctions
+    import graft.llm.{Curation, Dedup, TextAnalysis}
+    import graft.operators.{Sketch, Windows}
+    TableFunctions.descriptors.foreach { case (ident, _, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "scala_udf")
+    }
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    val docs = df("doc_id BIGINT, src STRING, wt DOUBLE, text STRING", Seq(
+      R(1L, "web", 2.0, "the quick brown fox jumps over the lazy dog near the river bank"),
+      R(2L, "web", 1.0, "the quick brown fox jumps over the lazy dog near the river bend"),
+      R(3L, "book", 3.0, "completely different content with no overlap whatsoever here today"),
+      R(4L, "web", 0.5, "the quick brown fox jumps over the lazy dog near the river bank"),
+      R(5L, "book", 1.5, "more words about rivers and foxes in the quiet green valley")))
+    docs.createOrReplaceTempView("tvf2_docs")
+
+    assert(rows(spark.sql("SELECT * FROM dedup_simhash('tvf2_docs', 'doc_id', 'text')"))
+      == rows(Dedup.simhash16(docs, "doc_id", "text")))
+    assert(rows(spark.sql(
+        "SELECT * FROM dedup_prefix_jaccard('tvf2_docs', 'doc_id', 'text', 3, 0.5)"))
+      == rows(Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)))
+    assert(rows(spark.sql(
+        "SELECT * FROM dedup_containment('tvf2_docs', 'doc_id', 'text', 3, 0.8, 1000)"))
+      == rows(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8, 1000)))
+    val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    pairs.createOrReplaceTempView("tvf2_pairs")
+    assert(rows(spark.sql("SELECT * FROM dedup_clusters('tvf2_pairs')"))
+      == rows(Dedup.resolveClusters(pairs)))
+    Dedup.resolveClusters(pairs).createOrReplaceTempView("tvf2_clusters")
+    assert(rows(spark.sql(
+        "SELECT * FROM dedup_canonicalize('tvf2_docs', 'tvf2_clusters', 'doc_id')"))
+      == rows(Dedup.canonicalize(docs,
+        spark.table("tvf2_clusters"), "doc_id")))
+    assert(rows(spark.sql("SELECT * FROM text_vocabulary('tvf2_docs', 'doc_id', 'text', 10)"))
+      == rows(TextAnalysis.vocabulary(docs, "doc_id", "text", 10)))
+    assert(rows(spark.sql("SELECT * FROM text_zipf_fit('tvf2_docs', 'text', 20)"))
+      == rows(TextAnalysis.zipfFit(docs, "text", 20)))
+    assert(rows(spark.sql(
+        "SELECT * FROM sample_reservoir('tvf2_docs', 'doc_id', 'src', 1, 's')"))
+      == rows(Curation.hashReservoir(docs, "doc_id", "src", 1, "s")))
+    assert(rows(spark.sql(
+        "SELECT * FROM sample_weighted('tvf2_docs', 'doc_id', 'wt', 2, 's')"))
+      == rows(Curation.weightedSample(docs, "doc_id", "wt", 2, "s")))
+    assert(rows(spark.sql("SELECT * FROM corpus_mixture('tvf2_docs', 'src', 0.5)"))
+      == rows(Curation.mixtureWeights(docs, "src", 0.5)))
+    assert(rows(spark.sql("SELECT * FROM corpus_shuffle('tvf2_docs', 'doc_id', 2, 'x')"))
+      == rows(Curation.shuffleShards(docs, "doc_id", 2, "x")))
+    val ev = df("uid BIGINT, ts TIMESTAMP", Seq(
+      R(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      R(1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00")),
+      R(1L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00")),
+      R(2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"))))
+    ev.createOrReplaceTempView("tvf2_events")
+    assert(rows(spark.sql("SELECT * FROM sessionize('tvf2_events', 'uid', 'ts', 3600)"))
+      == rows(Windows.sessionize(ev, "uid", "ts", 3600L)))
+    assert(rows(spark.sql(
+        "SELECT * FROM sketch_hll_distinct('tvf2_docs', 'src', 'text', 64)"))
+      == rows(Sketch.hllDistinct(docs, "src", "text", 64)))
+    assert(rows(spark.sql("SELECT * FROM sketch_cms_topk('tvf2_docs', 'text', 3, 256, 5)"))
+      == rows(Sketch.cmsTopK(docs, "text", 3, 256, 5)))
+    assert(TableFunctions.descriptors.size >= 40,
+      s"TVF gateway shrank: ${TableFunctions.descriptors.size}")
+  }
+
   test("serve-path TVFs: persisted dedup/IVF/HNSW indexes probed from SQL") {
     import graft.plans.TableFunctions
     import graft.llm.{DedupIndex, GraphAnnIndex, Similarity}
