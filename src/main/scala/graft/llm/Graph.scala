@@ -153,13 +153,40 @@ object Graph {
     require(minCount >= 1 && k > 0, s"associationRules: bad minCount=$minCount k=$k")
     val b = df.select(col(basketCol).as("ok"), col(itemCol).as("item"))
       .distinct().localCheckpoint() // consumed by pairs, item counts, N
-    val nBaskets = b.select(col("ok")).distinct().count()
-    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
     val pairs = b.select(col("ok"), col("item").as("ante"))
       .join(b.select(col("ok"), col("item").as("cons")), Seq("ok"))
       .filter(col("ante") =!= col("cons"))
       .groupBy(col("ante"), col("cons")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
+    rulesFromDirected(b, pairs, k)
+  }
+
+  /** [[associationRules]] over PREBUILT relations: `b` the distinct
+    * (ok, item) basket relation and `undirected` an (a, b, n_ab) a<b
+    * pair-support relation (the co-purchase memo's exact construction).
+    * Directed pair support is symmetric — n(x→y) counts baskets holding
+    * both — so the directed relation is the undirected one unioned with
+    * its flip: identical integer counts to the self-join form, without
+    * re-paying the basket join when a session already holds the memo
+    * (r13; the oracle gate pins the equivalence).
+    */
+  def associationRulesFromParts(b: DataFrame, undirected: DataFrame,
+                                minCount: Long = 2L, k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k > 0,
+      s"associationRulesFromParts: bad minCount=$minCount k=$k")
+    val f = undirected.filter(col("n_ab") >= minCount)
+    val pairs = f.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
+      .unionAll(f.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
+    rulesFromDirected(b, pairs, k)
+  }
+
+  /** Shared tail: score + rank directed pair supports against the item
+    * marginals and basket total.
+    */
+  private def rulesFromDirected(b: DataFrame, pairs: DataFrame,
+                                k: Int): DataFrame = {
+    val nBaskets = b.select(col("ok")).distinct().count()
+    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
     pairs
       .join(itemN.select(col("item").as("ante"), col("n_i").as("n_a")), Seq("ante"))
       .join(itemN.select(col("item").as("cons"), col("n_i").as("n_b")), Seq("cons"))
@@ -292,22 +319,28 @@ object Graph {
     var auth = ed.select(col("i")).distinct().withColumn("a", lit(1.0))
     var hub = ed.select(col("u")).distinct().withColumn("h", lit(1.0))
     for (it <- 1 to iters) {
+      // materialize the raw sums BEFORE the max-normalization crossJoin:
+      // the broadcast max is a second consumer of the same |E| join+agg
+      // subtree, so the un-materialized form computed the half-iteration's
+      // heavy join TWICE per round (r13 profile: graph_hits jobSum halved
+      // by this checkpoint — the raw relation is |nodes|-bounded, cheap to
+      // hold, and the normalized relation is then a trivial projection)
       val aRaw = ed.join(hub, Seq("u"))
         .groupBy(col("i")).agg(sum(dec(col("h"))).cast("double").as("ar"))
+        .localCheckpoint()
       val aMax = aRaw.agg(max(col("ar")).as("am"))
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("i"), (col("ar") / col("am")).as("a"))
-        .localCheckpoint()
       // hub scores only feed the NEXT round's authority update and the
       // function returns authorities — the final round's hub half-
       // iteration (an |E| join + agg + checkpoint) would be dead work
       if (it < iters) {
         val hRaw = ed.join(auth, Seq("i"))
           .groupBy(col("u")).agg(sum(dec(col("a"))).cast("double").as("hr"))
+          .localCheckpoint()
         val hMax = hRaw.agg(max(col("hr")).as("hm"))
         hub = hRaw.crossJoin(broadcast(hMax))
           .select(col("u"), (col("hr") / col("hm")).as("h"))
-          .localCheckpoint()
       }
     }
     val w = org.apache.spark.sql.expressions.Window

@@ -867,8 +867,15 @@ object Similarity {
       .select(col("ai"), col("bi"), round(cosine("av", "bv", dim), 6).as("s"))
       .filter(col("s").isNotNull)
       .localCheckpoint() // ≤ nCand² rows
-    var picked = cand.sparkSession.emptyDataFrame
-    var pickedIds: DataFrame = null
+    // each greedy step materializes ONE job (the pick's checkpoint); the
+    // picked-id set stays a LAZY union of those ≤k checkpointed 1-row
+    // relations — its leaves are already-materialized RDD scans, so no
+    // recompute, and the old per-step pickedIds.localCheckpoint was a
+    // second scheduled job per step for a ≤k-row relation (r13: k jobs
+    // deleted from the greedy loop, output bit-identical)
+    var pickedSteps = Vector.empty[DataFrame]
+    def pickedIds: DataFrame =
+      pickedSteps.map(_.select(col("cid").as("pid"))).reduce(_ unionAll _)
     for (i <- 1 to k) {
       val remaining =
         if (i == 1) cand
@@ -885,9 +892,9 @@ object Similarity {
         .orderBy(col("score").desc, col("cid")).limit(1)
         .select(lit(i).cast("int").as("rank"), col("cid"), col("rel"), col("score"))
         .localCheckpoint()
-      picked = if (i == 1) pick else picked.unionAll(pick)
-      pickedIds = picked.select(col("cid").as("pid")).localCheckpoint()
+      pickedSteps :+= pick
     }
-    picked.select(col("rank"), col("cid").as("vec_id"), col("rel"), col("score"))
+    pickedSteps.reduce(_ unionAll _)
+      .select(col("rank"), col("cid").as("vec_id"), col("rel"), col("score"))
   }
 }

@@ -205,8 +205,14 @@ object TextAnalysis {
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spread = graft.Core.fanOut(df)
+    // materialized: tf feeds BOTH the document-frequency aggregate and the
+    // scoring join, so the lazy form tokenized+exploded+aggregated the
+    // corpus twice (the DuckDB mirror MATERIALIZEs tf for the same
+    // reason). tf is the post-combine (doc, token) relation — strictly
+    // smaller than the token stream it replaces.
     val tf = spread.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = df.select(countDistinct(col(idCol)).as("n_corpus"))
     tf.join(dfreq, Seq("tok"))
@@ -227,18 +233,27 @@ object TextAnalysis {
   def bm25(df: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spread = graft.Core.fanOut(df)
-    val docLen = spread.select(col(idCol),
-      size(tokens(col(textCol))).cast("double").as("dl"))
-    val corpus = docLen.select(
+    // ONE tokenize pass (was three: docLen, the corpus stats' docLen
+    // recompute, and the term-filtered explode). The per-doc proxy row
+    // (id, dl, query-term hits) is tiny — |docs| rows with a ≤|terms|-ary
+    // array — so materializing it costs nothing at any scale, and dl now
+    // RIDES the tf grouping keys (dl is functionally dependent on the
+    // id), deleting the docLen join outright. Token counts are integers
+    // (exact in double), so the re-shape cannot move a bit.
+    val base = spread
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("double").as("dl"),
+        filter(col("__toks"), t => t.isin(terms: _*)).as("__hits"))
+      .localCheckpoint()
+    val corpus = base.select(
       count(lit(1)).cast("double").as("n_corpus"),
       avg(col("dl")).as("avgdl"))
-    val tf = spread.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).cast("double").as("tf"))
+    val tf = base.select(col(idCol), col("dl"), explode(col("__hits")).as("tok"))
+      .groupBy(col(idCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n_corpus") - col("df") + 0.5) / (col("df") + 0.5))
     tf.join(broadcast(dfreq), Seq("tok"))
-      .join(docLen, Seq(idCol))
       .crossJoin(broadcast(corpus))
       .withColumn("term_score",
         idf * (col("tf") * (k1 + 1.0)) /
@@ -385,7 +400,12 @@ object TextAnalysis {
                 minCount: Long = 20, k: Int = 10): DataFrame = {
     val occ = graft.Core.fanOut(df)
       .select(col(classCol).as("class"), explode(tokens(col(textCol))).as("token"))
+    // materialized: FOUR consumers (the three marginal aggregates and the
+    // main join) each re-ran the tokenize+explode+agg subtree — the corpus
+    // was tokenized four times per query (r13 profile). The (class, token)
+    // count relation is vocabulary-bounded, cheap to hold.
     val a = occ.groupBy(col("class"), col("token")).agg(count(lit(1)).as("a"))
+      .localCheckpoint()
     val tokTot = a.groupBy(col("token")).agg(sum(col("a")).as("tt"))
       .filter(col("tt") >= minCount)
     val clsTot = a.groupBy(col("class")).agg(sum(col("a")).as("ct"))

@@ -67,4 +67,27 @@ object BiasCorrection {
       .setFeaturesCol("features").setLabelCol("obs")
       .fit(assembled)
   }
+
+  /** The [[fitIsotonic]] fit as a RELATION — (pred, fitted), one row per
+    * distinct prediction. On [[sortedPairs]] input the labels arrive
+    * already non-decreasing in feature order (both columns independently
+    * sorted before the positional zip), so PAV has no violators to pool
+    * beyond duplicate features: the fit reduces ANALYTICALLY to the mean
+    * label per distinct feature, and every in-sample transform hits a
+    * model boundary exactly (no interpolation arithmetic in play). Run
+    * means stay monotone because each run's labels dominate every earlier
+    * label. IsotonicEquivSpec pins this relation equal to the MLlib
+    * model's boundary/prediction arrays on the bench shape.
+    *
+    * Why: the MLlib path costs a VectorAssembler pass, an RDD PAV with a
+    * driver-side boundary collect, a model broadcast and a per-row
+    * binary-search transform — all to materialize numbers one keyed AVG
+    * already determines. Duplicate-pred runs are small and integer-labeled
+    * on the bench feed, so the pooled means are exact in double on both
+    * engines regardless of summation order.
+    */
+  def isotonicFitted(df: DataFrame, predCol: String, obsCol: String): DataFrame =
+    sortedPairs(df, predCol, obsCol)
+      .groupBy(col("pred"))
+      .agg(avg(col("obs")).as("fitted"))
 }

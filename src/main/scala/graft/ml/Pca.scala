@@ -29,7 +29,13 @@ object Pca {
     */
   def gram(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim > 0, s"gram needs dim > 0; got $dim")
-    val rows = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    // fanOut: the d²-per-row explode + multiply + partial agg fuse into
+    // the scan stage, and an embedding table small enough to arrive as
+    // one split would run PCA's whole O(N·d²) kernel on one core (the
+    // m21/per-token-md5 precedent; sums are fixed-point longs, so the
+    // spread is arithmetic-invariant)
+    val rows = graft.Core.fanOut(
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim))
     rows
       .select(posexplode(col(vecCol)).as(Seq("pi", "xi")), col(vecCol).as("__v"))
       .select((col("pi") + 1).as("i"), col("xi").cast("double").as("xi"),
@@ -176,8 +182,10 @@ object Pca {
     require(k >= 1 && k <= 1024, s"projectAnomalies: bad k=$k")
     graft.Core.requireIntegral(df, idCol, "projectAnomalies")
     val q = 1.0e10
-    val expl = df
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    // fanOut for the same reason as [[gram]]: dim-way explode + fixed-
+    // point multiply fused onto a possibly single-split scan
+    val expl = graft.Core.fanOut(
+        df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim))
       .select(col(idCol).cast("long").as("id"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("id"), (col("pos") + 1).as("comp"),

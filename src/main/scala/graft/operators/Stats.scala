@@ -461,13 +461,28 @@ object Stats {
     val u = graft.llm.TextAnalysis.md5Long(
       concat(col("id").cast("string"), lit(":"), col("b").cast("string"))) /
       lit(1152921504606846976.0) // 2^60, exact
+    // the CASE reads the STAGED __u attribute, not the md5 expression: a
+    // when-chain's branches evaluate conditionally, outside codegen's
+    // common-subexpression elimination, so inlining u re-computed the md5
+    // in EVERY reached branch — up to 7 md5s per row in the physical plan
+    // (the qualityFilter staging lesson; plan excerpt in plans/r13)
     val w = poissonCdf.zipWithIndex.foldRight(lit(7L): org.apache.spark.sql.Column) {
-      case ((c, k), acc) => when(u < lit(c), lit(k.toLong)).otherwise(acc)
+      case ((c, k), acc) => when(col("__u") < lit(c), lit(k.toLong)).otherwise(acc)
     }
-    val rep = df.filter(v.isNotNull && !isnan(v))
-      .select(col(groupCol).as("g"), col(idCol).as("id"), v.as("x"))
+    // fanOut before the explode: the reps-way explode + per-row md5 fuse
+    // into the SCAN stage, and the events table is small enough to arrive
+    // as one split — 3.2M md5 evaluations on one core at sf0.1 (measured
+    // 8.3 s isolated; the whole-suite record's worst query). The exchange
+    // is bounded by the pre-explode relation, and every downstream agg is
+    // an order-independent decimal sum, so the spread changes nothing but
+    // the parallelism (Core.fanOut's per-token-md5 contract).
+    val rep = graft.Core.fanOut(df.filter(v.isNotNull && !isnan(v))
+        .select(col(groupCol).as("g"), col(idCol).as("id"), v.as("x")))
       .select(col("g"), col("id"), col("x"),
         explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      // stage the md5 uniform ONCE per (id, b); CollapseProject leaves a
+      // non-cheap multiply-referenced producer in its own projection
+      .withColumn("__u", u)
       .withColumn("w", w)
       .groupBy(col("g"), col("b"))
       // round6-in-decimal before every decimal→double cast (the dsum6

@@ -73,11 +73,21 @@ object Queries {
     * support filter / projection. In the bench this removes six rebuilds
     * of the basket self-join (the graph family's shared dominant cost).
     */
-  private[queries] def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
-    memoRel(s, dir, "copurchase_pairs") {
-      val bk = t(s, dir, "lineitem")
+  /** The distinct (ok, item) basket relation under [[coPurchasePairs]] —
+    * memoized separately (r13) because three consumers re-built the same
+    * lineitem distinct: the pair build, recsys_item_cf's degree counts,
+    * and assoc_rules' item marginals.
+    */
+  private[queries] def basketItems(s: SparkSession, dir: String): DataFrame =
+    memoRel(s, dir, "basket_items") {
+      t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
         .distinct()
+    }
+
+  private[queries] def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    memoRel(s, dir, "copurchase_pairs") {
+      val bk = basketItems(s, dir)
       bk.select(col("ok"), col("item").as("a"))
         .join(bk.select(col("ok"), col("item").as("b")), Seq("ok"))
         .filter(col("a") < col("b"))

@@ -107,9 +107,9 @@ object QueriesAG {
     QueryDef(
       "graph_item_jaccard",
       (s, dir) => {
-        val b = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
-          .distinct()
+        // r13: degree counts from the memoized basket relation (see
+        // Queries.basketItems) instead of a per-query lineitem distinct
+        val b = Queries.basketItems(s, dir)
         val deg = b.groupBy(col("item")).agg(count(lit(1)).as("nb"))
         val pairs = Queries.coPurchasePairs(s, dir)
           .filter(col("n_ab") >= minShared)

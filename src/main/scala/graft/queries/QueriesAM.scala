@@ -27,9 +27,10 @@ object QueriesAM {
     QueryDef(
       "recsys_item_cf",
       (s, dir) => {
-        val bk = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
-          .distinct()
+        // r13: the degree counts read the memoized basket relation the
+        // pair memo is built from, instead of re-running the lineitem
+        // distinct per query
+        val bk = Queries.basketItems(s, dir)
         val deg = bk.groupBy(col("item")).agg(count(lit(1)).as("nb"))
         val pairs = Queries.coPurchasePairs(s, dir)
           .filter(col("n_ab") >= minShared)

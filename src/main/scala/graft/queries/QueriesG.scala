@@ -270,17 +270,21 @@ object QueriesG {
   val m3Isotonic: QueryDef = QueryDef(
     "m3_isotonic_bias",
     (s, dir) => {
+      // r13 optimization: the MLlib fit+transform (VectorAssembler ×2, RDD
+      // PAV with driver boundary collect, per-row binary-search transform)
+      // is replaced by its analytic equal, BiasCorrection.isotonicFitted —
+      // the pooled mean per distinct pred, joined back on pred. Every
+      // in-sample point hits a model boundary exactly, so transform(pred)
+      // IS fitted(pred) (IsotonicEquivSpec pins the two paths equal);
+      // oracle unchanged and hash-green tri-scale.
       val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "N")
         .withColumn("pred", col("l_extendedprice") / 1000.0)
         .withColumn("obs", col("l_quantity"))
-      val model = graft.ml.BiasCorrection.fitIsotonic(li, "pred", "obs")
-      import org.apache.spark.ml.feature.VectorAssembler
-      val assembled = new VectorAssembler().setInputCols(Array("pred"))
-        .setOutputCol("features").transform(li)
-      model.transform(assembled)
+      val fit = graft.ml.BiasCorrection.isotonicFitted(li, "pred", "obs")
+      li.join(fit, Seq("pred"))
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-             round(sum(col("prediction").cast("decimal(30,8)")).cast("double") /
+             round(sum(col("fitted").cast("decimal(30,8)")).cast("double") /
                    count(lit(1)), 4).as("mean_corrected"))
         .orderBy(col("l_linestatus"))
     },

@@ -89,8 +89,13 @@ object QueriesT {
     val minCount = 3; val k = 20
     QueryDef(
       "assoc_rules",
-      (s, dir) => graft.llm.Graph.associationRules(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      // r13: ride the session memos — the basket relation and the a<b
+      // pair supports are the same constructions seven graph queries
+      // share; rebuilding the basket self-join here was the query's
+      // dominant cost (directed support derives from the undirected memo
+      // by a union — identical integer counts, oracle-pinned)
+      (s, dir) => graft.llm.Graph.associationRulesFromParts(
+          Queries.basketItems(s, dir), Queries.coPurchasePairs(s, dir),
           minCount = minCount, k = k)
         .orderBy(col("rank")),
       Some(s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
