@@ -478,7 +478,13 @@ object TextAnalysis {
                 textCol: String): DataFrame = {
     val occ = graft.Core.fanOut(df)
       .select(col(classCol).as("class"), explode(tokens(col(textCol))).as("token"))
+    // materialized for the same reason as [[chi2Terms]]: four consumers
+    // of the un-materialized count re-tokenized the corpus four times,
+    // and the three marginals hash on DIFFERENT keys so ReuseExchange
+    // cannot dedupe them (unlike the bigram tables, which share one
+    // exchange by construction)
     val a = occ.groupBy(col("class"), col("token")).agg(count(lit(1)).as("a"))
+      .localCheckpoint()
     val tokTot = a.groupBy(col("token")).agg(sum(col("a")).as("tt"))
     val clsTot = a.groupBy(col("class")).agg(sum(col("a")).as("ct"))
     val nTot = a.agg(sum(col("a")).as("nn"))
