@@ -21,15 +21,25 @@ object Profile {
 
     @volatile var jobs = Vector.empty[(Int, Long, String)] // id, start, desc
     @volatile var done = Vector.empty[(Int, Long)]
-    @volatile var stageRows = 0L
+    // per-job stage census: (jobId -> seq of (stageName, nTasks, stageMs))
+    @volatile var jobStages = Map.empty[Int, Vector[(String, Int, Long)]]
+    @volatile var stageJob = Map.empty[Int, Int]
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs :+= ((j.jobId, j.time,
           Option(j.properties.getProperty("spark.job.description")).getOrElse("")))
+        j.stageIds.foreach(sid => stageJob += (sid -> j.jobId))
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         done :+= ((j.jobId, j.time))
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        stageRows += s.stageInfo.taskMetrics.inputMetrics.recordsRead
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val ms = (for (a <- i.completionTime; b <- i.submissionTime)
+          yield a - b).getOrElse(-1L)
+        val jid = stageJob.getOrElse(i.stageId, -1)
+        jobStages += (jid -> (jobStages.getOrElse(jid, Vector.empty) :+
+          ((i.name.takeWhile(_ != '\n').take(60), i.numTasks, ms))))
+      }
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -42,7 +52,7 @@ object Profile {
       val fn = SparkEntry.queries(n)
       fn(spark, sfDir).count() // warm: memo builds, codegen, file listing
       Thread.sleep(300)
-      jobs = Vector.empty; done = Vector.empty
+      jobs = Vector.empty; done = Vector.empty; jobStages = Map.empty
       spark.sparkContext.setJobDescription(s"profile:$n")
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
@@ -61,7 +71,11 @@ object Profile {
       println(f"[profile] $n%-32s wall=$wall%6.2f s  jobs=${spans.size}%3d  " +
         f"jobSum=$jobSum%6.2f s  rows=$cnt")
       spans.sortBy(-_._2).take(12).foreach { case (id, s) =>
-        println(f"[profile]    job $id%4d  $s%7.3f s")
+        val st = jobStages.getOrElse(id, Vector.empty)
+          .sortBy(-_._3).take(3)
+          .map { case (nm, nt, ms) => s"$nm tasks=$nt ${ms}ms" }
+          .mkString(" | ")
+        println(f"[profile]    job $id%4d  $s%7.3f s   $st")
       }
     }
     spark.stop()

@@ -244,7 +244,13 @@ object Graph {
     val adjRaw = e.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
       .localCheckpoint()
     val adj = Dedup.maybeBroadcast(adjRaw)
-    val tri = e
+    // fanOut the probe side: the oriented edge relation is a few MB, so
+    // AQE coalesces its producing shuffle to ~one partition and the
+    // checkpoint freezes that layout — and with adj BROADCAST the heavy
+    // per-edge array_intersect fuses onto those few partitions (r13
+    // profile: one 1.9 s job was this stage on one core). Bytes are tiny,
+    // work-per-row is the wedge intersection — exactly fanOut's contract.
+    val tri = graft.Core.fanOut(e)
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
       .select(col("src").as("x"), col("dst").as("y"),
