@@ -46,14 +46,14 @@ object Classify {
 
     val cls = train.groupBy(col("label")).agg(count(lit(1)).as("nd"))
     val tot = train.agg(count(lit(1)).as("td"))
-    // clsTot AND vocab derive from cnt, not the token stream — and cnt is
-    // MATERIALIZED (r13): with the lazy form each of its four consumers
-    // (clsTot, vocab→vsize, vocab→scoreTok, the scoring join) re-ran the
-    // train-slice tokenize+explode+agg, which is exactly what this
-    // construction exists to avoid. The (label, tok) relation is
-    // vocabulary-bounded.
+    // clsTot AND vocab derive from cnt, not the token stream: the model
+    // build tokenizes the train slice ONCE — the compact (label, tok)
+    // relation feeds everything downstream (the text_perplexity
+    // ReuseExchange lesson). NOT checkpointed: r13 measured the
+    // materialization (label×vocab rows of strings) at +0.5 s vs the
+    // re-derived consumers — the train slice is small and the recompute
+    // cheap, the bigramPerplexity trade, not the chi2Terms one.
     val cnt = trainTok.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
     val clsTot = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("ct"))
     val vocab = cnt.select(col("tok")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))

@@ -52,10 +52,12 @@ object Graph {
   def textRank(df: DataFrame, textCol: String, iters: Int = 3,
                damping: Double = 0.85, k: Int = 20): DataFrame = {
     require(iters >= 1 && k > 0, s"textRank: bad shape iters=$iters k=$k")
-    val edges = cooccurrenceEdges(df, textCol)
+    // fanOut AFTER the checkpoint — frozen-coalesced-layout rule, see
+    // [[labelPropagation]]
+    val edges = graft.Core.fanOut(cooccurrenceEdges(df, textCol)
       .withColumn("outw", sum(col("w")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint() // consumed once per iteration
+      .localCheckpoint()) // consumed once per iteration
     val nodes = edges.select(col("src").as("tok")).distinct()
     var r = nodes.withColumn("rank_v", lit(1.0))
     for (_ <- 1 to iters) {
@@ -111,9 +113,20 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = 3,
                        k: Int = 20): DataFrame = {
     require(iters >= 1 && k > 0, s"labelPropagation: bad iters=$iters k=$k")
-    val ed = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint() // consumed once per iteration
+    // fanOut AFTER the checkpoint: AQE coalesces the distinct's shuffle
+    // to ~one partition for a few-MB edge relation and the checkpoint
+    // FREEZES that layout; every round's label join then broadcasts the
+    // small side, so the per-round |E| stage would run on one core (the
+    // triangle-count lesson, applied across the iterative graph family).
+    // The order matters — on the RDD-backed checkpoint fanOut's partition
+    // probe sees the TRUE materialized count (a pre-checkpoint probe sees
+    // the pre-AQE shuffle count and never fires); the respread itself is
+    // a few-MB lazy exchange each round, nothing at scale where the
+    // checkpoint already holds thousands of partitions.
+    val ed = graft.Core.fanOut(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+        .distinct().localCheckpoint()) // consumed once per iteration
     var lab = ed.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
@@ -281,9 +294,13 @@ object Graph {
   def bfsLayers(edges: DataFrame, seeds: DataFrame,
                 maxHops: Int = 3): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8, s"bfsLayers: bad maxHops=$maxHops")
-    val ed = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint() // consumed once per round
+    // fanOut AFTER the checkpoint — frozen-coalesced-layout rule, see
+    // [[labelPropagation]] (each round joins the broadcast frontier
+    // against ed, so ed's layout is the round's parallelism)
+    val ed = graft.Core.fanOut(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+        .distinct().localCheckpoint()) // consumed once per round
     val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
     var dist = nodes.join(broadcast(seeds.select(col("node")).distinct()),
         Seq("node"))
@@ -321,7 +338,11 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 2, k: Int = 20): DataFrame = {
     require(iters >= 1 && iters <= 6 && k > 0, s"hits: bad iters=$iters k=$k")
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
-    val ed = edges.select(col("u"), col("i")).distinct().localCheckpoint()
+    // fanOut before the checkpoint — frozen-coalesced-layout rule, see
+    // [[labelPropagation]] (profiled here: the half-iteration's |E| join
+    // + agg ran as single-task 0.9 s stages against the broadcast scores)
+    val ed = graft.Core.fanOut(
+      edges.select(col("u"), col("i")).distinct()).localCheckpoint()
     var auth = ed.select(col("i")).distinct().withColumn("a", lit(1.0))
     var hub = ed.select(col("u")).distinct().withColumn("h", lit(1.0))
     for (it <- 1 to iters) {
@@ -365,9 +386,13 @@ object Graph {
   def kcorePeel(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 8,
       s"kcorePeel: bad k=$k rounds=$rounds")
-    var ed = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint()
+    // fanOut AFTER the checkpoint — frozen-coalesced-layout rule, see
+    // [[labelPropagation]]; the per-round re-checkpoints then materialize
+    // the spread layout, which the broadcast semi-joins preserve
+    var ed = graft.Core.fanOut(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+        .distinct().localCheckpoint())
     val out = (1 to rounds).map { round =>
       val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))

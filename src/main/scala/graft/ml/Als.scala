@@ -91,10 +91,15 @@ object Als {
     // so without the cache the ratings join re-scans the source 2·iters
     // times; released before return (the factor relations are
     // materialized by then)
-    val ratings = df
-      .filter(col(ratingCol).isNotNull && !isnan(col(ratingCol).cast("double")))
-      .select(col(userCol).as("u"), col(itemCol).as("p"),
-        col(ratingCol).cast("double").as("r"))
+    // fanOut before the cache: the ratings arrive as one scan split at
+    // bench scale, the cache freezes that layout, and every half-step's
+    // join BROADCASTS the factor side — so all 2·iters sufficient-stats
+    // aggregations would run on one core (the frozen-coalesced-layout
+    // rule from the graph family)
+    val ratings = graft.Core.fanOut(df
+        .filter(col(ratingCol).isNotNull && !isnan(col(ratingCol).cast("double")))
+        .select(col(userCol).as("u"), col(itemCol).as("p"),
+          col(ratingCol).cast("double").as("r")))
       .persist()
     var items = ratings.select(col("p")).distinct()
       .select(col("p"), hashU(col("p"), "f1").as("f1"),

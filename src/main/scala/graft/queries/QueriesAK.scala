@@ -51,9 +51,13 @@ object QueriesAK {
             abs(length(col("na")) - length(col("nb"))) <= maxDist &&
             levenshtein(col("na"), col("nb")) <= maxDist)
           .select(col("a"), col("b"))
-        val ed = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-          .distinct().localCheckpoint()
+        // r13: fanOut AFTER the checkpoint (frozen-coalesced-layout
+        // rule — each min-label round joins broadcast labels against ed,
+        // and only the RDD-backed probe sees the true partition count)
+        val ed = Core.fanOut(
+          pairs.select(col("a").as("src"), col("b").as("dst"))
+            .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+            .distinct().localCheckpoint())
         var lab = ed.select(col("src").as("node")).distinct()
           .withColumn("label", col("node"))
         for (_ <- 1 to rounds) {
