@@ -358,6 +358,7 @@ object Graph {
       val aMax = aRaw.agg(max(col("ar")).as("am"))
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("i"), (col("ar") / col("am")).as("a"))
+        .localCheckpoint()
       // hub scores only feed the NEXT round's authority update and the
       // function returns authorities — the final round's hub half-
       // iteration (an |E| join + agg + checkpoint) would be dead work
@@ -368,6 +369,7 @@ object Graph {
         val hMax = hRaw.agg(max(col("hr")).as("hm"))
         hub = hRaw.crossJoin(broadcast(hMax))
           .select(col("u"), (col("hr") / col("hm")).as("h"))
+          .localCheckpoint()
       }
     }
     val w = org.apache.spark.sql.expressions.Window
