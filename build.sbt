@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW. sbt's default LoggedOutput
+// prefixes every forked-process line with "[info] " — which makes the
+// bench's one-line JSON un-parseable by a strict json.loads(line): the
+// driver's BENCH artifact has carried the prefixed line for 13 rounds and
+// its `parsed` field has been null in every one of them, even when the
+// line was complete and valid (round 7: 1821 chars, well inside the
+// capture window). StdoutOutput removes the prefix so the line reaches
+// the driver exactly as printed.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -51,8 +51,21 @@ object Profile {
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       fn(spark, sfDir).count() // warm: memo builds, codegen, file listing
-      Thread.sleep(300)
+      // drain the listener bus BEFORE resetting, so in-flight warm-run
+      // events can't land in the profiled window (ADVICE r14: the fixed
+      // sleep raced the bus, and stageJob was never reset — stale
+      // stageId→jobId entries accumulated across queries). listenerBus is
+      // private[spark]; reached via reflection because this is a dev-only
+      // census tool (never in a query path), with the sleep kept as the
+      // fallback if the internal API moves.
+      scala.util.Try {
+        val sc = spark.sparkContext
+        val m = sc.getClass.getMethod("listenerBus")
+        val bus = m.invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      }
       jobs = Vector.empty; done = Vector.empty; jobStages = Map.empty
+      stageJob = Map.empty
       spark.sparkContext.setJobDescription(s"profile:$n")
       val gc0 = gcMillis()
       val t0 = System.nanoTime()

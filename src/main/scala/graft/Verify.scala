@@ -29,6 +29,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // same between-queries checkpoint release as Bench (VERDICT r14
+        // item 3) — 262 queries of leaked blocks pressure the session
+        Core.releaseTransientBlocks(spark)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

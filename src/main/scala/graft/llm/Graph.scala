@@ -338,11 +338,15 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 2, k: Int = 20): DataFrame = {
     require(iters >= 1 && iters <= 6 && k > 0, s"hits: bad iters=$iters k=$k")
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,10)")
-    // fanOut before the checkpoint — frozen-coalesced-layout rule, see
+    // fanOut AFTER the checkpoint — frozen-coalesced-layout rule, see
     // [[labelPropagation]] (profiled here: the half-iteration's |E| join
-    // + agg ran as single-task 0.9 s stages against the broadcast scores)
+    // + agg ran as single-task 0.9 s stages against the broadcast scores).
+    // Probed BEFORE the checkpoint the relation is a join of two tables,
+    // so the optimizer-stats probe sees a join-size over-estimate and
+    // no-ops — leaving the checkpoint frozen at AQE's ~1-partition layout,
+    // the exact regression this respread exists to fix (r14, ADVICE).
     val ed = graft.Core.fanOut(
-      edges.select(col("u"), col("i")).distinct()).localCheckpoint()
+      edges.select(col("u"), col("i")).distinct().localCheckpoint())
     var auth = ed.select(col("i")).distinct().withColumn("a", lit(1.0))
     var hub = ed.select(col("u")).distinct().withColumn("h", lit(1.0))
     for (it <- 1 to iters) {

@@ -79,6 +79,15 @@ object BiasCorrection {
     * label. IsotonicEquivSpec pins this relation equal to the MLlib
     * model's boundary/prediction arrays on the bench shape.
     *
+    * Equality scope: bit-for-bit equality with the MLlib fit holds when
+    * pooled label sums are exact in double — integer-valued (or otherwise
+    * exactly-summable) labels, as on the bench feed. With general
+    * fractional labels Spark's partitioned partial-sum avg and MLlib's
+    * sequential tie-pooling can differ in the last ULP, and null `obs`
+    * rows are averaged out here where the MLlib path (VectorAssembler)
+    * throws — callers beyond m3 with such inputs should use
+    * [[fitIsotonic]].
+    *
     * Why: the MLlib path costs a VectorAssembler pass, an RDD PAV with a
     * driver-side boundary collect, a model broadcast and a per-row
     * binary-search transform — all to materialize numbers one keyed AVG

@@ -62,17 +62,14 @@ object Queries {
         m
       } else live
     }
-    perSession.computeIfAbsent(s"$dir|$key", _ => build.localCheckpoint())
+    // protectRdds: memo blocks must survive Core.releaseTransientBlocks
+    // (the between-queries checkpoint release) — every consumer after the
+    // first reads this materialized RDD, and a released localCheckpoint is
+    // unrecomputable
+    perSession.computeIfAbsent(s"$dir|$key",
+      _ => Core.protectRdds(build.localCheckpoint()))
   }
 
-  /** The weighted co-purchase pair relation (a < b item pairs sharing a
-    * basket, with the shared-basket count) — the common input of SEVEN
-    * graph queries (triangle count, BFS, k-core, label propagation,
-    * assortativity, item-Jaccard, item-CF recommender). Built + shuffled
-    * ONCE per session via [[memoRel]]; each consumer applies its own
-    * support filter / projection. In the bench this removes six rebuilds
-    * of the basket self-join (the graph family's shared dominant cost).
-    */
   /** The distinct (ok, item) basket relation under [[coPurchasePairs]] —
     * memoized separately (r13) because three consumers re-built the same
     * lineitem distinct: the pair build, recsys_item_cf's degree counts,
@@ -85,6 +82,14 @@ object Queries {
         .distinct()
     }
 
+  /** The weighted co-purchase pair relation (a < b item pairs sharing a
+    * basket, with the shared-basket count) — the common input of SEVEN
+    * graph queries (triangle count, BFS, k-core, label propagation,
+    * assortativity, item-Jaccard, item-CF recommender). Built + shuffled
+    * ONCE per session via [[memoRel]]; each consumer applies its own
+    * support filter / projection. In the bench this removes six rebuilds
+    * of the basket self-join (the graph family's shared dominant cost).
+    */
   private[queries] def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
     memoRel(s, dir, "copurchase_pairs") {
       val bk = basketItems(s, dir)
